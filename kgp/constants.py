@@ -1,0 +1,94 @@
+"""Shared deterministic corpus constants.
+
+The synthetic Common-Crawl-style `pages` corpus is a pure function of
+`documents.parquet` (doc_id, text, lang) and these constants. Both the
+Spark generator (kgp.corpus) and the DuckDB oracle SQL (__spark_entry__)
+are derived from THIS module, so golden text / mentions / triples are
+known by construction on both sides.
+
+Entity inventory mirrors the gazetteer shape of the reference
+(/root/reference/palladian-core/.../extraction/location/Location.java:19-80)
+and the seed-dictionary format of PalladianNer.setEntityDictionary
+(/root/reference/palladian-core/.../tagger/PalladianNer.java:253-296).
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------- entities
+
+PERSONS = [
+    "John Smith", "Mary Johnson", "Robert Brown", "Patricia Miller",
+    "Michael Davis", "Linda Wilson", "James Moore", "Barbara Taylor",
+    "William Anderson", "Elizabeth Thomas", "David Jackson",
+    "Jennifer White", "Richard Harris", "Susan Martin",
+    "Joseph Thompson", "Karen Garcia", "Charles Robinson",
+]  # 17
+
+ORGS = [
+    "Acme Corp", "Globex Systems", "Initech Labs", "Umbrella Group",
+    "Stark Industries", "Wayne Enterprises", "Cyberdyne Systems",
+    "Tyrell Corporation", "Wonka Industries", "Duff Brewing",
+    "Sirius Cybernetics", "Hooli Media", "Vandelay Industries",
+]  # 13
+
+# alias surfaces for the first three orgs (exercise canonicalization);
+# plus a 3-node chain member never used in text.
+ORG_ALIASES = ["Acme Corporation", "Globex Systems International",
+               "Initech Laboratories"]
+ORG_CHAIN_NAME = "Acme Corp Worldwide"  # alt-name -> "Acme Corporation"
+
+CITIES = [
+    "Springfield", "Rivertown", "Lakeside", "Porthaven", "Greenfield",
+    "Stonebridge", "Fairview", "Maplewood", "Ashford", "Clearwater",
+    "Brookdale",
+]  # 11
+
+COUNTRIES = [
+    "Freedonia", "Sylvania", "Genovia", "Latveria", "Elbonia",
+    "Krakozhia", "Arstotzka",
+]  # 7
+
+# gazetteer id bases
+PER_ID, ORG_ID, ORG_ALIAS_ID, ORG_CHAIN_ID = 1000, 2000, 2100, 2200
+CITY_ID, CITY_DUP_ID, COUNTRY_ID = 3000, 3100, 4000
+
+# ------------------------------------------------------------- sentences
+#
+# Placeholders: per per2 org org_s3 city city2 country doc_id.
+# Index arithmetic (all pure integer mod of doc_id — reproducible in SQL):
+#   per     = PERSONS[doc_id % 17]
+#   per2    = PERSONS[(doc_id + 5) % 17]
+#   org     = ORGS[doc_id % 13]
+#   city    = CITIES[doc_id % 11]
+#   city2   = CITIES[(doc_id + 3) % 11]
+#   country = COUNTRIES[doc_id % 7]
+#   org_s3  = ORG_ALIASES[doc_id % 13] if (doc_id % 9 == 5 and doc_id % 13 < 3)
+#             else org                       (alias exercise for CC/canon)
+
+H1 = "{org} update {doc_id}"
+S1 = ("{per}, the chief executive officer of {org}, spoke in {city} on "
+      "Monday.")
+S2 = "{per} was born in {city2}."
+S3 = "{org_s3} is headquartered in {city}."
+S4 = "{city} is the capital of {country}."      # when doc_id % 3 == 0
+S5 = "{per2} works for {org}."                  # when doc_id % 4 == 1
+S6 = "{org} was founded by {per}."              # when doc_id % 5 == 2
+D1 = "The quick brown fox jumps over the lazy dog near the river bank."
+
+COND_S4 = ("doc_id % 3", 0)
+COND_S5 = ("doc_id % 4", 1)
+COND_S6 = ("doc_id % 5", 2)
+ALIAS_COND = "(doc_id % 9 = 5 AND doc_id % 13 < 3)"
+
+EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+# html structural variants (same golden text for all):
+#   doc_id % 10 == 7  -> unclosed <p> tags (implied close)
+#   doc_id % 13 == 4  -> main div has no hint class (XPath-density path)
+HINT_CLASS = "article-body"
+NOHINT_CLASS = "content-zone"
+
+PREDICATES = ["ceo_of", "born_in", "headquartered_in", "capital_of",
+              "works_for", "founded"]
+
+CONCEPT_PRIORITY = ["PER", "ORG", "CITY", "COUNTRY"]
