@@ -296,27 +296,37 @@ EXTRACT_SCHEMA = T.StructType([
 ])
 
 
-@F.pandas_udf(EXTRACT_SCHEMA)
-def _extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
-    texts, titles, langs, sents = [], [], [], []
-    for h, u in zip(html, url):
-        r = extract_main_content(h, u or "")
-        sent_lang = "de" if r["lang"] == "de" else "en"
-        ss = get_sentences(r["text"], only_real=True, language=sent_lang)
-        texts.append(r["text"])
-        titles.append(r["title"])
-        langs.append(r["lang"])
-        sents.append([{"start": s.start, "text": s.value} for s in ss])
-    return pd.DataFrame(
-        {"text": texts, "title": titles, "lang": langs, "sentences": sents})
-
-
-def extract_stage(pages: DataFrame) -> DataFrame:
+def extract_stage(pages: DataFrame, sentence_lang: str = "en") -> DataFrame:
     """pages -> docs(url, warc_ts, lang, title, text, sentences).
 
     Per-document work only: Catalyst keeps this a single ArrowEvalPython
     stage over the parquet scan — no shuffle.
+
+    sentence_lang: "en"/"de" force that split regex; "auto" keys off the
+    page's detected language. Default is "en": the <html lang> attribute
+    describes the page, not necessarily the prose, and the reference's DE
+    regex has aggressive abbreviation lookbehinds (e.g. `[mM]s` for "Ms."
+    suppresses any split after a word ending in "ms"); content-based
+    language ID (kgp.textstats) is the scale-path input for "auto".
     """
+
+    @F.pandas_udf(EXTRACT_SCHEMA)
+    def _extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        texts, titles, langs, sents = [], [], [], []
+        for h, u in zip(html, url):
+            r = extract_main_content(h, u or "")
+            if sentence_lang == "auto":
+                sl = "de" if r["lang"] == "de" else "en"
+            else:
+                sl = sentence_lang
+            ss = get_sentences(r["text"], only_real=True, language=sl)
+            texts.append(r["text"])
+            titles.append(r["title"])
+            langs.append(r["lang"])
+            sents.append([{"start": s.start, "text": s.value} for s in ss])
+        return pd.DataFrame({"text": texts, "title": titles, "lang": langs,
+                             "sentences": sents})
+
     ex = _extract_udf(F.col("html"), F.col("url")).alias("ex")
     return pages.select("url", "warc_ts", ex).select(
         "url", "warc_ts",
