@@ -1,0 +1,105 @@
+"""Stage 5 — entity canonicalization via connected components.
+
+The reference has no coreference/canonicalization (nearest analog:
+exact dictionary surface match + conceptLikelihoodOrder,
+/root/reference/palladian-core/src/main/java/ws/palladian/extraction/entity/tagger/PalladianNer.java:522-530).
+Our design (SURVEY.md §2.7): build same-entity edges, run iterative
+min-label propagation (GraphFrames-style hash-join propagation — no
+GraphFrames dependency, plain DataFrame ops), take `canon_id =
+min(entity_id)` per component.
+
+Scale notes:
+  * each iteration = one shuffle (join) + one hash agg; labels are
+    `localCheckpoint`-ed every iteration to cut lineage so the loop
+    doesn't grow the plan (a 20-iteration plan would otherwise OOM the
+    optimizer long before the data hurts);
+  * a pointer-doubling contraction (label ← label-of-label) runs after
+    every neighbor-min step, so convergence is O(log diameter) joins,
+    not O(diameter) — on 10^12-doc alias graphs diameter is small but
+    head entities create high-degree stars, which hash joins + AQE skew
+    splitting handle (the star center's label is a single row on the
+    build side);
+  * convergence is an exact changed-row count with an iteration cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def same_entity_edges(gaz: DataFrame) -> DataFrame:
+    """(src, dst) edges: entity A lists an alt name that IS entity B's
+    primary name → same real-world entity (how the synthetic gazetteer
+    encodes aliases; with a real KB this is the `sameAs`/redirect set).
+    """
+    alt = gaz.select(F.col("id").alias("src"),
+                     F.explode("alt_names").alias("alt"))
+    prim = gaz.select(F.col("id").alias("dst"), F.col("name"))
+    return (alt.join(prim, alt.alt == prim.name)
+               .where(F.col("src") != F.col("dst"))
+               .select("src", "dst").distinct())
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src, dst) → mapping(entity_id, canon_id=min id in component).
+
+    Min-label propagation over the undirected edge set with pointer
+    doubling; driver-side loop with exact convergence check.
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"))).distinct()
+    sym = sym.localCheckpoint()
+    labels = (sym.select(F.col("src").alias("id"))
+                 .distinct()
+                 .withColumn("label", F.col("id")))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        # neighbor-min: label(v) = min(label(v), min over u~v of label(u))
+        msgs = (sym.join(labels, sym.src == labels.id)
+                   .select(F.col("dst").alias("id"), "label"))
+        new = (labels.unionByName(msgs)
+                     .groupBy("id").agg(F.min("label").alias("label")))
+        # pointer doubling: label(v) = label(label(v))
+        l2 = new.select(F.col("id").alias("lid"),
+                        F.col("label").alias("llabel"))
+        new = (new.join(l2, new.label == l2.lid, "left")
+                  .select("id", F.coalesce("llabel", "label").alias("label")))
+        new = new.localCheckpoint()
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("entity_id"),
+                         F.col("label").alias("canon_id"))
+
+
+def canonical_mapping(gaz: DataFrame) -> DataFrame:
+    """gazetteer → (entity_id, canon_id, canon_name) covering ALL
+    entities (identity for singletons)."""
+    cc = connected_components(same_entity_edges(gaz))
+    all_ids = gaz.select(F.col("id").alias("entity_id"))
+    mapping = (all_ids.join(cc, "entity_id", "left")
+               .select("entity_id",
+                       F.coalesce("canon_id", "entity_id").alias("canon_id")))
+    names = gaz.select(F.col("id").alias("canon_id"),
+                       F.col("name").alias("canon_name"))
+    return mapping.join(F.broadcast(names), "canon_id") \
+                  .select("entity_id", "canon_id", "canon_name")
+
+
+def canonicalize_links(links: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite links' (entity_id, canon_name) to component canonicals.
+    mapping is broadcast (it is gazetteer-sized, small side)."""
+    m = F.broadcast(mapping.select(
+        "entity_id",
+        F.col("canon_id").alias("_cid"),
+        F.col("canon_name").alias("_cname")))
+    return (links.join(m, "entity_id", "left")
+            .withColumn("entity_id", F.coalesce("_cid", "entity_id"))
+            .withColumn("canon_name", F.coalesce("_cname", "canon_name"))
+            .drop("_cid", "_cname"))

@@ -1,0 +1,109 @@
+"""Stage 6 — materialization, lineage manifests, checkpoint-resume.
+
+Each pipeline stage writes its output as a table under the run
+directory; a stage that already has a `_SUCCESS` marker is NOT
+recomputed on re-run (checkpoint-resume at stage boundaries — the
+north-rule requirement; on a cluster these are Iceberg tables and the
+existence check is a catalog lookup + snapshot validation, here it is
+parquet + `_SUCCESS`, same semantics).
+
+Lineage: after each stage lands, one pass over the written files
+computes per-partition (rows, checksum) and appends rows to the
+`lineage` table:
+
+    lineage(stage, partition_id, input_rows, output_rows, checksum,
+            wall_ms, run_ts)
+
+The checksum is an order-insensitive 64-bit aggregate
+(bit_xor of xxhash64 over all columns per partition — no overflow under
+ANSI mode) so re-runs can be verified partition-by-partition without
+re-reading upstream stages.
+Everything is JVM-side column work — no Python in the lineage path.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = ("stage string, partition_id int, input_rows long, "
+                  "output_rows long, checksum long, wall_ms long, "
+                  "run_ts double")
+
+
+def stage_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, stage)
+
+
+def stage_done(out_dir: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(stage_path(out_dir, stage),
+                                       "_SUCCESS"))
+
+
+def partition_manifest(df: DataFrame, stage: str) -> DataFrame:
+    """Per-partition (rows, order-insensitive checksum) of df as read."""
+    hashed = df.select(
+        F.spark_partition_id().alias("partition_id"),
+        F.xxhash64(*[F.col(c) for c in df.columns]).alias("h"),
+    )
+    return hashed.groupBy("partition_id").agg(
+        F.count("*").alias("output_rows"),
+        F.expr("bit_xor(h)").alias("checksum"),
+    ).select(
+        F.lit(stage).alias("stage"),
+        "partition_id",
+        F.lit(None).cast("long").alias("input_rows"),
+        "output_rows",
+        "checksum",
+        F.lit(None).cast("long").alias("wall_ms"),
+        F.lit(time.time()).alias("run_ts"),
+    )
+
+
+def append_lineage(spark: SparkSession, out_dir: str, manifest: DataFrame,
+                   wall_ms: int, input_rows: int | None = None) -> None:
+    rows = manifest.withColumn("wall_ms", F.lit(wall_ms)) \
+                   .withColumn("input_rows",
+                               F.lit(input_rows).cast("long"))
+    rows.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+
+
+def write_stage(spark: SparkSession, df: DataFrame, out_dir: str,
+                stage: str, partition_by: list[str] | None = None,
+                input_rows: int | None = None) -> DataFrame:
+    """Write df as the stage table + lineage manifest; return the
+    re-read DataFrame (so downstream stages consume the materialized
+    table, cutting lineage and letting AQE re-plan per stage)."""
+    path = stage_path(out_dir, stage)
+    t0 = time.time()
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    wall_ms = int((time.time() - t0) * 1000)
+    out = spark.read.parquet(path)
+    append_lineage(spark, out_dir, partition_manifest(out, stage),
+                   wall_ms, input_rows)
+    return out
+
+
+def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
+    return spark.read.parquet(stage_path(out_dir, stage))
+
+
+def lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "lineage"))
+
+
+def finalize_triples(triples: DataFrame) -> DataFrame:
+    """Canonical triple set: dedup on (subj, pred, obj) keeping max
+    confidence; deterministic tie-breaks on (url, sent_idx) so repeated
+    runs produce byte-identical tables."""
+    return (triples.groupBy("subj", "pred", "obj")
+            .agg(F.max("conf").alias("conf"),
+                 F.min("url").alias("url"),
+                 F.min("sent_idx").alias("sent_idx"),
+                 F.count("*").alias("support")))

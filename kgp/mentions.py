@@ -231,7 +231,12 @@ def tag_sentence(sentence: str, sent_start: int, model: NerModel) -> list[dict]:
             start, value = fixed
             if not value or is_date_fragment(value):
                 continue
+        # exact dictionary match; the StringTagger suffix rule keeps a
+        # trailing "." after Inc/Corp/Co/Ave (StringTagger.java:76) so
+        # fall back to the dot-stripped surface
         exact = model.entity_dict.get(value.lower())
+        if exact is None and value.endswith("."):
+            exact = model.entity_dict.get(value.lower().rstrip("."))
         if exact is not None:
             tag, score = exact, 1.0
         else:
@@ -296,9 +301,12 @@ def build_annotation_dictionary(seeds: DataFrame,
         surfaces = docs.select(
             F.explode(cand_udf("sentences")).alias("surface"))
         seed_set = seeds.select(F.lower("entity").alias("k")).distinct()
+        # dot-stripped comparison: "Acme Corp." (suffix rule keeps the
+        # sentence dot) is NOT a false positive of seed "Acme Corp"
         negatives = (surfaces
                      .join(seed_set,
-                           F.lower("surface") == F.col("k"), "left_anti")
+                           F.lower(F.regexp_replace("surface", r"\.+$", ""))
+                           == F.col("k"), "left_anti")
                      .select(F.lit(NO_ENTITY).alias("tag"),
                              F.explode(gram_udf("surface")).alias("gram")))
         parts.append(negatives)
@@ -307,33 +315,50 @@ def build_annotation_dictionary(seeds: DataFrame,
             .where(F.col("count") >= min_count))
 
 
-def train_ner_model(spark: SparkSession, docs: DataFrame,
-                    seeds: DataFrame) -> NerModel:
-    """Distributed training -> small broadcastable model."""
-    entity_rows = seeds.groupBy(F.lower("entity").alias("surface"),
-                                "concept").count().collect()
+def build_entity_dictionary(seeds: DataFrame) -> DataFrame:
+    """(surface, concept, count) — buildEntityDictionary as aggregation
+    (PalladianNer.java:326-333)."""
+    return seeds.groupBy(F.lower("entity").alias("surface"),
+                         "concept").count()
+
+
+def assemble_model(entity_rows, ann_rows, case_tokens) -> NerModel:
+    """Collect the three (small, pruned) model tables into the
+    broadcastable NerModel. Rows may be pyspark Rows or plain tuples
+    (surface, concept, count) / (gram, tag, count) / (token,)."""
     best: dict[str, tuple[int, int]] = {}
     entity_dict: dict[str, str] = {}
     for r in entity_rows:
-        pri = (C.CONCEPT_PRIORITY.index(r.concept)
-               if r.concept in C.CONCEPT_PRIORITY else 99)
-        key = (-r["count"], pri)
-        if r.surface not in best or key < best[r.surface]:
-            best[r.surface] = key
-            entity_dict[r.surface] = r.concept
+        surface, concept, count = r[0], r[1], r[2]
+        pri = (C.CONCEPT_PRIORITY.index(concept)
+               if concept in C.CONCEPT_PRIORITY else 99)
+        key = (-count, pri)
+        if surface not in best or key < best[surface]:
+            best[surface] = key
+            entity_dict[surface] = concept
 
-    ann_rows = build_annotation_dictionary(seeds, docs).collect()
     annotation_dict: dict[str, dict[str, int]] = {}
     tag_totals: dict[str, int] = {}
     for r in ann_rows:
-        annotation_dict.setdefault(r.gram, {})[r.tag] = r["count"]
-        tag_totals[r.tag] = tag_totals.get(r.tag, 0) + r["count"]
+        gram, tag, count = r[0], r[1], r[2]
+        annotation_dict.setdefault(gram, {})[tag] = count
+        tag_totals[tag] = tag_totals.get(tag, 0) + count
     total = sum(tag_totals.values()) or 1
     priors = {t: c / total for t, c in tag_totals.items()}
 
-    case_dict = {r.token for r in build_case_dictionary(docs).collect()}
+    case_dict = {r[0] for r in case_tokens}
     return NerModel(entity_dict=entity_dict, annotation_dict=annotation_dict,
                     priors=priors, case_dict=case_dict)
+
+
+def train_ner_model(spark: SparkSession, docs: DataFrame,
+                    seeds: DataFrame) -> NerModel:
+    """Distributed training -> small broadcastable model."""
+    return assemble_model(
+        build_entity_dictionary(seeds).collect(),
+        build_annotation_dictionary(seeds, docs).collect(),
+        build_case_dictionary(docs).collect(),
+    )
 
 
 # --------------------------------------------------------- Spark stage
@@ -345,14 +370,21 @@ MENTION_SCHEMA = T.ArrayType(T.StructType([
     T.StructField("surface", T.StringType()),
     T.StructField("tag", T.StringType()),
     T.StructField("score", T.DoubleType()),
+    T.StructField("sent_start", T.IntegerType()),
+    T.StructField("sent_text", T.StringType()),
 ]))
 
 
 def detect_mentions(docs: DataFrame, model_bc) -> DataFrame:
-    """docs -> mentions(url, sent_idx, start, end, surface, tag, score).
+    """docs -> mentions(url, sent_idx, start, end, surface, tag, score,
+    sent_text).
 
     One Arrow pass; model arrives via spark broadcast. Offsets are
-    document-level (sentence.start + in-sentence offset)."""
+    document-level (sentence.start + in-sentence offset). Each mention
+    row carries its sentence text so the downstream relation stage needs
+    NO join back to the (much larger) docs table — the duplication is
+    bounded by mentions-per-sentence and is the cheaper side of the
+    trade at corpus scale."""
 
     @F.pandas_udf(MENTION_SCHEMA)
     def _mentions_udf(sentences: pd.Series) -> pd.Series:
@@ -363,6 +395,8 @@ def detect_mentions(docs: DataFrame, model_bc) -> DataFrame:
             for idx, s in enumerate(sents if sents is not None else []):
                 for m in tag_sentence(s["text"], int(s["start"]), model):
                     m["sent_idx"] = idx
+                    m["sent_start"] = int(s["start"])
+                    m["sent_text"] = s["text"]
                     doc_mentions.append(m)
             result.append(doc_mentions)
         return pd.Series(result)
@@ -371,4 +405,4 @@ def detect_mentions(docs: DataFrame, model_bc) -> DataFrame:
         "url", F.explode(_mentions_udf("sentences")).alias("m"))
     return exploded.select(
         "url", "m.sent_idx", "m.start", "m.end", "m.surface", "m.tag",
-        "m.score")
+        "m.score", "m.sent_start", "m.sent_text")

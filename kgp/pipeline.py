@@ -1,0 +1,176 @@
+"""Pipeline driver — the spark-submit entry point.
+
+    spark-submit --master local[32] --py-files kgp.zip -m ... \
+        pipeline.py --sf-dir /root/testdata/sf0.001 --out /tmp/kgp-run
+
+Stage DAG (each stage is a materialized table under --out; a stage with
+a `_SUCCESS` marker is skipped on re-run → checkpoint-resume):
+
+    pages        synthetic Common-Crawl-shaped input (url, warc_ts,
+                 html, text, lang) — on a cluster this is the existing
+                 Iceberg `pages` table and this stage is a no-op
+    docs         stage 1: html → text/title/lang/sentences   (kgp.html_text)
+    ner_*        model training aggregations                  (kgp.mentions)
+    mentions     stage 2: candidate detection + typing        (kgp.mentions)
+    links        stage 3: gazetteer join + disambiguation     (kgp.linker)
+    canon        stage 5 mapping: connected components        (kgp.canonicalize)
+    triples_raw  stage 4: pattern relation extraction         (kgp.relations)
+    triples      stage 6: dedup'd, partitioned by pred        (kgp.materialize)
+    lineage      per-partition manifests, appended per stage
+
+Every stage boundary re-reads the materialized table: AQE re-plans each
+stage with real sizes, resume is a directory check, and a crashed run
+loses at most one stage of work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgp import canonicalize as canon
+from kgp import corpus, html_text, linker, materialize, mentions, relations
+from kgp import skew
+from kgp.session import get_spark
+
+
+def _stage(spark: SparkSession, out_dir: str, name: str, fn,
+           partition_by: list[str] | None = None,
+           force: bool = False, metrics: dict | None = None) -> DataFrame:
+    if not force and materialize.stage_done(out_dir, name):
+        if metrics is not None:
+            metrics[name] = {"resumed": True}
+        return materialize.read_stage(spark, out_dir, name)
+    t0 = time.time()
+    df = fn()
+    out = materialize.write_stage(spark, df, out_dir, name,
+                                  partition_by=partition_by)
+    if metrics is not None:
+        metrics[name] = {"resumed": False,
+                         "rows": out.count(),
+                         "wall_s": round(time.time() - t0, 3)}
+    return out
+
+
+def load_ner_model(spark: SparkSession, out_dir: str) -> mentions.NerModel:
+    ent = materialize.read_stage(spark, out_dir, "ner_entity").collect()
+    ann = materialize.read_stage(spark, out_dir, "ner_annotation").collect()
+    case = materialize.read_stage(spark, out_dir, "ner_case").collect()
+    return mentions.assemble_model(ent, ann, case)
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
+                 force: bool = False, num_partitions: int | None = None,
+                 pages: DataFrame | None = None) -> dict:
+    """Run (or resume) the full KG-construction pipeline.
+
+    Returns a metrics dict; triples land at {out_dir}/triples
+    partitioned by pred.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    metrics: dict = {"sf_dir": sf_dir, "out_dir": out_dir}
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+
+    pages_df = _stage(
+        spark, out_dir, "pages",
+        (lambda: pages) if pages is not None
+        else (lambda: corpus.synth_pages(spark, sf_dir)),
+        force=force, metrics=metrics)
+
+    docs = _stage(
+        spark, out_dir, "docs",
+        lambda: html_text.extract_stage(
+            skew.spread(pages_df, ["url"], nparts)),
+        force=force, metrics=metrics)
+
+    gaz = corpus.gazetteer(spark)
+    seeds = corpus.seed_dictionary(spark)
+
+    _stage(spark, out_dir, "ner_entity",
+           lambda: mentions.build_entity_dictionary(seeds),
+           force=force, metrics=metrics)
+    _stage(spark, out_dir, "ner_annotation",
+           lambda: mentions.build_annotation_dictionary(seeds, docs),
+           force=force, metrics=metrics)
+    _stage(spark, out_dir, "ner_case",
+           lambda: mentions.build_case_dictionary(docs),
+           force=force, metrics=metrics)
+    model = load_ner_model(spark, out_dir)
+    model_bc = spark.sparkContext.broadcast(model)
+
+    mention_df = _stage(
+        spark, out_dir, "mentions",
+        lambda: mentions.detect_mentions(docs, model_bc),
+        force=force, metrics=metrics)
+
+    links = _stage(
+        spark, out_dir, "links",
+        lambda: linker.link_mentions(mention_df, gaz),
+        force=force, metrics=metrics)
+
+    mapping = _stage(
+        spark, out_dir, "canon",
+        lambda: canon.canonical_mapping(gaz),
+        force=force, metrics=metrics)
+
+    triples_raw = _stage(
+        spark, out_dir, "triples_raw",
+        lambda: relations.extract_relations(
+            canon.canonicalize_links(links, mapping)),
+        force=force, metrics=metrics)
+
+    triples = _stage(
+        spark, out_dir, "triples",
+        lambda: materialize.finalize_triples(triples_raw),
+        partition_by=["pred"], force=force, metrics=metrics)
+
+    metrics["triples"] = {**metrics.get("triples", {}),
+                          "rows": triples.count()}
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    return metrics
+
+
+def triples_dataframe(spark: SparkSession, sf_dir: str,
+                      pages: DataFrame | None = None) -> DataFrame:
+    """The whole pipeline as ONE declarative DataFrame chain (no stage
+    materialization) — used by tests/the driver contract where the
+    checkpoint tables are not wanted. Training still runs eagerly (it
+    collects the small model tables)."""
+    pages_df = pages if pages is not None else corpus.synth_pages(spark,
+                                                                  sf_dir)
+    docs = html_text.extract_stage(pages_df).persist()
+    gaz = corpus.gazetteer(spark)
+    seeds = corpus.seed_dictionary(spark)
+    model = mentions.train_ner_model(spark, docs, seeds)
+    model_bc = spark.sparkContext.broadcast(model)
+    mention_df = mentions.detect_mentions(docs, model_bc)
+    links = linker.link_mentions(mention_df, gaz)
+    mapping = canon.canonical_mapping(gaz)
+    triples_raw = relations.extract_relations(
+        canon.canonicalize_links(links, mapping))
+    return materialize.finalize_triples(triples_raw)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="kgp KG-construction pipeline")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--force", action="store_true",
+                    help="recompute all stages (ignore checkpoints)")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+    spark = get_spark("kgp-pipeline", cores=args.cores)
+    m = run_pipeline(spark, args.sf_dir, args.out, force=args.force)
+    print(json.dumps(m, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

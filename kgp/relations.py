@@ -1,0 +1,148 @@
+"""Stage 4 — pattern-based relation extraction → (subj, pred, obj).
+
+The reference has no triple extractor; this stage composes its
+primitives the way SURVEY.md §2.8 maps them:
+
+  * sentence-level co-occurrence of two mentions
+    (/root/reference/palladian-core/src/main/java/ws/palladian/retrieval/cooccurrence/CoOccurrenceRetriever.java:27-60
+    — SENTENCE window);
+  * the text BETWEEN / AROUND the pair is matched against a predicate
+    pattern bank — the reference's left/right context machinery
+    (NerHelper.getLeftContexts/getRightContexts,
+    /root/reference/palladian-core/src/main/java/ws/palladian/extraction/entity/tagger/NerHelper.java:244-298)
+    applied to relation typing instead of entity typing.
+
+Execution shape: links are grouped per (url, sent_idx) with
+`applyInPandas` — document-local, a single hash shuffle whose key
+(url) is unique → no skew; pattern matching is pure Python over small
+per-sentence groups inside Arrow batches. Emitted triples join entity
+canon names; dedup/canonical ordering happens in the materialize stage.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import pandas as pd
+import regex
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class Pattern(NamedTuple):
+    pred: str
+    subj_tag: str          # NER tag required on the LEFT mention
+    obj_tag: str           # NER tag required on the RIGHT mention
+    infix: "regex.Pattern"  # must fully match text between the mentions
+    swap: bool = False     # emit (right, pred, left) instead
+    conf: float = 0.9
+
+
+def _p(pat: str) -> "regex.Pattern":
+    return regex.compile(pat, regex.IGNORECASE)
+
+
+# Predicate bank. Infixes are matched against the exact inter-mention
+# text (leftmost mention end → rightmost mention start), so patterns
+# stay anchored — far fewer false positives than bag-of-words windows.
+DEFAULT_PATTERNS: list[Pattern] = [
+    Pattern("ceo_of", "PER", "ORG",
+            _p(r",? ?(?:the )?(?:chief executive officer|ceo) of ")),
+    Pattern("born_in", "PER", "CITY", _p(r" (?:was|is) born in ")),
+    Pattern("headquartered_in", "ORG", "CITY",
+            _p(r" (?:is|are)? ?(?:headquartered|based) in ")),
+    Pattern("capital_of", "CITY", "COUNTRY",
+            _p(r" is the capital (?:city )?of ")),
+    Pattern("works_for", "PER", "ORG", _p(r" works? (?:for|at) ")),
+    Pattern("founded", "ORG", "PER",
+            _p(r" (?:was|were) (?:founded|established|started) by "),
+            swap=True),
+]
+
+TRIPLE_SCHEMA = T.StructType([
+    T.StructField("subj", T.StringType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("obj", T.StringType()),
+    T.StructField("subj_id", T.LongType()),
+    T.StructField("obj_id", T.LongType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("sent_idx", T.IntegerType()),
+    T.StructField("conf", T.DoubleType()),
+])
+
+
+def match_sentence(sent_text: str, sent_start: int,
+                   mentions: list[dict],
+                   patterns: list[Pattern]) -> list[dict]:
+    """All pattern matches over one sentence's linked mentions.
+
+    mentions: dicts with doc-level start/end, surface, tag, canon_name,
+    entity_id, link_score. Offsets are re-based onto the sentence via
+    sent_start.
+    """
+    out = []
+    ms = sorted(mentions, key=lambda m: (m["start"], -m["end"]))
+    for i, left in enumerate(ms):
+        for right in ms[i + 1:]:
+            gap_lo = left["end"] - sent_start
+            gap_hi = right["start"] - sent_start
+            if gap_hi < gap_lo:
+                continue  # overlapping spans
+            infix = sent_text[gap_lo:gap_hi]
+            if len(infix) > 60:
+                continue  # pattern window cap (cheap early exit)
+            for p in patterns:
+                if left["tag"] != p.subj_tag or right["tag"] != p.obj_tag:
+                    continue
+                if not p.infix.fullmatch(infix):
+                    continue
+                s, o = (right, left) if p.swap else (left, right)
+                conf = p.conf
+                for m in (left, right):
+                    ls = m.get("link_score")
+                    if ls is not None and 0.0 < ls < 1.0:
+                        conf *= ls
+                out.append({
+                    "subj": s["canon_name"], "pred": p.pred,
+                    "obj": o["canon_name"],
+                    "subj_id": s.get("entity_id"),
+                    "obj_id": o.get("entity_id"),
+                    "conf": float(conf),
+                })
+    return out
+
+
+def extract_relations(links: DataFrame,
+                      patterns: list[Pattern] | None = None) -> DataFrame:
+    """links → triples(subj, pred, obj, subj_id, obj_id, url, sent_idx,
+    conf).
+
+    One `applyInPandas` over (url, sent_idx) groups. Sentences with <2
+    mentions are filtered out BEFORE the shuffle (a window-free groupBy
+    count would itself shuffle, so instead we let the grouping happen
+    once and skip small groups in Python — the filter that matters at
+    scale is that unlinked/untagged text never reaches this stage)."""
+    pats = patterns if patterns is not None else DEFAULT_PATTERNS
+
+    def _rel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (url, sent_idx), grp in pdf.groupby(["url", "sent_idx"],
+                                                sort=False):
+            if len(grp) < 2:
+                continue
+            first = grp.iloc[0]
+            mentions = grp.to_dict("records")
+            for m in mentions:
+                eid = m.get("entity_id")
+                m["entity_id"] = None if pd.isna(eid) else int(eid)
+            for t in match_sentence(first["sent_text"],
+                                    int(first["sent_start"]),
+                                    mentions, pats):
+                t["url"] = url
+                t["sent_idx"] = int(sent_idx)
+                rows.append(t)
+        return pd.DataFrame(rows,
+                            columns=[f.name for f in TRIPLE_SCHEMA.fields])
+
+    return links.groupBy("url").applyInPandas(_rel, TRIPLE_SCHEMA)

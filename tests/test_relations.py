@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+from kgp.relations import DEFAULT_PATTERNS, extract_relations, match_sentence
+
+LINK_COLS = ("url string, sent_idx int, start int, end int, "
+             "surface string, tag string, sent_start int, sent_text string, "
+             "entity_id long, canon_name string, link_score double")
+
+
+def _m(start, surface, tag, canon=None, eid=None, score=1.0):
+    return {"start": start, "end": start + len(surface), "surface": surface,
+            "tag": tag, "canon_name": canon or surface, "entity_id": eid,
+            "link_score": score}
+
+
+def test_match_ceo_of():
+    s = "John Smith, the chief executive officer of Acme Corp, spoke."
+    ms = [_m(0, "John Smith", "PER"), _m(43, "Acme Corp", "ORG")]
+    got = match_sentence(s, 0, ms, DEFAULT_PATTERNS)
+    assert [(t["subj"], t["pred"], t["obj"]) for t in got] == [
+        ("John Smith", "ceo_of", "Acme Corp")]
+
+
+def test_match_founded_swaps_direction():
+    s = "Acme Corp was founded by John Smith."
+    ms = [_m(0, "Acme Corp", "ORG"), _m(25, "John Smith", "PER")]
+    got = match_sentence(s, 0, ms, DEFAULT_PATTERNS)
+    assert [(t["subj"], t["pred"], t["obj"]) for t in got] == [
+        ("John Smith", "founded", "Acme Corp")]
+
+
+def test_match_respects_tags():
+    # same infix, wrong types -> no triple
+    s = "Acme Corp was born in Springfield."
+    ms = [_m(0, "Acme Corp", "ORG"), _m(22, "Springfield", "CITY")]
+    assert match_sentence(s, 0, ms, DEFAULT_PATTERNS) == []
+
+
+def test_match_uses_sentence_offsets():
+    # doc-level offsets: sentence starts at 100
+    s = "Mary Johnson works for Globex Systems."
+    ms = [_m(100, "Mary Johnson", "PER"), _m(123, "Globex Systems", "ORG")]
+    got = match_sentence(s, 100, ms, DEFAULT_PATTERNS)
+    assert [(t["subj"], t["pred"], t["obj"]) for t in got] == [
+        ("Mary Johnson", "works_for", "Globex Systems")]
+
+
+def test_extract_relations_dataframe(spark):
+    s = "Springfield is the capital of Freedonia."
+    rows = [
+        ("u1", 0, 0, 11, "Springfield", "CITY", 0, s, 3000,
+         "Springfield", 1.0),
+        ("u1", 0, 30, 39, "Freedonia", "COUNTRY", 0, s, 4000,
+         "Freedonia", 1.0),
+        # a second sentence with only one mention -> nothing
+        ("u1", 1, 50, 59, "Freedonia", "COUNTRY", 50, "Freedonia is.",
+         4000, "Freedonia", 1.0),
+    ]
+    links = spark.createDataFrame(rows, LINK_COLS)
+    got = extract_relations(links).collect()
+    assert len(got) == 1
+    t = got[0]
+    assert (t.subj, t.pred, t.obj) == ("Springfield", "capital_of",
+                                       "Freedonia")
+    assert (t.subj_id, t.obj_id) == (3000, 4000)
+    assert t.url == "u1" and t.sent_idx == 0
