@@ -1,38 +1,137 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema +
+order-insensitive value-hash).
+
+All oracles are GENERATED from kgp.constants (kgp.oracle) — the same
+module the Spark corpus generator derives from — so the golden SQL and
+the pipeline inputs cannot drift apart.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgp import canonicalize as _canon  # noqa: E402
+from kgp import corpus as _corpus  # noqa: E402
+from kgp import html_text as _html  # noqa: E402
+from kgp import linker as _linker  # noqa: E402
+from kgp import materialize as _mat  # noqa: E402
+from kgp import mentions as _mentions  # noqa: E402
+from kgp import oracle as _oracle  # noqa: E402
+from kgp import relations as _relations  # noqa: E402
+
+
+# ------------------------------------------------------------ plumbing
+# The pipeline's intermediate tables are shared across queries() calls
+# (the driver runs every query in one process) — memoized per sf_dir,
+# persisted so each stage computes once.
+
+_CACHE: dict[str, dict] = {}
+
+
+def _products(spark: SparkSession, sf_dir: str) -> dict:
+    if sf_dir in _CACHE:
+        return _CACHE[sf_dir]
+    pages = _corpus.synth_pages(spark, sf_dir)
+    docs = _html.extract_stage(pages).persist()
+    gaz = _corpus.gazetteer(spark)
+    seeds = _corpus.seed_dictionary(spark)
+    model = _mentions.train_ner_model(spark, docs, seeds)
+    bc = spark.sparkContext.broadcast(model)
+    mentions = _mentions.detect_mentions(docs, bc).persist()
+    links = _linker.link_mentions(mentions, gaz)
+    mapping = _canon.canonical_mapping(gaz).persist()
+    triples = _mat.finalize_triples(
+        _relations.extract_relations(
+            _canon.canonicalize_links(links, mapping)))
+    p = {"pages": pages, "docs": docs, "mentions": mentions,
+         "links": links, "mapping": mapping, "triples": triples}
+    _CACHE[sf_dir] = p
+    return p
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full KG-construction pipeline on sf0.001 —
+    html → text → mentions → links → canonicalized (subj, pred, obj)."""
+    p = _products(spark, "/root/testdata/sf0.001")
+    return p["triples"].select("subj", "pred", "obj", "conf", "support")
+
+
+# ------------------------------------------------------------- queries
+
+
+def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _products(spark, sf_dir)["triples"].select("subj", "pred", "obj")
+
+
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical extracted text per url (the north-rule invariant:
+    the text column is EXTRACTED from html, the oracle reconstructs the
+    golden text symbolically)."""
+    return _products(spark, sf_dir)["docs"].select("url", "text")
+
+
+def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_products(spark, sf_dir)["mentions"]
+            .select("url", "surface", "tag").distinct())
+
+
+def _q_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_products(spark, sf_dir)["mapping"]
+            .select("entity_id", "canon_id"))
+
+
+def _q_triples_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_products(spark, sf_dir)["triples"]
+            .groupBy("pred").agg(F.count("*").alias("n_triples"),
+                                 F.sum("support").alias("total_support")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_triples": _q_kg_triples,
+        "extract_text": _q_extract_text,
+        "mentions_distinct": _q_mentions,
+        "canon_mapping": _q_canon,
+        "triples_by_pred": _q_triples_by_pred,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sl = _oracle.slots()
+    return {
+        "kg_triples": _oracle.triples_sql(),
+        "extract_text": _oracle.extract_text_sql(),
+        "mentions_distinct": _oracle.mentions_sql(),
+        "canon_mapping": _oracle.canon_sql(),
+        # support per pred: every doc contributes its S-sentence
+        # instances; support counts pre-dedup (url, sent) instances
+        "triples_by_pred": (
+            "SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples, "
+            "CAST(SUM(sup) AS BIGINT) AS total_support FROM ("
+            " SELECT subj, pred, obj, COUNT(*) AS sup FROM ("
+            f"  SELECT {sl['per']} AS subj, 'ceo_of' AS pred, "
+            f"  {sl['org']} AS obj FROM documents"
+            f"  UNION ALL SELECT {sl['per']}, 'born_in', {sl['city2']} "
+            "   FROM documents"
+            f"  UNION ALL SELECT {sl['org']}, 'headquartered_in', "
+            f"  {sl['city']} FROM documents"
+            f"  UNION ALL SELECT {sl['city']}, 'capital_of', "
+            f"  {sl['country']} FROM documents WHERE doc_id % 3 = 0"
+            f"  UNION ALL SELECT {sl['per2']}, 'works_for', {sl['org']} "
+            "   FROM documents WHERE doc_id % 4 = 1"
+            f"  UNION ALL SELECT {sl['per']}, 'founded', {sl['org']} "
+            "   FROM documents WHERE doc_id % 5 = 2"
+            " ) GROUP BY subj, pred, obj"
+            ") GROUP BY pred ORDER BY pred"),
+    }

@@ -1,0 +1,68 @@
+"""Benchmark runner — full KG-construction pipeline throughput.
+
+Runs the materialized pipeline (all stages, force-recomputed) on
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+    {"metric": "pipeline_wall", "value": <sec>, "unit": "sec",
+     "queries": {"docs": sec, "mentions": sec, ...}, "sf": "...",
+     "pages": N, "triples": N, "pages_per_sec": X, "triples_per_sec": X}
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+bench/scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def run_bench(sf_dir: str, cores: int, keep_out: str | None = None) -> dict:
+    from kgp.pipeline import run_pipeline
+    from kgp.session import get_spark
+
+    spark = get_spark("kgp-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = keep_out or tempfile.mkdtemp(prefix="kgp-bench-")
+    try:
+        t0 = time.time()
+        metrics = run_pipeline(spark, sf_dir, out_dir, force=True)
+        wall = time.time() - t0
+        pages = metrics["pages"]["rows"]
+        triples = metrics["triples"]["rows"]
+        stage_secs = {k: v["wall_s"] for k, v in metrics.items()
+                      if isinstance(v, dict) and "wall_s" in v}
+        return {
+            "metric": "pipeline_wall",
+            "value": round(wall, 3),
+            "unit": "sec",
+            "queries": stage_secs,
+            "sf": sf_dir,
+            "cores": cores,
+            "pages": pages,
+            "triples": triples,
+            "pages_per_sec": round(pages / wall, 3),
+            "triples_per_sec": round(triples / wall, 3),
+        }
+    finally:
+        spark.stop()
+        if keep_out is None:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if len(sys.argv) > 1:
+        cores = int(sys.argv[1])
+    result = run_bench(sf_dir, cores)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,8 +16,8 @@ Spark-first re-expression of the reference's location/linking stack
   * disambiguation ports the anchor/population heuristics of
     `HeuristicDisambiguation.disambiguate`
     (disambiguation/HeuristicDisambiguation.java:114-386, constants
-    :47-59) as a per-document `applyInPandas` — document-local logic,
-    one shuffle on url, AQE-coalesced;
+    :47-59) — VECTORIZED into windows + array columns (see
+    link_mentions), zero Python;
   * the fuzzy candidate path for web-scale dirty surfaces is
     MinHash/LSH over character 3-gram sets (the reference's analog is
     its `CharacterNGramSimilarity`/`JaccardSimilarity` metrics,
@@ -39,7 +39,7 @@ Scale notes (100 TB / 10^12 docs):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -90,90 +90,38 @@ def expand_gazetteer(gaz: DataFrame) -> DataFrame:
     )
 
 
-LINK_SCHEMA = T.StructType([
-    T.StructField("url", T.StringType()),
-    T.StructField("sent_idx", T.IntegerType()),
-    T.StructField("start", T.IntegerType()),
-    T.StructField("end", T.IntegerType()),
-    T.StructField("surface", T.StringType()),
-    T.StructField("tag", T.StringType()),
-    T.StructField("sent_start", T.IntegerType()),
-    T.StructField("sent_text", T.StringType()),
-    T.StructField("entity_id", T.LongType()),
-    T.StructField("canon_name", T.StringType()),
-    T.StructField("link_score", T.DoubleType()),
-])
+LINK_COLUMNS = ["url", "sent_idx", "start", "end", "surface", "tag",
+                "sent_start", "sent_text", "entity_id", "canon_name",
+                "link_score"]
 
 
-def _disambiguate_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-    """HeuristicDisambiguation.disambiguate port over ONE document's
-    candidate rows (multiple gazetteer candidates per mention).
-
-    Anchors (HeuristicDisambiguation.java:156-214): candidates with
-    population ≥ 1M, or unambiguous multi-token surfaces. A candidate
-    scores up when its type matches the NER tag, when it is
-    hierarchy-related to an anchor (ancestor/descendant), and by
-    population; ties break to the smaller id (deterministic).
-    """
-    anchors: list[tuple[int, frozenset]] = []
-    for row in pdf.itertuples():
-        if row.entity_id is None or pd.isna(row.entity_id):
-            continue
-        pop = row.population if row.population is not None else -1
-        multi_unamb = (not row.ambiguous) and row.n_tokens >= TOKEN_THRESHOLD
-        if pop >= ANCHOR_POPULATION_THRESHOLD or multi_unamb:
-            anc = frozenset(row.ancestor_ids if row.ancestor_ids
-                            is not None else [])
-            anchors.append((int(row.entity_id), anc))
-    anchor_ids = {a for a, _ in anchors}
-    anchor_ancestors = set().union(*(anc for _, anc in anchors)) \
-        if anchors else set()
-
-    out = []
-    for (_, _, _), grp in pdf.groupby(["sent_idx", "start", "end"],
-                                      sort=False):
-        first = grp.iloc[0]
-        base = {
-            "url": first["url"], "sent_idx": int(first["sent_idx"]),
-            "start": int(first["start"]), "end": int(first["end"]),
-            "surface": first["surface"], "tag": first["tag"],
-            "sent_start": int(first["sent_start"]),
-            "sent_text": first["sent_text"],
-        }
-        cands = grp[grp["entity_id"].notna()]
-        if len(cands) == 0:  # NIL mention: keep, unlinked
-            out.append({**base, "entity_id": None,
-                        "canon_name": first["surface"], "link_score": 0.0})
-            continue
-        best, best_key = None, None
-        for row in cands.itertuples():
-            eid = int(row.entity_id)
-            pop = int(row.population) if row.population is not None else -1
-            anc = set(row.ancestor_ids if row.ancestor_ids
-                      is not None else [])
-            score = 0.0
-            if row.etype == row.tag:
-                score += 2.0
-            if anc & anchor_ids or eid in anchor_ancestors:
-                score += 1.0  # hierarchy-related to an anchor
-            if pop >= LOWER_POPULATION_THRESHOLD:
-                score += 0.5
-            key = (score, pop, -eid)
-            if best_key is None or key > best_key:
-                best, best_key = row, key
-        n = len(cands)
-        out.append({**base, "entity_id": int(best.entity_id),
-                    "canon_name": best.canon_name,
-                    "link_score": 1.0 if n == 1 else float(best_key[0]) /
-                    (best_key[0] + 1.0)})
-    return pd.DataFrame(out, columns=[f.name for f in LINK_SCHEMA.fields])
-
-
-def link_mentions(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
-    """mentions ⋈ broadcast(expanded gazetteer) → per-doc disambiguation.
+def link_mentions(mentions: DataFrame, gaz: DataFrame,
+                  num_buckets: int | None = None) -> DataFrame:
+    """mentions ⋈ broadcast(expanded gazetteer) → disambiguated links.
 
     mentions must carry (url, sent_idx, start, end, surface, tag,
-    sent_text). Output = LINK_SCHEMA.
+    sent_start, sent_text). Output columns = LINK_COLUMNS.
+
+    The disambiguation is the anchor/population heuristic of
+    HeuristicDisambiguation.disambiguate (HeuristicDisambiguation.java:
+    114-386) VECTORIZED into relational operators — zero Python in this
+    stage, everything whole-stage-codegen:
+
+      1. candidate generation: broadcast hash join on normalized
+         surface (map-side, no shuffle);
+      2. per-document anchors (population ≥ 1M, or unambiguous
+         multi-token surfaces): windowed collect_set over url — the
+         document-local state the reference keeps in Java lists becomes
+         two array columns;
+      3. candidate scoring: type-match + anchor-hierarchy + population
+         columns; winner per mention via row_number() over
+         (url, sent_idx, start, end) ordered by (score, population,
+         -entity_id).
+
+    Cost at scale: one shuffle on url (the window); candidate fan-out
+    is bounded by gazetteer ambiguity (head entities inflate rows, but
+    AQE splits oversized partitions; url keys are unique so the window
+    partitioning itself cannot skew).
     """
     expanded = expand_gazetteer(gaz)
     cand = mentions.withColumn("norm", normalize_name(F.col("surface"))).join(
@@ -181,8 +129,48 @@ def link_mentions(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
             "norm", "entity_id", "canon_name", "etype", "population",
             "ancestor_ids", "n_tokens", "ambiguous")),
         "norm", "left")
-    return cand.groupBy("url").applyInPandas(
-        lambda pdf: _disambiguate_doc(pdf), LINK_SCHEMA)
+
+    anchor_cond = (F.col("entity_id").isNotNull() &
+                   ((F.col("population") >= ANCHOR_POPULATION_THRESHOLD) |
+                    ((~F.col("ambiguous")) &
+                     (F.col("n_tokens") >= TOKEN_THRESHOLD))))
+    doc_w = Window.partitionBy("url")
+    cand = (cand
+            .withColumn("_anchor_ids", F.collect_set(
+                F.when(anchor_cond, F.col("entity_id"))).over(doc_w))
+            .withColumn("_anchor_anc", F.array_distinct(F.flatten(
+                F.collect_list(F.when(anchor_cond, F.col("ancestor_ids")))
+                .over(doc_w)))))
+
+    hierarchy = (F.arrays_overlap(
+        F.coalesce(F.col("ancestor_ids"),
+                   F.array().cast("array<long>")), F.col("_anchor_ids"))
+        | F.array_contains(F.col("_anchor_anc"), F.col("entity_id")))
+    score = (
+        F.when(F.col("etype") == F.col("tag"), F.lit(2.0)).otherwise(0.0)
+        + F.when(hierarchy, F.lit(1.0)).otherwise(0.0)
+        + F.when(F.col("population") >= LOWER_POPULATION_THRESHOLD,
+                 F.lit(0.5)).otherwise(0.0))
+    cand = cand.withColumn("_score", score)
+
+    mention_key = ["url", "sent_idx", "start", "end"]
+    pick_w = Window.partitionBy(*mention_key).orderBy(
+        F.desc("_score"), F.desc("population"), F.asc("entity_id"))
+    cnt_w = Window.partitionBy(*mention_key)
+    out = (cand
+           .withColumn("_rn", F.row_number().over(pick_w))
+           .withColumn("_n_cand", F.count("entity_id").over(cnt_w))
+           .where(F.col("_rn") == 1))
+    return out.select(
+        "url", "sent_idx", "start", "end", "surface", "tag",
+        "sent_start", "sent_text",
+        "entity_id",
+        F.coalesce("canon_name", "surface").alias("canon_name"),
+        F.when(F.col("entity_id").isNull(), F.lit(0.0))
+         .when(F.col("_n_cand") == 1, F.lit(1.0))
+         .otherwise(F.col("_score") / (F.col("_score") + F.lit(1.0)))
+         .alias("link_score"),
+    )
 
 
 # ------------------------------------------------- LSH candidate index

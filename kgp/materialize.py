@@ -73,10 +73,11 @@ def append_lineage(spark: SparkSession, out_dir: str, manifest: DataFrame,
 
 def write_stage(spark: SparkSession, df: DataFrame, out_dir: str,
                 stage: str, partition_by: list[str] | None = None,
-                input_rows: int | None = None) -> DataFrame:
+                input_rows: int | None = None) -> tuple[DataFrame, int]:
     """Write df as the stage table + lineage manifest; return the
     re-read DataFrame (so downstream stages consume the materialized
-    table, cutting lineage and letting AQE re-plan per stage)."""
+    table, cutting lineage and letting AQE re-plan per stage) plus the
+    exact row count (summed from the manifest — no extra count job)."""
     path = stage_path(out_dir, stage)
     t0 = time.time()
     w = df.write.mode("overwrite")
@@ -85,9 +86,10 @@ def write_stage(spark: SparkSession, df: DataFrame, out_dir: str,
     w.parquet(path)
     wall_ms = int((time.time() - t0) * 1000)
     out = spark.read.parquet(path)
-    append_lineage(spark, out_dir, partition_manifest(out, stage),
-                   wall_ms, input_rows)
-    return out
+    manifest = partition_manifest(out, stage).localCheckpoint()
+    rows = manifest.agg(F.sum("output_rows")).collect()[0][0] or 0
+    append_lineage(spark, out_dir, manifest, wall_ms, input_rows)
+    return out, int(rows)
 
 
 def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:

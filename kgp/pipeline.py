@@ -48,11 +48,11 @@ def _stage(spark: SparkSession, out_dir: str, name: str, fn,
         return materialize.read_stage(spark, out_dir, name)
     t0 = time.time()
     df = fn()
-    out = materialize.write_stage(spark, df, out_dir, name,
-                                  partition_by=partition_by)
+    out, rows = materialize.write_stage(spark, df, out_dir, name,
+                                        partition_by=partition_by)
     if metrics is not None:
         metrics[name] = {"resumed": False,
-                         "rows": out.count(),
+                         "rows": rows,
                          "wall_s": round(time.time() - t0, 3)}
     return out
 
@@ -126,11 +126,13 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
 
     triples = _stage(
         spark, out_dir, "triples",
-        lambda: materialize.finalize_triples(triples_raw),
+        lambda: materialize.finalize_triples(triples_raw)
+        .repartition("pred"),
         partition_by=["pred"], force=force, metrics=metrics)
 
-    metrics["triples"] = {**metrics.get("triples", {}),
-                          "rows": triples.count()}
+    if "rows" not in metrics.get("triples", {}):
+        metrics["triples"] = {**metrics.get("triples", {}),
+                              "rows": triples.count()}
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2, default=str)
     return metrics

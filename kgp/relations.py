@@ -114,35 +114,57 @@ def match_sentence(sent_text: str, sent_start: int,
 
 
 def extract_relations(links: DataFrame,
-                      patterns: list[Pattern] | None = None) -> DataFrame:
+                      patterns: list[Pattern] | None = None,
+                      num_buckets: int | None = None) -> DataFrame:
     """links → triples(subj, pred, obj, subj_id, obj_id, url, sent_idx,
     conf).
 
-    One `applyInPandas` over (url, sent_idx) groups. Sentences with <2
-    mentions are filtered out BEFORE the shuffle (a window-free groupBy
-    count would itself shuffle, so instead we let the grouping happen
-    once and skip small groups in Python — the filter that matters at
-    scale is that unlinked/untagged text never reaches this stage)."""
+    One `applyInPandas` over hash buckets of documents (NOT per-url
+    groups — one Python call per document would be overhead-bound; each
+    bucket holds |corpus|/num_buckets docs and iterates them in
+    pandas). Sentences with <2 mentions are skipped in Python; the
+    filter that matters at scale is that unlinked/untagged text never
+    reaches this stage."""
     pats = patterns if patterns is not None else DEFAULT_PATTERNS
+    spark = links.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism * 4
 
     def _rel(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (url, sent_idx), grp in pdf.groupby(["url", "sent_idx"],
-                                                sort=False):
-            if len(grp) < 2:
-                continue
-            first = grp.iloc[0]
-            mentions = grp.to_dict("records")
-            for m in mentions:
-                eid = m.get("entity_id")
-                m["entity_id"] = None if pd.isna(eid) else int(eid)
-            for t in match_sentence(first["sent_text"],
-                                    int(first["sent_start"]),
-                                    mentions, pats):
-                t["url"] = url
-                t["sent_idx"] = int(sent_idx)
-                rows.append(t)
+        # single sorted pass over the bucket — no pandas groupby (one
+        # groupby object per sentence costs more than the matching)
+        rows: list[dict] = []
+
+        def flush(group: list) -> None:
+            if len(group) < 2:
+                return
+            first = group[0]
+            mentions = [{
+                "start": t.start, "end": t.end, "surface": t.surface,
+                "tag": t.tag, "canon_name": t.canon_name,
+                "entity_id": None if pd.isna(t.entity_id)
+                else int(t.entity_id),
+                "link_score": t.link_score,
+            } for t in group]
+            for tr in match_sentence(first.sent_text,
+                                     int(first.sent_start),
+                                     mentions, pats):
+                tr["url"] = first.url
+                tr["sent_idx"] = int(first.sent_idx)
+                rows.append(tr)
+
+        pdf = pdf.sort_values(["url", "sent_idx", "start", "end"],
+                              kind="mergesort")
+        cur_key, cur = None, []
+        for t in pdf.itertuples():
+            key = (t.url, t.sent_idx)
+            if key != cur_key:
+                flush(cur)
+                cur, cur_key = [], key
+            cur.append(t)
+        flush(cur)
         return pd.DataFrame(rows,
                             columns=[f.name for f in TRIPLE_SCHEMA.fields])
 
-    return links.groupBy("url").applyInPandas(_rel, TRIPLE_SCHEMA)
+    bucketed = links.withColumn("_bucket",
+                                F.pmod(F.xxhash64("url"), F.lit(n)))
+    return bucketed.groupBy("_bucket").applyInPandas(_rel, TRIPLE_SCHEMA)

@@ -40,4 +40,22 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _warm_collation(spark)
+    return spark
+
+
+def _warm_collation(spark: SparkSession) -> None:
+    """Force the one-time ICU/collation class init (Spark 4's
+    CollationAwareUTF8String static initializer) in a single task
+    BEFORE any wide stage runs. Without this, the first stage that
+    calls lower()/upper() with 32 concurrent tasks serializes them all
+    on the class-init monitor — measured 20-70 s of stall; warmed, the
+    init costs <1 s once per JVM."""
+    from pyspark.sql import functions as F
+    try:
+        spark.range(1).select(
+            F.lower(F.concat(F.lit("Ä"), F.col("id").cast("string")))
+        ).collect()
+    except Exception:
+        pass  # never let warmup break session creation
