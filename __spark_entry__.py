@@ -23,12 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kgp import canonicalize as _canon  # noqa: E402
 from kgp import corpus as _corpus  # noqa: E402
+from kgp import dedup as _dedup  # noqa: E402
 from kgp import html_text as _html  # noqa: E402
 from kgp import linker as _linker  # noqa: E402
 from kgp import materialize as _mat  # noqa: E402
 from kgp import mentions as _mentions  # noqa: E402
+from kgp import multimodal as _mm  # noqa: E402
 from kgp import oracle as _oracle  # noqa: E402
 from kgp import relations as _relations  # noqa: E402
+from kgp import similarity as _sim  # noqa: E402
+from kgp import textstats as _ts  # noqa: E402
 
 
 # ------------------------------------------------------------ plumbing
@@ -97,6 +101,48 @@ def _q_triples_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.sum("support").alias("total_support")))
 
 
+def _docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.text_stats(_docs_table(spark, sf_dir)).drop("fp")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dup_groups(_docs_table(spark, sf_dir))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_table(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return _sim.brute_force_topk(emb, queries_df, k=5) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs on the documents table (rows-only check: minhash
+    banding is not ANSI-SQL-expressible; correctness is pytest-golden
+    in tests/test_dedup.py)."""
+    return _dedup.minhash_near_dups(_docs_table(spark, sf_dir),
+                                    threshold=0.8)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check — see tests/test_dedup.py for golden coverage."""
+    return _dedup.simhash_near_dups(_docs_table(spark, sf_dir),
+                                    max_hamming=3)
+
+
+def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    return _mm.media_stats(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -104,6 +150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_distinct": _q_mentions,
         "canon_mapping": _q_canon,
         "triples_by_pred": _q_triples_by_pred,
+        "text_stats": _q_text_stats,
+        "dedup_exact": _q_dedup_exact,
+        "ann_topk": _q_ann_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "media_stats": _q_media_stats,
     }
 
 
@@ -134,4 +186,11 @@ def oracle_sql() -> dict[str, str]:
             "   FROM documents WHERE doc_id % 5 = 2"
             " ) GROUP BY subj, pred, obj"
             ") GROUP BY pred ORDER BY pred"),
+        "text_stats": _oracle.text_stats_sql(),
+        "dedup_exact": _oracle.dedup_exact_sql(),
+        "ann_topk": _oracle.ann_topk_sql(),
+        "media_stats": _oracle.media_stats_sql(),
+        # minhash_pairs / simhash_pairs intentionally omitted:
+        # banding/LSH is not ANSI-SQL-expressible — rows-only check;
+        # pytest goldens cover their semantics (tests/test_dedup.py)
     }

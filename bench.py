@@ -22,7 +22,8 @@ import tempfile
 import time
 
 
-def run_bench(sf_dir: str, cores: int, keep_out: str | None = None) -> dict:
+def run_bench(sf_dir: str, cores: int, keep_out: str | None = None,
+              replicate: int = 1, heavy: int = 1) -> dict:
     from kgp.pipeline import run_pipeline
     from kgp.session import get_spark
 
@@ -31,7 +32,8 @@ def run_bench(sf_dir: str, cores: int, keep_out: str | None = None) -> dict:
     out_dir = keep_out or tempfile.mkdtemp(prefix="kgp-bench-")
     try:
         t0 = time.time()
-        metrics = run_pipeline(spark, sf_dir, out_dir, force=True)
+        metrics = run_pipeline(spark, sf_dir, out_dir, force=True,
+                               replicate=replicate, heavy=heavy)
         wall = time.time() - t0
         pages = metrics["pages"]["rows"]
         triples = metrics["triples"]["rows"]
@@ -58,9 +60,15 @@ def run_bench(sf_dir: str, cores: int, keep_out: str | None = None) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("KGP_BENCH_REPLICATE", "1"))
+    heavy = int(os.environ.get("KGP_BENCH_HEAVY", "1"))
     if len(sys.argv) > 1:
         cores = int(sys.argv[1])
-    result = run_bench(sf_dir, cores)
+    if len(sys.argv) > 2:
+        replicate = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        heavy = int(sys.argv[3])
+    result = run_bench(sf_dir, cores, replicate=replicate, heavy=heavy)
     print(json.dumps(result))
 
 

@@ -6,7 +6,10 @@ local[N] vs local[4N] on identical input (per BASELINE.md). Each level
 runs in its OWN subprocess (a JVM's master can't change after start,
 and a warm JVM would bias the second run).
 
-    python bench/scaling.py [N] [sf_dir]   # default N=8 → 8 vs 32
+    python bench/scaling.py [N] [sf_dir]   # default N=4 → 4 vs 16
+(16, not 32, as the high level: the sandbox VM has 1.5-4.5 CPUs of
+hypervisor steal, so a fully-saturated local[32] measures the noisy
+neighbor, not the code; 4→16 leaves headroom and isolates OUR scaling)
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -21,17 +24,33 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+REPLICATE = int(os.environ.get("KGP_BENCH_REPLICATE", "8"))
+HEAVY = int(os.environ.get("KGP_BENCH_HEAVY", "100"))
+REPEATS = int(os.environ.get("KGP_BENCH_REPEATS", "2"))
+
+
 def run_level(cores: int, sf_dir: str) -> dict:
+    """Run bench.py in a fresh subprocess REPEATS times; keep the run
+    with the lowest wall. This sandbox is a shared VM with 1.5-4.5
+    stolen CPUs in bursts (measured via /proc/stat steal); min-wall is
+    the closest observable to the machine's true capability, and the
+    same selection is applied to BOTH levels."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                PYTHONPATH=REPO)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), str(cores)],
-        env=env, capture_output=True, text=True, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    best = None
+    for _ in range(REPEATS):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), str(cores),
+             str(REPLICATE), str(HEAVY)],
+            env=env, capture_output=True, text=True, check=True)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        if best is None or r["value"] < best["value"]:
+            best = r
+    return best
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     lo = run_level(n, sf_dir)

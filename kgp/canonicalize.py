@@ -41,12 +41,51 @@ def same_entity_edges(gaz: DataFrame) -> DataFrame:
                .select("src", "dst").distinct())
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+SMALL_GRAPH_EDGES = 100_000
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         small_threshold: int = SMALL_GRAPH_EDGES
+                         ) -> DataFrame:
     """edges(src, dst) → mapping(entity_id, canon_id=min id in component).
 
-    Min-label propagation over the undirected edge set with pointer
-    doubling; driver-side loop with exact convergence check.
+    Two regimes, picked by a cheap count:
+      * small edge sets (≤ small_threshold) — collect + driver-side
+        union-find, ONE job instead of ~5 jobs × O(log d) iterations.
+        Alias graphs from a gazetteer are tiny even when the corpus is
+        100 TB; burning 20+ s of serial join latency on 50 edges is
+        wrong on any cluster;
+      * large edge sets — distributed min-label propagation over the
+        undirected edge set with pointer doubling, driver loop with
+        exact convergence check, localCheckpoint per round.
     """
+    n_edges = edges.limit(small_threshold + 1).count()
+    if n_edges <= small_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            a, b = int(r[0]), int(r[1])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min id
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = [(x, find(x)) for x in sorted(parent)]
+        return edges.sparkSession.createDataFrame(
+            rows, "entity_id long, canon_id long")
+    return _cc_distributed(edges, max_iter)
+
+
+def _cc_distributed(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"))).distinct()
     sym = sym.localCheckpoint()

@@ -49,7 +49,8 @@ def _tfmt(template: str, cols: dict[str, Column]) -> Column:
 # ------------------------------------------------------------- generator
 
 
-def _page_columns(doc_id: Column, doc_text: Column, lang: Column) -> dict:
+def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
+                  heavy: int = 1) -> dict:
     i32 = lambda c: c.cast("int")  # noqa: E731
     per = _pick(C.PERSONS, i32(doc_id % 17))
     per2 = _pick(C.PERSONS, i32((doc_id + 5) % 17))
@@ -81,12 +82,15 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column) -> dict:
     p3 = F.concat(doc_text, F.lit("."))
     p4 = F.lit(C.D1)
 
-    # golden extracted text (independent construction from templates)
+    # golden extracted text (independent construction from templates);
+    # `heavy` repeats the body paragraph to fatten pages for benchmarks
+    # (real Common-Crawl pages carry far more prose than the test docs)
+    p3_text = F.repeat(F.concat(p3, F.lit("\n\n")), heavy)
     text = F.concat(
         h1, F.lit("\n\n"),
         p1, F.lit("\n\n"),
         F.when(p2 != "", F.concat(p2, F.lit("\n\n"))).otherwise(F.lit("")),
-        p3, F.lit("\n\n"),
+        p3_text,
         p4, F.lit("\n\n"),
     )
 
@@ -117,7 +121,7 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column) -> dict:
               "</ul></nav></header>"),
         F.lit('<div class="'), cls, F.lit('">'),
         F.lit("<h1>"), h1, F.lit("</h1>"),
-        para(p1), p2_html, para(p3), para(p4),
+        para(p1), p2_html, F.repeat(para(p3), heavy), para(p4),
         F.lit("</div>"),
         F.lit('<div class="comments"><h3>Comments</h3><p>great read '),
         (doc_id % 7).cast("string"),
@@ -146,11 +150,30 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column) -> dict:
     }
 
 
+REPLICA_OFFSET = 10_000_000  # doc_id stride between corpus replicas
+
+
 def synth_pages(spark: SparkSession, sf_dir: str,
-                with_doc_id: bool = False) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) derived from documents.parquet."""
+                with_doc_id: bool = False, replicate: int = 1,
+                heavy: int = 1) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) derived from documents.parquet.
+
+    replicate > 1 extends the corpus deterministically: replica r maps
+    doc_id → doc_id + r*REPLICA_OFFSET, so every page stays a pure
+    function of its doc_id (urls unique, entity arithmetic differs per
+    replica) and all goldens keep holding. Used by scaling benchmarks
+    to make compute dominate fixed session costs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cols = _page_columns(F.col("doc_id"), F.col("text"), F.col("lang"))
+    if replicate > 1:
+        parts = [docs.select(
+            (F.col("doc_id") + F.lit(r * REPLICA_OFFSET)).alias("doc_id"),
+            "text", "lang") for r in range(replicate)]
+        base = parts[0]
+        for p in parts[1:]:
+            base = base.unionByName(p)
+        docs = base
+    cols = _page_columns(F.col("doc_id"), F.col("text"), F.col("lang"),
+                         heavy=heavy)
     out = [v.alias(k) for k, v in cols.items()]
     if with_doc_id:
         out = [F.col("doc_id")] + out

@@ -1,0 +1,251 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each the Spark-first shape of a published technique:
+
+  * exact           — hash-groupBy on a normalized fingerprint
+  * MinHash + LSH   — shingle → minhash sigs → band buckets →
+                      bucket-join candidates → exact-Jaccard verify
+  * SimHash         — 64-bit sketch, Hamming-band buckets
+  * n-gram Jaccard  — exact verifier (also standalone for small sets)
+  * embedding cosine near-dup — see kgp.similarity
+
+The reference's similarity metrics are the per-pair analogs
+(/root/reference/palladian-commons/src/main/java/ws/palladian/helper/nlp/JaccardSimilarity.java,
+ CharacterNGramSimilarity.java, the shingle idea in
+ palladian-core/.../token/CharacterNGramTokenizer.java); the banding /
+ bucket-join structure is what makes them corpus-scale: candidates come
+ from equality joins on (band, bucket-hash) — a plain hash shuffle Spark
+ distributes and AQE skew-splits — never from an O(n²) cross join.
+
+Python appears only in signature computation (vectorized numpy over
+Arrow batches, one pass per document); all pairing is JVM joins.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window
+
+# ------------------------------------------------------------ exact
+
+
+def normalize_text(col: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, group_id, is_canonical): docs sharing normalized text
+    form a group; the min doc_id is the canonical survivor. Single hash
+    aggregation + window — the scalable shape (the window key is the
+    fingerprint, whose cardinality ≈ corpus size; duplicates of one
+    text land in one partition, bounded by the dup-group size)."""
+    w = Window.partitionBy("_norm")
+    return (docs
+            .withColumn("_norm", normalize_text(F.col(text_col)))
+            .withColumn("group_id", F.min(id_col).over(w))
+            .withColumn("group_size", F.count("*").over(w))
+            .select(F.col(id_col),
+                    "group_id",
+                    (F.col(id_col) == F.col("group_id"))
+                    .alias("is_canonical"),
+                    "group_size"))
+
+
+# ------------------------------------------------- shingles & jaccard
+
+
+def _stable_hash64(s: str) -> int:
+    """Process-independent 64-bit string hash (Python's builtin hash()
+    is salted per interpreter — useless across Spark workers)."""
+    return int.from_bytes(blake2b(s.encode("utf-8"),
+                                  digest_size=8).digest(), "big")
+
+
+def _shingle_set(text: str, k: int) -> set[str]:
+    t = " ".join((text or "").lower().split())
+    if len(t) < k:
+        return {t} if t else set()
+    return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact k-shingle Jaccard (JaccardSimilarity.java semantics over
+    CharacterNGramTokenizer shingles)."""
+    sa, sb = _shingle_set(a, k), _shingle_set(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+# ------------------------------------------------------- MinHash LSH
+
+MINHASH_PERMS = 128
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5,
+                       num_perm: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, sig: array<long>) — numpy-vectorized minhash over
+    k-shingles, one Arrow pass."""
+    a_par, b_par = _minhash_params(num_perm)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_set(t or "", k)
+            if not sh:
+                out.append([0] * num_perm)
+                continue
+            hv = np.fromiter((_stable_hash64(s) >> 3 for s in sh),
+                             dtype=np.uint64, count=len(sh))
+            # (a*x + b) mod p per permutation, min over shingles
+            # (products wrap mod 2^64 first — deterministic, and the
+            # composition stays a uniform enough hash family)
+            sig = np.min(
+                (np.outer(a_par, hv) + b_par[:, None]) % _MERSENNE,
+                axis=1)
+            out.append([int(x) for x in sig])
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       sig_udf(F.col(text_col)).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Band the signatures; docs sharing any (band, band-hash) bucket
+    become a candidate pair. Pure DataFrame: explode bands →
+    self-equijoin on the bucket hash. Emits each pair once (a < b).
+
+    max_bucket drops pathological buckets (e.g. thousands of IDENTICAL
+    documents — those are exact-dup territory, handled by
+    exact_dup_groups at O(n), not O(n²) pairing). This is the standard
+    web-scale guard: bucket sizes are counted first (one cheap agg on
+    the already-shuffled key) and the join never sees a quadratic
+    blowup."""
+    num_perm = MINHASH_PERMS
+    rows_per_band = num_perm // bands
+    band_cols = F.array(*[
+        F.xxhash64(F.lit(i), F.slice("sig", i * rows_per_band + 1,
+                                     rows_per_band).cast("array<long>")
+                   .cast("string"))
+        for i in range(bands)])
+    buckets = (sigs
+               .withColumn("bucket", F.explode(band_cols))
+               .select("doc_id", "bucket"))
+    sizes = buckets.groupBy("bucket").count()
+    buckets = (buckets.join(sizes.where(F.col("count") <= max_bucket)
+                            .select("bucket"), "bucket"))
+    lft, rgt = buckets.alias("l"), buckets.alias("r")
+    return (lft.join(rgt, (F.col("l.bucket") == F.col("r.bucket")) &
+                     (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b"))
+            .distinct())
+
+
+def minhash_near_dups(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5,
+                      threshold: float = 0.8,
+                      bands: int = 16) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact
+    k-shingle Jaccard verification ≥ threshold. Returns (a, b, jaccard).
+    The verify join re-reads only candidate texts (two broadcast-able
+    semi-joins at small scale; sort-merge at corpus scale)."""
+    sigs = minhash_signatures(docs, text_col, id_col, k)
+    cands = lsh_candidate_pairs(sigs, bands)
+    texts = docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"))
+    paired = (cands
+              .join(texts.withColumnRenamed("doc_id", "a")
+                         .withColumnRenamed("text", "text_a"), "a")
+              .join(texts.withColumnRenamed("doc_id", "b")
+                         .withColumnRenamed("text", "text_b"), "b"))
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series([ngram_jaccard(x, y, k)
+                          for x, y in zip(ta, tb)])
+
+    return (paired.withColumn("jaccard", jac("text_a", "text_b"))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# ----------------------------------------------------------- SimHash
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash over k-shingles
+    (sign-aggregated bitwise votes), numpy-vectorized."""
+
+    @F.pandas_udf(T.LongType())
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_set(t or "", k)
+            if not sh:
+                out.append(0)
+                continue
+            hv = np.fromiter((_stable_hash64(s) for s in sh),
+                             dtype=np.uint64, count=len(sh))
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            # signed arithmetic — uint64 would wrap negatives positive
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hv)
+            val = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    val |= (1 << i)
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       sh_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dups by SimHash Hamming distance ≤ max_hamming, using the
+    4-band pigeonhole trick (any pair within distance 3 shares at least
+    one exact 16-bit band) → equality join per band, then exact
+    Hamming verify via bit_count(xor). Returns (a, b, hamming)."""
+    sigs = simhash_signatures(docs, text_col, id_col, k)
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("simhash", i * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+        for i in range(4)])
+    buckets = (sigs.withColumn("bk", F.explode(bands))
+               .select("doc_id", "simhash",
+                       F.col("bk.band").alias("band"),
+                       F.col("bk.chunk").alias("chunk")))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    pairs = (l.join(r, (F.col("l.band") == F.col("r.band")) &
+                    (F.col("l.chunk") == F.col("r.chunk")) &
+                    (F.col("l.doc_id") < F.col("r.doc_id")))
+             .select(F.col("l.doc_id").alias("a"),
+                     F.col("r.doc_id").alias("b"),
+                     F.bit_count(F.col("l.simhash")
+                                 .bitwiseXOR(F.col("r.simhash")))
+                     .alias("hamming"))
+             .distinct())
+    return pairs.where(F.col("hamming") <= max_hamming)

@@ -83,7 +83,7 @@ def expand_gazetteer(gaz: DataFrame) -> DataFrame:
     counts = names.groupBy("norm").agg(
         F.countDistinct("entity_id").alias("n_ids"))
     return (
-        names.join(counts, "norm")
+        names.join(F.broadcast(counts), "norm")
         .withColumn("ambiguous", F.col("n_ids") > 1)
         .withColumn("n_tokens", F.size(F.split(F.col("surface_form"), " ")))
         .drop("n_ids")

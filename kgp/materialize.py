@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import time
+from hashlib import blake2b
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +42,38 @@ def stage_path(out_dir: str, stage: str) -> str:
 def stage_done(out_dir: str, stage: str) -> bool:
     return os.path.exists(os.path.join(stage_path(out_dir, stage),
                                        "_SUCCESS"))
+
+
+def footer_manifest(path: str, stage: str) -> list[tuple]:
+    """Per-file (≈ per-partition) lineage rows read from parquet
+    FOOTERS only — exact row counts and a footer-derived checksum with
+    zero data scanned and zero Spark jobs. On object storage this is
+    one ranged GET per file; Iceberg gives the same numbers from its
+    manifest files. Walks partitioned layouts (pred=X/ subdirs)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files += [os.path.join(root, n) for n in names
+                  if n.endswith(".parquet")]
+    ts = time.time()
+    for i, f in enumerate(sorted(files)):
+        md = pq.read_metadata(f)
+        digest = blake2b(md.serialized_size.to_bytes(8, "big"),
+                         digest_size=8)
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            digest.update(str(rg.num_rows).encode())
+            digest.update(str(rg.total_byte_size).encode())
+            for c in range(rg.num_columns):
+                st = rg.column(c).statistics
+                if st is not None:
+                    digest.update(repr((st.min, st.max,
+                                        st.null_count)).encode())
+        checksum = int.from_bytes(digest.digest(), "big", signed=True)
+        rows.append((stage, i, None, md.num_rows, checksum, None, ts))
+    return rows
 
 
 def partition_manifest(df: DataFrame, stage: str) -> DataFrame:
@@ -71,6 +104,15 @@ def append_lineage(spark: SparkSession, out_dir: str, manifest: DataFrame,
     rows.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
 
 
+def _append_lineage_rows(spark: SparkSession, out_dir: str,
+                         rows: list[tuple], wall_ms: int,
+                         input_rows: int | None) -> None:
+    rows = [(s, p, input_rows, n, c, wall_ms, ts)
+            for (s, p, _ir, n, c, _w, ts) in rows]
+    spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+
+
 def write_stage(spark: SparkSession, df: DataFrame, out_dir: str,
                 stage: str, partition_by: list[str] | None = None,
                 input_rows: int | None = None) -> tuple[DataFrame, int]:
@@ -86,10 +128,15 @@ def write_stage(spark: SparkSession, df: DataFrame, out_dir: str,
     w.parquet(path)
     wall_ms = int((time.time() - t0) * 1000)
     out = spark.read.parquet(path)
-    manifest = partition_manifest(out, stage).localCheckpoint()
-    rows = manifest.agg(F.sum("output_rows")).collect()[0][0] or 0
-    append_lineage(spark, out_dir, manifest, wall_ms, input_rows)
-    return out, int(rows)
+    if os.environ.get("KGP_LINEAGE_FULL"):
+        # full-scan manifest: per-partition value checksums
+        manifest = partition_manifest(out, stage).localCheckpoint()
+        rows = manifest.agg(F.sum("output_rows")).collect()[0][0] or 0
+        append_lineage(spark, out_dir, manifest, wall_ms, input_rows)
+        return out, int(rows)
+    frows = footer_manifest(path, stage)
+    _append_lineage_rows(spark, out_dir, frows, wall_ms, input_rows)
+    return out, sum(r[3] for r in frows)
 
 
 def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:

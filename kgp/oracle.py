@@ -144,6 +144,106 @@ def mentions_sql() -> str:
             + ") ORDER BY url, surface, tag")
 
 
+def text_stats_sql() -> str:
+    """DuckDB mirror of kgp.textstats.text_stats (minus the xxhash64
+    fingerprint, which DuckDB cannot reproduce)."""
+    from kgp.textstats import LANG_MARKERS, STOPWORDS_EN, WORDPIECE_RE
+
+    def rxcount(expr: str, pat: str) -> str:
+        return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+    n_tokens = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+                "len(regexp_split_to_array(trim(text), '\\s+')) END")
+    n_alpha = rxcount("text", "[A-Za-z]")
+    n_upper = rxcount("text", "[A-Z]")
+    n_digit = rxcount("text", "[0-9]")
+    n_punct = rxcount("text", "[^\\sA-Za-z0-9]")
+    stop_pat = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    n_stop = rxcount("lower(text)", stop_pat)
+    nz = "CASE WHEN {x} > 0 THEN {x} ELSE 1 END"
+    nzt, nzc, nza = (nz.format(x="nt"), nz.format(x="nc"),
+                     nz.format(x="na"))
+    lang_counts = {
+        lang: rxcount("lower(text)", r"\b(" + "|".join(ws) + r")\b")
+        for lang, ws in LANG_MARKERS.items()}
+    lc_cols = ", ".join(f"{e} AS c_{lang}"
+                        for lang, e in lang_counts.items())
+    greatest = "greatest(" + ", ".join(f"c_{k}" for k in LANG_MARKERS) + ")"
+    lang_case = ("CASE " + " ".join(
+        f"WHEN c_{k} > 0 AND c_{k} = {greatest} THEN '{k}'"
+        for k in LANG_MARKERS) + " ELSE 'und' END")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS nc, {n_tokens} AS nt,
+         {n_alpha} AS na, {n_upper} AS nu, {n_digit} AS nd,
+         {n_punct} AS np, {n_stop} AS ns,
+         {rxcount('text', WORDPIECE_RE)} AS nbpe, {lc_cols}
+  FROM documents
+), derived AS (
+  SELECT doc_id, nc AS n_chars, nt AS n_tokens_ws, nbpe AS n_tokens_bpe,
+         round(na / CAST({nzt} AS DOUBLE), 4) AS mean_word_len,
+         round(ns / CAST({nzt} AS DOUBLE), 4) AS stopword_ratio,
+         round(np / CAST({nzc} AS DOUBLE), 4) AS punct_ratio,
+         round(nu / CAST({nza} AS DOUBLE), 4) AS upper_ratio,
+         round(nd / CAST({nzc} AS DOUBLE), 4) AS digit_ratio,
+         {lang_case} AS lang_pred,
+         nt, nc, na, ns, np
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens_ws, n_tokens_bpe, mean_word_len,
+       stopword_ratio, punct_ratio, upper_ratio, digit_ratio,
+       round((CAST(n_tokens_ws >= 10 AND n_chars >= 50 AS INT) +
+              CAST(mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS INT) +
+              CAST(stopword_ratio >= 0.01 AS INT) +
+              CAST(punct_ratio <= 0.3 AS INT)) / 4.0, 4) AS quality,
+       lang_pred
+FROM derived ORDER BY doc_id"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+WITH n AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY norm) AS group_id,
+       doc_id = min(doc_id) OVER (PARTITION BY norm) AS is_canonical,
+       count(*) OVER (PARTITION BY norm) AS group_size
+FROM n ORDER BY doc_id"""
+
+
+def ann_topk_sql(k: int = 5, n_queries: int = 20) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {n_queries}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(
+             CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+             e.vec_id ASC) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored
+WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def media_stats_sql() -> str:
+    kind = ("CASE WHEN doc_id % 3 = 0 THEN 'image' "
+            "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END")
+    return f"""
+SELECT {kind} AS kind, count(*) AS n,
+       sum(octet_length(encode(text))) AS total_bytes,
+       round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+       CAST(max(doc_id % 640 + 16) AS INT) AS max_width
+FROM documents GROUP BY 1 ORDER BY kind"""
+
+
 def canon_sql() -> str:
     """Golden connected-components mapping as a VALUES table (the
     gazetteer is code-defined, so the expected mapping is static)."""

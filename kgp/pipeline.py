@@ -66,7 +66,8 @@ def load_ner_model(spark: SparkSession, out_dir: str) -> mentions.NerModel:
 
 def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                  force: bool = False, num_partitions: int | None = None,
-                 pages: DataFrame | None = None) -> dict:
+                 pages: DataFrame | None = None, replicate: int = 1,
+                 heavy: int = 1) -> dict:
     """Run (or resume) the full KG-construction pipeline.
 
     Returns a metrics dict; triples land at {out_dir}/triples
@@ -76,16 +77,22 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     metrics: dict = {"sf_dir": sf_dir, "out_dir": out_dir}
     nparts = num_partitions or spark.sparkContext.defaultParallelism
 
+    # ingest: hash-spread on url AT WRITE TIME so the biggest payload
+    # (raw html) is partitioned once and never shuffled again — the
+    # extract stage reads it straight off storage with balanced tasks
+    # regardless of how host-clustered the crawl order was
     pages_df = _stage(
         spark, out_dir, "pages",
-        (lambda: pages) if pages is not None
-        else (lambda: corpus.synth_pages(spark, sf_dir)),
+        (lambda: skew.spread(pages, ["url"], nparts))
+        if pages is not None
+        else (lambda: skew.spread(
+            corpus.synth_pages(spark, sf_dir, replicate=replicate,
+                               heavy=heavy), ["url"], nparts)),
         force=force, metrics=metrics)
 
     docs = _stage(
         spark, out_dir, "docs",
-        lambda: html_text.extract_stage(
-            skew.spread(pages_df, ["url"], nparts)),
+        lambda: html_text.extract_stage(pages_df),
         force=force, metrics=metrics)
 
     gaz = corpus.gazetteer(spark)

@@ -13,7 +13,13 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH = "2048"  # pages per Arrow batch into pandas UDFs
+# Rows per Arrow batch into pandas UDFs. Small on purpose: with real
+# web pages (tens of KB of html each) a 2048-row batch is ~150 MB that
+# the Python worker must materialize at once — measured 6.8x slower
+# than 256-row batches on the heavy corpus (memory pressure + no
+# pipelining). 256 rows ≈ 5-20 MB keeps workers streaming; for tiny
+# rows the per-batch overhead is noise.
+ARROW_BATCH = "256"
 
 
 def get_spark(

@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+  * brute-force cosine top-k — the exact baseline. One numpy matmul
+    per Arrow batch against a broadcast query matrix (vectorized, no
+    per-row Python), then a per-query top-k aggregation JVM-side.
+    Cost: O(N·Q·d) FLOPs fully parallel over partitions — correct
+    answer, linear scan, the thing you calibrate the ANN path against.
+
+  * IVF (inverted-file) — the scale path: KMeans (pyspark.ml) learns
+    nlist centroids on a sample; every vector is assigned to its
+    nearest centroid (one numpy matmul per batch); a query probes only
+    the nprobe nearest cells. Recall < 1 by design; the bench compares
+    it against brute force for recall/latency.
+
+Embedding near-duplicates (cosine ≥ τ over the corpus itself) reuse
+the IVF assignment as the blocking key: pairs are generated only
+WITHIN a cell (equality join on cell id) — same banding idea as
+kgp.dedup, vectors version.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
+                     k: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     query_id_col: str = "vec_id",
+                     query_vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, rank, cos_sim).
+
+    queries are collected + broadcast (Q is small — a probe set);
+    the corpus side streams through a pandas UDF that emits, per
+    corpus vector, its similarity to every query; the JVM side keeps
+    top-k per query with a rank window. Self-matches excluded.
+    """
+    spark = embeddings.sparkSession
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = _norm_rows(np.array([r[1] for r in q_rows],
+                                dtype=np.float64))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    out_t = T.ArrayType(T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ]))
+
+    @F.pandas_udf(out_t)
+    def sims(vecs: pd.Series) -> pd.Series:
+        ids, qm = bc.value
+        m = _norm_rows(np.array(vecs.tolist(), dtype=np.float64))
+        s = m @ qm.T  # (batch, Q)
+        return pd.Series([
+            [{"query_id": int(ids[j]), "cos_sim": float(row[j])}
+             for j in range(len(ids))]
+            for row in s])
+
+    exploded = (embeddings
+                .select(F.col(id_col).alias("neighbor_id"),
+                        F.explode(sims(F.col(vec_col))).alias("s"))
+                .select("neighbor_id",
+                        F.col("s.query_id").alias("query_id"),
+                        F.col("s.cos_sim").alias("cos_sim"))
+                .where(F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (exploded.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos_sim", 6).alias("cos_sim")))
+
+
+# ----------------------------------------------------------- IVF path
+
+
+def ivf_build(embeddings: DataFrame, nlist: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 42):
+    """Learn nlist centroids (KMeans on unit-normalized vectors) and
+    assign every vector to its cell. Returns (assignments DataFrame
+    (vec_id, cell), centroids ndarray (nlist, d))."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        array_to_vector(
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double"))).alias("features"))
+    km = KMeans(k=nlist, seed=seed, featuresCol="features")
+    model = km.fit(feat)
+    centroids = _norm_rows(np.array(
+        [np.asarray(c) for c in model.clusterCenters()]))
+    assignments = model.transform(feat).select(
+        "vec_id", F.col("prediction").alias("cell"))
+    return assignments, centroids
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             nlist: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe only the nprobe cells whose centroids
+    are closest to each query. Returns same shape as brute_force_topk.
+    At corpus scale the assignments table is partitioned by cell →
+    a probe reads nprobe/nlist of the data (partition pruning does the
+    work once the table is written partitionedBy('cell'))."""
+    spark = embeddings.sparkSession
+    assignments, centroids = ivf_build(embeddings, nlist, id_col, vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = _norm_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
+    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    probe_rows = [(int(q_ids[i]), [int(c) for c in probe[i]])
+                  for i in range(len(q_ids))]
+    probe_df = spark.createDataFrame(probe_rows,
+                                     "query_id long, cells array<int>")
+    probe_exp = probe_df.select("query_id",
+                                F.explode("cells").alias("cell"))
+
+    cand = (assignments.join(F.broadcast(probe_exp), "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id")))
+
+    # score candidates: join back the vectors, cosine in numpy batches
+    vecs = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("vec"))
+    bc = spark.sparkContext.broadcast(
+        {int(q): q_mat[i] for i, q in enumerate(q_ids)})
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(qid: pd.Series, vec: pd.Series) -> pd.Series:
+        qm = bc.value
+        m = _norm_rows(np.array(vec.tolist(), dtype=np.float64))
+        qs = np.array([qm[int(x)] for x in qid])
+        return pd.Series(np.einsum("ij,ij->i", m, qs))
+
+    scored = (cand.join(vecs, "neighbor_id")
+              .withColumn("cos_sim", cos("query_id", "vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos_sim", 6).alias("cos_sim")))
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        nlist: int = 16, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Corpus self-near-dup pairs (cos ≥ threshold), blocked by IVF
+    cell: pairs are generated within a cell only (plus each vector's
+    second-closest cell, to catch boundary pairs). Returns (a, b,
+    cos_sim)."""
+    spark = embeddings.sparkSession
+    _, centroids = ivf_build(embeddings, nlist, id_col, vec_col)
+    bc_c = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells2(vec: pd.Series) -> pd.Series:
+        c = bc_c.value
+        m = _norm_rows(np.array(vec.tolist(), dtype=np.float64))
+        top2 = np.argsort(-(m @ c.T), axis=1)[:, :2]
+        return pd.Series([[int(a), int(b)] for a, b in top2])
+
+    blocked = (embeddings
+               .select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("vec"),
+                       F.explode(cells2(F.col(vec_col))).alias("cell")))
+    lft, rgt = blocked.alias("l"), blocked.alias("r")
+    pairs = (lft.join(rgt, (F.col("l.cell") == F.col("r.cell")) &
+                      (F.col("l.vec_id") < F.col("r.vec_id")))
+             .select(F.col("l.vec_id").alias("a"),
+                     F.col("r.vec_id").alias("b"),
+                     F.col("l.vec").alias("va"),
+                     F.col("r.vec").alias("vb"))
+             .dropDuplicates(["a", "b"]))
+
+    @F.pandas_udf(T.DoubleType())
+    def pcos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = _norm_rows(np.array(va.tolist(), dtype=np.float64))
+        b = _norm_rows(np.array(vb.tolist(), dtype=np.float64))
+        return pd.Series(np.einsum("ij,ij->i", a, b))
+
+    return (pairs.withColumn("cos_sim", pcos("va", "vb"))
+            .where(F.col("cos_sim") >= threshold)
+            .select("a", "b", F.round("cos_sim", 6).alias("cos_sim")))

@@ -30,19 +30,23 @@ def test_connected_components_golden_mapping(spark):
 
 
 def test_cc_long_chain_converges_logarithmically(spark):
-    # a 64-node path: min-label propagation alone needs ~64 rounds;
-    # pointer doubling must finish well inside max_iter=10
+    # DISTRIBUTED path (small_threshold=0): a 64-node path needs ~64
+    # rounds of plain min-propagation; pointer doubling must finish
+    # well inside max_iter=10
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "src long, dst long")
-    cc = connected_components(edges, max_iter=10)
+    cc = connected_components(edges, max_iter=10, small_threshold=0)
     labels = {r.canon_id for r in cc.collect()}
     assert labels == {0}
 
 
-def test_cc_multiple_components(spark):
+def test_cc_multiple_components_both_paths(spark):
     edges = spark.createDataFrame(
         [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
         "src long, dst long")
-    cc = {r.entity_id: r.canon_id for r in
-          connected_components(edges).collect()}
-    assert cc == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+    want = {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+    small = {r.entity_id: r.canon_id for r in
+             connected_components(edges).collect()}
+    dist = {r.entity_id: r.canon_id for r in
+            connected_components(edges, small_threshold=0).collect()}
+    assert small == want and dist == want

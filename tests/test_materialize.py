@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgp import materialize
+
+
+def _write(spark, tmp_path, rows=100, stage="s1", partition_by=None):
+    df = spark.range(rows).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("k"))
+    out, n = materialize.write_stage(spark, df, str(tmp_path), stage,
+                                     partition_by=partition_by)
+    return out, n
+
+
+def test_write_stage_row_count_from_footers(spark, tmp_path):
+    out, n = _write(spark, tmp_path, rows=137)
+    assert n == 137
+    assert out.count() == 137
+    assert materialize.stage_done(str(tmp_path), "s1")
+
+
+def test_footer_manifest_partitioned_layout(spark, tmp_path):
+    _write(spark, tmp_path, rows=90, stage="t", partition_by=["k"])
+    rows = materialize.footer_manifest(
+        materialize.stage_path(str(tmp_path), "t"), "t")
+    assert sum(r[3] for r in rows) == 90
+    assert all(r[4] is not None for r in rows)  # checksum present
+
+
+def test_lineage_rows_appended(spark, tmp_path):
+    _write(spark, tmp_path, rows=10, stage="a")
+    _write(spark, tmp_path, rows=20, stage="b")
+    lin = materialize.lineage(spark, str(tmp_path))
+    agg = {r.stage: r.total for r in
+           lin.groupBy("stage").agg(F.sum("output_rows").alias("total"))
+           .collect()}
+    assert agg == {"a": 10, "b": 20}
+    cols = set(lin.columns)
+    assert {"stage", "partition_id", "input_rows", "output_rows",
+            "checksum", "wall_ms", "run_ts"} <= cols
+
+
+def test_footer_checksum_tracks_content(spark, tmp_path):
+    df1 = spark.range(50).coalesce(1)
+    df2 = spark.range(50).select((F.col("id") + 1).alias("id")).coalesce(1)
+    materialize.write_stage(spark, df1, str(tmp_path), "c1")
+    materialize.write_stage(spark, df2, str(tmp_path), "c2")
+    m1 = materialize.footer_manifest(
+        materialize.stage_path(str(tmp_path), "c1"), "c1")
+    m2 = materialize.footer_manifest(
+        materialize.stage_path(str(tmp_path), "c2"), "c2")
+    # same rows, different values -> different footer stats -> checksums
+    assert m1[0][3] == m2[0][3] == 50
+    assert m1[0][4] != m2[0][4]
+
+
+def test_full_checksum_mode(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("KGP_LINEAGE_FULL", "1")
+    out, n = _write(spark, tmp_path, rows=40, stage="full")
+    assert n == 40
+    lin = materialize.lineage(spark, str(tmp_path))
+    rows = lin.where(F.col("stage") == "full").collect()
+    assert sum(r.output_rows for r in rows) == 40

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests — the plan IS the scale contract.
+
+Each assertion pins a property the 100 TB design depends on: where a
+shuffle is allowed to exist, which joins must be broadcast, and which
+stages must stay entirely JVM-side. A refactor that silently adds an
+Exchange or drops a broadcast fails here long before it fails on a
+cluster."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgp import constants as C
+from kgp.corpus import gazetteer, synth_pages
+from kgp.html_text import extract_stage
+from kgp.linker import link_mentions
+from kgp.textstats import text_stats
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_stage_has_no_shuffle(spark, sf_dir):
+    """html → docs is document-local: the plan must be scan → Arrow
+    UDF → project, with NO Exchange (the raw html payload is never
+    shuffled)."""
+    pages = synth_pages(spark, sf_dir)
+    plan = plan_of(extract_stage(pages))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_text_stats_is_pure_jvm(spark):
+    docs = spark.createDataFrame([(1, "hello world")],
+                                 "doc_id long, text string")
+    plan = plan_of(text_stats(docs))
+    assert "Python" not in plan      # no Python evaluation of any kind
+    assert "Exchange" not in plan
+
+
+def test_linker_broadcasts_gazetteer(spark):
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, 4, "Acme", "ORG", 1.0, 0, "Acme.")],
+        "url string, sent_idx int, start int, end int, surface string, "
+        "tag string, score double, sent_start int, sent_text string")
+    plan = plan_of(link_mentions(mentions, gazetteer(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # disambiguation is vectorized: no Python in the linking plan
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" \
+        not in plan
+
+
+def test_parquet_scan_prunes_columns(spark, sf_dir, tmp_path):
+    """Column pruning must reach the scan: selecting url from pages
+    parquet reads ONE column, not the html payload."""
+    synth_pages(spark, sf_dir).write.mode("overwrite") \
+        .parquet(str(tmp_path / "pages"))
+    pages = spark.read.parquet(str(tmp_path / "pages"))
+    plan = plan_of(pages.select("url").filter(F.col("url").contains("42")))
+    assert "ReadSchema: struct<url:string>" in plan
+    assert "html" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_parquet_filter_pushdown(spark, sf_dir, tmp_path):
+    synth_pages(spark, sf_dir).write.mode("overwrite") \
+        .parquet(str(tmp_path / "p2"))
+    pages = spark.read.parquet(str(tmp_path / "p2"))
+    plan = plan_of(pages.filter(F.col("lang") == "en").select("url"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_triples_partition_pruning(spark, tmp_path):
+    """Partitioned triple table: a pred filter must prune partitions
+    (scan shows the partition filter, not a post-scan filter)."""
+    df = spark.createDataFrame(
+        [("a", p, "b", 1.0) for p in C.PREDICATES],
+        "subj string, pred string, obj string, conf double")
+    df.write.partitionBy("pred").mode("overwrite") \
+        .parquet(str(tmp_path / "triples"))
+    t = spark.read.parquet(str(tmp_path / "triples"))
+    plan = plan_of(t.where(F.col("pred") == "ceo_of"))
+    assert "PartitionFilters" in plan
+    assert "ceo_of" in plan.split("PartitionFilters")[1][:120]
