@@ -46,6 +46,16 @@ _CACHE: dict[str, dict] = {}
 def _products(spark: SparkSession, sf_dir: str) -> dict:
     if sf_dir in _CACHE:
         return _CACHE[sf_dir]
+    # session hygiene for driver-owned sessions: pre-trigger the ICU
+    # collation class init (otherwise the first wide lower() serializes
+    # every task on a class-init monitor) and right-size Arrow batches
+    from kgp.session import _warm_collation
+    _warm_collation(spark)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "256")
+    except Exception:
+        pass
     pages = _corpus.synth_pages(spark, sf_dir)
     docs = _html.extract_stage(pages).persist()
     gaz = _corpus.gazetteer(spark)
