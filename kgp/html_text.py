@@ -48,17 +48,25 @@ class Node:
         self.data = data
 
     def text_content(self) -> str:
-        """DOM textContent: all descendant text, comments excluded."""
-        if self.tag == "#text":
-            return self.data
-        if self.tag == "#comment":
-            return ""
-        return "".join(c.text_content() for c in self.children)
+        """DOM textContent: all descendant text, comments excluded.
+        Iterative — adversarially deep pages must not blow the Python
+        recursion limit inside a worker."""
+        parts: list[str] = []
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if n.tag == "#text":
+                parts.append(n.data)
+            elif n.tag != "#comment":
+                stack.extend(reversed(n.children))
+        return "".join(parts)
 
     def iter(self):
-        yield self
-        for c in self.children:
-            yield from c.iter()
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            yield n
+            stack.extend(reversed(n.children))
 
 
 VOID_ELEMENTS = {"area", "base", "br", "col", "embed", "hr", "img",
@@ -145,18 +153,16 @@ def document_to_text(node: Node) -> str:
     equivalent (runs can only merge, never split, at concat boundaries,
     and inserted "\\n"s break runs identically in both formulations)."""
     parts: list[str] = []
-
-    def walk(n: Node) -> None:
+    stack = [node]
+    while stack:
+        n = stack.pop()
         if n.tag in SKIP_NODES:
-            return
+            continue
         if n.tag == "#text":
             parts.append(n.data)
         if n.tag in BLOCK_ELEMENTS:
             parts.append("\n")
-        for c in n.children:
-            walk(c)
-
-    walk(node)
+        stack.extend(reversed(n.children))
     return _MULTISPACE.sub("", "".join(parts))
 
 
@@ -190,12 +196,11 @@ def clean_dom(root: Node) -> Node:
         ci = _class_id(n)
         return not any(h in ci for h in REMOVE_CLASS_HINTS)
 
-    def walk(n: Node) -> None:
+    stack = [root]
+    while stack:
+        n = stack.pop()
         n.children = [c for c in n.children if keep(c)]
-        for c in n.children:
-            walk(c)
-
-    walk(root)
+        stack.extend(n.children)
     return root
 
 

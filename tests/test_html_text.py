@@ -130,3 +130,28 @@ def test_corpus_sentences(spark, sf_dir):
     assert sents[-1].endswith("river bank.")
     # headline is not a real sentence
     assert not any("update" in s for s in sents)
+
+
+# ------------------------------------------------ adversarial inputs
+
+
+def test_extract_survives_hostile_inputs():
+    from kgp.html_text import extract_main_content
+    cases = [
+        b"",
+        b"\xff\xfe<p>caf\xc3\xa9</p>",                       # bad utf-8
+        b"just plain text, no markup at all.",
+        ("<div>" * 5000 + "x" + "</div>" * 5000).encode(),   # deep nesting
+        b"<table><tr><td>a<td>b<tr><td>c</table>",           # implied closes
+        b"<script>var x = '<p>not text</p>';</script>",
+    ]
+    for html in cases:
+        r = extract_main_content(html, "https://x.example.com/a")
+        assert isinstance(r["text"], str)
+
+
+def test_deep_nesting_no_recursion_error():
+    from kgp.html_text import document_to_text, parse_html
+    root = parse_html("<div>" * 5000 + "hello" + "</div>" * 5000)
+    assert "hello" in document_to_text(root)
+    assert root.text_content().strip() == "hello"
