@@ -153,6 +153,25 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_stats(media)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (IVF, nprobe cells) — rows-only check; recall vs
+    the exact path is asserted in tests/test_similarity.py."""
+    emb = _emb_table(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return _sim.ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=4) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+def _q_lsh_entity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH fuzzy gazetteer candidate index over the corpus's
+    distinct mention surfaces — rows-only check (similarity join)."""
+    p = _products(spark, sf_dir)
+    surfaces = p["mentions"].select("surface").distinct()
+    return _linker.lsh_candidates(surfaces, _corpus.gazetteer(spark),
+                                  jaccard_max_dist=0.4) \
+        .select("surface", "entity_id", "canon_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -166,6 +185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "media_stats": _q_media_stats,
+        "ivf_topk": _q_ivf_topk,
+        "lsh_entity_candidates": _q_lsh_entity_candidates,
     }
 
 
