@@ -135,11 +135,13 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs on the documents table (rows-only check: minhash
-    banding is not ANSI-SQL-expressible; correctness is pytest-golden
-    in tests/test_dedup.py)."""
+    """Near-dup pairs on the documents table. LSH-then-exact-verify at
+    32 bands is exact-equivalent at τ=0.8 (miss prob ~5e-8), so this
+    carries a full DuckDB exact-Jaccard oracle; the jaccard value
+    itself is float and excluded from the hash compare (pytest-golden
+    in tests/test_dedup.py instead)."""
     return _dedup.minhash_near_dups(_docs_table(spark, sf_dir),
-                                    threshold=0.8)
+                                    threshold=0.8).select("a", "b")
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +223,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _oracle.dedup_exact_sql(),
         "ann_topk": _oracle.ann_topk_sql(),
         "media_stats": _oracle.media_stats_sql(),
-        # minhash_pairs / simhash_pairs intentionally omitted:
-        # banding/LSH is not ANSI-SQL-expressible — rows-only check;
-        # pytest goldens cover their semantics (tests/test_dedup.py)
+        "minhash_pairs": _oracle.minhash_pairs_sql(),
+        # simhash_pairs intentionally omitted: the 64-bit blake2b
+        # SimHash sketch is not ANSI-SQL-expressible — rows-only check;
+        # pytest goldens cover its semantics (tests/test_dedup.py)
     }

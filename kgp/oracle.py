@@ -238,10 +238,41 @@ def media_stats_sql() -> str:
             "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END")
     return f"""
 SELECT {kind} AS kind, count(*) AS n,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        round(avg(octet_length(encode(text))), 4) AS avg_bytes,
        CAST(max(doc_id % 640 + 16) AS INT) AS max_width
 FROM documents GROUP BY 1 ORDER BY kind"""
+
+
+def minhash_pairs_sql(k: int = 5, threshold: float = 0.8) -> str:
+    """EXACT k-shingle Jaccard pair set at ≥ threshold. The Spark side
+    is LSH-then-exact-verify; with 32 bands of 4 rows the LSH miss
+    probability at jaccard 0.8 is ~5e-8, so candidates+verify equals
+    the exact all-pairs answer and can be oracle-checked. Mirrors
+    kgp.dedup._shingle_set normalization (lower, ws-collapse)."""
+    return f"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(length(t) - {k - 1}, 1) + 1),
+           i -> substring(t, CAST(i AS INT), {k}))) AS g
+  FROM n WHERE t <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.a AS a, inter.b AS b
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.a
+JOIN sizes sb ON sb.doc_id = inter.b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
+ORDER BY a, b"""
 
 
 def canon_sql() -> str:

@@ -42,43 +42,73 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
                      query_vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, rank, cos_sim).
 
-    queries are collected + broadcast (Q is small — a probe set);
-    the corpus side streams through a pandas UDF that emits, per
-    corpus vector, its similarity to every query; the JVM side keeps
-    top-k per query with a rank window. Self-matches excluded.
-    """
+    queries are collected + broadcast (Q is small — a probe set); the
+    corpus side streams once through mapInPandas which keeps a running
+    per-query top-k WITHIN each partition (numpy matmul per Arrow
+    batch, partial-topk merge — the map-side-combine shape); only
+    partitions*Q*k candidate rows reach the final rank window.
+    Self-matches excluded. Exact at any scale: a global top-k is the
+    top-k of per-partition top-ks."""
     spark = embeddings.sparkSession
     q_rows = queries.select(query_id_col, query_vec_col).collect()
-    q_ids = [r[0] for r in q_rows]
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = _norm_rows(np.array([r[1] for r in q_rows],
                                 dtype=np.float64))
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
-    out_t = T.ArrayType(T.StructType([
+    out_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
         T.StructField("cos_sim", T.DoubleType()),
-    ]))
+    ])
 
-    @F.pandas_udf(out_t)
-    def sims(vecs: pd.Series) -> pd.Series:
+    def partial_topk(batches):
+        # Per-PARTITION partial top-k: accumulate a (Q, k) best-heap
+        # across all Arrow batches of the partition, emit only Q*k rows
+        # per partition. The downstream global window therefore ranks
+        # ≤ partitions*Q*k rows — not N*Q — which is what survives a
+        # 100× corpus scale-up (the reduction happens map-side, like a
+        # partial aggregation).
         ids, qm = bc.value
-        m = _norm_rows(np.array(vecs.tolist(), dtype=np.float64))
-        s = m @ qm.T  # (batch, Q)
-        return pd.Series([
-            [{"query_id": int(ids[j]), "cos_sim": float(row[j])}
-             for j in range(len(ids))]
-            for row in s])
+        nq = len(ids)
+        best_sim = np.full((nq, 0), 0.0)
+        best_ids = np.full((nq, 0), 0, dtype=np.int64)
+        for pdf in batches:
+            m = _norm_rows(np.array(pdf["_vec"].tolist(),
+                                    dtype=np.float64))
+            nid = pdf["_id"].to_numpy(dtype=np.int64)
+            s = qm @ m.T  # (Q, batch)
+            s[ids[:, None] == nid[None, :]] = -np.inf  # self-match
+            cat_sim = np.concatenate([best_sim, s], axis=1)
+            cat_ids = np.concatenate(
+                [best_ids, np.broadcast_to(nid, (nq, len(nid)))], axis=1)
+            if cat_sim.shape[1] > k:
+                # top-k per query with the SAME tie-order as the final
+                # rank window (desc sim, asc id): stable argsort by id,
+                # then stable argsort by -sim — exact-tie boundary rows
+                # are kept/dropped identically to a global sort
+                o1 = np.argsort(cat_ids, axis=1, kind="stable")
+                s1 = np.take_along_axis(cat_sim, o1, axis=1)
+                o2 = np.argsort(-s1, axis=1, kind="stable")[:, :k]
+                idx = np.take_along_axis(o1, o2, axis=1)
+                cat_sim = np.take_along_axis(cat_sim, idx, axis=1)
+                cat_ids = np.take_along_axis(cat_ids, idx, axis=1)
+            best_sim, best_ids = cat_sim, cat_ids
+        if best_sim.shape[1]:
+            keep = best_sim > -np.inf
+            qcol = np.broadcast_to(ids[:, None], best_sim.shape)
+            yield pd.DataFrame({
+                "query_id": qcol[keep],
+                "neighbor_id": best_ids[keep],
+                "cos_sim": best_sim[keep]})
 
-    exploded = (embeddings
-                .select(F.col(id_col).alias("neighbor_id"),
-                        F.explode(sims(F.col(vec_col))).alias("s"))
-                .select("neighbor_id",
-                        F.col("s.query_id").alias("query_id"),
-                        F.col("s.cos_sim").alias("cos_sim"))
-                .where(F.col("neighbor_id") != F.col("query_id")))
+    partials = (embeddings
+                .select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).alias("_vec"))
+                .mapInPandas(partial_topk, out_schema))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (exploded.withColumn("rank", F.row_number().over(w))
+    return (partials.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("cos_sim", 6).alias("cos_sim")))

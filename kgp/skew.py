@@ -46,13 +46,21 @@ def spread(df: DataFrame, cols: list[str], num_partitions: int) -> DataFrame:
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,
-                buckets: int = 8, how: str = "inner") -> DataFrame:
-    """Shuffle join with salting: big.key is augmented with a
-    deterministic salt in [0, buckets); small is replicated once per
-    salt value. Equivalent rows, buckets× smaller reduce partitions for
-    hot keys. Deterministic (salt from xxhash64 of the big row's key +
-    a per-row discriminator), no rand()."""
-    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+                buckets: int = 8, how: str = "inner",
+                salt_cols: list[str] | None = None) -> DataFrame:
+    """Shuffle join with salting: big.key is augmented with a salt in
+    [0, buckets); small is replicated once per salt value. Equivalent
+    rows, buckets× smaller reduce partitions for hot keys.
+
+    The salt is derived from ROW CONTENT — xxhash64 over salt_cols
+    (default: every column of `big`) — so it is stable across runs,
+    task retries, and partition-layout changes; rows of a hot key
+    spread across buckets because their non-key columns differ. If a
+    hot key's rows are fully identical across all columns they hash to
+    one bucket — callers with such data should pass a discriminating
+    salt_cols (e.g. a unique id)."""
+    cols = salt_cols if salt_cols is not None else big.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
                   F.lit(buckets)).cast("int")
     b = big.withColumn("_salt", salt)
     s = small.withColumn(

@@ -205,3 +205,34 @@ def word_ngrams(tokens: list[str], n_min: int, n_max: int) -> list[str]:
         for i in range(len(tokens) - n + 1):
             out.append(" ".join(tokens[i:i + n]))
     return out
+
+
+def char_edge_ngrams(string: str, n: int,
+                     must_hit_left_edge: bool = False) -> set[str]:
+    """Tokenizer.calculateCharEdgeNGrams port (Tokenizer.java:94-120):
+    only the n-gram touching the left edge and the one touching the
+    right edge of the word are kept ("pROTector" must not yield "rot").
+    must_hit_left_edge stops after the prefix gram."""
+    out: set[str] = set()
+    length = len(string)
+    if length < n:
+        return out
+    for i in range(0, length - n + 1):
+        if i > 0 and i != length - n:
+            continue
+        out.add(string[i:i + n])
+        if i == 0 and must_hit_left_edge:
+            break
+    return out
+
+
+def all_char_edge_ngrams(string: str, n1: int, n2: int,
+                         must_hit_left_edge: bool = False) -> set[str]:
+    """Tokenizer.calculateAllCharEdgeNGrams port (Tokenizer.java:65-79):
+    split on single spaces, union of per-part edge grams for every n in
+    [n1, n2]."""
+    out: set[str] = set()
+    for part in string.split(" "):
+        for n in range(n1, n2 + 1):
+            out |= char_edge_ngrams(part, n, must_hit_left_edge)
+    return out

@@ -72,6 +72,35 @@ def test_parquet_filter_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
 
 
+def test_exact_dedup_shuffles_on_fingerprint_not_text(spark):
+    """exact_dup_groups' single Exchange must hash the 64-bit _fp
+    column, never the document text — at 100 TB the shuffle key being
+    the body would repartition the whole corpus by multi-KB keys."""
+    from kgp.dedup import exact_dup_groups
+    docs = spark.createDataFrame([(1, "some text"), (2, "other text")],
+                                 "doc_id long, text string")
+    plan = plan_of(exact_dup_groups(docs))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1
+    assert "hashpartitioning(_fp" in exchanges[0]
+    assert "_norm" not in exchanges[0]
+
+
+def test_brute_force_topk_window_sees_partial_rows(spark):
+    """The exact ANN path must reduce map-side: the rank window input
+    is the mapInPandas partial-topk output (Q*k rows per partition),
+    not an N×Q exploded similarity table."""
+    from kgp.similarity import brute_force_topk
+    import numpy as np
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+    plan = plan_of(out)
+    assert "MapInPandas" in plan
+    assert "Explode" not in plan and "Generate" not in plan
+
+
 def test_triples_partition_pruning(spark, tmp_path):
     """Partitioned triple table: a pred filter must prune partitions
     (scan shows the partition filter, not a post-scan filter)."""

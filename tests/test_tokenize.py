@@ -80,6 +80,20 @@ def test_char_ngrams_padding():
     assert "##" not in grams
 
 
+def test_char_edge_ngrams_java_semantics():
+    # Tokenizer.java:94-120 — only edge-touching grams survive
+    from kgp.tokenize import all_char_edge_ngrams, char_edge_ngrams
+    assert char_edge_ngrams("protector", 3) == {"pro", "tor"}
+    assert "rot" not in char_edge_ngrams("protector", 3)
+    assert char_edge_ngrams("sleeve", 2) == {"sl", "ve"}
+    assert char_edge_ngrams("ab", 3) == set()          # shorter than n
+    assert char_edge_ngrams("abc", 3) == {"abc"}       # n == length
+    assert char_edge_ngrams("protector", 3, must_hit_left_edge=True) \
+        == {"pro"}
+    got = all_char_edge_ngrams("blue sleeve", 2, 3)
+    assert {"bl", "ue", "blu", "lue", "sl", "ve", "sle", "eve"} == got
+
+
 def test_word_ngrams():
     assert word_ngrams(["a", "b", "c"], 2, 2) == ["a b", "b c"]
 
