@@ -85,6 +85,9 @@ EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
 # html structural variants (same golden text for all):
 #   doc_id % 10 == 7  -> unclosed <p> tags (implied close)
 #   doc_id % 13 == 4  -> main div has no hint class (XPath-density path)
+#   doc_id % 17 == 13 -> no content containers (documentToText fallback
+#                        path) with space runs at text-node boundaries
+#                        (per-recursion space-deletion semantics)
 HINT_CLASS = "article-body"
 NOHINT_CLASS = "content-zone"
 

@@ -129,7 +129,27 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
               "<footer><p>(c) 2024 Example News. All rights reserved.</p>"
               "</footer></body></html>"),
     )
-    html = F.concat(head, body)
+
+    # adversarial whitespace layout (doc_id % 17 == 13): no content
+    # containers at all, so extraction falls back to the full
+    # documentToText walk; double spaces sit exactly at text-node
+    # boundaries ("{s1}␣␣<span></span>␣{s2}") where the reference's
+    # per-recursion space-run deletion yields "{s1} {s2}" but a single
+    # global pass would merge the runs and yield "{s1}{s2}" — this
+    # slice keeps the byte-identity gate honest about that semantic
+    # (HtmlHelper.java:727). Two empty <p>s emit the "\n\n" separators.
+    brk = "<p></p><p></p>"
+    adv_cond = doc_id % 17 == 13
+    adv_body = F.concat(
+        F.lit("<body>"), h1, F.lit(brk),
+        s1, F.lit("  <span></span> "), s2, F.lit(" "), s3,
+        F.lit("  " + brk),
+        F.when(p2 != "", F.concat(p2, F.lit(brk))).otherwise(F.lit("")),
+        F.repeat(F.concat(p3, F.lit(brk)), heavy),
+        p4, F.lit(brk),
+        F.lit("</body></html>"),
+    )
+    html = F.concat(head, F.when(adv_cond, adv_body).otherwise(body))
 
     # --- url: skewed hosts (40% news.example.com) ---------------------
     host = (

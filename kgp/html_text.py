@@ -147,23 +147,37 @@ _MULTISPACE = re.compile(" {2,}")
 
 
 def document_to_text(node: Node) -> str:
-    """HtmlHelper.documentToText port. The reference applies the
-    space-run deletion to the accumulated string of every recursive call;
-    a single global pass over the depth-first concatenation is
-    equivalent (runs can only merge, never split, at concat boundaries,
-    and inserted "\\n"s break runs identically in both formulations)."""
-    parts: list[str] = []
+    """HtmlHelper.documentToText port — per-recursion-exact. The
+    reference applies `replaceAll("[ ]{2,}", "")` to the ACCUMULATED
+    string of every recursive call (HtmlHelper.java:727), including
+    each #text leaf; a single global pass is NOT equivalent: text node
+    "a  " followed by sibling " b" yields "a b" in the reference (leaf
+    pass deletes the trailing run first) but "ab" under one global
+    pass (the runs merge before deletion). So the deletion is applied
+    bottom-up per node here, exactly like the recursion — iteratively
+    (reversed preorder = children-before-parents), so adversarially
+    deep markup can't blow the worker's Python recursion limit."""
+    if node.tag in SKIP_NODES:
+        return ""
+    order: list[Node] = []
     stack = [node]
     while stack:
         n = stack.pop()
         if n.tag in SKIP_NODES:
             continue
+        order.append(n)
+        stack.extend(c for c in n.children if c.tag not in SKIP_NODES)
+    results: dict[int, str] = {}
+    for n in reversed(order):
+        parts: list[str] = []
         if n.tag == "#text":
             parts.append(n.data)
         if n.tag in BLOCK_ELEMENTS:
             parts.append("\n")
-        stack.extend(reversed(n.children))
-    return _MULTISPACE.sub("", "".join(parts))
+        parts.extend(results.pop(id(c)) for c in n.children
+                     if c.tag not in SKIP_NODES)
+        results[id(n)] = _MULTISPACE.sub("", "".join(parts))
+    return results[id(node)]
 
 
 # ------------------------------------------- main-content extraction

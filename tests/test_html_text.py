@@ -37,6 +37,21 @@ def test_doc_to_text_space_run_deletion():
     assert document_to_text(parse_html("<p>a b</p>")) == "\na b"
 
 
+def test_doc_to_text_space_run_deletion_is_per_node():
+    # HtmlHelper.java:727 applies the deletion at EVERY recursive call:
+    # the leaf pass collapses "a  " to "a" BEFORE the sibling's " b" is
+    # concatenated, so the runs never merge — the answer is "a b", not
+    # the "ab" a single global pass over the concatenation would give.
+    assert document_to_text(parse_html("a  <span></span> b")) == "a b"
+    # leaf-level run deletion, then clean single-space junction
+    assert document_to_text(parse_html("a <span></span>b")) == "a b"
+    # junction run of exactly two (1 trailing + 1 leading) is deleted
+    # at the parent level
+    assert document_to_text(parse_html("a <span></span> b")) == "ab"
+    # all-space text node between siblings merges runs at parent level
+    assert document_to_text(parse_html("a <b>&#32;</b> c")) == "ac"
+
+
 def test_doc_to_text_option_and_comment_skipped():
     html = ("<p>x<!-- hidden --><select><option>opt</option></select>y</p>")
     out = document_to_text(parse_html(html))
