@@ -60,7 +60,8 @@ def _products(spark: SparkSession, sf_dir: str) -> dict:
     docs = _html.extract_stage(pages).persist()
     gaz = _corpus.gazetteer(spark)
     seeds = _corpus.seed_dictionary(spark)
-    model = _mentions.train_ner_model(spark, docs, seeds)
+    model = _mentions.train_ner_model(
+        spark, _corpus.training_docs(docs), seeds)
     bc = spark.sparkContext.broadcast(model)
     mentions = _mentions.detect_mentions(docs, bc).persist()
     links = _linker.link_mentions(mentions, gaz)
@@ -217,6 +218,9 @@ def oracle_sql() -> dict[str, str]:
             "   FROM documents WHERE doc_id % 4 = 1"
             f"  UNION ALL SELECT {sl['per']}, 'founded', {sl['org']} "
             "   FROM documents WHERE doc_id % 5 = 2"
+            "  UNION ALL SELECT 'Mary Johnson Systems', "
+            f"  'headquartered_in', {sl['city2']} FROM documents "
+            "   WHERE doc_id % 23 = 11"
             " ) GROUP BY subj, pred, obj"
             ") GROUP BY pred ORDER BY pred"),
         "text_stats": _oracle.text_stats_sql(),

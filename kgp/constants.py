@@ -75,9 +75,20 @@ S5 = "{per2} works for {org}."                  # when doc_id % 4 == 1
 S6 = "{org} was founded by {per}."              # when doc_id % 5 == 2
 D1 = "The quick brown fox jumps over the lazy dog near the river bank."
 
+# S7 exercises CONTEXT typing (PalladianNer.buildContextDictionary /
+# applyContextAnalysis): NOVEL_ORG is a person-shaped company name that
+# appears ONLY in held-out docs (doc_id % 23 == 11, excluded from NER
+# training by corpus.training_docs), is in NO seed dictionary, and must
+# be typed ORG purely because its ±40-char context matches the S3
+# "is headquartered in" training contexts.
+NOVEL_ORG = "Mary Johnson Systems"
+S7 = NOVEL_ORG + " is headquartered in {city2}."  # when doc_id % 23 == 11
+
 COND_S4 = ("doc_id % 3", 0)
 COND_S5 = ("doc_id % 4", 1)
 COND_S6 = ("doc_id % 5", 2)
+COND_S7 = ("doc_id % 23", 11)
+HOLDOUT_MOD, HOLDOUT_VAL = 23, 11  # NER train/apply split
 ALIAS_COND = "(doc_id % 9 = 5 AND doc_id % 13 < 3)"
 
 EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z

@@ -81,16 +81,21 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
     )
     p3 = F.concat(doc_text, F.lit("."))
     p4 = F.lit(C.D1)
+    s7 = _tfmt(C.S7, slots)
+    s7_cond = doc_id % C.HOLDOUT_MOD == C.HOLDOUT_VAL
 
     # golden extracted text (independent construction from templates);
     # `heavy` repeats the body paragraph to fatten pages for benchmarks
     # (real Common-Crawl pages carry far more prose than the test docs)
     p3_text = F.repeat(F.concat(p3, F.lit("\n\n")), heavy)
+    s7_text = F.when(s7_cond, F.concat(s7, F.lit("\n\n"))) \
+        .otherwise(F.lit(""))
     text = F.concat(
         h1, F.lit("\n\n"),
         p1, F.lit("\n\n"),
         F.when(p2 != "", F.concat(p2, F.lit("\n\n"))).otherwise(F.lit("")),
         p3_text,
+        s7_text,
         p4, F.lit("\n\n"),
     )
 
@@ -121,7 +126,8 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
               "</ul></nav></header>"),
         F.lit('<div class="'), cls, F.lit('">'),
         F.lit("<h1>"), h1, F.lit("</h1>"),
-        para(p1), p2_html, F.repeat(para(p3), heavy), para(p4),
+        para(p1), p2_html, F.repeat(para(p3), heavy),
+        F.when(s7_cond, para(s7)).otherwise(F.lit("")), para(p4),
         F.lit("</div>"),
         F.lit('<div class="comments"><h3>Comments</h3><p>great read '),
         (doc_id % 7).cast("string"),
@@ -146,6 +152,7 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
         F.lit("  " + brk),
         F.when(p2 != "", F.concat(p2, F.lit(brk))).otherwise(F.lit("")),
         F.repeat(F.concat(p3, F.lit(brk)), heavy),
+        F.when(s7_cond, F.concat(s7, F.lit(brk))).otherwise(F.lit("")),
         p4, F.lit(brk),
         F.lit("</body></html>"),
     )
@@ -198,6 +205,19 @@ def synth_pages(spark: SparkSession, sf_dir: str,
     if with_doc_id:
         out = [F.col("doc_id")] + out
     return docs.select(*out)
+
+
+def training_docs(docs: DataFrame) -> DataFrame:
+    """NER training sample: a stable doc_id-keyed split that EXCLUDES
+    the held-out slice (doc_id % HOLDOUT_MOD == HOLDOUT_VAL) where the
+    novel S7 entities live. Mirrors the production shape — train on a
+    deterministic hash sample, apply to everything; without the split,
+    the two-pass negative mining (trainEnglish Complete mode,
+    PalladianNer.java:419-437) would mark every non-seed surface in the
+    corpus NO_ENTITY and nothing could ever be typed by context."""
+    doc_id = F.regexp_extract("url", r"/articles/(\d+)\.html", 1) \
+        .cast("long")
+    return docs.where(doc_id % C.HOLDOUT_MOD != C.HOLDOUT_VAL)
 
 
 # ----------------------------------------------------------- gazetteer

@@ -38,6 +38,8 @@ def golden_triples_for_doc(doc_id: int) -> set[tuple[str, str, str]]:
         t.add((per2, "works_for", org))             # S5
     if doc_id % 5 == 2:
         t.add((per, "founded", org))                # S6
+    if doc_id % C.HOLDOUT_MOD == C.HOLDOUT_VAL:
+        t.add((C.NOVEL_ORG, "headquartered_in", city2))  # S7 (context)
     return t
 
 

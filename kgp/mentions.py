@@ -95,11 +95,18 @@ def candidate_annotations(text: str) -> list[Candidate]:
 # (/root/reference/palladian-commons/src/main/java/ws/palladian/helper/constants/RegExp.java:320)
 
 _DATE_FRAGMENTS = [
-    r"Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov|Dec",
-    r"January|February|March|April|May|June|July|August|September|October"
-    r"|November|December",
+    # MONTH_NAME_SHORT_ENG (RegExp.java:25) — mixed-case + ALL-CAPS
+    r"[Jj]an|[Ff]eb|[Mm]ar|[Aa]pr|[Mm]ay|[Jj]un|[Jj]ul|[Aa]ug|[Ss]ep"
+    r"|[Ss]ept|[Oo]ct|[Nn]ov|[Dd]ec"
+    r"|JAN|FEB|MAR|APR|MAY|JUN|JUL|AUG|SEP|SEPT|OCT|NOV|DEC",
+    # MONTH_NAME_LONG_ENG (RegExp.java:28-29)
+    r"[Jj]anuary|[Ff]ebruary|[Mm]arch|[Aa]pril|[Mm]ay|[Jj]une|[Jj]uly"
+    r"|[Aa]ugust|[Ss]eptember|[Oo]ctober|[Nn]ovember|[Dd]ecember"
+    r"|JANUARY|FEBRUARY|MARCH|APRIL|MAY|JUNE|JULY|AUGUST|SEPTEMBER"
+    r"|OCTOBER|NOVEMBER|DECEMBER",
+    # WEEKDAY_NAME_SHORT / _LONG (RegExp.java:40-41)
     r"Mon|Tue|Wed|Thu|Fri|Sat|Sun",
-    r"Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday",
+    r"(?:Mon|Tues|Wednes|Thurs|Fri|Satur|Sun)day",
 ]
 
 
@@ -135,8 +142,10 @@ def remove_date_fragment(start: int, value: str) -> tuple[int, str] | None:
 
 @dataclass
 class NerModel:
-    """Broadcastable NER model = the four dictionaries of
-    PalladianNerModel (:15-94) in plain-dict form."""
+    """Broadcastable NER model = the dictionaries of PalladianNerModel
+    (:15-94) in plain-dict form, including the context stack
+    (contextDictionary, leftContexts — PalladianNer.java:894-906,
+    860-892)."""
     entity_dict: dict[str, str]                  # lower(surface) -> tag
     annotation_dict: dict[str, dict[str, int]]   # gram -> {tag: count}
     priors: dict[str, float]                     # tag -> P(tag)
@@ -144,6 +153,9 @@ class NerModel:
     remove_annotations: set[str] = field(default_factory=set)
     concept_order: list[str] = field(default_factory=lambda:
                                      list(C.CONCEPT_PRIORITY))
+    context_dict: dict[str, dict[str, int]] = field(default_factory=dict)
+    context_priors: dict[str, float] = field(default_factory=dict)
+    left_contexts: set[str] = field(default_factory=set)
 
 
 GRAM_N = 5  # ANNOTATION_FEATURE_SETTING = chars(5).characterPadding()
@@ -192,6 +204,222 @@ def _order(model: NerModel, tag: str) -> int:
         return len(model.concept_order)
 
 
+# ------------------------------------------------- context stack helpers
+
+WINDOW_SIZE = 40  # PalladianNerTrainingSettings.WINDOW_SIZE (:88)
+
+
+def get_character_context(text: str, start: int, end: int,
+                          size: int = WINDOW_SIZE) -> str:
+    """NerHelper.getCharacterContext port (NerHelper.java:300-308):
+    trimmed ±size chars joined with '__'."""
+    left = text[max(0, start - size):start].strip()
+    right = text[end:min(len(text), end + size)].strip()
+    return left + "__" + right
+
+
+def get_left_contexts(text: str, start: int, size: int = 3) -> list[str]:
+    """NerHelper.getLeftContexts port (NerHelper.java:244-264):
+    cumulated left tokens of length 1..size, digits masked with '§'."""
+    contexts: list[str] = []
+    if len(text) < start:
+        return contexts
+    buf: list[str] = []
+    for idx in range(start - 1, -1, -1):
+        ch = text[idx]
+        buf.append(ch)
+        if ch == " " or idx == 0:
+            value = regex.sub(r"\d", "§", "".join(buf).strip())
+            if value:
+                contexts.append(value[::-1])
+        if len(contexts) == size:
+            break
+    return contexts
+
+
+def get_sub_phrases(string: str) -> list[str]:
+    """StringHelper.getSubPhrases port (StringHelper.java:2061-2081):
+    every contiguous word span."""
+    split = string.split(" ")
+    return [" ".join(split[i:j + 1])
+            for i in range(len(split))
+            for j in range(i, len(split))
+            if " ".join(split[i:j + 1])]
+
+
+def is_completely_uppercase(s: str) -> bool:
+    """StringHelper.isCompletelyUppercase semantics: non-empty and
+    equal to its uppercase form."""
+    return bool(s.strip()) and s == s.upper()
+
+
+def classify_context(context: str, model: NerModel) -> dict[str, float]:
+    """PalladianTextClassifier.classify over the context dictionary with
+    ExperimentalScorers.CategoryEqualizationScorer
+    (ExperimentalScorers.java:19-25): per-category summed squared
+    term-category probability DIVIDED by the category prior, then
+    normalized; priors when no gram matched. Feature setting is chars(5)
+    WITHOUT padding (CONTEXT_FEATURE_SETTING,
+    PalladianNerTrainingSettings.java:86)."""
+    grams = set(char_ngrams(context.lower(), GRAM_N, GRAM_N,
+                            padding=False))
+    scores: dict[str, float] = {}
+    for g in grams:
+        entry = model.context_dict.get(g)
+        if not entry:
+            continue
+        dict_count = sum(entry.values())
+        for cat, cnt in entry.items():
+            p = cnt / dict_count
+            scores[cat] = scores.get(cat, 0.0) + p * p
+    if not scores:
+        return dict(model.context_priors)
+    eq = {cat: s / (model.context_priors.get(cat) or 1.0)
+          for cat, s in scores.items()}
+    total = sum(eq.values()) or 1.0
+    return {k: v / total for k, v in eq.items()}
+
+
+def apply_context_analysis(scores: dict[str, float], sentence: str,
+                           start: int, end: int,
+                           model: NerModel) -> dict[str, float]:
+    """PalladianNer.applyContextAnalysis port (:793-804): sum the
+    annotation's category probabilities with the context
+    classification's (CategoryEntriesBuilder.add semantics — the argmax
+    of the sum is the switched tag). Context is sentence-local here
+    (the distributed pipeline never materializes the full document
+    text; ±40 chars rarely cross a sentence boundary)."""
+    if not model.context_dict:
+        return scores
+    context = get_character_context(sentence, start, end)
+    if len(context.strip()) <= 2:
+        return scores
+    ctx = classify_context(context, model)
+    return {cat: scores.get(cat, 0.0) + ctx.get(cat, 0.0)
+            for cat in set(scores) | set(ctx)}
+
+
+def dictionary_tag(text: str, dictionary: dict[str, str]) -> list[dict]:
+    """DictionaryTagger.getAnnotations port
+    (extraction/DictionaryTagger.java:50-69): case-insensitive
+    word-boundary match of every dictionary surface (len > 1), nested
+    matches removed. Returns [{start, end, surface, tag}] sorted by
+    (start, -end)."""
+    found: list[dict] = []
+    for surface, tag in dictionary.items():
+        if len(surface) <= 1:
+            continue
+        pat = regex.compile(r"(?<!\w)" + regex.escape(surface) + r"(?!\w)",
+                            regex.IGNORECASE)
+        for m in pat.finditer(text):
+            found.append({"start": m.start(), "end": m.end(),
+                          "surface": m.group(), "tag": tag})
+    kept = remove_nested([(f["start"], f["end"]) for f in found])
+    out = [found[i] for i in kept]
+    out.sort(key=lambda f: (f["start"], -f["end"]))
+    return out
+
+
+# ------------------------------------------------ preprocess passes
+# preProcessAnnotations order (PalladianNer.java:603-626)
+
+
+def unwrap_entities(cands: list[Candidate],
+                    model: NerModel) -> list[Candidate]:
+    """PalladianNer.unwrapEntities + unwrapAnnotations port (:774-790,
+    917-944): a completely-uppercase candidate ("NEW YORK CITY AND
+    DRESDEN") is replaced by the sub-phrases that match OTHER candidate
+    values or the entity dictionary."""
+    values = {c.value.lower() for c in cands}
+    out: list[Candidate] = []
+    for cand in cands:
+        if not is_completely_uppercase(cand.value):
+            out.append(cand)
+            continue
+        other = values - {cand.value.lower()}
+        lower_value = cand.value.lower()
+        unwrapped: list[Candidate] = []
+        for part in get_sub_phrases(cand.value):
+            pv = part.lower()
+            if pv in other or pv in model.entity_dict:
+                unwrapped.append(
+                    Candidate(cand.start + lower_value.index(pv), part))
+        out.extend(unwrapped if unwrapped else [cand])
+    return out
+
+
+def unwrap_with_context(cands: list[Candidate],
+                        model: NerModel) -> list[Candidate]:
+    """PalladianNer.unwrapWithContext port (:695-744): a learned left
+    context ("President") found at the start (or inside) of a
+    non-dictionary candidate splits it; known dictionary surfaces in
+    the prefix are re-added."""
+    if not model.left_contexts:
+        return cands
+    out: list[Candidate] = []
+    for cand in cands:
+        entity = cand.value
+        if entity.lower() in model.entity_dict:
+            out.append(cand)
+            continue
+        split = None
+        for lc in model.left_contexts:
+            index1 = entity.find(lc + " ")
+            index2 = entity.find(" " + lc + " ")
+            if index1 == 0:
+                split = (index1, len(lc) + 1)
+            elif index2 > -1:
+                split = (index2, len(lc) + 2)
+            if split is not None:
+                index, length = split
+                out.append(Candidate(cand.start + index + length,
+                                     entity[index + length:]))
+                prefix = entity[:index + length]
+                for part in get_sub_phrases(prefix):
+                    if part.lower() in model.entity_dict:
+                        out.append(Candidate(
+                            cand.start + prefix.index(part), part))
+                break
+        if split is None:
+            out.append(cand)
+    return out
+
+
+def fix_start_errors(cands: list[Candidate],
+                     model: NerModel) -> list[Candidate]:
+    """PalladianNer.fixStartErrorsWithCaseDictionary port (:628-668):
+    strip leading tokens that are usually lowercase until the remainder
+    is a dictionary surface or the token is case-significant; drop the
+    candidate when everything is stripped."""
+    if not model.case_dict:
+        return cands
+    out: list[Candidate] = []
+    for cand in cands:
+        value = cand.value
+        parts = value.split(" ")
+        if len(parts) == 1:
+            out.append(cand)
+            continue
+        offset_cut = 0
+        new_value = value
+        for token in parts:
+            if new_value.lower() in model.entity_dict:
+                break
+            if token.lower() not in model.case_dict:
+                break
+            offset_cut += len(token) + 1
+            if offset_cut >= len(value):
+                break
+            new_value = value[offset_cut:]
+        if offset_cut >= len(value):
+            continue  # drop completely
+        if offset_cut > 0:
+            out.append(Candidate(cand.start + offset_cut, new_value))
+        else:
+            out.append(cand)
+    return out
+
+
 def remove_nested(anns: list[tuple[int, int]]) -> list[int]:
     """Annotations.removeNested semantics (Annotations.java:43-56): sort
     by (start asc, end desc); drop spans contained in a kept span.
@@ -212,37 +440,60 @@ def remove_nested(anns: list[tuple[int, int]]) -> list[int]:
 
 
 def tag_sentence(sentence: str, sent_start: int, model: NerModel) -> list[dict]:
+    """getAnnotationsInternal order (PalladianNer.java:419-437):
+    StringTagger candidates → preProcessAnnotations (:603-626 pass
+    order) → classifyCandidates gate (:446-456) → postProcessAnnotations
+    (context switch :499-513, then dictionary switch :517-545) →
+    removeNested. Sentence-local where the reference is document-local
+    (candidate sets and contexts never cross a sentence boundary in the
+    distributed pipeline)."""
     cands = candidate_annotations(sentence)
+    # --- preProcessAnnotations -------------------------------------
+    # 1. removeIncorrectlyTaggedInTraining (:764-772)
+    cands = [c for c in cands
+             if c.value.lower() not in model.remove_annotations]
+    # 2. unwrapEntities (:774-790)
+    cands = unwrap_entities(cands, model)
+    # 3. unwrapWithContext (:695-744)
+    cands = unwrap_with_context(cands, model)
+    # 4. removeDateFragments (:670-684)
+    fixed_cands: list[Candidate] = []
+    for cand in cands:
+        fixed = remove_date_fragment(cand.start, cand.value)
+        if fixed is not None:
+            if not fixed[1]:
+                continue
+            cand = Candidate(*fixed)
+        fixed_cands.append(cand)
+    cands = fixed_cands
+    # 5. fixStartErrorsWithCaseDictionary (:628-668)
+    cands = fix_start_errors(cands, model)
+    # 6. removeSentenceStartErrors (:748-762)
+    cands = [c for c in cands
+             if " " in c.value or c.value.lower() not in model.case_dict]
+    # 7. removeDates (:686-693)
+    cands = [c for c in cands if not is_date_fragment(c.value)]
+
+    # --- classifyCandidates gate + postProcess ---------------------
     out = []
     for cand in cands:
         start, value = cand.start, cand.value
-        # removeSentenceStartErrors (:748-762): single-token word whose
-        # lowercase form is usually lowercase -> not an entity
-        if " " not in value and value.lower() in model.case_dict:
-            continue
-        # removeIncorrectlyTaggedInTraining (:764-772)
-        if value.lower() in model.remove_annotations:
-            continue
-        # date handling (:670-693)
-        if is_date_fragment(value):
-            continue
-        fixed = remove_date_fragment(start, value)
-        if fixed is not None:
-            start, value = fixed
-            if not value or is_date_fragment(value):
-                continue
-        # exact dictionary match; the StringTagger suffix rule keeps a
-        # trailing "." after Inc/Corp/Co/Ave (StringTagger.java:76) so
-        # fall back to the dot-stripped surface
+        scores = classify_surface(value, model)
+        if not scores or scores.get(NO_ENTITY, 0.0) >= 0.5:
+            continue  # classifyCandidates drop rule (:446-456)
+        # postProcess 1: context switch (:499-513)
+        scores = apply_context_analysis(scores, sentence, start,
+                                        start + len(value), model)
+        # postProcess 2: dictionary switch with concept priority
+        # (:517-545); StringTagger's suffix rule keeps a trailing "."
+        # after Inc/Corp/Co/Ave (StringTagger.java:76) so fall back to
+        # the dot-stripped surface
         exact = model.entity_dict.get(value.lower())
         if exact is None and value.endswith("."):
             exact = model.entity_dict.get(value.lower().rstrip("."))
         if exact is not None:
             tag, score = exact, 1.0
         else:
-            scores = classify_surface(value, model)
-            if not scores or scores.get(NO_ENTITY, 0.0) >= 0.5:
-                continue  # classifyCandidates drop rule (:446-456)
             tag = max(scores, key=lambda k: (scores[k], -_order(model, k)))
             score = scores[tag]
             if tag == NO_ENTITY:
@@ -322,6 +573,93 @@ def build_entity_dictionary(seeds: DataFrame) -> DataFrame:
                          "concept").count()
 
 
+SPAN_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("tag", T.StringType()),
+    T.StructField("ctx", T.StringType()),
+    T.StructField("lefts", T.ArrayType(T.StringType())),
+    T.StructField("insides", T.ArrayType(T.StringType())),
+]))
+
+
+def seed_training_spans(docs: DataFrame,
+                        seed_map: dict[str, str]) -> DataFrame:
+    """Training annotation spans = DictionaryTagger matches of the seed
+    surfaces over every sentence (the distributed stand-in for the
+    reference's gold annotation file). Emits per span: the tag, the
+    ±40-char character context, the cumulated 1..3-token left contexts
+    (NerHelper.getLeftContexts) and the annotation's word-prefix list
+    (the 'inside' counts of buildLeftContexts,
+    PalladianNer.java:866-877). One Arrow pass over docs; the two
+    downstream aggregations (context dictionary, left contexts) reuse
+    this exploded table."""
+    patterns = [(regex.compile(r"(?<!\w)" + regex.escape(s) + r"(?!\w)",
+                               regex.IGNORECASE), t)
+                for s, t in seed_map.items() if len(s) > 1]
+
+    @F.pandas_udf(SPAN_SCHEMA)
+    def span_udf(sentences: pd.Series) -> pd.Series:
+        result = []
+        for sents in sentences:
+            rows = []
+            for s in (sents if sents is not None else []):
+                text = s["text"]
+                found = []
+                for pat, tag in patterns:
+                    for m in pat.finditer(text):
+                        found.append((m.start(), m.end(), m.group(), tag))
+                kept = remove_nested([(f[0], f[1]) for f in found])
+                for i in kept:
+                    start, end, surface, tag = found[i]
+                    parts = surface.split(" ")
+                    insides = [" ".join(parts[:j + 1])
+                               for j in range(len(parts))]
+                    rows.append({
+                        "tag": tag,
+                        "ctx": get_character_context(text, start, end),
+                        "lefts": get_left_contexts(text, start, 3),
+                        "insides": insides,
+                    })
+            result.append(rows)
+        return pd.Series(result)
+
+    return (docs.select(F.explode(span_udf("sentences")).alias("sp"))
+            .select("sp.tag", "sp.ctx", "sp.lefts", "sp.insides"))
+
+
+def build_context_dictionary(spans: DataFrame,
+                             min_count: int = 1) -> DataFrame:
+    """(gram, tag, count) over char-5 UNPADDED grams of the ±40-char
+    contexts — buildContextDictionary (PalladianNer.java:894-906) as a
+    hash aggregation."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def gram_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: char_ngrams((x or "").lower(), GRAM_N,
+                                           GRAM_N, padding=False))
+
+    return (spans.select("tag", F.explode(gram_udf("ctx")).alias("gram"))
+            .groupBy("gram", "tag").count()
+            .where(F.col("count") >= min_count))
+
+
+def build_left_contexts(spans: DataFrame, min_count: int = 1) -> DataFrame:
+    """Tokens that appear more often LEFT of an entity than inside one
+    — buildLeftContexts (PalladianNer.java:860-892): keep uppercase-
+    starting tokens with outside >= 2, outside+inside >= min_count and
+    inside/outside < 1. Two cheap aggregations + one small join."""
+    outside = (spans.select(F.explode("lefts").alias("token"))
+               .groupBy("token").agg(F.count("*").alias("n_out")))
+    inside = (spans.select(F.explode("insides").alias("token"))
+              .groupBy("token").agg(F.count("*").alias("n_in")))
+    joined = outside.join(inside, "token", "left") \
+        .withColumn("n_in", F.coalesce("n_in", F.lit(0)))
+    return (joined
+            .where(F.col("token").rlike(r"^\p{Lu}"))
+            .where(F.col("n_out") >= 2)
+            .where(F.col("n_out") + F.col("n_in") >= min_count)
+            .where(F.col("n_in") < F.col("n_out"))
+            .select("token"))
+
+
 def assemble_model(entity_rows, ann_rows, case_tokens) -> NerModel:
     """Collect the three (small, pruned) model tables into the
     broadcastable NerModel. Rows may be pyspark Rows or plain tuples
@@ -352,13 +690,49 @@ def assemble_model(entity_rows, ann_rows, case_tokens) -> NerModel:
 
 
 def train_ner_model(spark: SparkSession, docs: DataFrame,
-                    seeds: DataFrame) -> NerModel:
-    """Distributed training -> small broadcastable model."""
-    return assemble_model(
+                    seeds: DataFrame,
+                    with_context: bool = True) -> NerModel:
+    """Distributed training -> small broadcastable model.
+
+    docs is the TRAINING corpus (pass a stable-hash sample of the full
+    corpus in production — entities that must be typed by context
+    rather than dictionary need to be absent from training, or the
+    two-pass negative mining would mark them NO_ENTITY)."""
+    model = assemble_model(
         build_entity_dictionary(seeds).collect(),
         build_annotation_dictionary(seeds, docs).collect(),
         build_case_dictionary(docs).collect(),
     )
+    if with_context:
+        seed_map = {r["entity"]: r["concept"]
+                    for r in seeds.select("entity", "concept").collect()}
+        spans = seed_training_spans(docs, seed_map).persist()
+        try:
+            attach_context(
+                model,
+                build_context_dictionary(spans).collect(),
+                spans.groupBy("tag").agg(F.count("*").alias("n"))
+                .collect(),
+                build_left_contexts(spans).collect(),
+            )
+        finally:
+            spans.unpersist()
+    return model
+
+
+def attach_context(model: NerModel, ctx_rows, prior_rows,
+                   left_rows) -> NerModel:
+    """Attach the collected context-stack tables (gram, tag, count) /
+    (tag, n) / (token,) to a broadcastable model."""
+    ctx: dict[str, dict[str, int]] = {}
+    for gram, tag, count in ctx_rows:
+        ctx.setdefault(gram, {})[tag] = count
+    totals = {r[0]: r[1] for r in prior_rows}
+    total = sum(totals.values()) or 1
+    model.context_dict = ctx
+    model.context_priors = {t: n / total for t, n in totals.items()}
+    model.left_contexts = {r[0] for r in left_rows}
+    return model
 
 
 # --------------------------------------------------------- Spark stage

@@ -80,10 +80,14 @@ def text_sql() -> str:
           f"CASE WHEN doc_id % 5 = 2 THEN {s['s6']} END)")
     p3 = "(text || '.')"
     p4 = _lit(C.D1)
+    s7 = _tfmt_sql(C.S7, sl)
+    s7_cond = f"doc_id % {C.HOLDOUT_MOD} = {C.HOLDOUT_VAL}"
     nn = "'\n\n'"
     return (f"({h1} || {nn} || {p1} || {nn} || "
             f"CASE WHEN {p2} <> '' THEN {p2} || {nn} ELSE '' END || "
-            f"{p3} || {nn} || {p4} || {nn})")
+            f"{p3} || {nn} || "
+            f"CASE WHEN {s7_cond} THEN {s7} || {nn} ELSE '' END || "
+            f"{p4} || {nn})")
 
 
 def extract_text_sql() -> str:
@@ -108,6 +112,12 @@ def triples_sql() -> str:
         "FROM documents WHERE doc_id % 4 = 1",
         f"SELECT DISTINCT {sl['per']}, 'founded', {sl['org']} "
         "FROM documents WHERE doc_id % 5 = 2",
+        # S7: the novel org is typed ORG by CONTEXT (it is in no seed
+        # dictionary), so its headquartered_in triple only appears if
+        # the context classifier stack works end-to-end
+        f"SELECT DISTINCT {_lit(C.NOVEL_ORG)}, 'headquartered_in', "
+        f"{sl['city2']} FROM documents "
+        f"WHERE doc_id % {C.HOLDOUT_MOD} = {C.HOLDOUT_VAL}",
     ]
     return ("SELECT DISTINCT subj, pred, obj FROM ("
             + " UNION ALL ".join(selects)
@@ -138,6 +148,9 @@ def mentions_sql() -> str:
         f"FROM documents WHERE doc_id % 4 = 1 AND {suffix_cond}",
         f"SELECT {url}, {sl['org']}, 'ORG' FROM documents "
         "WHERE doc_id % 5 = 2",
+        # S7 novel org — context-typed (not in the entity dictionary)
+        f"SELECT {url}, {_lit(C.NOVEL_ORG)}, 'ORG' FROM documents "
+        f"WHERE doc_id % {C.HOLDOUT_MOD} = {C.HOLDOUT_VAL}",
     ]
     return ("SELECT DISTINCT url, surface, tag FROM ("
             + " UNION ALL ".join(selects)

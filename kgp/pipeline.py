@@ -61,7 +61,11 @@ def load_ner_model(spark: SparkSession, out_dir: str) -> mentions.NerModel:
     ent = materialize.read_stage(spark, out_dir, "ner_entity").collect()
     ann = materialize.read_stage(spark, out_dir, "ner_annotation").collect()
     case = materialize.read_stage(spark, out_dir, "ner_case").collect()
-    return mentions.assemble_model(ent, ann, case)
+    model = mentions.assemble_model(ent, ann, case)
+    ctx = materialize.read_stage(spark, out_dir, "ner_context").collect()
+    pri = materialize.read_stage(spark, out_dir, "ner_ctx_priors").collect()
+    left = materialize.read_stage(spark, out_dir, "ner_left").collect()
+    return mentions.attach_context(model, ctx, pri, left)
 
 
 def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
@@ -98,14 +102,33 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     gaz = corpus.gazetteer(spark)
     seeds = corpus.seed_dictionary(spark)
 
+    # NER training runs on the stable hash split (corpus.training_docs)
+    # — held-out docs carry the novel entities that must be typed by
+    # context, and a production pipeline trains on a sample anyway
+    docs_train = corpus.training_docs(docs)
     _stage(spark, out_dir, "ner_entity",
            lambda: mentions.build_entity_dictionary(seeds),
            force=force, metrics=metrics)
     _stage(spark, out_dir, "ner_annotation",
-           lambda: mentions.build_annotation_dictionary(seeds, docs),
+           lambda: mentions.build_annotation_dictionary(seeds, docs_train),
            force=force, metrics=metrics)
     _stage(spark, out_dir, "ner_case",
-           lambda: mentions.build_case_dictionary(docs),
+           lambda: mentions.build_case_dictionary(docs_train),
+           force=force, metrics=metrics)
+    seed_map = {r["entity"]: r["concept"]
+                for r in seeds.select("entity", "concept").collect()}
+    spans = _stage(
+        spark, out_dir, "ner_spans",
+        lambda: mentions.seed_training_spans(docs_train, seed_map),
+        force=force, metrics=metrics)
+    _stage(spark, out_dir, "ner_context",
+           lambda: mentions.build_context_dictionary(spans),
+           force=force, metrics=metrics)
+    _stage(spark, out_dir, "ner_ctx_priors",
+           lambda: spans.groupBy("tag").agg(F.count("*").alias("n")),
+           force=force, metrics=metrics)
+    _stage(spark, out_dir, "ner_left",
+           lambda: mentions.build_left_contexts(spans),
            force=force, metrics=metrics)
     model = load_ner_model(spark, out_dir)
     model_bc = spark.sparkContext.broadcast(model)
@@ -156,7 +179,8 @@ def triples_dataframe(spark: SparkSession, sf_dir: str,
     docs = html_text.extract_stage(pages_df).persist()
     gaz = corpus.gazetteer(spark)
     seeds = corpus.seed_dictionary(spark)
-    model = mentions.train_ner_model(spark, docs, seeds)
+    model = mentions.train_ner_model(spark, corpus.training_docs(docs),
+                                     seeds)
     model_bc = spark.sparkContext.broadcast(model)
     mention_df = mentions.detect_mentions(docs, model_bc)
     links = linker.link_mentions(mention_df, gaz)

@@ -11,11 +11,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from kgp import constants as C
-from kgp.corpus import seed_dictionary, synth_pages
+from kgp.corpus import seed_dictionary, synth_pages, training_docs
 from kgp.html_text import extract_stage
-from kgp.mentions import (candidate_annotations, detect_mentions,
-                          is_date_fragment, remove_date_fragment,
-                          remove_nested, train_ner_model)
+from kgp.mentions import (NerModel, candidate_annotations, detect_mentions,
+                          dictionary_tag, fix_start_errors,
+                          get_character_context, get_left_contexts,
+                          get_sub_phrases, is_date_fragment,
+                          remove_date_fragment, remove_nested,
+                          train_ner_model, unwrap_entities,
+                          unwrap_with_context, Candidate)
 
 
 def values(text):
@@ -92,6 +96,121 @@ def test_remove_nested():
     assert remove_nested(spans) == [0, 2]
 
 
+def test_is_date_fragment_case_variants():
+    # PalladianNerTest.testContainsDateFragment (:39-52): ALL-CAPS and
+    # trailing-space variants are fragments too
+    assert is_date_fragment("January")
+    assert is_date_fragment("JANUARY")
+    assert is_date_fragment("January ")
+    assert not is_date_fragment("June John Hiatt")
+
+
+def test_remove_date_fragment_palladian_cases():
+    # PalladianNerTest.testRemoveDateFragment (:19-37)
+    assert remove_date_fragment(10, "June John Hiatt") == (15, "John Hiatt")
+    assert remove_date_fragment(0, "John Hiatt June") == (0, "John Hiatt")
+    assert remove_date_fragment(0, "Apr. John Hiatt") == (5, "John Hiatt")
+    assert remove_date_fragment(0, "John Hiatt Apr.") == (0, "John Hiatt")
+
+
+def test_get_left_contexts_palladian_golden():
+    # PalladianNerTest.testGetLeftContexts (:54-64)
+    text = ("Blistering heat blanketed much of the eastern United States "
+            "for the third straight day on Sunday, after violent storms "
+            "that took at least a dozen lives and knocked out power to "
+            "more than 3 million customers.")
+    got = get_left_contexts(text, text.index("United States"), 3)
+    assert got == ["eastern", "the eastern", "of the eastern"]
+
+
+def test_get_left_contexts_masks_digits():
+    assert get_left_contexts("in 1984 Acme", 8, 2) == ["§§§§", "in §§§§"]
+
+
+def test_get_character_context_window():
+    # NerHelper.getCharacterContext (:300-308): trimmed ±40, '__' joined
+    text = "x" * 50 + " before ENTITY after " + "y" * 50
+    s = text.index("ENTITY")
+    ctx = get_character_context(text, s, s + 6)
+    left, right = ctx.split("__")
+    assert right == "after " + "y" * 33   # 40 raw chars, space trimmed
+    assert left == "x" * 32 + " before"   # 40 raw chars, trimmed
+    assert len(left) <= 40 and len(right) <= 40
+
+
+def test_get_sub_phrases():
+    assert get_sub_phrases("a b c") == ["a", "a b", "a b c", "b", "b c",
+                                        "c"]
+
+
+def _model(**kw) -> NerModel:
+    base = dict(entity_dict={}, annotation_dict={}, priors={})
+    base.update(kw)
+    return NerModel(**base)
+
+
+def test_unwrap_entities_uppercase():
+    # PalladianNer.unwrapEntities/unwrapAnnotations (:774-790, 917-944):
+    # an all-caps annotation splits into known sub-phrases
+    model = _model(entity_dict={"new york city": "CITY"})
+    cands = [Candidate(0, "NEW YORK CITY AND DRESDEN"),
+             Candidate(40, "Dresden")]
+    out = unwrap_entities(cands, model)
+    vals = {(c.start, c.value) for c in out}
+    assert (0, "NEW YORK CITY") in vals          # from entity dict
+    assert (18, "DRESDEN") in vals               # from other annotation
+    assert (40, "Dresden") in vals
+    assert not any(c.value == "NEW YORK CITY AND DRESDEN" for c in out)
+
+
+def test_unwrap_with_context():
+    # PalladianNer.unwrapWithContext (:695-744): learned left context
+    # "President" splits the annotation; dictionary surfaces in the
+    # prefix are re-added
+    model = _model(entity_dict={"russia": "COUNTRY"},
+                   left_contexts={"President"})
+    out = unwrap_with_context([Candidate(10, "President Barack Obama")],
+                              model)
+    vals = {(c.start, c.value) for c in out}
+    assert (20, "Barack Obama") in vals
+    assert not any("President" in c.value for c in out)
+    # internal occurrence (" President ") with a known prefix entity
+    out2 = unwrap_with_context(
+        [Candidate(0, "Russia President Putin")], model)
+    vals2 = {(c.start, c.value) for c in out2}
+    assert (17, "Putin") in vals2
+    assert (0, "Russia") in vals2
+
+
+def test_fix_start_errors_case_dictionary():
+    # PalladianNer.fixStartErrorsWithCaseDictionary (:628-668)
+    model = _model(entity_dict={"obama": "PER"},
+                   case_dict={"the", "new"})
+    out = fix_start_errors([Candidate(5, "The Obama")], model)
+    assert [(c.start, c.value) for c in out] == [(9, "Obama")]
+    # all tokens case-dict words -> dropped entirely
+    out2 = fix_start_errors([Candidate(0, "The New")], model)
+    assert out2 == []
+    # stops when remainder is a dictionary surface
+    out3 = fix_start_errors([Candidate(0, "New Obama")], model)
+    assert [(c.start, c.value) for c in out3] == [(4, "Obama")]
+    # single tokens untouched
+    out4 = fix_start_errors([Candidate(0, "The")], model)
+    assert [(c.start, c.value) for c in out4] == [(0, "The")]
+
+
+def test_dictionary_tagger_word_boundaries():
+    # DictionaryTagger.getAnnotations (:50-69): case-insensitive,
+    # word-boundary, nested matches removed
+    d = {"New York": "CITY", "York": "CITY", "M": "X"}
+    got = dictionary_tag("He moved to new york from York.", d)
+    assert [(g["start"], g["surface"], g["tag"]) for g in got] == \
+        [(12, "new york", "CITY"), (26, "York", "CITY")]
+    # no match inside words; single-char surfaces skipped
+    assert dictionary_tag("Yorkshire is not York-ish M", {"York": "C"}) \
+        == [{"start": 17, "end": 21, "surface": "York", "tag": "C"}]
+
+
 # --------------------------------------------------- corpus golden NER
 
 
@@ -99,7 +218,8 @@ def test_remove_nested():
 def mention_rows(spark, sf_dir):
     pages = synth_pages(spark, sf_dir)
     docs = extract_stage(pages).cache()
-    model = train_ner_model(spark, docs, seed_dictionary(spark))
+    model = train_ner_model(spark, training_docs(docs),
+                            seed_dictionary(spark))
     bc = spark.sparkContext.broadcast(model)
     rows = detect_mentions(docs, bc).collect()
     docs.unpersist()
@@ -126,6 +246,10 @@ def golden_mentions(doc_id: int) -> set[tuple[str, str]]:
         # Inc/Corp/Co/Ave, so such orgs yield an extra dotted surface
         if org.endswith(("Inc", "Corp", "Co", "Ave")):
             out.add((org + ".", "ORG"))
+    if doc_id % C.HOLDOUT_MOD == C.HOLDOUT_VAL:
+        # S7: typed ORG purely by the context classifier — the surface
+        # is in no dictionary and held out of training
+        out.add((C.NOVEL_ORG, "ORG"))
     return out
 
 
