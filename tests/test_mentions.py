@@ -79,6 +79,123 @@ def test_tagger_offsets():
     assert anns[0].value == "Acme Corp"
 
 
+# Full-span parity with StringTaggerTest.testTagString (:14-235); every
+# assertEquals block of the reference test is one case here.
+
+def test_tagger_names_full():
+    text = ("Mr. Yakomoto, John J. Smith, and Bill Drody cooperate with "
+            "T. Shéff, L.Carding, T.O'Brian, Harry O'Sullivan and "
+            "O'Brody. they are partying on Saturday's night special, "
+            "Friday's Night special or THURSDAY'S, in St. Petersburg "
+            "there is Dr. Mark Litwin")
+    assert values(text) == [
+        "Mr. Yakomoto", "John J. Smith", "Bill Drody", "T. Shéff",
+        "L.Carding", "T.O'Brian", "Harry O'Sullivan", "O'Brody",
+        "Saturday", "Friday", "Night", "THURSDAY", "St. Petersburg",
+        "Dr. Mark Litwin"]
+
+
+def test_tagger_long_names_full():
+    text = ("Mayor Bobby E. Horton called the Special Council Meeting of "
+            "the West Columbia Council to order on Monday, March 16, 2009 "
+            "at 6 pm.")
+    got = values(text)
+    assert len(got) == 5
+    assert got[0] == "Mayor Bobby E. Horton"
+
+
+def test_tagger_fill_words():
+    text = ("the Republic of Ireland, and Return of King Arthur, the "
+            "National Bank of Scotland, Erin Purcell of Boston-based "
+            "Reagan Communications")
+    assert values(text) == [
+        "Republic of Ireland", "Return of King Arthur",
+        "National Bank of Scotland", "Erin Purcell", "Boston-based",
+        "Reagan Communications"]
+
+
+def test_tagger_dashes():
+    text = ("Maria-Hillary Johnson lives on Chester-le-Street and "
+            "Ontario-based Victor Vool, the All-England Club and Patricia "
+            "Djate-Taillard were in the United Nations-sponsored ceasfire "
+            "with St. Louis-based NFL coach trains in MG-Gym (MG-GYM), "
+            "the Real- Rumble, TOTALLY FREE- Choice, Australia-- Germany")
+    assert values(text) == [
+        "Maria-Hillary Johnson", "Chester-le-Street", "Ontario-based",
+        "Victor Vool", "All-England Club", "Patricia Djate-Taillard",
+        "United Nations-sponsored", "St. Louis-based", "NFL", "MG-Gym",
+        "MG-GYM", "Real", "Rumble", "TOTALLY FREE", "Choice", "Australia",
+        "Germany"]
+
+
+def test_tagger_apostrophes():
+    text = ("Early in 1939, Georgia O’Keeffe, the artist most famous for "
+            "depicting the arid Southwest, suddenly decided to paint "
+            "America’s diametrically opposite landscape — the lush "
+            "tropical valleys of Hawaii.")
+    assert values(text) == ["Early", "Georgia O’Keeffe", "Southwest",
+                            "America", "Hawaii"]
+
+
+def test_tagger_gmbh():
+    got = values("The Adam Opel GmbH unit is based in Germany.")
+    assert got[0] == "The Adam Opel GmbH"
+
+
+def test_tagger_inc_suffix_dot():
+    text = ("In 2009, GM scrapped a plan — favored by Berlin — to sell a "
+            "majority stake to a consortium led by Canadian auto parts "
+            "maker Magna International Inc. and decided to restructure "
+            "the brands itself instead.")
+    assert values(text)[4] == "Magna International Inc."
+
+
+def test_tagger_co_suffix_dot():
+    text = ("General Motors Co.'s Opel unit said Monday that it plans to "
+            "end car production at one plant in Germany in 2016, but a "
+            "slimmed-down factory may continue to make components.")
+    assert values(text)[0] == "General Motors Co."
+
+
+def test_tagger_small_start_and_camel_case():
+    text = ("the last ex-England, mid-SCORER player, al-Rama is a person "
+            "Rami al-Sadani, the iPhone 4 is a phone. Veronica Swenston "
+            "VENICE alternative Frank HERALD which was found at Universal "
+            "Orlando® Resort")
+    assert values(text) == [
+        "ex-England", "mid-SCORER", "al-Rama", "Rami al-Sadani",
+        "iPhone 4", "Veronica Swenston", "VENICE", "Frank", "HERALD",
+        "Universal Orlando® Resort"]
+
+
+def test_tagger_ave_suffix_dot():
+    got = values("Sterling Cooper is located on Madison Ave. in New York "
+                 "City.")
+    assert len(got) == 3
+    assert got[1] == "Madison Ave."
+
+
+def test_tagger_accents():
+    assert values("the city is called Yaoundé and that's a fact") == \
+        ["Yaoundé"]
+
+
+def test_tagger_non_breaking_space():
+    # NBSP between "West Virginia" — RegExTagger normalizes it
+    text = ("Up to 300,000 people in West Virginia have been told "
+            "not to drink tap water after the spill of a dangerous "
+            "chemical sparked a federal emergency.")
+    got = values(text)
+    assert len(got) == 2
+    assert got[1] == "West Virginia"
+
+
+def test_tagger_l_arc():
+    got = values("A Short History of L’Arc de Triomphe.")
+    assert len(got) == 2
+    assert got[1] == "L’Arc de Triomphe"
+
+
 # ------------------------------------------------------ fix-up passes
 
 
