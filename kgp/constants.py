@@ -84,11 +84,20 @@ D1 = "The quick brown fox jumps over the lazy dog near the river bank."
 NOVEL_ORG = "Mary Johnson Systems"
 S7 = NOVEL_ORG + " is headquartered in {city2}."  # when doc_id % 23 == 11
 
+# S8 exercises the date stack (DateAndTimeTagger port in kgp.dates +
+# the DATETIME mention add-back, PalladianNer.java:462-470): the date
+# surface must come out as a DATETIME mention, while "March" alone is
+# dropped as a date fragment.
+DATE_SURFACE = "March 3, 2021"
+S8 = "The merger was announced on " + DATE_SURFACE + " in {city}."
+
 COND_S4 = ("doc_id % 3", 0)
 COND_S5 = ("doc_id % 4", 1)
 COND_S6 = ("doc_id % 5", 2)
 COND_S7 = ("doc_id % 23", 11)
+COND_S8 = ("doc_id % 6", 3)
 HOLDOUT_MOD, HOLDOUT_VAL = 23, 11  # NER train/apply split
+S8_MOD, S8_VAL = 6, 3
 ALIAS_COND = "(doc_id % 9 = 5 AND doc_id % 13 < 3)"
 
 EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z

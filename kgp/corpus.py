@@ -83,6 +83,8 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
     p4 = F.lit(C.D1)
     s7 = _tfmt(C.S7, slots)
     s7_cond = doc_id % C.HOLDOUT_MOD == C.HOLDOUT_VAL
+    s8 = _tfmt(C.S8, slots)
+    s8_cond = doc_id % C.S8_MOD == C.S8_VAL
 
     # golden extracted text (independent construction from templates);
     # `heavy` repeats the body paragraph to fatten pages for benchmarks
@@ -90,12 +92,15 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
     p3_text = F.repeat(F.concat(p3, F.lit("\n\n")), heavy)
     s7_text = F.when(s7_cond, F.concat(s7, F.lit("\n\n"))) \
         .otherwise(F.lit(""))
+    s8_text = F.when(s8_cond, F.concat(s8, F.lit("\n\n"))) \
+        .otherwise(F.lit(""))
     text = F.concat(
         h1, F.lit("\n\n"),
         p1, F.lit("\n\n"),
         F.when(p2 != "", F.concat(p2, F.lit("\n\n"))).otherwise(F.lit("")),
         p3_text,
         s7_text,
+        s8_text,
         p4, F.lit("\n\n"),
     )
 
@@ -127,7 +132,8 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
         F.lit('<div class="'), cls, F.lit('">'),
         F.lit("<h1>"), h1, F.lit("</h1>"),
         para(p1), p2_html, F.repeat(para(p3), heavy),
-        F.when(s7_cond, para(s7)).otherwise(F.lit("")), para(p4),
+        F.when(s7_cond, para(s7)).otherwise(F.lit("")),
+        F.when(s8_cond, para(s8)).otherwise(F.lit("")), para(p4),
         F.lit("</div>"),
         F.lit('<div class="comments"><h3>Comments</h3><p>great read '),
         (doc_id % 7).cast("string"),
@@ -153,6 +159,7 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
         F.when(p2 != "", F.concat(p2, F.lit(brk))).otherwise(F.lit("")),
         F.repeat(F.concat(p3, F.lit(brk)), heavy),
         F.when(s7_cond, F.concat(s7, F.lit(brk))).otherwise(F.lit("")),
+        F.when(s8_cond, F.concat(s8, F.lit(brk))).otherwise(F.lit("")),
         p4, F.lit(brk),
         F.lit("</body></html>"),
     )

@@ -439,7 +439,8 @@ def remove_nested(anns: list[tuple[int, int]]) -> list[int]:
 # --------------------------------------------------- per-sentence tagging
 
 
-def tag_sentence(sentence: str, sent_start: int, model: NerModel) -> list[dict]:
+def tag_sentence(sentence: str, sent_start: int, model: NerModel,
+                 tag_dates: bool = True) -> list[dict]:
     """getAnnotationsInternal order (PalladianNer.java:419-437):
     StringTagger candidates → preProcessAnnotations (:603-626 pass
     order) → classifyCandidates gate (:446-456) → postProcessAnnotations
@@ -501,6 +502,16 @@ def tag_sentence(sentence: str, sent_start: int, model: NerModel) -> list[dict]:
         out.append({"start": sent_start + start,
                     "end": sent_start + start + len(value),
                     "surface": value, "tag": tag, "score": float(score)})
+    # DATETIME add-back (PalladianNer.getAnnotations:462-470): tag
+    # dates with DateAndTimeTagger semantics, then removeNested drops
+    # entity fragments nested inside a date span (and vice versa)
+    if tag_dates:
+        from kgp.dates import DATETIME_TAG_NAME, tag_datetimes
+        for d in tag_datetimes(sentence):
+            out.append({"start": sent_start + d.start,
+                        "end": sent_start + d.start + len(d.value),
+                        "surface": d.value, "tag": DATETIME_TAG_NAME,
+                        "score": 1.0})
     kept = remove_nested([(m["start"], m["end"]) for m in out])
     return [out[i] for i in kept]
 

@@ -82,11 +82,14 @@ def text_sql() -> str:
     p4 = _lit(C.D1)
     s7 = _tfmt_sql(C.S7, sl)
     s7_cond = f"doc_id % {C.HOLDOUT_MOD} = {C.HOLDOUT_VAL}"
+    s8 = _tfmt_sql(C.S8, sl)
+    s8_cond = f"doc_id % {C.S8_MOD} = {C.S8_VAL}"
     nn = "'\n\n'"
     return (f"({h1} || {nn} || {p1} || {nn} || "
             f"CASE WHEN {p2} <> '' THEN {p2} || {nn} ELSE '' END || "
             f"{p3} || {nn} || "
             f"CASE WHEN {s7_cond} THEN {s7} || {nn} ELSE '' END || "
+            f"CASE WHEN {s8_cond} THEN {s8} || {nn} ELSE '' END || "
             f"{p4} || {nn})")
 
 
@@ -151,6 +154,9 @@ def mentions_sql() -> str:
         # S7 novel org — context-typed (not in the entity dictionary)
         f"SELECT {url}, {_lit(C.NOVEL_ORG)}, 'ORG' FROM documents "
         f"WHERE doc_id % {C.HOLDOUT_MOD} = {C.HOLDOUT_VAL}",
+        # S8 date — DATETIME add-back (DateAndTimeTagger port)
+        f"SELECT {url}, {_lit(C.DATE_SURFACE)}, 'DATETIME' "
+        f"FROM documents WHERE doc_id % {C.S8_MOD} = {C.S8_VAL}",
     ]
     return ("SELECT DISTINCT url, surface, tag FROM ("
             + " UNION ALL ".join(selects)

@@ -1,0 +1,74 @@
+"""Date stack: DateParser.findDates / DateAndTimeTagger port parity.
+
+Semantics re-derived from DateParser.java:196-253 and the RegExp date
+format constants; cases mirror the format families the tagger's
+DEFAULT configuration covers in prose.
+"""
+
+from __future__ import annotations
+
+from kgp.dates import (ALL_DATE_FORMATS, DEFAULT_TAGGER_FORMATS,
+                       find_dates, tag_datetimes)
+
+
+def strings(text, formats=None):
+    return [(d.value, d.fmt) for d in find_dates(text, formats)]
+
+
+def test_usa_long_month():
+    got = strings("The merger was announced on March 3, 2021 in town.")
+    assert got == [("March 3, 2021", "MMMM DD, YYYY")]
+
+
+def test_iso_ymd_masks_shorter_formats():
+    # the 3-part match masks the string before YYYY-MM could re-match
+    got = strings("released 2021-03-03 worldwide")
+    assert got == [("2021-03-03", "YYYY-MM-DD")]
+
+
+def test_eu_dotted():
+    assert strings("am 3.4.2021 war es") == [("3.4.2021", "DD.MM.YYYY")]
+    assert strings("am 03.04. war es") == [("03.04.", "DD.MM.")]
+
+
+def test_rfc_1123():
+    got = strings("sent Tue, 03 Jun 2008 11:05:30 GMT today")
+    assert got == [("Tue, 03 Jun 2008 11:05:30 GMT",
+                    "WD, DD MMM YYYY HH:MM:SS TZ")]
+
+
+def test_digit_neighbor_rejected():
+    # DateParser.java:227-243: a digit before the match sets the
+    # neighbor flag, but the end-of-match check OVERWRITES it (faithful
+    # reference quirk) — so the 3-part match dies on the leading '5',
+    # and the shorter YYYY-MM then matches with a '-' after it
+    assert strings("code 52021-03-03") == [("2021-03", "YYYY-MM")]
+    # a preceding period kills every candidate outright
+    assert strings("v.2021-03-03") == []
+
+
+def test_context_year_needs_default_formats():
+    assert strings("it happened in 1989 already") == []
+    got = strings("it happened in 1989 already", DEFAULT_TAGGER_FORMATS)
+    assert got == [("1989", "YYYY")]
+
+
+def test_tag_datetimes_multiple():
+    got = [(d.value, d.fmt) for d in
+           tag_datetimes("from 12.03.2021 until 2024 it ran")]
+    assert ("12.03.2021", "DD.MM.YYYY") in got
+    assert ("2024", "YYYY") in got
+
+
+def test_datetime_mention_add_back():
+    # PalladianNer.getAnnotations:462-470 — DATETIME joins the mention
+    # stream; a bare month stays dropped as a date fragment
+    from kgp.mentions import NerModel, tag_sentence
+    model = NerModel(entity_dict={}, annotation_dict={}, priors={})
+    got = tag_sentence("The merger closed on March 3, 2021 in town.",
+                       100, model)
+    assert {(m["surface"], m["tag"]) for m in got} == \
+        {("March 3, 2021", "DATETIME")}
+    d = next(m for m in got if m["tag"] == "DATETIME")
+    assert d["start"] == 100 + 21
+    assert all(f.pattern for f in ALL_DATE_FORMATS)

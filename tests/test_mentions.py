@@ -367,6 +367,9 @@ def golden_mentions(doc_id: int) -> set[tuple[str, str]]:
         # S7: typed ORG purely by the context classifier — the surface
         # is in no dictionary and held out of training
         out.add((C.NOVEL_ORG, "ORG"))
+    if doc_id % C.S8_MOD == C.S8_VAL:
+        # S8: the DateAndTimeTagger add-back emits the full date span
+        out.add((C.DATE_SURFACE, "DATETIME"))
     return out
 
 
