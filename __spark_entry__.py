@@ -156,6 +156,15 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_stats(media)
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode → nearest-neighbor resize → integer pixel sum;
+    the oracle recomputes the sum from the closed-form pixel pattern
+    (mean_rgb floats are excluded from the hash compare)."""
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    return _mm.image_features(media, resize_to=4, fake=False) \
+        .select("media_id", "sum_rgb", "out_width", "out_height")
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (IVF, nprobe cells) — rows-only check; recall vs
     the exact path is asserted in tests/test_similarity.py."""
@@ -188,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "media_stats": _q_media_stats,
+        "media_features": _q_media_features,
         "ivf_topk": _q_ivf_topk,
         "lsh_entity_candidates": _q_lsh_entity_candidates,
     }
@@ -227,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _oracle.dedup_exact_sql(),
         "ann_topk": _oracle.ann_topk_sql(),
         "media_stats": _oracle.media_stats_sql(),
+        "media_features": _oracle.media_features_sql(),
         "minhash_pairs": _oracle.minhash_pairs_sql(),
         # simhash_pairs intentionally omitted: the 64-bit blake2b
         # SimHash sketch is not ANSI-SQL-expressible — rows-only check;

@@ -253,14 +253,48 @@ WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
 def media_stats_sql() -> str:
+    """Mirrors kgp.multimodal.synth_media payload sizes in closed form:
+    BMP = 54-byte headers + 4-byte-padded BGR rows; WAV = 44-byte
+    header + 2 bytes/sample; video = the raw text bytes."""
     kind = ("CASE WHEN doc_id % 3 = 0 THEN 'image' "
             "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END")
+    nbytes = ("CASE WHEN doc_id % 3 = 0 THEN "
+              "54 + ((3*(doc_id%13+4) + 3) // 4 * 4) * (doc_id%7+4) "
+              "WHEN doc_id % 3 = 1 THEN 44 + 2*(doc_id%400+100) "
+              "ELSE octet_length(encode(text)) END")
+    width = ("CASE WHEN doc_id % 3 = 0 THEN doc_id%13+4 "
+             "ELSE doc_id%640+16 END")
     return f"""
-SELECT {kind} AS kind, count(*) AS n,
-       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       round(avg(octet_length(encode(text))), 4) AS avg_bytes,
-       CAST(max(doc_id % 640 + 16) AS INT) AS max_width
-FROM documents GROUP BY 1 ORDER BY kind"""
+WITH m AS (
+  SELECT {kind} AS kind, {nbytes} AS nbytes, {width} AS width
+  FROM documents)
+SELECT kind, count(*) AS n,
+       CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+       round(avg(nbytes), 4) AS avg_bytes,
+       CAST(max(width) AS INT) AS max_width
+FROM m GROUP BY kind ORDER BY kind"""
+
+
+def media_features_sql(resize_to: int = 4) -> str:
+    """Exact integer pixel-sum of the nearest-neighbor-resized BMP —
+    the pixel pattern is closed-form (synth_pixel_array: (id*7 + r*5 +
+    c*3 + ch*11) % 256) and the linspace index floor is reproduced
+    with integer division, so this verifies the REAL decode path."""
+    k = resize_to - 1
+    return f"""
+WITH m AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT doc_id,
+    ((doc_id*7 + ((ri*(h-1))//{k})*5 + ((ci*(w-1))//{k})*3 + ch*11)
+     % 256) AS v
+  FROM m, range(0,{resize_to}) t1(ri), range(0,{resize_to}) t2(ci),
+       range(0,3) t3(ch)
+)
+SELECT doc_id AS media_id, CAST(sum(v) AS BIGINT) AS sum_rgb,
+       {resize_to} AS out_width, {resize_to} AS out_height
+FROM px GROUP BY doc_id ORDER BY media_id"""
 
 
 def minhash_pairs_sql(k: int = 5, threshold: float = 0.8) -> str:

@@ -4,8 +4,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from kgp.multimodal import (decode_image, image_features, media_stats,
-                            sample_frames, synth_media)
+from kgp.multimodal import (AUDIO_RATE, decode_audio, decode_bmp,
+                            decode_image, decode_wav, encode_bmp,
+                            encode_wav, image_features, media_stats,
+                            sample_frames, synth_media,
+                            synth_pixel_array, synth_samples)
 
 SF = "/root/testdata/sf0.001"
 
@@ -23,9 +26,56 @@ def test_media_schema_and_kinds(media):
     assert kinds == {"image", "audio", "video"}
 
 
-def test_real_decoder_is_stubbed():
+def test_unknown_codecs_still_raise():
+    # PNG/JPEG/MP4 genuinely need native libs — non-BMP/WAV payloads
+    # must raise unless the fake stub is requested
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"xx", fake=False)
+
+
+def test_bmp_roundtrip():
+    img = synth_pixel_array(9)        # 13x5 non-multiple-of-4 width
+    data = encode_bmp(img)
+    assert data[:2] == b"BM"
+    back = decode_bmp(data)
+    assert back.shape == img.shape and np.array_equal(back, img)
+    # odd widths exercise row padding
+    img2 = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(img2)), img2)
+
+
+def test_wav_roundtrip():
+    pcm = synth_samples(4)
+    data = encode_wav(pcm, AUDIO_RATE)
+    back, rate = decode_wav(data)
+    assert rate == AUDIO_RATE
+    assert back.dtype == np.float32 and len(back) == len(pcm)
+    assert np.allclose(back * 32768.0, pcm)
+
+
+def test_decode_sniffs_real_payloads():
+    img = synth_pixel_array(3)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    pcm = synth_samples(7)
+    got = decode_audio(encode_wav(pcm, AUDIO_RATE))
+    assert np.allclose(got * 32768.0, pcm)
+
+
+def test_synth_media_payloads_decode_for_real(media):
+    rows = media.where("kind in ('image','audio')") \
+        .select("media_id", "kind", "content", "meta").limit(40).collect()
+    assert rows
+    for r in rows:
+        if r.kind == "image":
+            img = decode_image(r.content, fake=False)
+            assert img.shape == (r.meta.height, r.meta.width, 3)
+            assert np.array_equal(img, synth_pixel_array(r.media_id))
+        else:
+            pcm, rate = decode_wav(r.content)
+            assert rate == r.meta.sample_rate == AUDIO_RATE
+            assert len(pcm) == len(synth_samples(r.media_id))
 
 
 def test_fake_decoder_deterministic():
