@@ -27,6 +27,8 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
+import regex
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -118,8 +120,15 @@ class _DomParser(HTMLParser):
                 break
 
     def handle_data(self, data):
-        if data:
-            self.stack[-1].children.append(Node("#text", data=data))
+        if not data:
+            return
+        # browsers drop/hoist whitespace at document and <html> level
+        # (it never becomes a sibling of <head>/<body>); keeping it
+        # would give <body> a spurious [1] index in constructed xpaths
+        if self.stack[-1].tag in ("#document", "html") \
+                and not data.strip():
+            return
+        self.stack[-1].children.append(Node("#text", data=data))
 
     def handle_comment(self, data):
         self.stack[-1].children.append(Node("#comment", data=data))
@@ -178,6 +187,371 @@ def document_to_text(node: Node) -> str:
                      if c.tag not in SKIP_NODES)
         results[id(n)] = _MULTISPACE.sub("", "".join(parts))
     return results[id(node)]
+
+
+# ------------------------- XPath-density extraction (full algorithm)
+# Port of PalladianContentExtractor.parseDocument
+# (/root/reference/palladian-core/src/main/java/ws/palladian/extraction/content/PalladianContentExtractor.java:218-369)
+# and its PageAnalyzer / XPathSet machinery
+# (/root/reference/palladian-retrieval/src/main/java/ws/palladian/retrieval/PageAnalyzer.java:144-209,355-485,656-686,1379-1390,
+#  .../XPathSet.java:45-92). XPaths are the same strings the reference
+# builds ("/html/body/div[2]/p"); evaluation is a small interpreter
+# over the stdlib DOM covering exactly the shapes the algorithm emits.
+
+MAIN_NODE_HINTS = ["articleText", "article_body", "article-body",
+                   "articleBody", "hfeed", "st_text_c"]
+
+
+def _parent_index_map(root: Node) -> dict[int, tuple[Node, int]]:
+    out: dict[int, tuple[Node, int]] = {}
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        for i, c in enumerate(n.children):
+            out[id(c)] = (n, i)
+            stack.append(c)
+    return out
+
+
+def construct_xpath(node: Node, pmap: dict[int, tuple[Node, int]]) -> str:
+    """PageAnalyzer.constructXPath port (:420-485): 1-based same-name
+    sibling index, added when the node has any next sibling or a
+    previous same-name sibling (never for html/th); path stops above
+    #text; script paths yield ''."""
+    xpath = ""
+    cur = node
+    while cur is not None:
+        parent_entry = pmap.get(id(cur))
+        name = cur.tag
+        ps_count = 1
+        has_next = False
+        if parent_entry is not None:
+            parent, idx = parent_entry
+            ps_count += sum(1 for s in parent.children[:idx]
+                            if s.tag == name)
+            has_next = idx + 1 < len(parent.children)
+        seg = name
+        if (has_next or ps_count > 1) and name not in ("html", "th"):
+            seg = f"{name}[{ps_count}]"
+        xpath = seg + "/" + xpath
+        ti = xpath.find("/#text")
+        if ti > -1:
+            xpath = xpath[:ti]
+        cur = parent_entry[0] if parent_entry is not None else None
+    xpath = xpath[len("#document"):]
+    if "/script" in xpath.lower():
+        return ""
+    if xpath.endswith("/"):
+        xpath = xpath[:-1]
+    return xpath
+
+
+def construct_all_xpaths(root: Node, keyword: str,
+                         pmap: dict[int, tuple[Node, int]] | None = None
+                         ) -> list[str]:
+    """PageAnalyzer.constructAllXPaths port (:144-209): path of every
+    node whose textContent contains the keyword (case-sensitive for
+    elements, case-insensitive for text nodes), most-specific paths
+    only."""
+    if pmap is None:
+        pmap = _parent_index_map(root)
+    kw_lower = keyword.lower()
+    xpaths: list[str] = []
+    seen: set[str] = set()
+
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        for child in n.children:
+            tc = (child.data if child.tag == "#text"
+                  else child.text_content())
+            hit = keyword in tc or (
+                child.tag == "#text" and kw_lower in child.data.lower())
+            if hit and child.tag != "#comment":
+                xp = construct_xpath(child, pmap)
+                if xp and xp not in seen:
+                    seen.add(xp)
+                    xpaths.append(xp)
+            stack.append(child)
+
+    # drop paths that are prefixes of the longest path (too general)
+    longest = max(xpaths, key=len, default="")
+    return [x for x in xpaths
+            if not (len(longest) > len(x) and longest.startswith(x))]
+
+
+def remove_last_index(xpath: str) -> str:
+    """PageAnalyzer.removeXPathIndicesFromLastCountNode (:1379-1390):
+    strip the LAST [n] from the path."""
+    return regex.sub(r"\[\d+\](?!.*\[\d+\])", "", xpath, count=1)
+
+
+def find_last_box_section(xpath: str) -> str:
+    """PageAnalyzer.findLastBoxSection port (:656-686): cut after the
+    last segment whose name STARTS WITH p/div/td/th/li/h1..h6 (prefix
+    match — 'pre' counts as 'p', faithful reference quirk)."""
+    nodes = xpath.split("/")
+    prefixes = ("p", "div", "td", "th", "li",
+                "h1", "h2", "h3", "h4", "h5", "h6")
+    index = len(nodes)
+    for i in range(len(nodes) - 1, 0, -1):
+        if any(nodes[i].lower().startswith(p) for p in prefixes):
+            index = i + 1
+            break
+    return "".join("/" + nodes[i] for i in range(1, index))
+
+
+def get_parent_xpath(xpath: str) -> str:
+    i = xpath.rfind("/")
+    return xpath[:i] if i > 0 else xpath
+
+
+def clean_xpath(xpath: str) -> str:
+    """PalladianContentExtractor.cleanXPath port (:176-200)."""
+    xpath = regex.sub(r"/text(\[.*?\])?", "/", xpath)
+    xpath = xpath.replace("html/body", "")
+    xpath = xpath.replace("///", "//")
+    if not xpath or xpath == "//":
+        xpath = "//body"
+    if xpath.endswith("//"):
+        xpath = xpath[:-2]
+    return xpath
+
+
+def add_headline_siblings(xpath: str) -> str:
+    """PalladianContentExtractor.addHeadlineSiblings port (:471-487):
+    widen the last segment to also select headline/list siblings."""
+    parts = xpath.split("/")
+    last = parts[-1]
+    if not last:
+        return xpath
+    alts = [last, "h1", "h2", "h3", "h4", "h5", "h6", "span", "ul",
+            "ol", "blockquote"]
+    new_last = "*[" + " or ".join(f"(self::{a})" for a in alts) + "]"
+    return "/".join(parts[:-1] + [new_last])
+
+
+def xpath_nodes(root: Node, xpath: str) -> list[Node]:
+    """Evaluate the path shapes this module produces: absolute
+    /seg/seg paths with optional [n] indices, a leading // descendant
+    step, and a final *[(self::a) or ...] alternation."""
+    xpath = xpath.strip()
+    if not xpath:
+        return []
+    descend = xpath.startswith("//")
+    segs = [s for s in xpath.split("/") if s]
+    if not segs:
+        return []
+
+    def matches(node: Node, seg: str) -> bool:
+        if seg.startswith("*["):
+            names = set(regex.findall(r"self::([\w#]+)", seg))
+            return node.tag in names
+        m = regex.fullmatch(r"([\w#]+)(?:\[(\d+)\])?", seg)
+        return bool(m) and node.tag == m.group(1)
+
+    def select(nodes: list[Node], seg: str) -> list[Node]:
+        out: list[Node] = []
+        m = regex.fullmatch(r"([\w#]+)\[(\d+)\]", seg)
+        for n in nodes:
+            if m:
+                name, want = m.group(1), int(m.group(2))
+                count = 0
+                for c in n.children:
+                    if c.tag == name:
+                        count += 1
+                        if count == want:
+                            out.append(c)
+                            break
+            else:
+                out.extend(c for c in n.children if matches(c, seg))
+        return out
+
+    if descend:
+        first = segs[0]
+        current = [n for n in root.iter()
+                   if n.tag not in ("#text", "#comment")
+                   and matches(n, first)]
+        segs = segs[1:]
+    else:
+        current = [root]
+    for seg in segs:
+        current = select(current, seg)
+    return current
+
+
+def get_main_content_node_with_hints(root: Node) -> Node | None:
+    """getMainContentNodeWithHints port (:433-461): first div/p/span
+    whose class/id/itemprop names a hint; several matches → their
+    parent."""
+    pmap = _parent_index_map(root)
+    for hint in MAIN_NODE_HINTS:
+        found = []
+        for n in root.iter():
+            if n.tag not in ("div", "p", "span"):
+                continue
+            cls = str(n.attrs.get("class", "") or "")
+            ok = (cls == hint or (hint + " ") in cls
+                  or (" " + hint) in cls
+                  or str(n.attrs.get("itemprop", "") or "") == hint
+                  or str(n.attrs.get("id", "") or "") == hint)
+            if ok:
+                found.append(n)
+        if found:
+            node = found[0]
+            if len(found) > 1 and id(node) in pmap:
+                node = pmap[id(node)][0]
+            return node
+    return None
+
+
+_HEADER_DIV_IDS = {"head", "pageheader", "header", "foot", "footer",
+                   "pagefooter", "sidebar"}
+
+
+def clean_dom_reference(root: Node) -> Node:
+    """PalladianContentExtractor.cleanDom port (:391-431): drop
+    comments and script/style/iframe everywhere; strip the ELEMENT
+    descendants of header/nav/footer and of divs with
+    header/footer/sidebar ids (their direct text survives — faithful
+    to the reference's //header//* xpaths)."""
+    def is_chrome(n: Node) -> bool:
+        return (n.tag in ("header", "nav", "footer")
+                or (n.tag == "div"
+                    and str(n.attrs.get("id", "") or "").lower()
+                    in _HEADER_DIV_IDS))
+
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        n.children = [c for c in n.children
+                      if c.tag not in ("#comment", "script", "style",
+                                       "iframe")]
+        if is_chrome(n):
+            n.children = [c for c in n.children if c.tag == "#text"]
+        stack.extend(n.children)
+    return root
+
+
+def document_to_readable_text(node: Node) -> str:
+    """HtmlHelper.documentToReadableText port (HtmlHelper.java:310-360):
+    '\\n' on entering AND leaving block elements, text inside
+    script/style skipped."""
+    parts: list[str] = []
+
+    def walk(n: Node, ignoring: bool) -> None:
+        stack: list[tuple[Node, bool, bool]] = [(n, ignoring, False)]
+        while stack:
+            cur, ign, closing = stack.pop()
+            if closing:
+                if cur.tag in BLOCK_ELEMENTS:
+                    parts.append("\n")
+                continue
+            if cur.tag == "#text":
+                if not ign:
+                    parts.append(cur.data)
+                continue
+            if cur.tag == "#comment":
+                continue
+            child_ign = ign or cur.tag in ("script", "style")
+            if not child_ign and (cur.tag in BLOCK_ELEMENTS
+                                  or cur.tag == "br"):
+                parts.append("\n")
+            stack.append((cur, ign, True))
+            for c in reversed(cur.children):
+                stack.append((c, child_ign, False))
+
+    walk(node, False)
+    return "".join(parts)
+
+
+def parse_document(html: str | bytes, language: str = "en") -> dict:
+    """Full parseDocument port (PalladianContentExtractor.java:218-369):
+    hint node → cleanDom → sentence xpath density (XPathSet) →
+    main-block filter → shortest-equal-count path → last box section →
+    headline siblings → content-node text; <100-char fallbacks to the
+    main node's readable text, then the full document text."""
+    root = parse_html(html)
+    pmap = _parent_index_map(root)
+
+    use_main_node_text = False
+    result_node = get_main_content_node_with_hints(root)
+    result_node_xpath = ""
+    text_node_count = 0
+    if result_node is not None:
+        result_node_xpath = construct_xpath(result_node, pmap)
+        # countDirectTextNodes (:371-382)
+        text_node_count = sum(
+            1 for c in result_node.children
+            if c.tag == "#text" and len(c.data.strip()) > 20)
+
+    full_text_content = document_to_text(root)
+    clean_dom_reference(root)
+    pmap = _parent_index_map(root)
+    content = document_to_text(root)
+    sentences = get_sentences(content, only_real=True, language=language)
+
+    # unique sentences in first-appearance (document) order — equal
+    # xpath counts tie-break by insertion order, so iteration must be
+    # deterministic (a raw set here would hash-randomize which block
+    # wins a tie)
+    seen_s: set[str] = set()
+    uniq_sentences = [s.value for s in sentences
+                      if not (s.value in seen_s or seen_s.add(s.value))]
+    counts: dict[str, int] = {}
+    for sentence in uniq_sentences:
+        for xp in construct_all_xpaths(root, sentence, pmap):
+            xp = remove_last_index(xp)
+            counts[xp] = counts.get(xp, 0) + 1
+
+    def highest() -> tuple[str, int]:
+        best, best_n = "", 0
+        for k, v in counts.items():
+            if v > best_n:
+                best, best_n = k, v
+        return best, best_n
+
+    highest_xp, highest_n = highest()
+    if result_node_xpath:
+        for k in [k for k in counts if not k.startswith(result_node_xpath)]:
+            del counts[k]
+        if counts:
+            highest_xp, highest_n = highest()
+            if text_node_count > 3:
+                use_main_node_text = True
+        else:
+            use_main_node_text = True
+
+    shortest = highest_xp
+    parent_xpath = result_node_xpath
+    if not use_main_node_text:
+        for k, v in counts.items():
+            if len(k) < len(shortest) and v == highest_n:
+                shortest = k
+    if not shortest:
+        use_main_node_text = True
+    shortest = find_last_box_section(shortest)
+    if not use_main_node_text:
+        parent_xpath = get_parent_xpath(shortest)
+    parent_xpath = clean_xpath(parent_xpath)
+
+    parents = xpath_nodes(root, parent_xpath)
+    if not parents:
+        return {"text": full_text_content, "xpath": "",
+                "full_text": full_text_content}
+    result_node = parents[0]
+
+    main_text = ""
+    if not use_main_node_text:
+        shortest = add_headline_siblings(shortest)
+        pieces = [n.text_content() for n in xpath_nodes(root, shortest)]
+        main_text = "".join(p + "\n\n" for p in pieces if p)
+    if len(main_text.strip()) < MIN_MAIN_LEN:
+        main_text = document_to_readable_text(result_node)
+    if len(main_text.strip()) < MIN_MAIN_LEN:
+        main_text = full_text_content
+    return {"text": main_text, "xpath": shortest,
+            "full_text": full_text_content}
 
 
 # ------------------------------------------- main-content extraction

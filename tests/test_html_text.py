@@ -7,6 +7,7 @@ deletion; /root/reference/palladian-commons/.../html/HtmlHelper.java:694-728).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kgp.corpus import synth_pages
@@ -170,3 +171,88 @@ def test_deep_nesting_no_recursion_error():
     root = parse_html("<div>" * 5000 + "hello" + "</div>" * 5000)
     assert "hello" in document_to_text(root)
     assert root.text_content().strip() == "hello"
+
+
+# ---------------- XPath-density extraction on reference fixture pages
+
+import os
+
+FIXDIR = ("/root/reference/palladian-core/src/test/resources/"
+          "pageContentExtractor")
+
+# (fixture, phrase that MUST be in the main text, boilerplate phrase
+# that is on the page but MUST be excluded from the main text)
+FIXTURES = [
+    ("test001.html", "Was wollte Google mit den WLAN-Daten?",
+     "Hauptnavigation"),
+    ("test002.html", "Earth's Frontiers explores the conflict",
+     "Most Popular"),
+    ("test003.html", "beste TV-Serie nach Twin Peaks", "Impressum"),
+    ("test004.html", "Stadtplanungsamt veranstaltet", "Impressum"),
+    ("test005.html", "i read on my kindle", "Comments"),
+]
+
+
+@pytest.mark.parametrize("name,want,boiler", FIXTURES)
+def test_parse_document_reference_fixture(name, want, boiler):
+    """Full parseDocument port on the reference's own fixture pages:
+    the main article text is found by sentence-xpath density and the
+    page chrome is excluded."""
+    from kgp.html_text import parse_document
+    path = os.path.join(FIXDIR, name)
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not available")
+    r = parse_document(open(path, "rb").read())
+    assert want in r["text"], name
+    assert boiler in r["full_text"], name         # it IS on the page
+    assert boiler not in r["text"], name          # ...but not extracted
+    assert len(r["text"]) < len(r["full_text"])
+
+
+def test_construct_xpath_and_indices():
+    from kgp.html_text import (_parent_index_map, construct_all_xpaths,
+                               remove_last_index)
+    root = parse_html("<html><body><div>a</div><div><p>long sentence "
+                      "here</p><p>two</p></div></body></html>")
+    pmap = _parent_index_map(root)
+    xps = construct_all_xpaths(root, "long sentence here", pmap)
+    assert xps == ["/html/body/div[2]/p[1]"]
+    assert remove_last_index(xps[0]) == "/html/body/div[2]/p"
+    # paths INTO scripts are dropped (the body ancestor remains — its
+    # textContent contains the keyword, same as the reference DOM)
+    sroot = parse_html("<html><body><script>var kw = 1;</script>"
+                       "</body></html>")
+    got = construct_all_xpaths(sroot, "kw")
+    assert all("script" not in x for x in got)
+
+
+def test_find_last_box_section_and_headline_siblings():
+    from kgp.html_text import add_headline_siblings, find_last_box_section
+    assert find_last_box_section("/html/body/div[2]/p/strong") == \
+        "/html/body/div[2]/p"
+    assert find_last_box_section("/html/body/span") == "/html/body/span"
+    widened = add_headline_siblings("/html/body/div[2]/p")
+    assert widened.startswith("/html/body/div[2]/*[(self::p)")
+    assert "(self::h1)" in widened and "(self::blockquote)" in widened
+
+
+def test_xpath_nodes_evaluator():
+    from kgp.html_text import add_headline_siblings, xpath_nodes
+    root = parse_html("<html><body><div><h1>T</h1><p>a</p><p>b</p>"
+                      "<ul><li>x</li></ul></div></body></html>")
+    ps = xpath_nodes(root, "/html/body/div/p")
+    assert [p.text_content() for p in ps] == ["a", "b"]
+    assert len(xpath_nodes(root, "/html/body/div/p[2]")) == 1
+    sel = xpath_nodes(root, add_headline_siblings("/html/body/div/p"))
+    assert [n.tag for n in sel] == ["h1", "p", "p", "ul"]
+    assert [n.tag for n in xpath_nodes(root, "//li")] == ["li"]
+
+
+def test_document_to_readable_text():
+    from kgp.html_text import document_to_readable_text
+    root = parse_html("<div><p>one</p><script>skip()</script>"
+                      "<p>two</p></div>")
+    out = document_to_readable_text(root)
+    assert "one" in out and "two" in out and "skip" not in out
+    # block elements newline on enter AND leave
+    assert "\none\n" in out
