@@ -700,35 +700,81 @@ def assemble_model(entity_rows, ann_rows, case_tokens) -> NerModel:
                     priors=priors, case_dict=case_dict)
 
 
+def ner_model_table(docs: DataFrame, seeds: DataFrame,
+                    seed_map: dict[str, str] | None = None) -> DataFrame:
+    """EVERY model dictionary as ONE unioned table (kind, key, tag,
+    count) so training is a single Spark job / one materialized stage —
+    at bench scale each separate stage pays ~5 s of fixed job+write
+    latency, and seven tiny model tables were dominating the wall.
+    kinds: entity / agram (annotation grams) / case / ctxgram (context
+    grams) / prior (context instance counts) / left (left contexts)."""
+    if seed_map is None:
+        seed_map = {r["entity"]: r["concept"]
+                    for r in seeds.select("entity", "concept").collect()}
+    spans = seed_training_spans(docs, seed_map)
+
+    def shape(df, kind, key, tag=None, count=None):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.col(key).cast("string").alias("key"),
+            (F.col(tag).cast("string") if tag else
+             F.lit(None).cast("string")).alias("tag"),
+            (F.col(count).cast("long") if count else
+             F.lit(None).cast("long")).alias("count"))
+
+    parts = [
+        shape(build_entity_dictionary(seeds), "entity", "surface",
+              "concept", "count"),
+        shape(build_annotation_dictionary(seeds, docs), "agram", "gram",
+              "tag", "count"),
+        shape(build_case_dictionary(docs), "case", "token"),
+        shape(build_context_dictionary(spans), "ctxgram", "gram", "tag",
+              "count"),
+        shape(spans.groupBy("tag").agg(F.count("*").alias("n")),
+              "prior", "tag", None, "n"),
+        shape(build_left_contexts(spans), "left", "token"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def model_from_rows(rows) -> NerModel:
+    """Assemble the broadcastable model from collected ner_model_table
+    rows (kind, key, tag, count)."""
+    by_kind: dict[str, list] = {}
+    for r in rows:
+        by_kind.setdefault(r[0], []).append((r[1], r[2], r[3]))
+    model = assemble_model(
+        by_kind.get("entity", []),
+        by_kind.get("agram", []),
+        [(k,) for k, _, _ in by_kind.get("case", [])],
+    )
+    return attach_context(
+        model,
+        by_kind.get("ctxgram", []),
+        [(k, c) for k, _, c in by_kind.get("prior", [])],
+        [(k,) for k, _, _ in by_kind.get("left", [])],
+    )
+
+
 def train_ner_model(spark: SparkSession, docs: DataFrame,
                     seeds: DataFrame,
                     with_context: bool = True) -> NerModel:
-    """Distributed training -> small broadcastable model.
+    """Distributed training -> small broadcastable model, ONE job.
 
     docs is the TRAINING corpus (pass a stable-hash sample of the full
     corpus in production — entities that must be typed by context
     rather than dictionary need to be absent from training, or the
     two-pass negative mining would mark them NO_ENTITY)."""
-    model = assemble_model(
-        build_entity_dictionary(seeds).collect(),
-        build_annotation_dictionary(seeds, docs).collect(),
-        build_case_dictionary(docs).collect(),
-    )
-    if with_context:
-        seed_map = {r["entity"]: r["concept"]
-                    for r in seeds.select("entity", "concept").collect()}
-        spans = seed_training_spans(docs, seed_map).persist()
-        try:
-            attach_context(
-                model,
-                build_context_dictionary(spans).collect(),
-                spans.groupBy("tag").agg(F.count("*").alias("n"))
-                .collect(),
-                build_left_contexts(spans).collect(),
-            )
-        finally:
-            spans.unpersist()
-    return model
+    if not with_context:
+        return assemble_model(
+            build_entity_dictionary(seeds).collect(),
+            build_annotation_dictionary(seeds, docs).collect(),
+            build_case_dictionary(docs).collect(),
+        )
+    return model_from_rows(ner_model_table(docs, seeds).collect())
 
 
 def attach_context(model: NerModel, ctx_rows, prior_rows,

@@ -58,14 +58,8 @@ def _stage(spark: SparkSession, out_dir: str, name: str, fn,
 
 
 def load_ner_model(spark: SparkSession, out_dir: str) -> mentions.NerModel:
-    ent = materialize.read_stage(spark, out_dir, "ner_entity").collect()
-    ann = materialize.read_stage(spark, out_dir, "ner_annotation").collect()
-    case = materialize.read_stage(spark, out_dir, "ner_case").collect()
-    model = mentions.assemble_model(ent, ann, case)
-    ctx = materialize.read_stage(spark, out_dir, "ner_context").collect()
-    pri = materialize.read_stage(spark, out_dir, "ner_ctx_priors").collect()
-    left = materialize.read_stage(spark, out_dir, "ner_left").collect()
-    return mentions.attach_context(model, ctx, pri, left)
+    rows = materialize.read_stage(spark, out_dir, "ner_model").collect()
+    return mentions.model_from_rows(rows)
 
 
 def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
@@ -104,31 +98,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
 
     # NER training runs on the stable hash split (corpus.training_docs)
     # — held-out docs carry the novel entities that must be typed by
-    # context, and a production pipeline trains on a sample anyway
+    # context, and a production pipeline trains on a sample anyway.
+    # ALL model dictionaries are one unioned stage: one job + one
+    # write instead of seven fixed-latency round trips.
     docs_train = corpus.training_docs(docs)
-    _stage(spark, out_dir, "ner_entity",
-           lambda: mentions.build_entity_dictionary(seeds),
-           force=force, metrics=metrics)
-    _stage(spark, out_dir, "ner_annotation",
-           lambda: mentions.build_annotation_dictionary(seeds, docs_train),
-           force=force, metrics=metrics)
-    _stage(spark, out_dir, "ner_case",
-           lambda: mentions.build_case_dictionary(docs_train),
-           force=force, metrics=metrics)
-    seed_map = {r["entity"]: r["concept"]
-                for r in seeds.select("entity", "concept").collect()}
-    spans = _stage(
-        spark, out_dir, "ner_spans",
-        lambda: mentions.seed_training_spans(docs_train, seed_map),
-        force=force, metrics=metrics)
-    _stage(spark, out_dir, "ner_context",
-           lambda: mentions.build_context_dictionary(spans),
-           force=force, metrics=metrics)
-    _stage(spark, out_dir, "ner_ctx_priors",
-           lambda: spans.groupBy("tag").agg(F.count("*").alias("n")),
-           force=force, metrics=metrics)
-    _stage(spark, out_dir, "ner_left",
-           lambda: mentions.build_left_contexts(spans),
+    _stage(spark, out_dir, "ner_model",
+           lambda: mentions.ner_model_table(docs_train, seeds),
            force=force, metrics=metrics)
     model = load_ner_model(spark, out_dir)
     model_bc = spark.sparkContext.broadcast(model)
