@@ -173,6 +173,259 @@ def link_mentions(mentions: DataFrame, gaz: DataFrame,
     )
 
 
+# -------------------- faithful per-document heuristic disambiguation
+# Port of HeuristicDisambiguation.disambiguate
+# (/root/reference/palladian-core/src/main/java/ws/palladian/extraction/location/disambiguation/HeuristicDisambiguation.java:47-120,
+#  anchors :228-341, selectLocation :195-226, unlikely :171-188) with
+# the geo machinery in kgp.geo. The vectorized link_mentions above is
+# the default 100 TB path (anchor/population columns, zero Python);
+# this one carries the full coordinate semantics — anchor distance
+# (100 km), same-name 50 km clusters, the lasso midpoint trick — and
+# runs per document inside applyInPandas over url groups (document-
+# local state, url keys unique → no shuffle skew).
+
+ANCHOR_DISTANCE_THRESHOLD = 100
+SAME_DISTANCE_THRESHOLD = 50
+LASSO_DISTANCE_THRESHOLD = 100
+LOWER_UNLIKELY_POPULATION_THRESHOLD = 100_000
+
+
+def _pop(loc: dict) -> int:
+    return int(loc.get("population") or 0)
+
+
+def _coord(loc: dict):
+    if loc.get("lat") is None or loc.get("lon") is None:
+        return None
+    return float(loc["lat"]), float(loc["lon"])
+
+
+def _biggest(locs) -> dict | None:
+    locs = list(locs)
+    return max(locs, key=_pop) if locs else None
+
+
+def get_unlikely_locations(groups: dict) -> set:
+    """Groups with no COUNTRY/CONTINENT candidate, biggest population
+    ≤ 100k and a PER-classified annotation are dropped (:171-188)."""
+    out = set()
+    for key, (tag, cands) in groups.items():
+        likely = any(c["type"] in ("COUNTRY", "CONTINENT") for c in cands)
+        big = any(_pop(c) > LOWER_UNLIKELY_POPULATION_THRESHOLD
+                  for c in cands)
+        if not likely and not big and tag == "PER":
+            out.add(key)
+    return out
+
+
+def get_lasso_locations(all_locs: list[dict]) -> list[dict]:
+    """The 'lasso trick' (:312-341): repeatedly drop the location
+    farthest from the midpoint until everything is within 100 km."""
+    from kgp.geo import distance_km, midpoint
+    lasso = list(all_locs)
+    while len(lasso) > 1:
+        coords = [c for c in (_coord(x) for x in lasso) if c]
+        if not coords:
+            break
+        mid = midpoint(coords)
+        far, far_d = None, -1.0
+        for loc in lasso:
+            c = _coord(loc)
+            if c is None:
+                continue
+            d = distance_km(c[0], c[1], mid[0], mid[1])
+            if d > far_d:
+                far, far_d = loc, d
+        if far_d < LASSO_DISTANCE_THRESHOLD:
+            break
+        lasso.remove(far)
+    return lasso
+
+
+def get_anchors(groups: dict) -> list[dict]:
+    """Anchor locations (:228-310): prominent (continent/country/pop >
+    1M), unambiguous same-name 50 km clusters, lasso fallback, biggest
+    fallback."""
+    from kgp.geo import largest_distance
+    anchors: list[dict] = []
+
+    def add(loc: dict) -> None:
+        if all(a["entity_id"] != loc["entity_id"] for a in anchors):
+            anchors.append(loc)
+
+    all_locs = [c for _, (_, cands) in groups.items() for c in cands]
+    for loc in all_locs:
+        if loc["type"] in ("CONTINENT", "COUNTRY") \
+                or _pop(loc) > ANCHOR_POPULATION_THRESHOLD:
+            add(loc)
+    for key, (tag, cands) in groups.items():
+        if not cands:
+            continue
+        with_coord = [c for c in cands if _coord(c)] or cands
+        coords = [c for c in (_coord(x) for x in with_coord) if c]
+        if largest_distance(coords) < SAME_DISTANCE_THRESHOLD:
+            loc = _biggest(with_coord) or with_coord[0]
+            surface = key[3]
+            if _pop(loc) > LOWER_POPULATION_THRESHOLD \
+                    or len(surface.split()) >= TOKEN_THRESHOLD:
+                add(loc)
+    if not anchors:
+        for loc in get_lasso_locations(all_locs):
+            add(loc)
+    if not anchors:
+        loc = _biggest(all_locs)
+        if loc is not None:
+            add(loc)
+    return anchors
+
+
+def select_location(selection: list[dict]) -> dict:
+    """selectLocation port (:195-226): single continent wins; else
+    deepest descendant first, then population with the CITY ×2 boost."""
+    import functools
+    continents = [c for c in selection if c["type"] == "CONTINENT"]
+    if len(continents) == 1:
+        return continents[0]
+
+    def cmp(l1: dict, l2: dict) -> int:
+        if l1["entity_id"] in (l2.get("ancestor_ids") or []):
+            return 1      # l2 descendantOf l1 -> deeper l2 sorts first
+        if l2["entity_id"] in (l1.get("ancestor_ids") or []):
+            return -1     # l1 descendantOf l2 -> l1 first
+        p1, p2 = _pop(l1), _pop(l2)
+        if l1["type"] == "CITY":
+            p1 *= 2
+        if l2["type"] == "CITY":
+            p2 *= 2
+        return (p2 > p1) - (p2 < p1)
+
+    return sorted(selection, key=functools.cmp_to_key(cmp))[0]
+
+
+def heuristic_disambiguate(groups: dict) -> dict:
+    """Full per-document disambiguation (:114-168). groups maps a
+    mention key (sent_idx, start, end, surface, tag) to (tag,
+    [candidate dicts]); returns {key: selected candidate}."""
+    from kgp.geo import distance_km
+    groups = {k: v for k, v in groups.items()
+              if k not in get_unlikely_locations(groups)}
+    anchors = get_anchors(groups)
+    anchor_ids = {a["entity_id"] for a in anchors}
+    result: dict = {}
+    for key, (tag, cands) in groups.items():
+        if not cands:
+            continue
+        cand_ids = {c["entity_id"] for c in cands}
+        current_anchors = [a for a in anchors
+                           if a["entity_id"] not in cand_ids]
+        pre: list[dict] = []
+        for cand in cands:
+            if cand["entity_id"] in anchor_ids:
+                pre.append(cand)
+                continue
+            for anchor in current_anchors:
+                cc, ac = _coord(cand), _coord(anchor)
+                if cc and ac and distance_km(*cc, *ac) \
+                        < ANCHOR_DISTANCE_THRESHOLD:
+                    pre.append(cand)
+                    break
+                if anchor["type"] in ("CITY", "UNIT", "COUNTRY") \
+                        and anchor["entity_id"] in (cand.get("ancestor_ids")
+                                                    or []) \
+                        and _pop(cand) > LOWER_POPULATION_THRESHOLD:
+                    pre.append(cand)
+                    break
+        if pre:
+            result[key] = select_location(pre)
+    return result
+
+
+def link_mentions_reference(mentions: DataFrame, gaz: DataFrame,
+                            num_buckets: int | None = None) -> DataFrame:
+    """link_mentions with the FAITHFUL coordinate-aware disambiguation:
+    broadcast candidate join (same as the fast path), then one
+    applyInPandas over document hash buckets running
+    heuristic_disambiguate per url. Output columns = LINK_COLUMNS."""
+    spark = mentions.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism * 4
+    expanded = expand_gazetteer(gaz).select(
+        "norm", "entity_id", "canon_name", "etype", "population",
+        "ancestor_ids")
+    gaz_geo = gaz.select(F.col("id").alias("entity_id"), "lat", "lon")
+    expanded = expanded.join(F.broadcast(gaz_geo), "entity_id")
+    cand = (mentions
+            .withColumn("norm", normalize_name(F.col("surface")))
+            .join(F.broadcast(expanded), "norm", "left"))
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("sent_idx", T.IntegerType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("sent_start", T.IntegerType()),
+        T.StructField("sent_text", T.StringType()),
+        T.StructField("entity_id", T.LongType()),
+        T.StructField("canon_name", T.StringType()),
+        T.StructField("link_score", T.DoubleType()),
+    ])
+
+    LOCATION_TAGS = {"CITY", "COUNTRY", "CONTINENT", "UNIT", "LOC"}
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for url, doc in pdf.groupby("url", sort=False):
+            groups: dict = {}
+            extras: dict = {}
+            for t in doc.itertuples():
+                key = (int(t.sent_idx), int(t.start), int(t.end),
+                       t.surface, t.tag)
+                extras[key] = (int(t.sent_start), t.sent_text)
+                tag_cands = groups.setdefault(key, (t.tag, []))
+                if not pd.isna(t.entity_id):
+                    tag_cands[1].append({
+                        "entity_id": int(t.entity_id),
+                        "canon_name": t.canon_name,
+                        "type": t.etype,
+                        "population": None if pd.isna(t.population)
+                        else int(t.population),
+                        "ancestor_ids": list(t.ancestor_ids or []),
+                        "lat": None if pd.isna(t.lat) else float(t.lat),
+                        "lon": None if pd.isna(t.lon) else float(t.lon),
+                    })
+            # the geo heuristic is the reference's LOCATION
+            # disambiguator — only location-tagged mentions go through
+            # it; other entity types link dictionary-style (best
+            # type-matching candidate, population then id tiebreak)
+            loc_groups = {k: v for k, v in groups.items()
+                          if k[4] in LOCATION_TAGS}
+            chosen = heuristic_disambiguate(loc_groups)
+            for key, (tag, cands) in groups.items():
+                if key in loc_groups:
+                    sel = chosen.get(key)
+                else:
+                    typed = [c for c in cands if c["type"] == tag]
+                    pool = typed or cands
+                    sel = min(pool, key=lambda c: (-_pop(c),
+                                                   c["entity_id"])) \
+                        if pool else None
+                sent_start, sent_text = extras[key]
+                rows.append({
+                    "url": url, "sent_idx": key[0], "start": key[1],
+                    "end": key[2], "surface": key[3], "tag": key[4],
+                    "sent_start": sent_start, "sent_text": sent_text,
+                    "entity_id": sel["entity_id"] if sel else None,
+                    "canon_name": sel["canon_name"] if sel else key[3],
+                    "link_score": 1.0 if sel else 0.0,
+                })
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    bucketed = cand.withColumn("_bucket",
+                               F.pmod(F.xxhash64("url"), F.lit(n)))
+    return bucketed.groupBy("_bucket").applyInPandas(run, schema)
+
+
 # ------------------------------------------------- LSH candidate index
 
 

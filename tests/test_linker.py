@@ -77,3 +77,111 @@ def test_lsh_candidates_finds_fuzzy_surface(spark):
     got = {(r.surface, r.canon_name) for r in cands}
     assert ("Acme Corpo", "Acme Corp") in got
     assert ("Globex Systems", "Globex Systems") in got
+
+
+# --------------- faithful coordinate-aware disambiguation (geo port)
+
+
+def _loc(eid, typ, pop=None, anc=(), lat=None, lon=None, name=None):
+    return {"entity_id": eid, "type": typ, "population": pop,
+            "ancestor_ids": list(anc), "lat": lat, "lon": lon,
+            "canon_name": name or f"loc{eid}"}
+
+
+def _key(surface, tag="CITY", i=0):
+    return (0, i, i + len(surface), surface, tag)
+
+
+def test_geo_primitives():
+    from kgp.geo import distance_km, largest_distance, midpoint
+    # Dresden -> Berlin ~165 km
+    d = distance_km(51.05, 13.74, 52.52, 13.40)
+    assert 160 < d < 172
+    assert distance_km(0, 0, 0, 0) == 0.0
+    mid = midpoint([(0.0, 0.0), (0.0, 10.0)])
+    assert abs(mid[0]) < 1e-6 and abs(mid[1] - 5.0) < 1e-6
+    assert largest_distance([(0, 0)]) == 0.0
+
+
+def test_anchor_distance_beats_population():
+    # HeuristicDisambiguation.java:114-150: the candidate within 100 km
+    # of an anchor wins over a bigger same-name candidate elsewhere
+    from kgp.linker import heuristic_disambiguate
+    anchor = _loc(1, "CITY", pop=2_000_000, lat=50.0, lon=8.0)
+    near = _loc(2, "CITY", pop=20_000, lat=50.3, lon=8.2)   # ~45 km
+    far = _loc(3, "CITY", pop=600_000, lat=10.0, lon=60.0)
+    groups = {
+        _key("Metropolis"): ("CITY", [anchor]),
+        _key("Springfield", i=20): ("CITY", [near, far]),
+    }
+    got = heuristic_disambiguate(groups)
+    assert got[_key("Springfield", i=20)]["entity_id"] == 2
+
+
+def test_same_distance_cluster_becomes_anchor():
+    # :270-295 — two same-name rows 10 km apart form one cluster; its
+    # biggest member anchors the document
+    from kgp.linker import get_anchors
+    a = _loc(1, "CITY", pop=8_000, lat=50.0, lon=8.0)
+    b = _loc(2, "CITY", pop=6_000, lat=50.08, lon=8.05)
+    groups = {_key("Twinville"): ("CITY", [a, b])}
+    anchors = get_anchors(groups)
+    assert [x["entity_id"] for x in anchors] == [1]
+
+
+def test_lasso_removes_outlier():
+    # :312-341 — with no prominent/unambiguous anchors the lasso trims
+    # locations far from the midpoint
+    from kgp.linker import get_lasso_locations
+    cluster = [_loc(i, "CITY", pop=1000, lat=50.0 + i * 0.1, lon=8.0)
+               for i in range(3)]
+    outlier = _loc(9, "CITY", pop=1000, lat=-30.0, lon=140.0)
+    got = get_lasso_locations(cluster + [outlier])
+    assert {x["entity_id"] for x in got} == {0, 1, 2}
+
+
+def test_unlikely_person_group_dropped():
+    # :171-188 — PER-tagged group, no country, small population
+    from kgp.linker import get_unlikely_locations
+    groups = {
+        _key("John Hiatt", tag="PER"): ("PER", [_loc(1, "CITY", pop=500)]),
+        _key("Freedonia", tag="COUNTRY", i=30):
+            ("COUNTRY", [_loc(2, "COUNTRY", pop=5_000_000)]),
+    }
+    assert get_unlikely_locations(groups) == {_key("John Hiatt",
+                                                   tag="PER")}
+
+
+def test_select_location_city_boost_and_depth():
+    from kgp.linker import select_location
+    city = _loc(1, "CITY", pop=400_000)
+    unit = _loc(2, "UNIT", pop=700_000)
+    assert select_location([city, unit])["entity_id"] == 1  # 400k*2>700k
+    parent = _loc(3, "COUNTRY", pop=80_000_000)
+    child = _loc(4, "CITY", pop=1_000, anc=[3])
+    assert select_location([parent, child])["entity_id"] == 4  # deeper
+
+
+def test_link_mentions_reference_spark(spark):
+    # the applyInPandas wrapper reproduces the pure-python choice and
+    # keeps unmatched mentions unlinked
+    from kgp.linker import link_mentions_reference
+    from kgp.corpus import gazetteer
+    mentions = spark.createDataFrame(
+        [("u1", 0, 0, 11, "Springfield", "CITY", 1.0, 0,
+          "Springfield is in Freedonia."),
+         ("u1", 0, 18, 27, "Freedonia", "COUNTRY", 1.0, 0,
+          "Springfield is in Freedonia."),
+         ("u1", 0, 30, 38, "Nonsense", "ORG", 1.0, 0,
+          "Springfield is in Freedonia.")],
+        "url string, sent_idx int, start int, end int, surface string, "
+        "tag string, score double, sent_start int, sent_text string")
+    out = {r.surface: r for r in
+           link_mentions_reference(mentions, gazetteer(spark)).collect()}
+    assert out["Springfield"].entity_id is not None
+    # the country anchor's descendant (pop 30k Springfield, child of
+    # Freedonia) wins over the tiny duplicate in another country
+    assert out["Springfield"].entity_id == 3000
+    assert out["Freedonia"].entity_id == 4000
+    assert out["Nonsense"].entity_id is None
+    assert out["Nonsense"].canon_name == "Nonsense"
