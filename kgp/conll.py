@@ -1,0 +1,208 @@
+"""CoNLL column-format loader + NER evaluation — FileFormatParser /
+EvaluationResult port.
+
+Semantics re-derived from
+/root/reference/palladian-core/src/main/java/ws/palladian/extraction/entity/FileFormatParser.java:39-111,198-258,518-579
+(column → text reconstruction with the exact spacing rules, annotation
+spans) and the error-type alignment + MUC / EXACT_MATCH scoring of
+NamedEntityRecognizer.evaluate (NamedEntityRecognizer.java:98-180) and
+EvaluationResult.java:180-310.
+
+Pure Python — file parsing happens driver-side (training corpora are
+small next to the web corpus); the resulting gold annotations feed the
+same Spark training/tagging stages as the synthetic corpus.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+_BRACKETS = set("(){}[]")
+
+
+class Ann(NamedTuple):
+    start: int
+    value: str
+    tag: str
+
+    @property
+    def end(self) -> int:
+        return self.start + len(self.value)
+
+
+def parse_column(lines, sep: str = "\t",
+                 token_based: bool = False) -> tuple[str, list[Ann]]:
+    """Rebuild the plain text and gold annotation spans from
+    word<TAB>tag lines (ColumnToXmlAction port, FileFormatParser.java:
+    39-111): a space precedes a token that starts a tag region or
+    begins with a letter/digit/bracket, empty lines become newlines and
+    close the open tag, =-DOCSTART- lines are skipped.
+
+    token_based=True emits one annotation per tagged token
+    (columnToXmlTokenBased semantics); otherwise consecutive same-tag
+    tokens form one annotation."""
+    out: list[str] = []
+    pos = 0
+    anns: list[Ann] = []
+    current_tag = "o"
+    open_start = -1
+    previous_line_break = True
+    at_beginning = True
+    line_number = 0
+
+    def write(s: str) -> None:
+        nonlocal pos
+        out.append(s)
+        pos += len(s)
+
+    def close_tag() -> None:
+        nonlocal current_tag, open_start
+        if current_tag.lower() != "o" and open_start >= 0:
+            value = "".join(out)[open_start:pos].replace("\n", "")
+            anns.append(Ann(open_start, value, current_tag))
+        current_tag, open_start = "o", -1
+
+    for raw in lines:
+        line_number += 1
+        line = raw.rstrip("\n")
+        parts = line.split(sep)
+        if len(parts) < 2 and at_beginning:
+            at_beginning = False
+            continue
+        at_beginning = False
+        if "=-DOCSTART-" in line:
+            continue
+        if len(parts) < 2:
+            if len(line) == 0:
+                if current_tag.lower() != "o" and line_number > 1:
+                    close_tag()
+                write("\n")
+                previous_line_break = True
+            continue
+        open_tag = False
+        tag, value = parts[1], parts[0]
+        if token_based and tag.lower() != "o":
+            # per-token annotations: force a region break between
+            # consecutive same-tag tokens
+            close_tag()
+            current_tag = "o"
+        if current_tag.lower() != tag.lower():
+            if current_tag.lower() != "o" and line_number > 1:
+                close_tag()
+            else:
+                current_tag = "o"
+            if tag.lower() != "o":
+                if line_number > 1 and not previous_line_break:
+                    write(" ")
+                open_start = pos
+                open_tag = True
+        current_tag = tag
+        if value and (value[0].isalnum() or value[0] in _BRACKETS) \
+                and not open_tag and line_number > 1 \
+                and not previous_line_break:
+            write(" ")
+        write(value)
+        previous_line_break = False
+    close_tag()
+    return "".join(out), anns
+
+
+# -------------------------------------------------------- evaluation
+
+CORRECT, ERROR1, ERROR2, ERROR3, ERROR4, ERROR5 = (
+    "CORRECT", "ERROR1", "ERROR2", "ERROR3", "ERROR4", "ERROR5")
+
+
+@dataclass
+class EvaluationResult:
+    """Per-tag result-type counts (assignments keyed by the GOLD tag,
+    except ERROR1 which keys by the predicted tag) plus the actual /
+    possible assignment bags — EvaluationResult.java:102-230."""
+    assignments: dict[str, Counter] = field(default_factory=dict)
+    actual: Counter = field(default_factory=Counter)
+    possible: Counter = field(default_factory=Counter)
+
+    def add(self, result_type: str, gold_tag: str | None,
+            pred_tag: str | None) -> None:
+        if result_type in (CORRECT, ERROR3, ERROR4, ERROR5):
+            self.actual[pred_tag] += 1
+            self.assignments.setdefault(gold_tag, Counter())[
+                result_type] += 1
+        elif result_type == ERROR1:
+            self.actual[pred_tag] += 1
+            self.assignments.setdefault(pred_tag, Counter())[
+                result_type] += 1
+        elif result_type == ERROR2:
+            self.assignments.setdefault(gold_tag, Counter())[
+                result_type] += 1
+
+    def _weighted_muc(self, tag: str) -> int:
+        c = self.assignments.get(tag, Counter())
+        return c[ERROR3] + c[ERROR4] + 2 * c[CORRECT]
+
+    def _sum_correct(self, mode: str) -> float:
+        if mode == "MUC":
+            return sum(self._weighted_muc(t) for t in self.assignments)
+        return sum(c[CORRECT] for c in self.assignments.values())
+
+    def precision(self, mode: str = "MUC") -> float:
+        total = sum(self.actual.values()) * (2 if mode == "MUC" else 1)
+        return self._sum_correct(mode) / total if total else 0.0
+
+    def recall(self, mode: str = "MUC") -> float:
+        total = sum(self.possible.values()) * (2 if mode == "MUC" else 1)
+        return self._sum_correct(mode) / total if total else 0.0
+
+    def f1(self, mode: str = "MUC") -> float:
+        p, r = self.precision(mode), self.recall(mode)
+        return 2 * p * r / (p + r) if p > 0 and r > 0 else 0.0
+
+
+def evaluate_annotations(gold: list[Ann], pred: list[Ann],
+                         ignore: set[str] | None = None
+                         ) -> EvaluationResult:
+    """NamedEntityRecognizer.evaluate port (:98-180): each prediction
+    is aligned against the sorted gold standard and classified CORRECT
+    or ERROR1..5; at most one overlap credit per gold annotation."""
+    ignore = ignore or set()
+    gold = sorted(gold, key=lambda a: (a.start, -a.end))
+    result = EvaluationResult()
+    for g in gold:
+        result.possible[g.tag] += 1
+    tagged: set[tuple[int, int, str]] = set()
+
+    for p in sorted(pred, key=lambda a: (a.start, -a.end)):
+        if p.tag.lower() == "o":
+            continue
+        tagged_overlap = False
+        counter = 0
+        for g in gold:
+            counter += 1
+            if g.value in ignore and not (p.start < g.end
+                                          and not tagged_overlap):
+                continue
+            gkey = (g.start, g.end, g.tag)
+            if (p.start, p.end) == (g.start, g.end):
+                tagged.add(gkey)
+                if p.tag.lower() == g.tag.lower():
+                    result.add(CORRECT, g.tag, p.tag)
+                else:
+                    result.add(ERROR3, g.tag, p.tag)
+                break
+            elif p.start <= g.end and p.end >= g.start:
+                tagged.add(gkey)
+                if p.tag.lower() == g.tag.lower():
+                    result.add(ERROR4, g.tag, p.tag)
+                else:
+                    result.add(ERROR5, g.tag, p.tag)
+                tagged_overlap = True
+            elif p.start < g.end or counter == len(gold):
+                if not tagged_overlap:
+                    result.add(ERROR1, None, p.tag)
+                break
+    for g in gold:
+        if (g.start, g.end, g.tag) not in tagged:
+            result.add(ERROR2, g.tag, None)
+    return result

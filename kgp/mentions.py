@@ -806,7 +806,8 @@ MENTION_SCHEMA = T.ArrayType(T.StructType([
 ]))
 
 
-def detect_mentions(docs: DataFrame, model_bc) -> DataFrame:
+def detect_mentions(docs: DataFrame, model_bc,
+                    tag_dates: bool = True) -> DataFrame:
     """docs -> mentions(url, sent_idx, start, end, surface, tag, score,
     sent_text).
 
@@ -824,7 +825,8 @@ def detect_mentions(docs: DataFrame, model_bc) -> DataFrame:
         for sents in sentences:
             doc_mentions = []
             for idx, s in enumerate(sents if sents is not None else []):
-                for m in tag_sentence(s["text"], int(s["start"]), model):
+                for m in tag_sentence(s["text"], int(s["start"]), model,
+                                      tag_dates=tag_dates):
                     m["sent_idx"] = idx
                     m["sent_start"] = int(s["start"])
                     m["sent_text"] = s["text"]
