@@ -109,6 +109,43 @@ def parse_column(lines, sep: str = "\t",
     return "".join(out), anns
 
 
+def tag_text(text: str, annotations: list[Ann],
+             fmt: str = "XML") -> str:
+    """NER output writer — NerHelper.tag port (NerHelper.java:152-210):
+    XML (<TAG>value</TAG>), BRACKETS ([TAG value ]) or SLASHES
+    (token/TAG per token); nested annotations skipped, values must
+    align with the text."""
+    from kgp.tokenize import tokenize as _tokenize
+    out: list[str] = []
+    last_end = 0
+    last_ann = None
+    for a in sorted(annotations, key=lambda x: (x.start, -x.end)):
+        if a.start < last_end:
+            continue  # nested
+        previous = text[last_end:a.start]
+        out.append(previous)
+        correct = text[a.start:a.end]
+        if correct.lower() != a.value.lower() and "\n" not in correct:
+            raise ValueError(
+                f"alignment error: found {correct!r} instead of "
+                f"{a.value!r}")
+        if fmt == "XML":
+            out.append(f"<{a.tag}>{a.value}</{a.tag}>")
+        elif fmt == "BRACKETS":
+            out.append(f"[{a.tag} {a.value} ]")
+        elif fmt == "SLASHES":
+            tokens = _tokenize(a.value)
+            if previous != " " and last_ann is not None:
+                out.append(" ")
+            out.append(" ".join(f"{t}/{a.tag}" for t in tokens))
+        else:
+            raise ValueError(f"unsupported format {fmt}")
+        last_end = a.end
+        last_ann = a
+    out.append(text[last_end:])
+    return "".join(out)
+
+
 # -------------------------------------------------------- evaluation
 
 CORRECT, ERROR1, ERROR2, ERROR3, ERROR4, ERROR5 = (

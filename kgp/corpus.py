@@ -270,6 +270,50 @@ GAZETTEER_SCHEMA = (
     "population long, ancestor_ids array<long>, lat double, lon double"
 )
 
+# GeonamesUtil.mapType feature mapping (GeonamesUtil.java:25-52):
+# full feature code first, then feature class, else UNDETERMINED
+_GEONAMES_TYPE = {
+    "A": "UNIT", "A.PCL": "COUNTRY", "A.PCLF": "COUNTRY",
+    "A.PCLH": "COUNTRY", "A.PCLI": "COUNTRY", "A.PCLIX": "COUNTRY",
+    "A.PCLS": "COUNTRY", "H": "LANDMARK", "L": "POI",
+    "L.AREA": "REGION", "L.COLF": "REGION", "L.CONT": "CONTINENT",
+    "L.RGN": "REGION", "L.RGNE": "REGION", "L.RGNH": "REGION",
+    "L.RGNL": "REGION", "P": "CITY", "R": "POI", "S": "POI",
+    "T": "LANDMARK", "U": "LANDMARK", "U.BDLU": "REGION",
+    "U.PLNU": "REGION", "U.PRVU": "REGION", "V": "POI",
+}
+
+
+def gazetteer_from_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Geonames-format gazetteer ingest (GeonamesImporter.java:495-510
+    column layout: id, name, asciiname, alternatenames, lat, lon,
+    featureClass, featureCode, countryCode, ..., population) → the
+    pipeline's GAZETTEER_SCHEMA. Pure DataFrame ops — at full Geonames
+    scale (12M rows) this is one distributed CSV scan; type mapping is
+    the GeonamesUtil table as a chained column expression."""
+    raw = (spark.read.option("sep", "\t").option("quote", "")
+           .csv(path))
+    code_full = F.concat_ws(".", F.col("_c6"), F.col("_c7"))
+    type_col = F.coalesce(
+        *[F.when(code_full == k, F.lit(v))
+          for k, v in _GEONAMES_TYPE.items() if "." in k],
+        *[F.when(F.col("_c6") == k, F.lit(v))
+          for k, v in _GEONAMES_TYPE.items() if "." not in k],
+        F.lit("UNDETERMINED"))
+    return raw.select(
+        F.col("_c0").cast("long").alias("id"),
+        F.col("_c1").alias("name"),
+        F.when(F.col("_c3").isNull() | (F.col("_c3") == ""),
+               F.array().cast("array<string>"))
+        .otherwise(F.split("_c3", ",")).alias("alt_names"),
+        type_col.alias("type"),
+        F.greatest(F.col("_c14").cast("long"), F.lit(0))
+        .alias("population"),
+        F.array().cast("array<long>").alias("ancestor_ids"),
+        F.col("_c4").cast("double").alias("lat"),
+        F.col("_c5").cast("double").alias("lon"),
+    )
+
 
 def gazetteer(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(

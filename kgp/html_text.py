@@ -651,6 +651,47 @@ def _extract_title(root: Node) -> str:
     return ""
 
 
+def get_entire_text_content(full_text: str) -> str:
+    """getEntireTextContent port (PalladianContentExtractor.java:
+    209-216): drop tab runs, blank out short (≤40-char) lines,
+    collapse whitespace-bridged and repeated newlines. Includes
+    comments etc. — the 'everything textual' view."""
+    t = regex.sub(r"(\t)+", "", full_text)
+    t = regex.sub(r"(?m)^.{0,40}$", "\n", t)
+    t = regex.sub(r"\n(\s)+\n", "\n\n", t)
+    t = regex.sub(r"(\n){2,}", "\n\n", t)
+    return t
+
+
+def get_result_title(root: Node, main_text: str = "") -> str:
+    """getResultTitle port (PalladianContentExtractor.java:700-737):
+    last <h1> outside header/footer (readable text, newlines → ' - '),
+    else <title> up to '|', else the main text's first 20 words."""
+    pmap = _parent_index_map(root)
+
+    def in_chrome(n: Node) -> bool:
+        cur = n
+        while id(cur) in pmap:
+            cur = pmap[id(cur)][0]
+            if cur.tag in ("header", "footer"):
+                return True
+        return False
+
+    h1s = [n for n in root.iter() if n.tag == "h1" and not in_chrome(n)]
+    title = ""
+    if h1s:
+        title = " ".join(
+            document_to_readable_text(h1s[-1])
+            .replace("\n", " - ").split()).strip(" -")
+    if not title:
+        tnode = next((n for n in root.iter() if n.tag == "title"), None)
+        if tnode is not None:
+            title = regex.sub(r"\|.*", "", tnode.text_content()).strip()
+        else:
+            title = " ".join(main_text.split()[:20])
+    return title
+
+
 _TLD_LANG = {".de": "de", ".at": "de", ".ch": "de", ".fr": "fr",
              ".es": "es", ".it": "it", ".nl": "nl", ".se": "sv",
              ".cn": "zh", ".uk": "en", ".com": "en", ".org": "en",

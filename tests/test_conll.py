@@ -118,3 +118,47 @@ def test_end_to_end_conll_evaluation(spark):
     # NER stack silently degenerating (reference reports ~0.5-0.8 MUC
     # F1 for dictionary-seeded English mode on CoNLL-style data)
     assert f1 > 0.45, (f1, r.precision("MUC"), r.recall("MUC"))
+
+
+def test_tag_text_writers():
+    from kgp.conll import tag_text
+    text = "John Smith visited Berlin."
+    anns = [Ann(0, "John Smith", "PER"), Ann(19, "Berlin", "LOC")]
+    assert tag_text(text, anns, "XML") == \
+        "<PER>John Smith</PER> visited <LOC>Berlin</LOC>."
+    assert tag_text(text, anns, "BRACKETS") == \
+        "[PER John Smith ] visited [LOC Berlin ]."
+    slashes = tag_text(text, anns, "SLASHES")
+    assert "John/PER Smith/PER" in slashes and "Berlin/LOC" in slashes
+    # misaligned annotation raises
+    with pytest.raises(ValueError):
+        tag_text(text, [Ann(0, "Jane Doe", "PER")], "XML")
+    # nested annotations skipped
+    nested = [Ann(0, "John Smith", "PER"), Ann(5, "Smith", "PER")]
+    assert tag_text(text, nested, "XML").count("<PER>") == 1
+
+
+def test_gazetteer_from_csv(spark, tmp_path):
+    from kgp.corpus import gazetteer_from_csv
+    rows = [
+        # id name ascii alts lat lon fclass fcode cc8 c9 a1 a2 a3 a4 pop
+        "2950159\tBerlin\tBerlin\tBerlino,Berlijn\t52.52\t13.40\tP\tPPLC"
+        "\tDE\t\t16\t00\t\t\t3426354",
+        "2921044\tGermany\tGermany\tDeutschland\t51.5\t10.5\tA\tPCLI"
+        "\tDE\t\t00\t\t\t\t82927922",
+        "6255148\tEurope\tEurope\t\t48.69\t9.14\tL\tCONT\t\t\t\t\t\t\t0",
+        "3034720\tSomething\tSomething\t\t47.0\t2.0\tX\tWEIRD"
+        "\t\t\t\t\t\t\t-1",
+    ]
+    p = tmp_path / "geonames.txt"
+    p.write_text("\n".join(rows))
+    gaz = {r.id: r for r in
+           gazetteer_from_csv(spark, str(p)).collect()}
+    assert gaz[2950159].type == "CITY"
+    assert gaz[2950159].alt_names == ["Berlino", "Berlijn"]
+    assert gaz[2950159].population == 3426354
+    assert gaz[2921044].type == "COUNTRY"       # A.PCLI full-code match
+    assert gaz[6255148].type == "CONTINENT"     # L.CONT full-code match
+    assert gaz[3034720].type == "UNDETERMINED"
+    assert gaz[3034720].population == 0         # clamped at 0
+    assert abs(gaz[2950159].lat - 52.52) < 1e-9

@@ -256,3 +256,30 @@ def test_document_to_readable_text():
     assert "one" in out and "two" in out and "skip" not in out
     # block elements newline on enter AND leave
     assert "\none\n" in out
+
+
+def test_get_entire_text_content():
+    from kgp.html_text import get_entire_text_content
+    full = ("Nav\n\tHome\nA proper long line of article text that "
+            "survives the short-line filter easily.\nok\n\n\n\nEnd of "
+            "the document with another long enough line to keep here.")
+    out = get_entire_text_content(full)
+    assert "article text" in out
+    assert "\t" not in out
+    assert "Nav" not in out          # ≤40-char lines blanked
+    assert "\n\n\n" not in out       # newline runs collapsed
+
+
+def test_get_result_title_paths():
+    from kgp.html_text import get_result_title
+    root = parse_html("<html><body><header><h1>Site</h1></header>"
+                      "<h1>First</h1><div><h1>Real Article Title</h1>"
+                      "</div></body></html>")
+    assert get_result_title(root) == "Real Article Title"  # last, no chrome
+    root2 = parse_html("<html><head><title>Page Title | Site</title>"
+                       "</head><body><p>x</p></body></html>")
+    assert get_result_title(root2) == "Page Title"
+    root3 = parse_html("<div><p>x</p></div>")
+    words = " ".join(f"w{i}" for i in range(30))
+    assert get_result_title(root3, words) == \
+        " ".join(f"w{i}" for i in range(20))
