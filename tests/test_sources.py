@@ -1,0 +1,72 @@
+"""WARC / JSONL page sources: round-trip + extraction compatibility."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from kgp.sources import (pages_from_jsonl, pages_from_warc,
+                         parse_warc_records, write_warc)
+
+
+def _sample_pages():
+    return [
+        {"url": "https://a.example.com/1.html", "warc_ts": None,
+         "html": b"<html><body><p>Alpha page body.</p></body></html>"},
+        {"url": "https://b.example.com/2.html", "warc_ts": None,
+         "html": "<html><body><p>café üml</p></body></html>"
+                 .encode("utf-8")},
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip(tmp_path, spark):
+    pages = _sample_pages()
+    raw = write_warc(pages)
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "a.warc").write_bytes(raw)
+    (tmp_path / "w" / "b.warc.gz").write_bytes(gzip.compress(raw))
+    got = pages_from_warc(spark, str(tmp_path / "w")).collect()
+    assert len(got) == 2 * len(pages)  # both files parsed
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r.url, []).append(bytes(r.html))
+    for p in pages:
+        assert by_url[p["url"]] == [p["html"], p["html"]]  # byte-exact
+
+
+def test_warc_record_parser_skips_non_response():
+    raw = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+           b"\r\ninfo\r\n\r\n") + write_warc(_sample_pages()[:1])
+    records = list(parse_warc_records(raw))
+    assert len(records) == 2
+    assert records[0][0]["warc-type"] == "warcinfo"
+    assert records[1][0]["warc-type"] == "response"
+    assert records[1][1].startswith(b"HTTP/1.1 200 OK")
+
+
+def test_warc_pages_feed_extraction(tmp_path, spark):
+    from kgp.html_text import extract_stage
+    pages = [{"url": "https://x.example.com/a.html", "warc_ts": None,
+              "html": (b"<html lang=\"en\"><body><div>"
+                       b"<h1>Title</h1><p>A first proper sentence "
+                       b"lives here. And a second one too.</p>"
+                       b"</div></body></html>")}]
+    (tmp_path / "w2").mkdir()
+    (tmp_path / "w2" / "c.warc").write_bytes(write_warc(pages))
+    df = pages_from_warc(spark, str(tmp_path / "w2"))
+    docs = extract_stage(df.withColumn("warc_ts", F.current_timestamp()))
+    row = docs.first()
+    assert "first proper sentence" in row.text
+
+
+def test_pages_from_jsonl(tmp_path, spark):
+    rows = [{"url": "https://j.example.com/1.html",
+             "warc_ts": "2024-01-01T00:00:00Z",
+             "html": "<p>json page</p>"}]
+    p = tmp_path / "pages.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    got = pages_from_jsonl(spark, str(p)).collect()
+    assert got[0].url == rows[0]["url"]
+    assert bytes(got[0].html) == b"<p>json page</p>"
