@@ -237,6 +237,27 @@ def get_left_contexts(text: str, start: int, size: int = 3) -> list[str]:
     return contexts
 
 
+def get_right_contexts(text: str, end: int, size: int = 3) -> list[str]:
+    """NerHelper.getRightContexts port (NerHelper.java:270-298):
+    cumulated right tokens of length 1..size, digits masked with '§',
+    trailing punctuation stripped per token."""
+    contexts: list[str] = []
+    buf: list[str] = []
+    for idx in range(end, len(text)):
+        ch = text[idx]
+        buf.append(ch)
+        if ch == " " or idx == 0:
+            value = regex.sub(r"\d", "§", "".join(buf).strip())
+            if value:
+                if value[-1] in ".,:;?!":
+                    value = value[:-1]
+                if value:
+                    contexts.append(value)
+        if len(contexts) == size:
+            break
+    return contexts
+
+
 def get_sub_phrases(string: str) -> list[str]:
     """StringHelper.getSubPhrases port (StringHelper.java:2061-2081):
     every contiguous word span."""
