@@ -828,7 +828,8 @@ MENTION_SCHEMA = T.ArrayType(T.StructType([
 
 
 def detect_mentions(docs: DataFrame, model_bc,
-                    tag_dates: bool = True) -> DataFrame:
+                    tag_dates: bool = True,
+                    carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """docs -> mentions(url, sent_idx, start, end, surface, tag, score,
     sent_text).
 
@@ -856,7 +857,9 @@ def detect_mentions(docs: DataFrame, model_bc,
         return pd.Series(result)
 
     exploded = docs.select(
-        "url", F.explode(_mentions_udf("sentences")).alias("m"))
+        "url", *carry_cols,
+        F.explode(_mentions_udf("sentences")).alias("m"))
     return exploded.select(
-        "url", "m.sent_idx", "m.start", "m.end", "m.surface", "m.tag",
+        "url", *carry_cols,
+        "m.sent_idx", "m.start", "m.end", "m.surface", "m.tag",
         "m.score", "m.sent_start", "m.sent_text")
