@@ -146,9 +146,13 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check — see tests/test_dedup.py for golden coverage."""
+    """Full oracle: the sketch hash is md5-derived, so DuckDB
+    recomputes the exact 64-bit SimHash and the ≤3-Hamming pair set
+    (the Spark side's 4x16-bit pigeonhole banding is COMPLETE for
+    Hamming ≤ 3 — candidates+verify equals all-pairs)."""
     return _dedup.simhash_near_dups(_docs_table(spark, sf_dir),
-                                    max_hamming=3)
+                                    max_hamming=3) \
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +243,5 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": _oracle.media_stats_sql(),
         "media_features": _oracle.media_features_sql(),
         "minhash_pairs": _oracle.minhash_pairs_sql(),
-        # simhash_pairs intentionally omitted: the 64-bit blake2b
-        # SimHash sketch is not ANSI-SQL-expressible — rows-only check;
-        # pytest goldens cover its semantics (tests/test_dedup.py)
+        "simhash_pairs": _oracle.simhash_pairs_sql(),
     }

