@@ -180,12 +180,16 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lsh_entity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHashLSH fuzzy gazetteer candidate index over the corpus's
-    distinct mention surfaces — rows-only check (similarity join)."""
+    distinct mention surfaces. 15 hash tables push the LSH miss
+    probability at the 0.4 boundary to ~1e-6, so the exact-distance
+    filter makes this equal to the exact Jaccard cross product — which
+    the DuckDB oracle computes directly."""
     p = _products(spark, sf_dir)
     surfaces = p["mentions"].select("surface").distinct()
     return _linker.lsh_candidates(surfaces, _corpus.gazetteer(spark),
-                                  jaccard_max_dist=0.4) \
-        .select("surface", "entity_id", "canon_name")
+                                  jaccard_max_dist=0.4,
+                                  num_hash_tables=15) \
+        .select("surface", "entity_id", "canon_name").distinct()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -244,4 +248,5 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _oracle.media_features_sql(),
         "minhash_pairs": _oracle.minhash_pairs_sql(),
         "simhash_pairs": _oracle.simhash_pairs_sql(),
+        "lsh_entity_candidates": _oracle.lsh_entity_candidates_sql(),
     }

@@ -127,8 +127,9 @@ def triples_sql() -> str:
             + ") ORDER BY subj, pred, obj")
 
 
-def mentions_sql() -> str:
-    """Golden DISTINCT (url, surface, tag) mention surfaces."""
+def _mention_rows_sql() -> str:
+    """The UNION ALL body of golden (url, surface, tag) mention rows —
+    shared by mentions_sql and the LSH-candidate oracle."""
     sl = slots()
     url = url_sql()
     dotted_orgs = [o + "." for o in C.ORGS]
@@ -158,9 +159,60 @@ def mentions_sql() -> str:
         f"SELECT {url}, {_lit(C.DATE_SURFACE)}, 'DATETIME' "
         f"FROM documents WHERE doc_id % {C.S8_MOD} = {C.S8_VAL}",
     ]
+    return " UNION ALL ".join(selects)
+
+
+def mentions_sql() -> str:
+    """Golden DISTINCT (url, surface, tag) mention surfaces."""
     return ("SELECT DISTINCT url, surface, tag FROM ("
-            + " UNION ALL ".join(selects)
+            + _mention_rows_sql()
             + ") ORDER BY url, surface, tag")
+
+
+def lsh_entity_candidates_sql(max_dist: float = 0.4) -> str:
+    """EXACT padded-3-gram Jaccard candidate pairs between the corpus's
+    distinct mention surfaces and every gazetteer surface form. The
+    Spark side is MinHashLSH-then-exact-distance; with 15 hash tables
+    the per-pair miss probability at the 0.4 boundary is ≤ 0.4^15
+    (~1e-6), so candidates+filter equals the exact cross product."""
+    from kgp.corpus import gazetteer_rows
+    gaz_vals = []
+    for r in gazetteer_rows():
+        for form in [r["name"], *r["alt_names"]]:
+            gaz_vals.append(f"({r['id']}, {_lit(r['name'])}, "
+                            f"{_lit(form)})")
+    grams = ("list_transform(range(1, length(p) - 1), "
+             "i -> substring(p, CAST(i AS INT), 3))")
+    return f"""
+WITH surfaces AS (
+  SELECT DISTINCT surface FROM ({_mention_rows_sql()})
+), sg AS (
+  SELECT surface, unnest(list_distinct({grams})) AS g
+  FROM (SELECT surface, '##' || lower(surface) || '##' AS p
+        FROM surfaces)
+), gaz(entity_id, canon_name, form) AS (
+  VALUES {", ".join(gaz_vals)}
+), gg AS (
+  SELECT entity_id, canon_name, form,
+         unnest(list_distinct({grams})) AS g
+  FROM (SELECT entity_id, canon_name, form,
+               '##' || lower(form) || '##' AS p FROM gaz)
+), ssz AS (SELECT surface, count(*) AS ns FROM sg GROUP BY surface),
+gsz AS (SELECT entity_id, form, count(*) AS ng
+        FROM gg GROUP BY entity_id, form),
+inter AS (
+  SELECT sg.surface, gg.entity_id, gg.canon_name, gg.form,
+         count(*) AS i
+  FROM sg JOIN gg ON sg.g = gg.g
+  GROUP BY 1, 2, 3, 4
+)
+SELECT DISTINCT inter.surface AS surface, inter.entity_id AS entity_id,
+       inter.canon_name AS canon_name
+FROM inter
+JOIN ssz ON ssz.surface = inter.surface
+JOIN gsz ON gsz.entity_id = inter.entity_id AND gsz.form = inter.form
+WHERE 1.0 - i * 1.0 / (ns + ng - i) <= {max_dist}
+ORDER BY surface, entity_id"""
 
 
 def text_stats_sql() -> str:
