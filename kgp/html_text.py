@@ -143,6 +143,46 @@ def parse_html(html: str | bytes) -> Node:
     return p.root
 
 
+def parse_xml(content: str | bytes) -> Node:
+    """Strict XML/XHTML parse into the same Node DOM (the reference's
+    XmlParser next to its lenient HTML parser,
+    /root/reference/palladian-retrieval/src/main/java/ws/palladian/retrieval/parser/XmlParser.java):
+    stdlib ElementTree, namespaces stripped from tag names, falls back
+    to the lenient HTML parser on malformed input."""
+    import xml.etree.ElementTree as ET
+    if isinstance(content, (bytes, bytearray)):
+        content = bytes(content).decode("utf-8", errors="replace")
+    try:
+        root_el = ET.fromstring(content)
+    except ET.ParseError:
+        return parse_html(content)
+
+    def make(el) -> Node:
+        tag = el.tag.rsplit("}", 1)[-1].lower() \
+            if isinstance(el.tag, str) else "#comment"
+        n = Node(tag, {k.rsplit("}", 1)[-1]: v
+                       for k, v in el.attrib.items()})
+        if el.text:
+            n.children.append(Node("#text", data=el.text))
+        return n
+
+    # iterative conversion — adversarially deep XML must not blow the
+    # Python recursion limit inside a worker
+    doc = Node("#document")
+    root_node = make(root_el)
+    doc.children.append(root_node)
+    stack = [(root_el, root_node)]
+    while stack:
+        el, node = stack.pop()
+        for c in el:
+            cn = make(c)
+            node.children.append(cn)
+            if c.tail:
+                node.children.append(Node("#text", data=c.tail))
+            stack.append((c, cn))
+    return doc
+
+
 # ------------------------------------------------- documentToText port
 
 SKIP_NODES = {"script", "style", "#comment", "option", "meta", "head"}

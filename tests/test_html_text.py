@@ -283,3 +283,18 @@ def test_get_result_title_paths():
     words = " ".join(f"w{i}" for i in range(30))
     assert get_result_title(root3, words) == \
         " ".join(f"w{i}" for i in range(20))
+
+
+def test_parse_xml_strict_and_fallback():
+    from kgp.html_text import document_to_text, parse_xml
+    xml = ('<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/'
+           'xhtml"><body><div><p>strict xhtml text</p></div></body>'
+           '</html>')
+    root = parse_xml(xml)
+    assert "strict xhtml text" in document_to_text(root)
+    # namespaces stripped, attributes preserved
+    div = next(n for n in root.iter() if n.tag == "div")
+    assert div.tag == "div"
+    # malformed input falls back to the lenient HTML parser
+    bad = "<div><p>unclosed"
+    assert "unclosed" in document_to_text(parse_xml(bad))
