@@ -143,12 +143,21 @@ class FoundDate(NamedTuple):
     fmt: str
 
 
+_HAS_DIGIT = regex.compile(r"\d")
+
+
 def find_dates(text: str,
                formats: list[DateFormat] | None = None) -> list[FoundDate]:
     """DateParser.findDates port (DateParser.java:196-253): formats in
     order; each found date string masked with 'x' before later formats
     run; a match is skipped when the char before it is '.', or a
-    direct neighbor is a digit."""
+    direct neighbor is a digit.
+
+    Fast path: every format in the bank requires at least one digit,
+    so digit-free text (most prose sentences) skips the whole format
+    sweep — this runs per sentence in the NER hot path."""
+    if not _HAS_DIGIT.search(text):
+        return []
     fmts = formats if formats is not None else ALL_DATE_FORMATS
     chars = list(text)
     out: list[FoundDate] = []
