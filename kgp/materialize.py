@@ -156,3 +156,26 @@ def finalize_triples(triples: DataFrame) -> DataFrame:
                  F.min("url").alias("url"),
                  F.min("sent_idx").alias("sent_idx"),
                  F.count("*").alias("support")))
+
+
+# ------------------------------------------------------- bucketed tables
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int = 64,
+                   sort_cols: list[str] | None = None) -> None:
+    """Materialize as a BUCKETED table (saveAsTable — bucket metadata
+    lives in the session catalog; on a cluster this is the Iceberg
+    bucket-partition transform). Joins/aggregations between tables
+    bucketed the same way on the same keys run WITHOUT a shuffle —
+    the pre-partitioning that turns the pipeline's repeated
+    entity/url joins into map-side work at 100 TB."""
+    w = (df.write.mode("overwrite")
+         .bucketBy(num_buckets, *bucket_cols))
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

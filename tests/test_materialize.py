@@ -65,3 +65,30 @@ def test_full_checksum_mode(spark, tmp_path, monkeypatch):
     lin = materialize.lineage(spark, str(tmp_path))
     rows = lin.where(F.col("stage") == "full").collect()
     assert sum(r.output_rows for r in rows) == 40
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT any Exchange —
+    the co-located-join contract that removes the biggest shuffle from
+    repeated entity joins at scale."""
+    from kgp.materialize import read_bucketed, write_bucketed
+    from pyspark.sql import functions as F
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v1"))
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v2"))
+        write_bucketed(left, "bk_left", ["k"], num_buckets=8,
+                       sort_cols=["k"])
+        write_bucketed(right, "bk_right", ["k"], num_buckets=8,
+                       sort_cols=["k"])
+        joined = read_bucketed(spark, "bk_left").join(
+            read_bucketed(spark, "bk_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
