@@ -57,3 +57,77 @@ def largest_distance(coords: list[tuple[float, float]]) -> float:
             if d > best:
                 best = d
     return best
+
+
+# ---------------------------------------------- DMS / coordinate tagging
+# CoordinateTagger + GeoUtils.parseDms port
+# (/root/reference/palladian-core/src/main/java/ws/palladian/extraction/location/CoordinateTagger.java:30-90,
+#  /root/reference/palladian-commons/src/main/java/ws/palladian/helper/geo/GeoUtils.java:28-31,186-203)
+
+import re as _re
+from typing import NamedTuple as _NamedTuple
+
+DMS = (r"([-+]?\d{1,3}(?:\.\d{1,10})?)[°ºd:]"
+       r"(?:\s?(\d{1,2}(?:\.\d{1,10})?))?['′:]?"
+       r"(?:\s?(\d{1,2}(?:\.\d{1,10})?))?(?:\"|″|'')?"
+       r"(?:\s?(N|S|W|E|North|South|West|East))?")
+_LEFT, _RIGHT = r"(?<!\w)", r"(?!\w)"
+_DEG = r"([-+]?\d{1,3}\.\d{1,10})([NSWE])?"
+_SEP = r"(?:,\s?|\s)"
+_PATTERN_DEG = _re.compile(_LEFT + "(" + _DEG + ")" + _SEP
+                           + "(" + _DEG + ")" + _RIGHT)
+_PATTERN_DMS = _re.compile(_LEFT + "(" + DMS + ")" + _SEP
+                           + "(" + DMS + ")" + _RIGHT)
+_PARSE_DMS = _re.compile(DMS)
+
+
+def parse_dms(dms: str) -> float:
+    """GeoUtils.parseDms port: degrees[°ºd:] minutes seconds with an
+    optional hemisphere word deciding the sign."""
+    m = _PARSE_DMS.fullmatch(dms.strip())
+    if not m:
+        raise ValueError(f"not a DMS expression: {dms!r}")
+    degrees = float(m.group(1))
+    ws = m.group(4)
+    if ws is not None:
+        sign = -1 if ws in ("W", "S", "West", "South") else 1
+    else:
+        sign = -1 if m.group(1).startswith("-") else 1
+    minutes = float(m.group(2)) if m.group(2) else 0.0
+    seconds = float(m.group(3)) if m.group(3) else 0.0
+    return sign * (abs(degrees) + minutes / 60.0 + seconds / 3600.0)
+
+
+def is_valid_coordinate(lat: float, lon: float) -> bool:
+    return -90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0
+
+
+class CoordinateAnnotation(_NamedTuple):
+    start: int
+    value: str
+    lat: float
+    lon: float
+
+
+def tag_coordinates(text: str) -> list[CoordinateAnnotation]:
+    """CoordinateTagger.getAnnotations port: decimal-degree pairs
+    (optionally hemisphere-suffixed) and DMS pairs."""
+    out: list[CoordinateAnnotation] = []
+    for m in _PATTERN_DEG.finditer(text):
+        lat, lon = float(m.group(2)), float(m.group(5))
+        if m.group(3) == "S":
+            lat = -lat
+        if m.group(6) == "W":
+            lon = -lon
+        if is_valid_coordinate(lat, lon):
+            out.append(CoordinateAnnotation(m.start(), m.group(),
+                                            lat, lon))
+    for m in _PATTERN_DMS.finditer(text):
+        try:
+            lat, lon = parse_dms(m.group(1)), parse_dms(m.group(6))
+        except ValueError:
+            continue
+        if is_valid_coordinate(lat, lon):
+            out.append(CoordinateAnnotation(m.start(), m.group(),
+                                            lat, lon))
+    return out

@@ -185,3 +185,36 @@ def test_link_mentions_reference_spark(spark):
     assert out["Freedonia"].entity_id == 4000
     assert out["Nonsense"].entity_id is None
     assert out["Nonsense"].canon_name == "Nonsense"
+
+
+def test_coordinate_tagger_reference_goldens():
+    # CoordinateTaggerTest goldens: decimal pairs, hemisphere suffixes,
+    # DMS variants; plain numbers must not tag
+    from kgp.geo import tag_coordinates
+    approx = pytest.approx
+
+    def one(text):
+        got = tag_coordinates(text)
+        assert len(got) == 1, (text, got)
+        return got[0]
+
+    a = one("40.446195, -79.948862")
+    assert (a.lat, a.lon) == approx((40.446195, -79.948862))
+    a = one("40.446195 -79.948862")
+    assert (a.lat, a.lon) == approx((40.446195, -79.948862))
+    a = one("40.446195N 79.948862W")
+    assert (a.lat, a.lon) == approx((40.446195, -79.948862))
+    a = one("40°26′47″N 079°58′36″W")
+    assert (a.lat, a.lon) == approx((40.446195, -79.948862), abs=0.05)
+    a = one("40d 26′ 47″ N 079d 58′ 36″ W")
+    assert (a.lat, a.lon) == approx((40.446195, -79.948862), abs=0.05)
+    a = one("40:26:46.302N 079:56:55.903W")
+    assert (a.lat, a.lon) == approx((40.446195, -79.948862), abs=0.05)
+    a = one("40° 26.7717, -79° 56.93172")
+    assert (a.lat, a.lon) == approx((40.446195, -79.948862), abs=0.05)
+    a = one("Mast Hill (68°11′S 67°0′W) is a hill 14 metres (46 ft) "
+            "high at the western end of Stonington Island.")
+    assert (a.lat, a.lon) == approx((-68.183333, -67.0), abs=0.05)
+    assert tag_coordinates("The cost of living index was listed as "
+                           "121.4, 21.4 points above the U.S. "
+                           "average.") == []
