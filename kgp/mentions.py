@@ -90,6 +90,33 @@ def candidate_annotations(text: str) -> list[Candidate]:
             for m in STRING_TAGGER_PATTERN.finditer(text) if m.group()]
 
 
+# RegExTagger family — UrlTagger (UrlTagger.java:13-23, tag "URI") and
+# TwitterTagger (TwitterTagger.java:14-22, tag "TWITTER", [@#]\\w+)
+
+URI_TAG_NAME = "URI"
+TWITTER_TAG_NAME = "TWITTER"
+_TWITTER_PATTERN = regex.compile(r"[@#][A-Za-z0-9_]+")
+
+
+def regex_tag(text: str, pattern, tag: str) -> list[dict]:
+    """RegExTagger.getAnnotations port: every match of the compiled
+    pattern becomes an annotation with the fixed tag (NBSP normalized
+    first, as replaceProtectedSpace does)."""
+    text = text.replace("\u00a0", " ")
+    return [{"start": m.start(), "end": m.end(), "surface": m.group(),
+             "tag": tag, "score": 1.0}
+            for m in pattern.finditer(text) if m.group()]
+
+
+def tag_urls(text: str) -> list[dict]:
+    from kgp.tokenize import URL_PATTERN
+    return regex_tag(text, URL_PATTERN, URI_TAG_NAME)
+
+
+def tag_twitter(text: str) -> list[dict]:
+    return regex_tag(text, _TWITTER_PATTERN, TWITTER_TAG_NAME)
+
+
 # ------------------------------------------------------- date fragments
 # RegExp.DATE_FRAGMENTS = month + weekday names
 # (/root/reference/palladian-commons/src/main/java/ws/palladian/helper/constants/RegExp.java:320)
@@ -461,7 +488,8 @@ def remove_nested(anns: list[tuple[int, int]]) -> list[int]:
 
 
 def tag_sentence(sentence: str, sent_start: int, model: NerModel,
-                 tag_dates: bool = True) -> list[dict]:
+                 tag_dates: bool = True,
+                 tag_uris: bool = False) -> list[dict]:
     """getAnnotationsInternal order (PalladianNer.java:419-437):
     StringTagger candidates → preProcessAnnotations (:603-626 pass
     order) → classifyCandidates gate (:446-456) → postProcessAnnotations
@@ -523,6 +551,15 @@ def tag_sentence(sentence: str, sent_start: int, model: NerModel,
         out.append({"start": sent_start + start,
                     "end": sent_start + start + len(value),
                     "surface": value, "tag": tag, "score": float(score)})
+    # URI add-back (PalladianNer.getAnnotations:452-459, tagUrls):
+    # UrlTagger annotations join the stream; removeNested then drops
+    # entity fragments that were part of a URL
+    if tag_uris:
+        for u in tag_urls(sentence):
+            out.append({"start": sent_start + u["start"],
+                        "end": sent_start + u["end"],
+                        "surface": u["surface"], "tag": u["tag"],
+                        "score": 1.0})
     # DATETIME add-back (PalladianNer.getAnnotations:462-470): tag
     # dates with DateAndTimeTagger semantics, then removeNested drops
     # entity fragments nested inside a date span (and vice versa)

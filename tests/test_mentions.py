@@ -394,3 +394,31 @@ def test_mention_offsets_slice_text(spark, sf_dir, mention_rows):
              .select("url", "text").collect()}
     for r in mention_rows[:200]:
         assert texts[r.url][r.start:r.end] == r.surface
+
+
+def test_regex_taggers_url_and_twitter():
+    from kgp.mentions import tag_twitter, tag_urls
+    got = tag_urls("see https://example.com/a?b=1 for details")
+    assert len(got) == 1 and got[0]["tag"] == "URI"
+    assert got[0]["surface"].startswith("https://example.com/a")
+    tw = tag_twitter("ping @alice about #Spark today")
+    assert [(t["surface"], t["tag"]) for t in tw] == \
+        [("@alice", "TWITTER"), ("#Spark", "TWITTER")]
+
+
+def test_uri_mention_add_back_removes_nested():
+    # PalladianNer.getAnnotations:452-459 — an entity-looking fragment
+    # inside a URL is dropped by nested removal once the URI is added
+    from kgp.mentions import NerModel, tag_sentence
+    model = NerModel(entity_dict={"acme corp": "ORG"},
+                     annotation_dict={}, priors={})
+    s = "Read www.AcmeCorp.com/Acme today."
+    with_uris = tag_sentence(s, 0, model, tag_dates=False, tag_uris=True)
+    tags = {(m["surface"], m["tag"]) for m in with_uris}
+    assert any(t == "URI" for _, t in tags), tags
+    # nothing nested inside the URI span survives
+    uri = next(m for m in with_uris if m["tag"] == "URI")
+    for m in with_uris:
+        if m is not uri:
+            assert not (m["start"] >= uri["start"]
+                        and m["end"] <= uri["end"])
