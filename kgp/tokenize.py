@@ -236,3 +236,93 @@ def all_char_edge_ngrams(string: str, n1: int, n2: int,
         for n in range(n1, n2 + 1):
             out |= char_edge_ngrams(part, n, must_hit_left_edge)
     return out
+
+
+def compute_starting_word_ngrams(string: str, n1: int,
+                                 n2: int) -> list[str]:
+    """Tokenizer.computeStartingWordNGrams port (Tokenizer.java:
+    247-265): word n-grams anchored at the START of the string, from
+    the longest (min(n2, words)) down, at most n2-n1+1 of them."""
+    split = string.split(" ")
+    n2 = min(n2, len(split))
+    out: list[str] = []
+    for i in range(min(len(split), n2 - n1 + 1)):
+        ngram = " ".join(split[:n2 - i]).strip()
+        if ngram:
+            out.append(ngram)
+    return out
+
+
+def compute_splits(string: str, n1: int, n2: int,
+                   max_splits: int) -> set[tuple[str, ...]]:
+    """Tokenizer.computeSplits port (Tokenizer.java:203-236): every way
+    of segmenting the string into starting n-grams of n1..n2 words,
+    capped at max_splits results."""
+    splits: set[tuple[str, ...]] = set()
+
+    def rec(current: list[str], rest: str) -> None:
+        if not rest:
+            splits.add(tuple(current))
+            if current:
+                current.pop()
+            return
+        if len(splits) >= max_splits:
+            return
+        for ngram in compute_starting_word_ngrams(rest, n1, n2):
+            current.append(ngram)
+            nxt = rest[len(ngram):].strip() if rest.startswith(ngram) \
+                else rest
+            rec(current, nxt)
+        if current:
+            current.pop()
+
+    rec([], string)
+    return splits
+
+
+def phrase_to_end_of_sentence(string: str) -> str:
+    """Tokenizer.getPhraseToEndOfSentence semantics: text up to the
+    first sentence delimiter (period not inside a number, or !/?)."""
+    end = len(string)
+    for i, ch in enumerate(string):
+        if ch in "!?":
+            end = i
+            break
+        if ch == ".":
+            prev_num = i > 0 and string[i - 1].isdigit()
+            next_num = i + 1 < len(string) and string[i + 1].isdigit()
+            if not (prev_num and next_num):
+                end = i
+                break
+    return string[:end]
+
+
+def phrase_from_beginning_of_sentence(string: str) -> str:
+    """Tokenizer.getPhraseFromBeginningOfSentence port (:369-438): text
+    after the last sentence delimiter, skipping periods inside numbers
+    (e.g. "30.2%")."""
+    string = regex.sub(r"  +", " ", string)
+    start = max(string.rfind("."), string.rfind("\n"))
+    ok = False
+    while not ok and start > -1:
+        if start >= len(string) - 1:
+            break
+        if start > 0:
+            ok = (not string[start - 1].isdigit()
+                  and string[start + 1].isupper())
+        if not ok and start < len(string) - 2:
+            ok = ((string[start + 2].isupper()
+                   or string[start + 2] in "-=")
+                  and string[start + 1] == " ")
+        if not ok and (string[start + 1] == "\n" or string[start] == "\n"):
+            ok = True
+        if ok:
+            break
+        start = string[:start].rfind(".") if start < len(string) - 1 \
+            else -1
+    for ch in "!?:":
+        i = string.rfind(ch)
+        if i > start:
+            start = i
+    string = string[start + 1:]
+    return string[1:] if string.startswith(" ") else string

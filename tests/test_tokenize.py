@@ -103,3 +103,33 @@ def test_offsets_reproject_onto_original():
     s = split_sentences(text)
     assert s[0].value == "Visit http://foo.example.com now."
     assert text[s[0].start:s[0].start + len(s[0].value)] == s[0].value
+
+
+def test_compute_starting_word_ngrams_golden():
+    # TokenizerTest.testComputeStartingWordNGrams (:33-39)
+    from kgp.tokenize import compute_starting_word_ngrams
+    got = compute_starting_word_ngrams("This is a test.", 1, 3)
+    assert "This" in got and "This is" in got and "This is a" in got
+    assert len(got) == 3
+
+
+def test_compute_splits():
+    from kgp.tokenize import compute_splits
+    got = compute_splits("a b c", 1, 2, 500)
+    assert ("a", "b", "c") in got
+    assert ("a b", "c") in got
+    assert ("a", "b c") in got
+    assert ("a b c",) not in got        # 3-gram exceeds n2=2
+    # max_splits caps the search
+    assert len(compute_splits("a b c d e f", 1, 3, 2)) <= 2
+
+
+def test_phrase_helpers():
+    from kgp.tokenize import (phrase_from_beginning_of_sentence,
+                              phrase_to_end_of_sentence)
+    assert phrase_to_end_of_sentence("Costs 30.2% more. Next") == \
+        "Costs 30.2% more"
+    assert phrase_from_beginning_of_sentence(
+        "It rose 30.2% today. The next phrase") == "The next phrase"
+    assert phrase_from_beginning_of_sentence("no delimiters here") == \
+        "no delimiters here"
