@@ -186,3 +186,19 @@ def tag_datetimes(text: str) -> list[FoundDate]:
     (DateAndTimeTagger.java:42-59): all default formats plus in-context
     years; one annotation per found date occurrence."""
     return find_dates(text, DEFAULT_TAGGER_FORMATS)
+
+
+# ---- URL date formats (RegExp.java:96-113) --------------------------
+
+DATE_URL_D = _df(
+    "|".join(_g(YEAR_SHORT_LONG) + sep + _g(MONTH_NUMBER_DOUBLE)
+             + sep + _g(DAY_OF_MONTH)
+             for sep in ("/", "_", r"\.", "-")), "YYYY_MM_DD")
+DATE_URL_SPLIT = _df(
+    LONG_YEAR + "/.+/" + _g(MONTH_NUMBER_DOUBLE) + "[/._-]"
+    + _g(DAY_OF_MONTH), "YYYY.x.MM.DD")
+DATE_URL = _df(
+    _g(YEAR_SHORT_LONG) + "[/._-]" + _g(MONTH_NUMBER_DOUBLE), "YYYY_MM")
+
+URL_DATE_FORMATS: list[DateFormat] = [DATE_URL_D, DATE_URL_SPLIT,
+                                      DATE_URL]

@@ -72,3 +72,33 @@ def test_datetime_mention_add_back():
     d = next(m for m in got if m["tag"] == "DATETIME")
     assert d["start"] == 100 + 21
     assert all(f.pattern for f in ALL_DATE_FORMATS)
+
+
+def test_url_date_formats():
+    from kgp.dates import URL_DATE_FORMATS, find_dates
+    got = find_dates("https://ex.com/2021/03/05/story.html",
+                     URL_DATE_FORMATS)
+    assert got and got[0].value == "2021/03/05"
+
+
+def test_publish_date_priority():
+    from kgp.html_text import parse_html
+    from kgp.pagedates import get_publish_date, meta_dates
+    html = ('<html><head>'
+            '<meta property="article:published_time" '
+            'content="2021-03-05T10:00:00Z">'
+            '</head><body><p>Updated on March 9, 2021.</p></body></html>')
+    root = parse_html(html)
+    got = get_publish_date(root, "https://ex.com/2020/01/02/x.html",
+                           "Updated on March 9, 2021.")
+    assert got.source == "meta" and got.value.startswith("2021-03-05")
+    # without meta, the URL wins over body text
+    root2 = parse_html("<html><body><p>March 9, 2021.</p></body></html>")
+    got2 = get_publish_date(root2, "https://ex.com/2020/01/02/x.html",
+                            "March 9, 2021 was the day.")
+    assert got2.source == "url" and got2.value == "2020/01/02"
+    # content-only fallback
+    got3 = get_publish_date(root2, "https://ex.com/about.html",
+                            "March 9, 2021 was the day.")
+    assert got3.source == "content" and got3.value == "March 9, 2021"
+    assert meta_dates(root2) == []
