@@ -8,13 +8,12 @@ formats are tried in declaration order, every found date string is
 masked with 'x' before later (less specific) formats run, matches
 directly neighboring digits or starting after a '.' are rejected.
 
-The ported subset is the PROSE families — three-part, two-part, RFC
-1123 / ANSI C and the in-context year — i.e. everything
-DateAndTimeTagger.DEFAULT can meet in sentence text. URL formats
-(DATE_URL_*), compact ISO (YYYYMMDD) and the with-time variants are
-deliberately out: they never appear inside prose sentences, which is
-the only place the NER add-back (PalladianNer.getAnnotations:462-470)
-looks.
+The default bank holds the PROSE families — three-part, two-part,
+RFC 1123 / ANSI C and the in-context year — i.e. everything
+DateAndTimeTagger.DEFAULT can meet in sentence text; the URL path
+formats live in URL_DATE_FORMATS (used by kgp.pagedates, never by the
+NER add-back). Compact ISO (YYYYMMDD) and the with-time variants stay
+out: they do not occur in the surfaces this pipeline scans.
 
 Pure Python (regex) — executed inside the mentions pandas UDF; no
 Spark state.
