@@ -809,3 +809,136 @@ def extract_stage(pages: DataFrame, sentence_lang: str = "en") -> DataFrame:
         F.col("ex.text").alias("text"),
         F.col("ex.sentences").alias("sentences"),
     )
+
+
+# ------------------------------------------------ images (metadata only)
+# getImages / getDominantImage port (PalladianContentExtractor.java:
+# 545-620, 897-996) — image METADATA extraction; decoding lives in
+# kgp.multimodal.
+
+
+def get_images(root: Node, base_url: str = "") -> list[dict]:
+    """All <img> references with absolutized URLs and declared
+    dimensions: [{url, width, height, alt, title}]."""
+    from urllib.parse import urljoin
+    base = base_url
+    for n in root.iter():
+        if n.tag == "base" and n.attrs.get("href"):
+            base = urljoin(base_url, str(n.attrs["href"]))
+            break
+
+    def dim(v):
+        try:
+            return int(str(v).rstrip("px"))
+        except (TypeError, ValueError):
+            return -1
+
+    out = []
+    for n in root.iter():
+        if n.tag == "img" and n.attrs.get("src"):
+            out.append({
+                "url": urljoin(base, str(n.attrs["src"])),
+                "width": dim(n.attrs.get("width")),
+                "height": dim(n.attrs.get("height")),
+                "alt": str(n.attrs.get("alt") or ""),
+                "title": str(n.attrs.get("title") or ""),
+            })
+    return out
+
+
+def get_dominant_image(root: Node, base_url: str = "") -> dict | None:
+    """The page's main image, by the reference's cascade: og:image meta
+    beats itemprop=image/id=photo containers beats main-photo/main-image
+    classes beats the biggest non-chrome, non-icon body image."""
+    from urllib.parse import urljoin
+    pmap = _parent_index_map(root)
+
+    def in_chrome(n: Node) -> bool:
+        cur = n
+        while id(cur) in pmap:
+            cur = pmap[id(cur)][0]
+            if cur.tag in ("header", "footer"):
+                return True
+        return False
+
+    for n in root.iter():
+        if n.tag == "meta" \
+                and str(n.attrs.get("property") or "") == "og:image" \
+                and n.attrs.get("content"):
+            return {"url": urljoin(base_url,
+                                   str(n.attrs["content"]).strip()),
+                    "width": -1, "height": -1, "alt": "", "title": ""}
+
+    def first_img_src(container: Node):
+        for c in container.iter():
+            if c.tag == "img" and c.attrs.get("src"):
+                return urljoin(base_url, str(c.attrs["src"]))
+        return None
+
+    for n in root.iter():
+        if n.tag in ("#text", "#comment") or in_chrome(n):
+            continue
+        ip = str(n.attrs.get("itemprop") or "").lower()
+        nid = str(n.attrs.get("id") or "").lower()
+        if ip == "image" or nid == "photo":
+            url = (urljoin(base_url, str(n.attrs["src"]))
+                   if n.tag == "img" and n.attrs.get("src")
+                   else first_img_src(n))
+            if url:
+                return {"url": url, "width": -1, "height": -1,
+                        "alt": "", "title": ""}
+
+    for n in root.iter():
+        if n.tag == "img" and not in_chrome(n):
+            cls = str(n.attrs.get("class") or "")
+            if ("main-photo" in cls or "main-image" in cls) \
+                    and n.attrs.get("src"):
+                return {"url": urljoin(base_url, str(n.attrs["src"])),
+                        "width": -1, "height": -1, "alt": "",
+                        "title": ""}
+
+    def linked_to_index(n: Node) -> bool:
+        cur = n
+        while id(cur) in pmap:
+            cur = pmap[id(cur)][0]
+            if cur.tag == "a":
+                href = str(cur.attrs.get("href") or "")
+                if "index" in href or href == "":
+                    return True
+        return False
+
+    candidates = []
+    for n in root.iter():
+        if n.tag == "img" and n.attrs.get("src") \
+                and not in_chrome(n) and not linked_to_index(n):
+            src = str(n.attrs["src"])
+            if not src.lower().split("?")[0].endswith(
+                    (".jpg", ".jpeg", ".png")):
+                continue
+            def d(v):
+                try:
+                    return int(str(v).rstrip("px"))
+                except (TypeError, ValueError):
+                    return -1
+            candidates.append({"url": urljoin(base_url, src),
+                               "width": d(n.attrs.get("width")),
+                               "height": d(n.attrs.get("height")),
+                               "alt": str(n.attrs.get("alt") or ""),
+                               "title": str(n.attrs.get("title") or "")})
+    if not candidates:
+        return None
+    seen: dict[str, dict] = {}
+    for c in candidates:
+        seen[c["url"]] = c
+    candidates = list(seen.values())
+    first = candidates[0]
+    if max(first["width"], 0) * max(first["height"], 0) < 10_000:
+        candidates = [c for c in candidates
+                      if "icon" not in c["url"].lower()] or candidates
+        candidates = [c for c in candidates
+                      if c["width"] < 0 or c["height"] < 0
+                      or (c["width"] > 50 and c["height"] > 50)] \
+            or candidates
+        candidates.sort(key=lambda c: max(c["width"], 0)
+                        * max(c["height"], 0), reverse=True)
+    return candidates[0]

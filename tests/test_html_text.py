@@ -298,3 +298,31 @@ def test_parse_xml_strict_and_fallback():
     # malformed input falls back to the lenient HTML parser
     bad = "<div><p>unclosed"
     assert "unclosed" in document_to_text(parse_xml(bad))
+
+
+def test_get_images_and_dominant_image():
+    from kgp.html_text import get_dominant_image, get_images
+    html = ('<html><head><base href="https://cdn.ex.com/"></head><body>'
+            '<header><img src="logo.png" width="40" height="40"></header>'
+            '<img src="icon-small.png" width="16" height="16">'
+            '<img src="article/big.jpg" width="640" height="480" '
+            'alt="Hero">'
+            '</body></html>')
+    root = parse_html(html)
+    imgs = get_images(root, "https://site.ex.com/a/")
+    assert [i["url"] for i in imgs] == [
+        "https://cdn.ex.com/logo.png",
+        "https://cdn.ex.com/icon-small.png",
+        "https://cdn.ex.com/article/big.jpg"]
+    dom = get_dominant_image(root, "https://site.ex.com/a/")
+    assert dom["url"].endswith("article/big.jpg")   # header+icon excluded
+
+    og = parse_html('<html><head><meta property="og:image" '
+                    'content="https://x.com/hero.jpg"></head>'
+                    '<body><img src="a.jpg"></body></html>')
+    assert get_dominant_image(og)["url"] == "https://x.com/hero.jpg"
+
+    ip = parse_html('<html><body><div itemprop="image">'
+                    '<img src="https://x.com/item.jpg"></div>'
+                    "</body></html>")
+    assert get_dominant_image(ip)["url"] == "https://x.com/item.jpg"
