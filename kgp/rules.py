@@ -144,3 +144,46 @@ def apply_rules(rules: list[Rule], text: str,
         tag = counter.most_common(1)[0][0] if counter else None
         out.append(RuleAnnotation(start, value, tag))
     return out
+
+
+# ----------------------------------------------------- address tagging
+# AddressTagger port
+# (/root/reference/palladian-core/src/main/java/ws/palladian/extraction/location/AddressTagger.java:25-113)
+
+_STREET_PATTERN = re.compile(
+    r"[A-Za-z]+(?:\s[A-Za-z]+)?(?:\sstreet$|\sroad$|\savenue$|\save\."
+    r"|boulevard$|straße$|strasse$|gasse$|straat|\sdrive|\sst\."
+    r"|\strafficway)|"
+    r"(?:^rue\s.+|via\s.+|viale\s.+)[A-Za-z]+(?:\s[A-Za-z]+)?",
+    re.IGNORECASE)
+
+
+def tag_addresses(text: str) -> list[RuleAnnotation]:
+    """Street names (STREET) from string-tagger candidates of at most
+    four tokens matching the suffix/prefix street pattern, plus their
+    neighboring street numbers (STREETNR), sorted by offset."""
+    from kgp.mentions import candidate_annotations
+    out: list[RuleAnnotation] = []
+    for a in candidate_annotations(text):
+        value = a.value
+        if len(value.split(" ")) > 4:
+            continue
+        end = a.start + len(value)
+        # "Bla St" whose '.' the string tagger swallowed
+        if value.endswith(" St") and end < len(text) \
+                and text[end] == ".":
+            value += "."
+        if _STREET_PATTERN.fullmatch(value):
+            out.append(RuleAnnotation(a.start, value, "STREET"))
+    numbers: list[RuleAnnotation] = []
+    for street in out:
+        quoted = re.escape(street.value)
+        for m in re.finditer(quoted + r"\s(\d+)", text):
+            numbers.append(RuleAnnotation(m.start(1), m.group(1),
+                                          "STREETNR"))
+        for m in re.finditer(r"(\d+)\s" + quoted, text):
+            numbers.append(RuleAnnotation(m.start(1), m.group(1),
+                                          "STREETNR"))
+    out.extend(numbers)
+    out.sort(key=lambda r: (r.start, -len(r.value)))
+    return out

@@ -51,3 +51,20 @@ def test_rule_actions_individually():
     assert "Dr. Jones" not in got            # REMOVE_FRAGMENTS…
     assert "Jones" not in got                # …removes shared-token anns
     assert "XY" not in got                   # regex entity rule
+
+
+def test_address_tagger():
+    from kgp.rules import tag_addresses
+    got = tag_addresses("He lives at 22 Baker Street near the park.")
+    kinds = {(r.value, r.tag) for r in got}
+    assert ("Baker Street", "STREET") in kinds
+    assert ("22", "STREETNR") in kinds
+    # the sentence-start candidate includes "Take" — faithful to the
+    # reference, whose StringTagger emits the same span
+    got2 = tag_addresses("Take Fifth Avenue 101 towards downtown.")
+    kinds2 = {(r.value, r.tag) for r in got2}
+    assert ("Take Fifth Avenue", "STREET") in kinds2
+    assert ("101", "STREETNR") in kinds2
+    # non-streets don't tag
+    assert not any(r.tag == "STREET"
+                   for r in tag_addresses("Acme Corp met John Smith."))
