@@ -190,6 +190,8 @@ FIXTURES = [
     ("test003.html", "beste TV-Serie nach Twin Peaks", "Impressum"),
     ("test004.html", "Stadtplanungsamt veranstaltet", "Impressum"),
     ("test005.html", "i read on my kindle", "Comments"),
+    ("test015.html", "working remotely from home", "Subscribe"),
+    ("test020.html", "US heatwave raises climate", "Terms of Use"),
 ]
 
 
