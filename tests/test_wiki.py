@@ -1,0 +1,105 @@
+"""MediaWiki template/infobox parity — goldens from
+MediaWikiUtilTest.testTemplateExtraction (:22-32) and
+WikiPageTest.testInfoboxExtraction (:36-76) on the reference's own
+wikipedia fixture files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kgp.wiki import (extract_template, get_categories, get_infoboxes,
+                      get_redirect_title, infobox_triples)
+
+WIKI_DIR = "/root/reference/palladian-core/src/test/resources/wikipedia"
+
+
+def _fixture(name):
+    path = os.path.join(WIKI_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip("reference wikipedia fixtures not available")
+    return open(path, encoding="utf-8").read()
+
+
+def test_template_extraction_named_and_positional():
+    quote = ('{{Quote|text=Cry "Havoc" and let slip the dogs of war.'
+             "|sign=[[William Shakespeare]]"
+             "|source=''[[Julius Caesar (play)|Julius Caesar]]'', "
+             "act III, scene I}}")
+    t = extract_template(quote)
+    assert len(t.entries) == 3
+    assert t.entries["text"] == 'Cry "Havoc" and let slip the dogs of war.'
+
+    quote2 = ('{{Quote|Cry "Havoc" and let slip the dogs of war.'
+              "|[[William Shakespeare]]"
+              "|''[[Julius Caesar (play)|Julius Caesar]]'', act III, "
+              "scene I}}")
+    t2 = extract_template(quote2)
+    assert len(t2.entries) == 3
+    assert t2.entries["0"] == 'Cry "Havoc" and let slip the dogs of war.'
+
+
+def test_dresden_infobox_reference_golden():
+    markup = _fixture("Dresden.wikipedia")
+    boxes = get_infoboxes(markup)
+    assert len(boxes) == 1
+    box = boxes[0]
+    assert len(box.entries) == 34
+    assert box.entries["Name"] == "Dresden"
+    assert box.entries["Art"] == "City"
+    assert box.entries["image_photo"] == \
+        "Dresden-Altstadt von der Marienbruecke-II.jpg"
+    assert box.entries["imagesize"] == "300px"
+    assert box.entries["image_caption"] == ""
+    assert box.entries["year"] == "1206"
+    assert box.name == "german location"
+
+
+def test_stack_overflow_infobox_reference_golden():
+    markup = _fixture("Stack_Overflow.wikipedia")
+    boxes = get_infoboxes(markup)
+    assert len(boxes) == 1
+    assert len(boxes[0].entries) == 17
+    assert boxes[0].entries["alexa"].startswith(
+        "84 ({{as of|2013|02|15|alt=February 2013}})<ref")
+
+
+def test_dry_fork_and_muskingum():
+    boxes = get_infoboxes(_fixture("Dry_Fork_(Cheat_River).wikipedia"))
+    assert len(boxes) == 1
+    assert boxes[0].name == "river"
+    assert len(boxes[0].entries) == 70
+    boxes2 = get_infoboxes(_fixture("Muskingum_University.wikipedia"))
+    assert len(boxes2) == 2
+
+
+def test_categories_and_redirect():
+    assert get_redirect_title("#REDIRECT [[Los Angeles]]") == \
+        "Los Angeles"
+    cats = get_categories("x [[Category:Rivers|sort]] y "
+                          "[[Category:Geography]]")
+    assert cats == ["Rivers", "Geography"]
+
+
+def test_infobox_triples_cleaned():
+    markup = ("{{Infobox settlement|name=Springfield"
+              "|country=[[Freedonia|The Freedonia]]"
+              "|population=30000<ref>census</ref>"
+              "|image=}}")
+    got = infobox_triples("Springfield", markup)
+    assert ("Springfield", "name", "Springfield") in got
+    assert ("Springfield", "country", "The Freedonia") in got
+    assert ("Springfield", "population", "30000") in got
+    assert not any(p == "image" for _, p, _ in got)  # empty skipped
+
+
+def test_wiki_triples_spark(spark):
+    from kgp.wiki import wiki_infobox_triples
+    df = spark.createDataFrame(
+        [("Springfield",
+          "{{Infobox city|name=Springfield|country=[[Freedonia]]}}")],
+        "title string, wikitext string")
+    got = {(r.subj, r.pred, r.obj)
+           for r in wiki_infobox_triples(df).collect()}
+    assert ("Springfield", "country", "Freedonia") in got
