@@ -136,6 +136,21 @@ def get_categories(markup: str) -> list[str]:
     return [m.group(1).strip() for m in _CATEGORY.finditer(markup)]
 
 
+_HEADING = re.compile(r"^={1,6}\s*([^=]*)\s*={1,6}", re.MULTILINE)
+
+
+def get_sections(markup: str) -> list[str]:
+    """WikiPage.getSections port (WikiPage.java:72-83): the page split
+    at every heading (each section starts with its heading)."""
+    out: list[str] = []
+    start = 0
+    for m in _HEADING.finditer(markup):
+        out.append(markup[start:m.start()])
+        start = m.start()
+    out.append(markup[start:])
+    return out
+
+
 def get_redirect_title(markup: str) -> str | None:
     m = _REDIRECT.search(markup)
     return m.group(1).strip() if m else None

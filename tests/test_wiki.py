@@ -103,3 +103,10 @@ def test_wiki_triples_spark(spark):
     got = {(r.subj, r.pred, r.obj)
            for r in wiki_infobox_triples(df).collect()}
     assert ("Springfield", "country", "Freedonia") in got
+
+
+def test_get_sections_dresden_golden():
+    # WikiPageTest.testGetSections (:81-87): 46 sections
+    from kgp.wiki import get_sections
+    markup = _fixture("Dresden.wikipedia")
+    assert len(get_sections(markup)) == 46
