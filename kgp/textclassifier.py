@@ -295,3 +295,28 @@ def classify(text: str, model: DictModel, fs: FeatureSetting,
 
 def most_likely(scores: dict[str, float]) -> str:
     return max(sorted(scores), key=lambda k: scores[k])
+
+
+# --------------------------------------------- language identification
+# PalladianLangDetect shape (classification/language/
+# PalladianLangDetect.java:44-77): a plain text classifier over char
+# 4..7-grams, one category per language. The pipeline's hot-path
+# lang_id (kgp.textstats) stays the SQL-reproducible marker-word
+# heuristic; this is the trainable classifier variant for corpora
+# where markers are not enough.
+
+LANG_FEATURE_SETTING = FeatureSetting(mode="char", min_ngram=4,
+                                      max_ngram=7)
+
+
+def train_language_classifier(samples: list[tuple[str, str]],
+                              fs: FeatureSetting = LANG_FEATURE_SETTING
+                              ) -> DictModel:
+    """samples: (text, language) pairs → char-gram dictionary model."""
+    return train(samples, fs)
+
+
+def detect_language(text: str, model: DictModel,
+                    fs: FeatureSetting = LANG_FEATURE_SETTING,
+                    scorer=None) -> str:
+    return most_likely(classify(text, model, fs, scorer))

@@ -94,3 +94,21 @@ def test_term_length_filter():
     terms = preprocess("an ox jumped extraordinarily", fs)
     assert "an" not in terms and "ox" not in terms
     assert "jumped" in terms
+
+
+def test_language_classifier_chars():
+    from kgp.textclassifier import (detect_language,
+                                    train_language_classifier)
+    samples = [
+        ("the quick brown fox jumps over the lazy dog", "en"),
+        ("she sells sea shells by the sea shore", "en"),
+        ("der schnelle braune fuchs springt über den faulen hund", "de"),
+        ("die würde des menschen ist unantastbar und wichtig", "de"),
+        ("le renard brun rapide saute par dessus le chien", "fr"),
+        ("tous les êtres humains naissent libres et égaux", "fr"),
+    ]
+    model = train_language_classifier(samples)
+    assert detect_language("the dog was very lazy that day", model) == "en"
+    assert detect_language("der hund springt über den zaun", model) == "de"
+    assert detect_language("le chien saute par dessus la barrière",
+                           model) == "fr"
