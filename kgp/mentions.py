@@ -137,11 +137,20 @@ _DATE_FRAGMENTS = [
 ]
 
 
+# precompiled once — these run per candidate in the NER hot path, and
+# building pattern strings per call costs a regex-cache lookup each
+_FRAG_SUB = [regex.compile(frag) for frag in _DATE_FRAGMENTS]
+_FRAG_BEGIN = [regex.compile("^(?:" + frag + r")\.? ")
+               for frag in _DATE_FRAGMENTS]
+_FRAG_END = [regex.compile(r" (?:" + frag + r")\.?$")
+             for frag in _DATE_FRAGMENTS]
+
+
 def is_date_fragment(value: str) -> bool:
     """PalladianNer.isDateFragment port (:812-819): value is blank after
     removing any one fragment alternation."""
-    for frag in _DATE_FRAGMENTS:
-        if not regex.sub(frag, " ", value).strip():
+    for pat in _FRAG_SUB:
+        if not pat.sub(" ", value).strip():
             return True
     return False
 
@@ -150,15 +159,13 @@ def remove_date_fragment(start: int, value: str) -> tuple[int, str] | None:
     """PalladianNer.removeDateFragment port (:828-849): strip leading/
     trailing date fragments, fix offset; None if nothing changed."""
     new_value, new_start = value, start
-    for frag in _DATE_FRAGMENTS:
-        begin = "^(?:" + frag + r")\.? "
-        end = r" (?:" + frag + r")\.?$"
+    for begin, end in zip(_FRAG_BEGIN, _FRAG_END):
         ln = len(new_value)
-        if regex.search(begin, new_value):
-            new_value = regex.sub(begin, " ", new_value).strip()
+        if begin.search(new_value):
+            new_value = begin.sub(" ", new_value).strip()
             new_start += ln - len(new_value)
-        if regex.search(end, new_value):
-            new_value = regex.sub(end, " ", new_value).strip()
+        if end.search(new_value):
+            new_value = end.sub(" ", new_value).strip()
     if new_value == value:
         return None
     return new_start, new_value
@@ -183,6 +190,10 @@ class NerModel:
     context_dict: dict[str, dict[str, int]] = field(default_factory=dict)
     context_priors: dict[str, float] = field(default_factory=dict)
     left_contexts: set[str] = field(default_factory=set)
+    # lazily-filled per-gram total-count memos (hot-path cache; not
+    # part of the model semantics)
+    ann_totals: dict[str, int] = field(default_factory=dict)
+    ctx_totals: dict[str, int] = field(default_factory=dict)
 
 
 GRAM_N = 5  # ANNOTATION_FEATURE_SETTING = chars(5).characterPadding()
@@ -196,11 +207,14 @@ def classify_surface(surface: str, model: NerModel) -> dict[str, float]:
     normalize; when no gram matched return the category priors."""
     scores: dict[str, float] = {}
     grams = set(char_ngrams(surface.lower(), GRAM_N, GRAM_N, padding=True))
+    totals = model.ann_totals
     for g in grams:
         entry = model.annotation_dict.get(g)
         if not entry:
             continue
-        dict_count = sum(entry.values())
+        dict_count = totals.get(g)
+        if dict_count is None:
+            dict_count = totals[g] = sum(entry.values())
         for cat, cnt in entry.items():
             p = cnt / dict_count
             scores[cat] = scores.get(cat, 0.0) + p * p
@@ -312,11 +326,14 @@ def classify_context(context: str, model: NerModel) -> dict[str, float]:
     grams = set(char_ngrams(context.lower(), GRAM_N, GRAM_N,
                             padding=False))
     scores: dict[str, float] = {}
+    totals = model.ctx_totals
     for g in grams:
         entry = model.context_dict.get(g)
         if not entry:
             continue
-        dict_count = sum(entry.values())
+        dict_count = totals.get(g)
+        if dict_count is None:
+            dict_count = totals[g] = sum(entry.values())
         for cat, cnt in entry.items():
             p = cnt / dict_count
             scores[cat] = scores.get(cat, 0.0) + p * p
