@@ -25,9 +25,23 @@ loses at most one stage of work.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# spark-submit kgp/pipeline.py puts the kgp/ directory itself at
+# sys.path[0], where kgp/tokenize.py SHADOWS the stdlib `tokenize`
+# module and breaks unrelated stdlib imports. Drop it and make sure
+# the package parent is importable instead (the --py-files zip already
+# provides it on executors).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path[:] = [p for p in sys.path
+               if os.path.abspath(p or os.getcwd()) != _HERE]
+if os.path.dirname(_HERE) not in [os.path.abspath(p or os.getcwd())
+                                  for p in sys.path]:
+    sys.path.insert(0, os.path.dirname(_HERE))
+
 import argparse
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,7 +79,7 @@ def load_ner_model(spark: SparkSession, out_dir: str) -> mentions.NerModel:
 def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                  force: bool = False, num_partitions: int | None = None,
                  pages: DataFrame | None = None, replicate: int = 1,
-                 heavy: int = 1) -> dict:
+                 heavy: int = 1, linker_mode: str = "fast") -> dict:
     """Run (or resume) the full KG-construction pipeline.
 
     Returns a metrics dict; triples land at {out_dir}/triples
@@ -113,9 +127,15 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         lambda: mentions.detect_mentions(docs, model_bc),
         force=force, metrics=metrics)
 
+    # linker_mode "fast" = fully vectorized anchor/population heuristic
+    # (zero Python, the 100 TB default); "reference" = the faithful
+    # coordinate-aware per-document disambiguation (anchor distance,
+    # lasso) via applyInPandas — same output columns
+    link_fn = (linker.link_mentions_reference
+               if linker_mode == "reference" else linker.link_mentions)
     links = _stage(
         spark, out_dir, "links",
-        lambda: linker.link_mentions(mention_df, gaz),
+        lambda: link_fn(mention_df, gaz),
         force=force, metrics=metrics)
 
     mapping = _stage(
@@ -173,9 +193,13 @@ def main() -> None:
     ap.add_argument("--force", action="store_true",
                     help="recompute all stages (ignore checkpoints)")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--linker", choices=["fast", "reference"],
+                    default="fast",
+                    help="vectorized heuristic vs faithful geo path")
     args = ap.parse_args()
     spark = get_spark("kgp-pipeline", cores=args.cores)
-    m = run_pipeline(spark, args.sf_dir, args.out, force=args.force)
+    m = run_pipeline(spark, args.sf_dir, args.out, force=args.force,
+                     linker_mode=args.linker)
     print(json.dumps(m, default=str))
     spark.stop()
 

@@ -101,3 +101,22 @@ def test_triples_dataframe_matches_materialized(spark, sf_dir, run_dir):
          for r in materialize.read_stage(spark, run_dir, "triples")
          .select("subj", "pred", "obj").collect()}
     assert a == b
+
+
+def test_pipeline_reference_linker_mode(spark, tmp_path):
+    """linker_mode='reference' runs the coordinate-aware path end to
+    end and still produces the full triple set (P/R golden unaffected
+    by the geo heuristics on this corpus's linked entities)."""
+    from kgp.golden import golden_triples, precision_recall
+    from kgp.pipeline import run_pipeline
+    out = str(tmp_path / "ref-run")
+    run_pipeline(spark, "/root/testdata/sf0.001", out,
+                 linker_mode="reference")
+    triples = spark.read.parquet(f"{out}/triples")
+    pred = {(r.subj, r.pred, r.obj) for r in
+            triples.select("subj", "pred", "obj").collect()}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    gold = golden_triples([r.doc_id for r in
+                           docs.select("doc_id").collect()])
+    p, r = precision_recall(pred, gold)
+    assert p >= 0.95 and r >= 0.90, (p, r)
