@@ -35,8 +35,10 @@ def run_level(cores: int, sf_dir: str) -> dict:
     stolen CPUs in bursts (measured via /proc/stat steal); min-wall is
     the closest observable to the machine's true capability, and the
     same selection is applied to BOTH levels."""
+    # KGP_BENCH_REPEATS=1: this script does its own min-of-repeats;
+    # bench.py must time single runs here
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-               PYTHONPATH=REPO)
+               PYTHONPATH=REPO, KGP_BENCH_REPEATS="1")
     best = None
     for _ in range(REPEATS):
         out = subprocess.run(
