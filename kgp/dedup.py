@@ -279,3 +279,32 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                      .alias("hamming"))
              .distinct())
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------- near-dup group clustering
+
+
+def near_dup_groups(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", threshold: float = 0.8,
+                    k: int = 5) -> DataFrame:
+    """Near-duplicate CLUSTERS: minhash+LSH+verify pairs become edges
+    of a similarity graph; connected components (kgp.canonicalize —
+    driver union-find for small edge sets, distributed min-label
+    propagation above) merge transitive chains (A~B, B~C ⇒ one group
+    even when A!~C); the min doc_id is the canonical survivor.
+    Returns (doc_id, group_id, is_canonical) for EVERY document —
+    singletons form their own group. This is the keep-one-per-cluster
+    primitive of training-data dedup at corpus scale."""
+    from kgp.canonicalize import connected_components
+    pairs = minhash_near_dups(docs, text_col, id_col, k, threshold)
+    edges = pairs.select(F.col("a").alias("src"),
+                         F.col("b").alias("dst"))
+    mapping = connected_components(edges)
+    out = (docs.select(F.col(id_col).alias("doc_id"))
+           .join(mapping.withColumnRenamed("entity_id", "doc_id"),
+                 "doc_id", "left")
+           .withColumn("group_id", F.coalesce("canon_id", "doc_id"))
+           .drop("canon_id"))
+    return out.select(
+        "doc_id", "group_id",
+        (F.col("doc_id") == F.col("group_id")).alias("is_canonical"))

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kgp.dedup import (exact_dup_groups, lsh_candidate_pairs,
+                       near_dup_groups,
                        minhash_near_dups, minhash_signatures,
                        ngram_jaccard, simhash_near_dups,
                        simhash_signatures)
@@ -86,3 +87,19 @@ def test_lsh_bucket_cap_drops_megabucket(spark):
     # if bucketed with <=10 members — with all 20 dropped, no pairs
     assert all(not (a < 20 and b < 20) for a, b in
                [(r.a, r.b) for r in capped])
+
+
+def test_near_dup_groups_transitive(spark):
+    # A~B and B~C through small edits; A and C differ more — the
+    # cluster still merges transitively via connected components
+    a = BASE
+    b = BASE.replace("lazy dog", "sleepy dog")
+    c = b.replace("brown fox", "red fox")
+    rows = [(1, a), (2, b), (3, c), (9, FAR)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           near_dup_groups(docs, threshold=0.8).collect()}
+    assert got[1].group_id == got[2].group_id == got[3].group_id == 1
+    assert got[1].is_canonical
+    assert not got[2].is_canonical and not got[3].is_canonical
+    assert got[9].group_id == 9 and got[9].is_canonical
