@@ -145,6 +145,14 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     threshold=0.8).select("a", "b")
 
 
+def _q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters (LSH pairs → connected components → canonical
+    min-id survivor); the oracle recomputes the groups with a
+    recursive reachability CTE over the exact Jaccard pair set."""
+    return _dedup.near_dup_groups(_docs_table(spark, sf_dir),
+                                  threshold=0.8)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full oracle: the sketch hash is md5-derived, so DuckDB
     recomputes the exact 64-bit SimHash and the ≤3-Hamming pair set
@@ -203,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
+        "near_dup_groups": _q_near_dup_groups,
         "simhash_pairs": _q_simhash_pairs,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
@@ -247,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": _oracle.media_stats_sql(),
         "media_features": _oracle.media_features_sql(),
         "minhash_pairs": _oracle.minhash_pairs_sql(),
+        "near_dup_groups": _oracle.near_dup_groups_sql(),
         "simhash_pairs": _oracle.simhash_pairs_sql(),
         "lsh_entity_candidates": _oracle.lsh_entity_candidates_sql(),
     }

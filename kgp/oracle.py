@@ -380,6 +380,29 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
 ORDER BY a, b"""
 
 
+def near_dup_groups_sql(k: int = 5, threshold: float = 0.8) -> str:
+    """Connected components over the EXACT Jaccard pair set (the same
+    edges minhash_pairs_sql verifies) via a recursive reachability CTE:
+    group_id = min doc_id reachable in the similarity graph."""
+    pairs = minhash_pairs_sql(k, threshold)
+    # strip the trailing ORDER BY of the pair query for embedding
+    pairs_body = pairs[:pairs.rindex("ORDER BY")]
+    return f"""
+WITH RECURSIVE pair_set AS ({pairs_body}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pair_set
+  UNION ALL SELECT b, a FROM pair_set
+),
+walk(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, walk.comp FROM walk JOIN edges e ON e.src = walk.id
+)
+SELECT id AS doc_id, MIN(comp) AS group_id,
+       MIN(comp) = id AS is_canonical
+FROM walk GROUP BY id ORDER BY doc_id"""
+
+
 def simhash_pairs_sql(k: int = 5, max_hamming: int = 3) -> str:
     """EXACT SimHash pair set: the sketch hash is the first 8 md5
     bytes (kgp.dedup._stable_hash64), so DuckDB recomputes the
