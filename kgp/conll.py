@@ -68,6 +68,11 @@ def parse_column(lines, sep: str = "\t",
         line_number += 1
         line = raw.rstrip("\n")
         parts = line.split(sep)
+        # Java String.split drops trailing empty fields — a tab-only
+        # separator line is parts=[] there (and gets skipped), not
+        # ["", ""]; without this, such lines open empty "" tag regions
+        while parts and parts[-1] == "":
+            parts.pop()
         if len(parts) < 2 and at_beginning:
             at_beginning = False
             continue

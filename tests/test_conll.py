@@ -115,9 +115,9 @@ def test_end_to_end_conll_evaluation(spark):
     r = evaluate_annotations(test_gold, pred)
     f1 = r.f1("MUC")
     # quality floor on the reference's own corpus — guards against the
-    # NER stack silently degenerating (reference reports ~0.5-0.8 MUC
-    # F1 for dictionary-seeded English mode on CoNLL-style data)
-    assert f1 > 0.45, (f1, r.precision("MUC"), r.recall("MUC"))
+    # NER stack silently degenerating (measured 0.80 MUC F1 for the
+    # dictionary-seeded English mode on this split)
+    assert f1 > 0.7, (f1, r.precision("MUC"), r.recall("MUC"))
 
 
 def test_tag_text_writers():
