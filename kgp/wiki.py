@@ -214,3 +214,84 @@ def wiki_infobox_triples(pages, title_col: str = "title",
             .select(F.explode(tri(F.col(title_col),
                                   F.col(markup_col))).alias("t"))
             .select("t.subj", "t.pred", "t.obj"))
+
+
+# -------------------------------------------------- full markup strip
+
+_REF_STRIP = re.compile(r"<ref(?:\s[^>]*)?>[^<]*</ref>|<ref[^/>]*/>",
+                        re.MULTILINE)
+_GALLERY = re.compile(r"<gallery(?:\s[^>]*)?>[^<]*</gallery>")
+_STRIP_ALL_TAGS = re.compile(
+    r"<!--.*?-->|<script.*?>.*?</script>|<style.*?>.*?</style>|<[^<]*?>",
+    re.DOTALL | re.IGNORECASE)
+_QUOTES_MARKUP = re.compile(r"'''''|'''|''")
+_CONVERT = re.compile(r"\{\{convert\|([\d.]+)\|([\w°]+)(\|[^}]*)?\}\}")
+_LANG_TPL = re.compile(r"\{\{(?:lang\|[^|]*|lang-\w{2})\|([^|]*)\}\}")
+_INTERNAL_LINK = re.compile(r"\[\[([^|\]]*)(?:\|([^|\]]*))?\]\]")
+_EXTERNAL_LINK = re.compile(r"\[http([^\s]+)(?:\s([^\]]+))\]")
+_LEFTOVER_LINK = re.compile(r"\[\[[^]]*\]\]")
+_SINGLE_BREAK = re.compile(r"(?<!\n)\n(?![*\n])")
+_MULTI_WS = re.compile(r"[ ]{2,}")
+_MULTI_NL = re.compile(r"\n{2,}")
+
+
+def _process_links(string: str, pattern: "re.Pattern") -> str:
+    """processLinks port (:149-164): keep the label (or target);
+    category links vanish entirely."""
+    def repl(m):
+        target, text = m.group(1), m.group(2)
+        if target.lower().startswith("category:"):
+            return ""
+        return text if text is not None else target
+    return pattern.sub(repl, string)
+
+
+def _remove_between(string: str, b1: str, b2: str,
+                    e1: str, e2: str) -> str:
+    """removeBetween port (:177-207): drop text between doubled
+    opening/closing characters ({{..}}, {|..|}) with a space
+    placeholder, nested-aware via a character stack."""
+    if len(string) < 2:
+        return string
+    stack: list[str] = [string[0]]
+    idx = 1
+    while idx < len(string):
+        prev, cur = string[idx - 1], string[idx]
+        if cur == e2 and prev == e1:
+            while len(stack) > 1:
+                if stack.pop() == b2 and stack and stack[-1] == b1:
+                    stack.pop()
+                    if idx < len(string) - 1 and string[idx + 1] == e1:
+                        idx += 1
+                    break
+            stack.append(" ")
+        else:
+            stack.append(cur)
+        idx += 1
+    return "".join(stack)
+
+
+def strip_markup(markup: str) -> str:
+    """stripMediaWikiMarkup port (MediaWikiUtil.java:87-137): refs and
+    galleries dropped, entities resolved, HTML tags stripped, headings
+    flattened, quote markup and convert/lang templates replaced, links
+    reduced to their labels, leftover template/table blocks removed,
+    single line breaks joined (lists kept), whitespace normalized."""
+    import html as _html
+    r = _REF_STRIP.sub("", markup)
+    r = _GALLERY.sub("", r)
+    r = _html.unescape(r)
+    r = _STRIP_ALL_TAGS.sub("", r)
+    r = _HEADING.sub(r"\1\n", r)
+    r = _QUOTES_MARKUP.sub("", r)
+    r = _CONVERT.sub(r"\1 \2", r)
+    r = _LANG_TPL.sub(r"\1", r)
+    r = _process_links(r, _INTERNAL_LINK)
+    r = _process_links(r, _EXTERNAL_LINK)
+    r = _remove_between(r, "{", "{", "}", "}")
+    r = _remove_between(r, "{", "|", "|", "}")
+    r = _LEFTOVER_LINK.sub("", r)
+    r = _SINGLE_BREAK.sub(" ", r)
+    r = _MULTI_WS.sub(" ", r)
+    r = _MULTI_NL.sub("\n\n", r)
+    return r.strip()

@@ -110,3 +110,24 @@ def test_get_sections_dresden_golden():
     from kgp.wiki import get_sections
     markup = _fixture("Dresden.wikipedia")
     assert len(get_sections(markup)) == 46
+
+
+def _java_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (31 * h + ord(c)) & 0xFFFFFFFF
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def test_strip_markup_byte_exact_reference_goldens():
+    # WikiPageTest.testStripMarkup (:253-264): the reference pins the
+    # exact output length AND Java String.hashCode — both reproduced
+    # byte-for-byte
+    from kgp.wiki import strip_markup
+    t = strip_markup(_fixture("Dresden.wikipedia"))
+    assert len(t) == 44999
+    assert _java_hash(t) == 82215810
+    t2 = strip_markup(
+        _fixture("LutonAirportParkwayRailwayStation.wikipedia"))
+    assert len(t2) == 2743
+    assert _java_hash(t2) == -1897009842
