@@ -295,3 +295,132 @@ def strip_markup(markup: str) -> str:
     r = _MULTI_WS.sub(" ", r)
     r = _MULTI_NL.sub("\n\n", r)
     return r.strip()
+
+
+# ------------------------------------------------- coordinate markup
+
+_COORD_TAG = re.compile(
+    r"\{\{Coord"
+    r"\|(-?\d+(?:\.\d+)?)(?:\|(\d+(?:\.\d+)?)(?:\|(\d+(?:\.\d+)?))?)?"
+    r"(?:\|([NS]))?"
+    r"\|(-?\d+(?:\.\d+)?)(?:\|(\d+(?:\.\d+)?)(?:\|(\d+(?:\.\d+)?))?)?"
+    r"(?:\|([WE]))?"
+    r"((?:\|[^}|<]+(?:<\w+>[^<]*</\w+>)?)*)"
+    r"\}\}", re.IGNORECASE)
+
+
+def parse_components(deg: str, mn: str | None, sec: str | None,
+                     nsew: str | None) -> float:
+    """MediaWikiUtil.parseComponents port (:606-613)."""
+    d = float(deg)
+    m = float(mn) if mn and mn.strip() else 0.0
+    s = float(sec) if sec and sec.strip() else 0.0
+    sgn = -1 if nsew in ("S", "W") else 1
+    return sgn * (d + m / 60.0 + s / 3600.0)
+
+
+def _coord_param(group: str, name: str) -> str | None:
+    for part in group.split("|"):
+        for sub in part.split("_"):
+            kv = sub.split(":")
+            if len(kv) == 2 and kv[0] == name:
+                return kv[1].strip()
+    return None
+
+
+def _other_param(group: str, name: str) -> str | None:
+    for part in group.split("|"):
+        kv = part.split("=")
+        if len(kv) == 2 and kv[0] == name:
+            return kv[1].strip()
+    return None
+
+
+def extract_coordinate_tags(text: str) -> list[dict]:
+    """{{Coord|...}} markup → coordinates (extractCoordinateTag,
+    :524-558): DMS or decimal components, optional hemisphere, earth
+    globes only, type/region/display/name parameters."""
+    out: list[dict] = []
+    for m in _COORD_TAG.finditer(text):
+        data = m.group(9) or ""
+        globe = _coord_param(data, "globe")
+        if globe is not None and globe.lower() != "earth":
+            continue
+        lat = parse_components(m.group(1), m.group(2), m.group(3),
+                               m.group(4))
+        lng = parse_components(m.group(5), m.group(6), m.group(7),
+                               m.group(8))
+        if not (-90 <= lat <= 90 and -180 <= lng <= 180):
+            continue
+        type_ = _coord_param(data, "type")
+        population = None
+        if type_ is not None:
+            pm = re.search(r"\(([\d,]+)\)", type_)
+            if pm:
+                population = int(pm.group(1).replace(",", ""))
+            type_ = re.sub(r"\(.*\)", "", type_)
+        out.append({"lat": lat, "lng": lng,
+                    "display": _other_param(data, "display"),
+                    "name": _other_param(data, "name"),
+                    "region": _coord_param(data, "region"),
+                    "type": type_, "population": population})
+    return out
+
+
+_LAT_DEG_KEYS = ("lat_deg", "latd", "lat_d", "lat_degrees",
+                 "source_lat_d", "mouth_lat_d")
+_LNG_DEG_KEYS = ("lon_deg", "longd", "long_d", "long_degrees",
+                 "source_long_d", "mouth_long_d")
+_LAT_MIN_KEYS = ("lat_min", "latm", "lat_m", "lat_minutes",
+                 "source_lat_m", "mouth_lat_m")
+_LAT_SEC_KEYS = ("lat_sec", "lats", "lat_s", "lat_seconds",
+                 "source_lat_s", "mouth_lat_s")
+_LNG_MIN_KEYS = ("lon_min", "longm", "long_m", "long_minutes",
+                 "source_long_m", "mouth_long_m")
+_LNG_SEC_KEYS = ("lon_sec", "longs", "long_s", "long_seconds",
+                 "source_long_s", "mouth_long_s")
+_LAT_NS_KEYS = ("latNS", "lat_direction", "lat_NS", "source_lat_NS",
+                "mouth_lat_NS")
+_LNG_EW_KEYS = ("longEW", "long_direction", "long_EW",
+                "source_long_EW", "mouth_long_EW")
+
+
+def _entry(t: WikiTemplate, *keys: str) -> str | None:
+    for k in keys:
+        if t.entries.get(k):
+            return t.entries[k]
+    return None
+
+
+def template_coordinates(t: WikiTemplate) -> list[dict]:
+    """Infobox coordinates (WikiTemplate.getCoordinates, :96-145):
+    deg/min/sec field families, then all-in-one latitude/longitude in
+    decimal or DMS."""
+    from kgp.geo import parse_dms
+    out: list[dict] = []
+    display = t.entries.get("coordinates_display")
+    type_ = t.entries.get("coordinates_type")
+    lat_deg = _entry(t, *_LAT_DEG_KEYS)
+    lng_deg = _entry(t, *_LNG_DEG_KEYS)
+    if lat_deg and lng_deg:
+        try:
+            lat = parse_components(lat_deg, _entry(t, *_LAT_MIN_KEYS),
+                                   _entry(t, *_LAT_SEC_KEYS),
+                                   _entry(t, *_LAT_NS_KEYS))
+            lng = parse_components(lng_deg, _entry(t, *_LNG_MIN_KEYS),
+                                   _entry(t, *_LNG_SEC_KEYS),
+                                   _entry(t, *_LNG_EW_KEYS))
+            out.append({"lat": lat, "lng": lng, "display": display,
+                        "type": type_})
+        except ValueError:
+            pass
+    lat_s, lng_s = t.entries.get("latitude"), t.entries.get("longitude")
+    if lat_s and lng_s:
+        for parser in (float, parse_dms):
+            try:
+                out.append({"lat": parser(lat_s), "lng": parser(lng_s),
+                            "display": display, "type": type_})
+                break
+            except (ValueError, TypeError):
+                continue
+    return out

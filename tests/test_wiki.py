@@ -131,3 +131,37 @@ def test_strip_markup_byte_exact_reference_goldens():
         _fixture("LutonAirportParkwayRailwayStation.wikipedia"))
     assert len(t2) == 2743
     assert _java_hash(t2) == -1897009842
+
+
+def test_extract_coordinate_tags_reference_goldens():
+    # MediaWikiUtilTest.testExtractTag (:35-47)
+    from kgp.wiki import extract_coordinate_tags
+    got = extract_coordinate_tags(
+        "{{Coord|0|N|30|W|type:waterbody_scale:100000000|display=title}}")
+    assert len(got) == 1
+    got = extract_coordinate_tags(
+        "{{Coord|57|18|22|N|4|27|32|W|display=title}}")
+    assert len(got) == 1 and got[0]["display"] == "title"
+    assert got[0]["lat"] == pytest.approx(57.30611, abs=1e-4)
+    got = extract_coordinate_tags(
+        "{{Coord|44.112|N|87.913|W|display=title}}")
+    assert len(got) == 1 and got[0]["display"] == "title"
+    assert got[0]["lat"] == pytest.approx(44.112)
+    assert got[0]["lng"] == pytest.approx(-87.913)
+    # extraterrestrial coordinates are ignored
+    assert extract_coordinate_tags(
+        "{{Coord|10|20|globe:mars|display=title}}") == []
+
+
+def test_infobox_coordinates_craigsville_golden():
+    # WikiPageTest (:242-250): Craigsville infobox deg/min/sec fields
+    from kgp.wiki import get_infoboxes, template_coordinates
+    markup = _fixture("CraigsvilleWestVirginia.wikipedia")
+    box = get_infoboxes(markup)[0]
+    coords = template_coordinates(box)
+    assert len(coords) == 1
+    c = coords[0]
+    assert c["lat"] == pytest.approx(38.333333, abs=1e-5)
+    assert c["lng"] == pytest.approx(-80.642778, abs=1e-5)
+    assert c["display"] == "inline,title"
+    assert c["type"] == "region:US_type:city"
