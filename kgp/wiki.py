@@ -424,3 +424,15 @@ def template_coordinates(t: WikiTemplate) -> list[dict]:
             except (ValueError, TypeError):
                 continue
     return out
+
+
+_NON_SENTENCE_LINE = re.compile(r"^(\*.*|.*\w)$", re.MULTILINE)
+
+
+def extract_sentences(text: str) -> str:
+    """MediaWikiUtil.extractSentences port (:209-216): drop bulleted
+    items and lines that do not end in a word character, collapse
+    blank runs."""
+    r = _NON_SENTENCE_LINE.sub("", text)
+    r = re.sub(r"\n{2,}", "\n\n", r)
+    return r.strip()

@@ -165,3 +165,23 @@ def test_infobox_coordinates_craigsville_golden():
     assert c["lng"] == pytest.approx(-80.642778, abs=1e-5)
     assert c["display"] == "inline,title"
     assert c["type"] == "region:US_type:city"
+
+
+def test_extract_sentences_drops_non_sentences():
+    from kgp.wiki import extract_sentences
+    text = ("A real sentence ends with punctuation.\n"
+            "* bulleted item\n"
+            "a fragment without ending\n"
+            "Another proper sentence here.\n")
+    out = extract_sentences(text)
+    assert "real sentence" in out and "proper sentence" in out
+    assert "bulleted" not in out and "fragment" not in out
+
+
+def test_wiki_triples_plan_no_shuffle(spark):
+    from kgp.wiki import wiki_infobox_triples
+    df = spark.createDataFrame(
+        [("T", "{{Infobox x|a=b}}")], "title string, wikitext string")
+    plan = wiki_infobox_triples(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # document-local Arrow stage
