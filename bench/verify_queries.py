@@ -1,0 +1,99 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a given sf dir and
+compares it against ``oracle_sql()`` via DuckDB: row count, column-name
+set, and an order-insensitive value hash (columns sorted by name, rows
+sorted, values canonicalized to strings). Not byte-identical to the
+driver's hasher, but any mismatch here means a driver mismatch.
+
+Usage: python bench/verify_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _hash(rows, cols) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted("\x1f".join(_canon(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\x1e".join(canon).encode()).hexdigest()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from kgp.session import get_spark
+
+    spark = get_spark("verify-queries", cores=8, shuffle_partitions=16)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{path}')")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    report = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        df = fn(spark, sf_dir)
+        s_cols = df.columns
+        s_rows = [tuple(r) for r in df.collect()]
+        rec = {"spark_rows": len(s_rows)}
+        if name in oracles:
+            res = con.execute(oracles[name])
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+            rec.update(
+                oracle_rows=len(o_rows),
+                rows_match=len(s_rows) == len(o_rows),
+                schema_match=sorted(s_cols) == sorted(o_cols),
+                hash_match=_hash(s_rows, s_cols) == _hash(o_rows, o_cols),
+            )
+        else:
+            rec["err"] = "no_oracle"
+        report[name] = rec
+        flag = ("OK" if rec.get("hash_match")
+                else ("rows-only" if "err" in rec else "MISMATCH"))
+        print(f"{name:24s} {flag:9s} {json.dumps(rec)}", flush=True)
+
+    bad = [n for n, r in report.items()
+           if r.get("hash_match") is False or r.get("rows_match") is False]
+    print("FAILED:" if bad else "ALL GREEN", ",".join(bad))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

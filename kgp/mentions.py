@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kgp import constants as C
-from kgp.tokenize import char_ngrams
+from kgp.tokenize import char_ngrams, tokenize
 
 NO_ENTITY = "NO_ENTITY"
 
@@ -594,22 +594,81 @@ def tag_sentence(sentence: str, sent_start: int, model: NerModel,
 # ------------------------------------------------------ model training
 
 
-def build_case_dictionary(docs: DataFrame, min_count: int = 2,
+def get_case_signature(s: str) -> str:
+    """StringHelper.getCaseSignature port (StringHelper.java:1826-1844):
+    per-char signature (upper 'A', lower 'a', digit '0', whitespace ' ',
+    else '-'), run-compressed ("Hello" -> "Aa", "Super!? 8 Zorro" ->
+    "Aa- 0 Aa")."""
+    out: list[str] = []
+    for ch in s:
+        if ch.isupper():
+            sig = "A"
+        elif ch.islower():
+            sig = "a"
+        elif ch.isdigit():
+            sig = "0"
+        elif ch.isspace():
+            sig = " "
+        else:
+            sig = "-"
+        if not out or out[-1] != sig:
+            out.append(sig)
+    return "".join(out)
+
+
+def case_dictionary_pairs(text: str) -> list[tuple[str, str]]:
+    """The token stream PalladianNer.buildCaseDictionary consumes
+    (PalladianNer.java:191-213): WordTokenizer tokens with a skip flag
+    that drops the FIRST token and every token directly following a
+    token matching [.?!] (sentence starts); surviving tokens longer
+    than one char whose case signature starts with a letter emit
+    (token.lower(), first signature char 'A'|'a')."""
+    pairs: list[tuple[str, str]] = []
+    skip = True
+    for tok in tokenize(text):
+        if skip:
+            skip = False
+        elif regex.fullmatch(r"[.?!]", tok):
+            skip = True
+        else:
+            t = tok.strip()
+            if len(t) > 1:
+                sig = get_case_signature(t)
+                if sig[:1] in ("A", "a"):
+                    pairs.append((t.lower(), sig[0]))
+    return pairs
+
+
+_CASE_PAIR_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("token", T.StringType()),
+    T.StructField("sig", T.StringType()),
+]))
+
+
+def build_case_dictionary(docs: DataFrame, min_count: int = 1,
                           max_size: int = 200_000) -> DataFrame:
     """buildCaseDictionary as an aggregation (PalladianNer.java:191-222):
-    alphabetic tokens whose occurrences are lowercase with P > 0.5.
-    min_count/max_size bound the broadcast at web scale."""
-    words = docs.select(
-        F.explode(F.split(F.col("text"), r"[^\p{L}]+")).alias("w")
-    ).where("w <> ''")
+    WordTokenizer tokens NOT at sentence beginnings (skip flag reset
+    after [.?!] tokens), length > 1, keyed by lowercase form; keep
+    tokens whose occurrences carry lowercase signature with P > 0.5
+    (the reference counts singleton documents per occurrence, so
+    probability == occurrence fraction). min_count/max_size bound the
+    broadcast at web scale (the reference has no bounds)."""
+
+    @F.pandas_udf(_CASE_PAIR_SCHEMA)
+    def pairs_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: case_dictionary_pairs(t or ""))
+
+    pairs = (docs.select(F.explode(pairs_udf("text")).alias("p"))
+             .select("p.token", "p.sig"))
     return (
-        words.groupBy(F.lower(F.col("w")).alias("token"))
+        pairs.groupBy("token")
         .agg(F.count("*").alias("n"),
-             F.sum(F.when(F.col("w") == F.lower(F.col("w")), 1)
+             F.sum(F.when(F.col("sig") == "a", 1)
                    .otherwise(0)).alias("n_lower"))
         .where(F.col("n") >= min_count)
         .where(F.col("n_lower") / F.col("n") > 0.5)
-        .orderBy(F.desc("n")).limit(max_size)
+        .orderBy(F.desc("n"), "token").limit(max_size)
         .select("token")
     )
 

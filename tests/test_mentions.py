@@ -422,3 +422,48 @@ def test_uri_mention_add_back_removes_nested():
         if m is not uri:
             assert not (m["start"] >= uri["start"]
                         and m["end"] <= uri["end"])
+
+
+# PalladianNerTest.testBuildCaseDictionary golden
+# (palladian-core/.../tagger/PalladianNerTest.java:64-74)
+_CASE_DICT_TEXT = (
+    "Despite their shared upbringing and involvement in the Spanish "
+    "Treason, the conspirators chose not to reveal the plot to him until "
+    "14 October 1605, shortly after his father died, and just weeks "
+    "before the planned explosion. According to his confession, the "
+    "meeting took place at the home of Tresham's brother-in-law, Lord "
+    "Stourton, in Clerkenwell."
+)
+
+
+def test_build_case_dictionary_pairs_golden():
+    from collections import Counter
+
+    from kgp.mentions import case_dictionary_pairs
+    cnt: dict = {}
+    for tok, sig in case_dictionary_pairs(_CASE_DICT_TEXT):
+        cnt.setdefault(tok, Counter())[sig] += 1
+    got = {t for t, c in cnt.items() if c["a"] / (c["a"] + c["A"]) > 0.5}
+    assert len(got) == 33
+    assert "despite" not in got       # sentence start, skipped
+    assert "according" not in got     # sentence start, skipped
+    assert "involvement" in got
+
+
+def test_build_case_dictionary_spark_golden(spark):
+    from kgp.mentions import build_case_dictionary
+    docs = spark.createDataFrame([(_CASE_DICT_TEXT,)], ["text"])
+    got = {r.token for r in build_case_dictionary(docs).collect()}
+    assert len(got) == 33
+    assert "involvement" in got and "despite" not in got
+
+
+def test_get_case_signature_golden():
+    # StringHelper.getCaseSignature javadoc examples
+    # (StringHelper.java:1810-1824)
+    from kgp.mentions import get_case_signature
+    assert get_case_signature("Hello") == "Aa"
+    assert get_case_signature("Super!? 8 Zorro") == "Aa- 0 Aa"
+    assert get_case_signature("Apple") == "Aa"
+    assert get_case_signature("GmbH") == "AaA"
+    assert get_case_signature("USA") == "A"
