@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kgp import constants as C
+from kgp.automaton import AhoCorasick
 from kgp.tokenize import char_ngrams, tokenize
 
 NO_ENTITY = "NO_ENTITY"
@@ -364,21 +365,20 @@ def apply_context_analysis(scores: dict[str, float], sentence: str,
             for cat in set(scores) | set(ctx)}
 
 
-def dictionary_tag(text: str, dictionary: dict[str, str]) -> list[dict]:
+def dictionary_tag(text: str, dictionary: dict[str, str],
+                   automaton: AhoCorasick | None = None) -> list[dict]:
     """DictionaryTagger.getAnnotations port
     (extraction/DictionaryTagger.java:50-69): case-insensitive
     word-boundary match of every dictionary surface (len > 1), nested
     matches removed. Returns [{start, end, surface, tag}] sorted by
-    (start, -end)."""
-    found: list[dict] = []
-    for surface, tag in dictionary.items():
-        if len(surface) <= 1:
-            continue
-        pat = regex.compile(r"(?<!\w)" + regex.escape(surface) + r"(?!\w)",
-                            regex.IGNORECASE)
-        for m in pat.finditer(text):
-            found.append({"start": m.start(), "end": m.end(),
-                          "surface": m.group(), "tag": tag})
+    (start, -end). One Aho-Corasick pass over the text — matching cost
+    no longer scales with |dictionary|; pass a prebuilt `automaton`
+    (AhoCorasick(dictionary.items())) to amortize the build across
+    texts."""
+    if automaton is None:
+        automaton = AhoCorasick(dictionary.items())
+    found = [{"start": s, "end": e, "surface": text[s:e], "tag": tag}
+             for s, e, tag in automaton.find_all(text)]
     kept = remove_nested([(f["start"], f["end"]) for f in found])
     out = [found[i] for i in kept]
     out.sort(key=lambda f: (f["start"], -f["end"]))
@@ -736,10 +736,14 @@ def seed_training_spans(docs: DataFrame,
     (the 'inside' counts of buildLeftContexts,
     PalladianNer.java:866-877). One Arrow pass over docs; the two
     downstream aggregations (context dictionary, left contexts) reuse
-    this exploded table."""
-    patterns = [(regex.compile(r"(?<!\w)" + regex.escape(s) + r"(?!\w)",
-                               regex.IGNORECASE), t)
-                for s, t in seed_map.items() if len(s) > 1]
+    this exploded table.
+
+    Matching is one Aho-Corasick automaton built ONCE on the driver and
+    shipped in the UDF closure — per-sentence cost is O(|sentence|),
+    independent of |seed dictionary| (a production seed dictionary has
+    10^5-10^7 surfaces; per-surface regex loops were quadratic-ish)."""
+    automaton = AhoCorasick(
+        (s, t) for s, t in seed_map.items() if len(s) > 1)
 
     @F.pandas_udf(SPAN_SCHEMA)
     def span_udf(sentences: pd.Series) -> pd.Series:
@@ -748,10 +752,8 @@ def seed_training_spans(docs: DataFrame,
             rows = []
             for s in (sents if sents is not None else []):
                 text = s["text"]
-                found = []
-                for pat, tag in patterns:
-                    for m in pat.finditer(text):
-                        found.append((m.start(), m.end(), m.group(), tag))
+                found = [(st, en, text[st:en], tag)
+                         for st, en, tag in automaton.find_all(text)]
                 kept = remove_nested([(f[0], f[1]) for f in found])
                 for i in kept:
                     start, end, surface, tag = found[i]
