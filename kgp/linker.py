@@ -390,7 +390,8 @@ def link_mentions_reference(mentions: DataFrame, gaz: DataFrame,
                         "type": t.etype,
                         "population": None if pd.isna(t.population)
                         else int(t.population),
-                        "ancestor_ids": list(t.ancestor_ids or []),
+                        "ancestor_ids": ([] if t.ancestor_ids is None
+                                         else list(t.ancestor_ids)),
                         "lat": None if pd.isna(t.lat) else float(t.lat),
                         "lon": None if pd.isna(t.lon) else float(t.lon),
                     })

@@ -218,3 +218,75 @@ def test_coordinate_tagger_reference_goldens():
     assert tag_coordinates("The cost of living index was listed as "
                            "121.4, 21.4 points above the U.S. "
                            "average.") == []
+
+
+_GEO_CSV = [
+    # id name ascii alts lat lon fclass fcode cc cc2 a1 a2 a3 a4 pop
+    "100\tAtlantis\tAtlantis\t\t10.0\t10.0\tA\tPCLI\tAT\t\t00\t\t\t\t90000000",
+    "150\tAtland Region\tAtland Region\t\t12.0\t12.0\tA\tADM1\tAT\t\t01\t\t\t\t0",
+    "300\tOldtown\tOldtown\t\t15.0\t15.0\tP\tPPL\tAT\t\t01\t\t\t\t6000",
+    "200\tBorduria\tBorduria\t\t-40.0\t-40.0\tA\tPCLI\tBO\t\t00\t\t\t\t50000000",
+    "400\tOldtown\tOldtown\t\t-40.5\t-40.5\tP\tPPL\tBO\t\t01\t\t\t\t5500",
+]
+
+
+def _geo_gaz(spark, tmp_path, hierarchy=None):
+    from kgp.corpus import gazetteer_from_csv
+    p = tmp_path / "geonames.txt"
+    p.write_text("\n".join(_GEO_CSV))
+    hp = None
+    if hierarchy is not None:
+        hp = tmp_path / "hierarchy.txt"
+        hp.write_text("\n".join(hierarchy))
+    return gazetteer_from_csv(spark, str(p),
+                              hierarchy_path=str(hp) if hp else None)
+
+
+def test_geonames_csv_ancestor_hierarchy(spark, tmp_path):
+    gaz = {r.id: r for r in _geo_gaz(spark, tmp_path).collect()}
+    # admin-code walk (GeonamesImporter.getParent): city -> ADM1 ->
+    # country, nearest ancestor first
+    assert gaz[300].ancestor_ids == [150, 100]
+    assert gaz[150].ancestor_ids == [100]     # admin unit drops own code
+    assert gaz[100].ancestor_ids == []        # country is the root
+    assert gaz[400].ancestor_ids == [200]     # no BO ADM1 row: skip level
+
+
+def test_geonames_explicit_hierarchy_precedence(spark, tmp_path):
+    # hierarchy.txt relations win over admin-code derivation
+    # (GeonamesImporter.java:225-230); ambiguous children are dropped
+    gaz = {r.id: r for r in
+           _geo_gaz(spark, tmp_path,
+                    hierarchy=["100\t300\tADM",
+                               "100\t400\tADM", "200\t400\tADM"]).collect()}
+    assert gaz[300].ancestor_ids == [100]     # explicit parent
+    assert gaz[400].ancestor_ids == [200]     # ambiguous -> admin walk
+
+
+def test_csv_gazetteer_hierarchy_links_fast_path(spark, tmp_path):
+    # the hierarchy term in the vectorized disambiguator fires for a
+    # CSV-loaded gazetteer: the in-country Oldtown (descendant of the
+    # Atlantis anchor, 780 km away so distance cannot explain it) beats
+    # the decoy in Borduria
+    rows = [("u1", 0, 0, 8, "Atlantis", "COUNTRY", 1.0, 0,
+             "Atlantis taxes Oldtown."),
+            ("u1", 0, 15, 22, "Oldtown", "CITY", 1.0, 0,
+             "Atlantis taxes Oldtown.")]
+    out = {r.surface: r for r in
+           link_mentions(_mentions(spark, rows),
+                         _geo_gaz(spark, tmp_path)).collect()}
+    assert out["Atlantis"].entity_id == 100
+    assert out["Oldtown"].entity_id == 300
+
+
+def test_csv_gazetteer_hierarchy_links_reference_path(spark, tmp_path):
+    from kgp.linker import link_mentions_reference
+    rows = [("u1", 0, 0, 8, "Atlantis", "COUNTRY", 1.0, 0,
+             "Atlantis taxes Oldtown."),
+            ("u1", 0, 15, 22, "Oldtown", "CITY", 1.0, 0,
+             "Atlantis taxes Oldtown.")]
+    out = {r.surface: r for r in
+           link_mentions_reference(_mentions(spark, rows),
+                                   _geo_gaz(spark, tmp_path)).collect()}
+    assert out["Atlantis"].entity_id == 100
+    assert out["Oldtown"].entity_id == 300
