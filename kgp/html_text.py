@@ -84,6 +84,18 @@ _SELF_CLOSERS = {"li": {"li"}, "dd": {"dd", "dt"}, "dt": {"dd", "dt"},
                  "th": {"td", "th"}, "option": {"option"}}
 
 
+# WHATWG "in table" insertion modes: content that is not legal table
+# structure is FOSTER-PARENTED — inserted before the nearest open
+# <table> — instead of becoming a table child (misnested-table markup
+# is common on real crawl pages; validator.nu implements the full
+# algorithm, this is the subset that changes documentToText output)
+_TABLE_CTX = {"table", "tbody", "thead", "tfoot", "tr"}
+_TABLE_STRUCTURAL = {"caption", "colgroup", "col", "thead", "tbody",
+                     "tfoot", "tr", "td", "th", "script", "style",
+                     "template", "form"}
+_ROW_STRUCTURAL = {"td", "th", "tr", "script", "style", "template"}
+
+
 class _DomParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -93,21 +105,57 @@ class _DomParser(HTMLParser):
     def _open_tags(self) -> list[str]:
         return [n.tag for n in self.stack]
 
+    def _needs_foster(self, tag: str) -> bool:
+        top = self.stack[-1].tag
+        if top not in _TABLE_CTX:
+            return False
+        allowed = (_TABLE_STRUCTURAL if top == "table"
+                   else _ROW_STRUCTURAL)
+        return tag not in allowed
+
+    def _foster_insert(self, node: Node) -> None:
+        """Insert before the nearest open <table> (the foster parent
+        of the WHATWG tree-construction algorithm)."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == "table":
+                parent = self.stack[i - 1]
+                try:
+                    at = parent.children.index(self.stack[i])
+                except ValueError:
+                    at = len(parent.children)
+                parent.children.insert(at, node)
+                return
+        self.root.children.append(node)
+
     def handle_starttag(self, tag, attrs):
+        if tag == "table" and self.stack[-1].tag in _TABLE_CTX:
+            # "table start tag in table": close the open table first
+            self._pop_to("table")
         if tag in P_CLOSERS and "p" in self._open_tags():
             self._pop_to("p")
         implied = _SELF_CLOSERS.get(tag)
         if implied and self.stack[-1].tag in implied:
             self.stack.pop()
         node = Node(tag, dict(attrs))
-        self.stack[-1].children.append(node)
+        if self._needs_foster(tag):
+            self._foster_insert(node)
+        else:
+            self.stack[-1].children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        self.stack[-1].children.append(Node(tag, dict(attrs)))
+        node = Node(tag, dict(attrs))
+        if self._needs_foster(tag):
+            self._foster_insert(node)
+        else:
+            self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):
+        if tag == "br":
+            # WHATWG: an end tag </br> is treated as a <br> start tag
+            self.handle_startendtag("br", [])
+            return
         if tag in VOID_ELEMENTS:
             return
         self._pop_to(tag)
@@ -128,15 +176,60 @@ class _DomParser(HTMLParser):
         if self.stack[-1].tag in ("#document", "html") \
                 and not data.strip():
             return
-        self.stack[-1].children.append(Node("#text", data=data))
+        node = Node("#text", data=data)
+        if self.stack[-1].tag in _TABLE_CTX and data.strip():
+            # non-whitespace character tokens in table context are
+            # foster-parented (WHATWG "in table text" mode)
+            self._foster_insert(node)
+        else:
+            self.stack[-1].children.append(node)
 
     def handle_comment(self, data):
         self.stack[-1].children.append(Node("#comment", data=data))
 
 
+_META_CHARSET_RE = regex.compile(
+    rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:-]+)", regex.I)
+
+# WHATWG encoding aliases that differ from Python codec names: browsers
+# (and validator.nu) decode latin-1-labelled pages as windows-1252
+_ENCODING_ALIASES = {
+    "iso-8859-1": "windows-1252", "latin1": "windows-1252",
+    "latin-1": "windows-1252", "ascii": "windows-1252",
+    "us-ascii": "windows-1252", "x-user-defined": "windows-1252",
+    # a utf-16 label on byte content without a BOM means utf-8 per spec
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+}
+
+
+def sniff_decode(raw: bytes) -> str:
+    """HTML5 encoding sniffing (the subset validator.nu applies to
+    file input): BOM first, then a <meta charset> prescan of the first
+    1024 bytes, then strict UTF-8, else windows-1252 (the WHATWG
+    default for unlabelled legacy content)."""
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return raw[3:].decode("utf-8", errors="replace")
+    if raw.startswith(b"\xff\xfe"):
+        return raw[2:].decode("utf-16-le", errors="replace")
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
+    m = _META_CHARSET_RE.search(raw[:1024])
+    if m:
+        label = m.group(1).decode("ascii", errors="ignore").lower()
+        enc = _ENCODING_ALIASES.get(label, label)
+        try:
+            return raw.decode(enc, errors="replace")
+        except LookupError:
+            pass
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("windows-1252", errors="replace")
+
+
 def parse_html(html: str | bytes) -> Node:
     if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        html = sniff_decode(bytes(html))
     p = _DomParser()
     p.feed(html)
     p.close()

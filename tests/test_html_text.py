@@ -192,6 +192,30 @@ FIXTURES = [
     ("test005.html", "i read on my kindle", "Comments"),
     ("test015.html", "working remotely from home", "Subscribe"),
     ("test020.html", "US heatwave raises climate", "Terms of Use"),
+    # round 3: widened to every result-backed reference fixture; the
+    # article phrase comes from the result/ expected-content file
+    # (where the density extractor finds the article) or pins current
+    # main-block selection on comment-heavy pages (005/011)
+    ("test006.html",
+     "At least one spot will show a mother and daughter", "Subscribe"),
+    ("test007.html",
+     "Flame is a brilliant JavaScript painting tool", "Advertisement"),
+    ("test008.html",
+     "I attended a panel called", "Copyright"),
+    ("test009.html",
+     "quietly re-launching our ReadWriteEnterprise channel", "Subscribe"),
+    ("test010.html",
+     "I tried to use the BinaryLMClassifier", "Subscribe"),
+    ("test011.html",
+     "there is plenty to like about BlackBerry", "All rights reserved"),
+    ("test012.html",
+     "particularly enthusiastic about is suppo", "Subscribe"),
+    ("test013.html",
+     "The quandary for Obama, however, is that", "Copyright"),
+    ("test014.html",
+     "news that the XB in XBMC won't mean Xbox any more", "Related"),
+    ("test018.html",
+     "the workers are angry that about 320 te", "Most Popular"),
 ]
 
 
@@ -328,3 +352,66 @@ def test_get_images_and_dominant_image():
                     '<img src="https://x.com/item.jpg"></div>'
                     "</body></html>")
     assert get_dominant_image(ip)["url"] == "https://x.com/item.jpg"
+
+
+# -------------------- HTML5 tree-construction cases (round 3)
+
+
+def _txt(html):
+    from kgp.html_text import document_to_text, parse_html
+    return document_to_text(parse_html(html))
+
+
+def test_foster_parenting_div_in_table():
+    # WHATWG "in table": a <div> between table rows is inserted BEFORE
+    # the table, not inside it
+    out = _txt("<body><table><div>hoisted</div>"
+               "<tr><td>cell</td></tr></table></body>")
+    assert out.index("hoisted") < out.index("cell")
+    from kgp.html_text import parse_html
+    root = parse_html("<body><table><div>h</div><tr><td>c</td></tr>"
+                      "</table></body>")
+    body = next(n for n in root.iter() if n.tag == "body")
+    assert [c.tag for c in body.children] == ["div", "table"]
+
+
+def test_foster_parenting_stray_text_in_table():
+    out = _txt("<body><table>stray<tr><td>cell</td></tr></table></body>")
+    assert out.index("stray") < out.index("cell")
+
+
+def test_whitespace_in_table_not_fostered():
+    from kgp.html_text import parse_html
+    root = parse_html("<body><table> <tr><td>c</td></tr></table></body>")
+    body = next(n for n in root.iter() if n.tag == "body")
+    assert [c.tag for c in body.children] == ["table"]
+
+
+def test_end_tag_br_acts_as_br():
+    # WHATWG: </br> is treated as a <br> start tag -> block newline in
+    # documentToText (br is in HtmlHelper.BLOCK_ELEMENTS)
+    assert _txt("<body>a</br>b</body>") == "a\nb"
+
+
+def test_nested_table_start_closes_open_table():
+    from kgp.html_text import parse_html
+    root = parse_html("<body><table><tr><td>a</td><table><tr><td>b"
+                      "</td></tr></table></body>")
+    body = next(n for n in root.iter() if n.tag == "body")
+    assert [c.tag for c in body.children] == ["table", "table"]
+
+
+def test_charset_sniffing():
+    from kgp.html_text import sniff_decode
+    # meta prescan: latin-1 label decodes as windows-1252
+    raw = ('<html><head><meta http-equiv="content-type" '
+           'content="text/html; charset=iso-8859-1"></head>'
+           '<body>f\xfcr</body></html>').encode("iso-8859-1")
+    assert "für" in sniff_decode(raw)
+    # BOM wins
+    assert sniff_decode("﻿café".encode("utf-8")) == "café"
+    # unlabelled valid utf-8 stays utf-8
+    assert "café" in sniff_decode("<p>café</p>".encode("utf-8"))
+    # unlabelled invalid utf-8 falls back to windows-1252
+    assert "\x80" not in sniff_decode(b"<p>caf\xe9</p>")
+    assert "café" in sniff_decode(b"<p>caf\xe9</p>")
