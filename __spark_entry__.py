@@ -178,11 +178,15 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (IVF, nprobe cells) — rows-only check; recall vs
-    the exact path is asserted in tests/test_similarity.py."""
+    """Approximate ANN with the DETERMINISTIC 'seed' coarse quantizer
+    (centroids = the nlist smallest vec_ids) — the DuckDB oracle
+    recomputes the identical cells, probes, and exact re-rank, so this
+    carries a full rows+schema+hash check. Recall vs the exact path is
+    additionally asserted in tests/test_similarity.py."""
     emb = _emb_table(spark, sf_dir)
     queries_df = emb.where(F.col("vec_id") < 10)
-    return _sim.ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=4) \
+    return _sim.ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=4,
+                         quantizer="seed") \
         .select("query_id", "neighbor_id", "rank")
 
 
@@ -253,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _oracle.text_stats_sql(),
         "dedup_exact": _oracle.dedup_exact_sql(),
         "ann_topk": _oracle.ann_topk_sql(),
+        "ivf_topk": _oracle.ivf_topk_sql(),
         "media_stats": _oracle.media_stats_sql(),
         "media_features": _oracle.media_features_sql(),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

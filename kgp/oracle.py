@@ -304,6 +304,51 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored
 WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def ivf_topk_sql(k: int = 5, n_queries: int = 10, nlist: int = 8,
+                 nprobe: int = 4) -> str:
+    """Exact recomputation of the 'seed'-quantizer IVF index
+    (kgp.similarity.ivf_build quantizer='seed'): centroids are the
+    nlist smallest vec_ids, cell = argmax cosine (ties: smallest cell
+    id), queries probe their nprobe closest cells, candidates in
+    probed cells re-rank exactly by (cosine DESC, neighbor_id ASC)."""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < {nlist}
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), c.ce) DESC,
+               c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {n_queries}
+), probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+               c.cell ASC) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(
+             q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+             a.vec_id ASC) AS rank
+  FROM probe p
+  JOIN assign a USING (cell)
+  JOIN q ON q.query_id = p.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored
+WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 def media_stats_sql() -> str:
     """Mirrors kgp.multimodal.synth_media payload sizes in closed form:
     BMP = 54-byte headers + 4-byte-padded BGR rows; WAV = 44-byte

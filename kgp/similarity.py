@@ -119,10 +119,43 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
 
 def ivf_build(embeddings: DataFrame, nlist: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              seed: int = 42):
-    """Learn nlist centroids (KMeans on unit-normalized vectors) and
-    assign every vector to its cell. Returns (assignments DataFrame
-    (vec_id, cell), centroids ndarray (nlist, d))."""
+              seed: int = 42, quantizer: str = "kmeans"):
+    """Coarse-quantize every vector into one of nlist cells. Returns
+    (assignments DataFrame (vec_id, cell), centroids ndarray
+    (nlist, d), cell_ids list).
+
+    quantizer='kmeans': pyspark.ml KMeans centroids (better cells,
+    but the learned centroids are not reproducible outside Spark).
+
+    quantizer='seed': the centroids are the NORMALIZED VECTORS OF THE
+    nlist SMALLEST vec_ids — fully deterministic and re-computable by
+    any engine from the table itself (the DuckDB oracle derives the
+    identical cells; see kgp.oracle.ivf_topk_sql). Cell id = the
+    centroid's vec_id; assignment = highest cosine, ties to the
+    smallest cell id (numpy argmax first-occurrence ==
+    row_number ORDER BY cos DESC, cell ASC)."""
+    if quantizer == "seed":
+        cent_rows = sorted(
+            embeddings.where(F.col(id_col) < nlist)
+            .select(id_col, vec_col).collect(), key=lambda r: r[0])
+        cell_ids = [int(r[0]) for r in cent_rows]
+        centroids = _norm_rows(np.array([r[1] for r in cent_rows],
+                                        dtype=np.float64))
+        spark = embeddings.sparkSession
+        bc = spark.sparkContext.broadcast((cell_ids, centroids))
+
+        @F.pandas_udf(T.IntegerType())
+        def cell_udf(vec: pd.Series) -> pd.Series:
+            ids, cents = bc.value
+            m = _norm_rows(np.array(vec.tolist(), dtype=np.float64))
+            best = np.argmax(m @ cents.T, axis=1)
+            return pd.Series([ids[i] for i in best], dtype="int32")
+
+        assignments = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            cell_udf(vec_col).alias("cell"))
+        return assignments, centroids, cell_ids
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -137,25 +170,32 @@ def ivf_build(embeddings: DataFrame, nlist: int = 16,
         [np.asarray(c) for c in model.clusterCenters()]))
     assignments = model.transform(feat).select(
         "vec_id", F.col("prediction").alias("cell"))
-    return assignments, centroids
+    return assignments, centroids, list(range(len(centroids)))
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              nlist: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             quantizer: str = "kmeans") -> DataFrame:
     """Approximate top-k: probe only the nprobe cells whose centroids
     are closest to each query. Returns same shape as brute_force_topk.
     At corpus scale the assignments table is partitioned by cell →
     a probe reads nprobe/nlist of the data (partition pruning does the
-    work once the table is written partitionedBy('cell'))."""
+    work once the table is written partitionedBy('cell')).
+    quantizer='seed' makes the whole index deterministic and
+    SQL-recomputable (exact oracle in kgp.oracle.ivf_topk_sql)."""
     spark = embeddings.sparkSession
-    assignments, centroids = ivf_build(embeddings, nlist, id_col, vec_col)
+    assignments, centroids, cell_ids = ivf_build(
+        embeddings, nlist, id_col, vec_col, quantizer=quantizer)
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     q_mat = _norm_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
-    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
-    probe_rows = [(int(q_ids[i]), [int(c) for c in probe[i]])
+    # stable tie-break: highest cosine first, then smallest cell id
+    # (argsort on (-cos, cell) pairs; cell_ids is ascending already)
+    probe = np.argsort(-(q_mat @ centroids.T), axis=1,
+                       kind="stable")[:, :nprobe]
+    probe_rows = [(int(q_ids[i]), [int(cell_ids[c]) for c in probe[i]])
                   for i in range(len(q_ids))]
     probe_df = spark.createDataFrame(probe_rows,
                                      "query_id long, cells array<int>")
@@ -197,7 +237,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     second-closest cell, to catch boundary pairs). Returns (a, b,
     cos_sim)."""
     spark = embeddings.sparkSession
-    _, centroids = ivf_build(embeddings, nlist, id_col, vec_col)
+    _, centroids, _ = ivf_build(embeddings, nlist, id_col, vec_col)
     bc_c = spark.sparkContext.broadcast(centroids)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))

@@ -80,3 +80,31 @@ def test_embedding_near_dups_finds_planted_pair(spark, emb):
            for r in embedding_near_dups(aug, threshold=0.999).collect()}
     assert (7, 100007) in got
     assert got[(7, 100007)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_seed_quantizer_deterministic_and_recall(spark, emb):
+    # the 'seed' quantizer (centroids = nlist smallest vec_ids) is the
+    # oracle-checkable index: identical output across runs, full-probe
+    # equals exact, and recall stays useful at nprobe=4/8
+    queries = emb.where(F.col("vec_id") < 10)
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=5, nlist=8, nprobe=4,
+                                   quantizer="seed").collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k=5, nlist=8, nprobe=4,
+                                   quantizer="seed").collect()))
+    assert a == b
+
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    full = {}
+    for r in ivf_topk(emb, queries, k=5, nlist=8, nprobe=8,
+                      quantizer="seed").collect():
+        full.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert full == exact
+
+    approx = {}
+    for qid, nid, *_ in a:
+        approx.setdefault(qid, set()).add(nid)
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5   # seed cells are rougher
