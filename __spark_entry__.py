@@ -249,6 +249,8 @@ def oracle_sql() -> dict[str, str]:
             "   FROM documents WHERE doc_id % 4 = 1"
             f"  UNION ALL SELECT {sl['per']}, 'founded', {sl['org']} "
             "   FROM documents WHERE doc_id % 5 = 2"
+            f"  UNION ALL SELECT {sl['org2']}, 'headquartered_in', "
+            f"  {sl['city3']} FROM documents WHERE doc_id % 7 = 4"
             "  UNION ALL SELECT 'Mary Johnson Systems', "
             f"  'headquartered_in', {sl['city2']} FROM documents "
             "   WHERE doc_id % 23 = 11"

@@ -73,6 +73,12 @@ S3 = "{org_s3} is headquartered in {city}."
 S4 = "{city} is the capital of {country}."      # when doc_id % 3 == 0
 S5 = "{per2} works for {org}."                  # when doc_id % 4 == 1
 S6 = "{org} was founded by {per}."              # when doc_id % 5 == 2
+# S9 exercises PREDICATE NORMALIZATION (kgp.predicates, the
+# WordTransformer role): the "based in" phrasing must merge into the
+# canonical headquartered_in predicate.
+#   org2  = ORGS[(doc_id + 4) % 13]
+#   city3 = CITIES[(doc_id + 5) % 11]
+S9 = "{org2} is based in {city3}."              # when doc_id % 7 == 4
 D1 = "The quick brown fox jumps over the lazy dog near the river bank."
 
 # S7 exercises CONTEXT typing (PalladianNer.buildContextDictionary /
@@ -94,6 +100,8 @@ S8 = "The merger was announced on " + DATE_SURFACE + " in {city}."
 COND_S4 = ("doc_id % 3", 0)
 COND_S5 = ("doc_id % 4", 1)
 COND_S6 = ("doc_id % 5", 2)
+COND_S9 = ("doc_id % 7", 4)
+S9_MOD, S9_VAL = 7, 4
 COND_S7 = ("doc_id % 23", 11)
 COND_S8 = ("doc_id % 6", 3)
 HOLDOUT_MOD, HOLDOUT_VAL = 23, 11  # NER train/apply split

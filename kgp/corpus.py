@@ -65,14 +65,18 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
     org_s3 = F.when(alias_cond, _pick(C.ORG_ALIASES + C.ORGS[3:],
                                       i32(doc_id % 13))).otherwise(org)
 
+    org2 = _pick(C.ORGS, i32((doc_id + 4) % 13))
+    city3 = _pick(C.CITIES, i32((doc_id + 5) % 11))
+
     slots = {
         "per": per, "per2": per2, "org": org, "org_s3": org_s3,
-        "city": city, "city2": city2, "country": country,
-        "doc_id": doc_id.cast("string"),
+        "org2": org2, "city": city, "city2": city2, "city3": city3,
+        "country": country, "doc_id": doc_id.cast("string"),
     }
     h1 = _tfmt(C.H1, slots)
     s1, s2, s3 = (_tfmt(s, slots) for s in (C.S1, C.S2, C.S3))
     s4, s5, s6 = (_tfmt(s, slots) for s in (C.S4, C.S5, C.S6))
+    s9 = _tfmt(C.S9, slots)
 
     p1 = F.concat_ws(" ", s1, s2, s3)
     p2 = F.concat_ws(
@@ -80,6 +84,7 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
         F.when(doc_id % 3 == 0, s4),
         F.when(doc_id % 4 == 1, s5),
         F.when(doc_id % 5 == 2, s6),
+        F.when(doc_id % C.S9_MOD == C.S9_VAL, s9),
     )
     p3 = F.concat(doc_text, F.lit("."))
     p4 = F.lit(C.D1)

@@ -40,6 +40,11 @@ def golden_triples_for_doc(doc_id: int) -> set[tuple[str, str, str]]:
         t.add((per, "founded", org))                # S6
     if doc_id % C.HOLDOUT_MOD == C.HOLDOUT_VAL:
         t.add((C.NOVEL_ORG, "headquartered_in", city2))  # S7 (context)
+    if doc_id % C.S9_MOD == C.S9_VAL:
+        # S9: "based in" phrasing, normalized to the canonical pred
+        org2 = C.ORGS[(doc_id + 4) % 13]
+        city3 = C.CITIES[(doc_id + 5) % 11]
+        t.add((org2, "headquartered_in", city3))
     return t
 
 

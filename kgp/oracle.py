@@ -38,8 +38,10 @@ def slots() -> dict[str, str]:
         "org_s3": (f"CASE WHEN {C.ALIAS_COND} THEN "
                    + _pick(alias_pool, "doc_id % 13")
                    + f" ELSE {org} END"),
+        "org2": _pick(C.ORGS, "(doc_id + 4) % 13"),
         "city": _pick(C.CITIES, "doc_id % 11"),
         "city2": _pick(C.CITIES, "(doc_id + 3) % 11"),
+        "city3": _pick(C.CITIES, "(doc_id + 5) % 11"),
         "country": _pick(C.COUNTRIES, "doc_id % 7"),
         "doc_id": "CAST(doc_id AS VARCHAR)",
     }
@@ -72,12 +74,14 @@ def text_sql() -> str:
     sl = slots()
     h1 = _tfmt_sql(C.H1, sl)
     s = {k: _tfmt_sql(getattr(C, k.upper()), sl)
-         for k in ("s1", "s2", "s3", "s4", "s5", "s6")}
+         for k in ("s1", "s2", "s3", "s4", "s5", "s6", "s9")}
     p1 = f"({s['s1']} || ' ' || {s['s2']} || ' ' || {s['s3']})"
     p2 = ("concat_ws(' ', "
           f"CASE WHEN doc_id % 3 = 0 THEN {s['s4']} END, "
           f"CASE WHEN doc_id % 4 = 1 THEN {s['s5']} END, "
-          f"CASE WHEN doc_id % 5 = 2 THEN {s['s6']} END)")
+          f"CASE WHEN doc_id % 5 = 2 THEN {s['s6']} END, "
+          f"CASE WHEN doc_id % {C.S9_MOD} = {C.S9_VAL} THEN {s['s9']} "
+          "END)")
     p3 = "(text || '.')"
     p4 = _lit(C.D1)
     s7 = _tfmt_sql(C.S7, sl)
@@ -115,6 +119,11 @@ def triples_sql() -> str:
         "FROM documents WHERE doc_id % 4 = 1",
         f"SELECT DISTINCT {sl['per']}, 'founded', {sl['org']} "
         "FROM documents WHERE doc_id % 5 = 2",
+        # S9: the "based in" variant phrasing, canonicalized to
+        # headquartered_in by kgp.predicates.normalize_predicates
+        f"SELECT DISTINCT {sl['org2']}, 'headquartered_in', "
+        f"{sl['city3']} FROM documents "
+        f"WHERE doc_id % {C.S9_MOD} = {C.S9_VAL}",
         # S7: the novel org is typed ORG by CONTEXT (it is in no seed
         # dictionary), so its headquartered_in triple only appears if
         # the context classifier stack works end-to-end
@@ -152,6 +161,11 @@ def _mention_rows_sql() -> str:
         f"FROM documents WHERE doc_id % 4 = 1 AND {suffix_cond}",
         f"SELECT {url}, {sl['org']}, 'ORG' FROM documents "
         "WHERE doc_id % 5 = 2",
+        # S9 predicate-variant sentence mentions
+        f"SELECT {url}, {sl['org2']}, 'ORG' FROM documents "
+        f"WHERE doc_id % {C.S9_MOD} = {C.S9_VAL}",
+        f"SELECT {url}, {sl['city3']}, 'CITY' FROM documents "
+        f"WHERE doc_id % {C.S9_MOD} = {C.S9_VAL}",
         # S7 novel org — context-typed (not in the entity dictionary)
         f"SELECT {url}, {_lit(C.NOVEL_ORG)}, 'ORG' FROM documents "
         f"WHERE doc_id % {C.HOLDOUT_MOD} = {C.HOLDOUT_VAL}",

@@ -25,7 +25,7 @@ from typing import NamedTuple
 
 import pandas as pd
 import regex
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -51,7 +51,11 @@ DEFAULT_PATTERNS: list[Pattern] = [
             _p(r",? ?(?:the )?(?:chief executive officer|ceo) of ")),
     Pattern("born_in", "PER", "CITY", _p(r" (?:was|is) born in ")),
     Pattern("headquartered_in", "ORG", "CITY",
-            _p(r" (?:is|are)? ?(?:headquartered|based) in ")),
+            _p(r" (?:is|are)? ?headquartered in ")),
+    # variant phrasing: emitted as its own surface predicate, merged
+    # into headquartered_in by kgp.predicates.normalize_predicates
+    Pattern("based_in", "ORG", "CITY",
+            _p(r" (?:is|are)? ?based in ")),
     Pattern("capital_of", "CITY", "COUNTRY",
             _p(r" is the capital (?:city )?of ")),
     Pattern("works_for", "PER", "ORG", _p(r" works? (?:for|at) ")),
@@ -167,4 +171,64 @@ def extract_relations(links: DataFrame,
 
     bucketed = links.withColumn("_bucket",
                                 F.pmod(F.xxhash64("url"), F.lit(n)))
-    return bucketed.groupBy("_bucket").applyInPandas(_rel, TRIPLE_SCHEMA)
+    out = bucketed.groupBy("_bucket").applyInPandas(_rel, TRIPLE_SCHEMA)
+    # canonicalize predicate phrasing variants (based_in →
+    # headquartered_in) — literal column map, no shuffle
+    from kgp.predicates import normalize_predicates
+    return normalize_predicates(out)
+
+
+# ------------------------------------------------- induced patterns
+# The learned counterpart of DEFAULT_PATTERNS: frequent exact infix
+# strings between same-sentence tagged mention pairs become anchored
+# Pattern entries — the reference's Apriori support counting
+# (extraction/apriori/Apriori.java) applied to relation phrasing
+# instead of market baskets (SURVEY §2.8). kgp.apriori.
+# mine_infix_patterns keeps the token-SET flavor; this one mines the
+# literal infix so the result anchors with fullmatch like the hand
+# bank.
+
+
+def induce_patterns(links: DataFrame, min_support: float = 0.05,
+                    min_count: int = 3, max_infix_len: int = 60,
+                    max_patterns: int = 50) -> list[Pattern]:
+    """Mine frequent (subj_tag, obj_tag, infix) triples from linked
+    mentions and return them as anchored Patterns, confidence from
+    relative support within the tag pair. The predicate name is the
+    snake_cased alphabetic token sequence of the infix (then subject
+    to kgp.predicates.normalize_predicates downstream)."""
+    m = links.select("url", "sent_idx", "start", "end", "tag",
+                     "sent_start", "sent_text")
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (a.join(b, (F.col("a.url") == F.col("b.url"))
+                    & (F.col("a.sent_idx") == F.col("b.sent_idx"))
+                    & (F.col("a.end") < F.col("b.start")))
+             .select(F.col("a.tag").alias("subj_tag"),
+                     F.col("b.tag").alias("obj_tag"),
+                     F.expr("substring(a.sent_text, "
+                            "a.end - a.sent_start + 1, "
+                            "b.start - a.end)").alias("infix")))
+    pairs = pairs.where((F.length("infix") <= max_infix_len)
+                        & (F.length(F.trim("infix")) > 0))
+    counts = (pairs.groupBy("subj_tag", "obj_tag", "infix")
+              .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("subj_tag", "obj_tag")
+    mined = (counts
+             .withColumn("support", F.col("n") / F.sum("n").over(w))
+             .where((F.col("support") >= min_support)
+                    & (F.col("n") >= min_count))
+             .orderBy(F.desc("n"), "subj_tag", "obj_tag", "infix")
+             .limit(max_patterns)
+             .collect())
+    from kgp.predicates import normalize_predicate_name
+    out: list[Pattern] = []
+    for r in mined:
+        words = regex.findall(r"[a-z]+", r["infix"].lower())
+        if not words:
+            continue
+        pred = normalize_predicate_name("_".join(words))
+        conf = min(0.95, round(0.5 + 0.5 * float(r["support"]), 4))
+        out.append(Pattern(pred, r["subj_tag"], r["obj_tag"],
+                           regex.compile(regex.escape(r["infix"])),
+                           conf=conf))
+    return out

@@ -370,6 +370,10 @@ def golden_mentions(doc_id: int) -> set[tuple[str, str]]:
     if doc_id % C.S8_MOD == C.S8_VAL:
         # S8: the DateAndTimeTagger add-back emits the full date span
         out.add((C.DATE_SURFACE, "DATETIME"))
+    if doc_id % C.S9_MOD == C.S9_VAL:
+        # S9: the predicate-variant sentence adds its own org/city
+        out.add((C.ORGS[(doc_id + 4) % 13], "ORG"))
+        out.add((C.CITIES[(doc_id + 5) % 11], "CITY"))
     return out
 
 

@@ -64,3 +64,42 @@ def test_extract_relations_dataframe(spark):
                                        "Freedonia")
     assert (t.subj_id, t.obj_id) == (3000, 4000)
     assert t.url == "u1" and t.sent_idx == 0
+
+
+def test_induced_pattern_recovers_held_out_predicate(spark):
+    # pattern induction (SURVEY §2.8, Apriori-style support counting
+    # over inter-mention infixes): a predicate phrasing absent from
+    # DEFAULT_PATTERNS is learned on a training slice and recovers the
+    # golden triples on a held-out slice with P/R = 1.0
+    from kgp.relations import (DEFAULT_PATTERNS, extract_relations,
+                               induce_patterns)
+
+    def links_rows(doc_ids):
+        rows = []
+        for i in doc_ids:
+            per, org = f"Alice Num{i}", f"Contoso {i} Labs"
+            sent = f"{per} serves as chairman of {org}."
+            rows.append((f"u{i}", 0, 0, len(per), per, "PER", 0, sent,
+                         1000 + i, per, 1.0))
+            rows.append((f"u{i}", 0, len(sent) - len(org) - 1,
+                         len(sent) - 1, org, "ORG", 0, sent,
+                         2000 + i, org, 1.0))
+        return spark.createDataFrame(
+            rows, "url string, sent_idx int, start int, end int, "
+                  "surface string, tag string, sent_start int, "
+                  "sent_text string, entity_id long, canon_name string, "
+                  "link_score double")
+
+    train, held_out = links_rows(range(40)), links_rows(range(100, 110))
+    induced = induce_patterns(train, min_support=0.05, min_count=3)
+    by_pred = {p.pred: p for p in induced}
+    assert "serves_as_chairman_of" in by_pred
+    p = by_pred["serves_as_chairman_of"]
+    assert (p.subj_tag, p.obj_tag) == ("PER", "ORG")
+
+    got = {(r.subj, r.pred, r.obj) for r in extract_relations(
+        held_out, patterns=DEFAULT_PATTERNS + induced).collect()}
+    want = {(f"Alice Num{i}", "serves_as_chairman_of",
+             f"Contoso {i} Labs") for i in range(100, 110)}
+    # precision: nothing else fires on these sentences; recall: all 10
+    assert got == want
