@@ -8,12 +8,18 @@ formats are tried in declaration order, every found date string is
 masked with 'x' before later (less specific) formats run, matches
 directly neighboring digits or starting after a '.' are rejected.
 
-The default bank holds the PROSE families — three-part, two-part,
-RFC 1123 / ANSI C and the in-context year — i.e. everything
-DateAndTimeTagger.DEFAULT can meet in sentence text; the URL path
-formats live in URL_DATE_FORMATS (used by kgp.pagedates, never by the
-NER add-back). Compact ISO (YYYYMMDD) and the with-time variants stay
-out: they do not occur in the surfaces this pipeline scans.
+The default bank holds the PROSE families — with-time variants (ISO
+YMD+T, US/EU slash/dot dates with time, RegExp.java TIME_FORMATS),
+three-part, two-part, compact ISO YYYYMMDD (ONE_PART_FORMATS), RFC
+1123 / ANSI C and the in-context year — in the reference's
+ALL_DATE_FORMATS family order (RFC > time > three-part > two-part >
+one-part, RegExp.java:346-359), which is what makes the masking
+semantics right: a dated timestamp masks before the bare date formats
+run. The URL path formats live in URL_DATE_FORMATS (used by
+kgp.pagedates, never by the NER add-back). Still deliberately out:
+week/day-of-year ISO variants (YYYY-WW, YYYY-DDD and their compact/
+time forms) — they collide with prose numbers far more than they
+occur in it.
 
 Pure Python (regex) — executed inside the mentions pandas UDF; no
 Spark state.
@@ -79,6 +85,34 @@ def _g(p: str) -> str:
     return "(?:" + p + ")"
 
 
+# ---- time-of-day components (RegExp.java:43-65) ----------------------
+
+HOUR = r"1[0-9]|2[0-4]|0[0-9]"
+HOUR12 = r"1[0-2]|0[0-9]"
+HOUR_1 = r"1[0-9]|2[0-4]|[0-9]"
+HOUR12_1 = r"1[0-2]|[0-9]"
+MIN = r"0[0-9]|[1-5][0-9]"
+FLOAT_SEC_OPT = r"(?:\.\d*)?"
+AM_PM = r"\s[AP]M"
+
+
+def _time_of(hour: str, am_pm: bool = False) -> str:
+    t = (_g(hour) + "(?::" + _g(MIN) + "(?::" + _g(MIN)
+         + FLOAT_SEC_OPT + ")?)?")
+    return t + (AM_PM + "?" if am_pm else "")
+
+
+TIME24 = _time_of(HOUR)
+TIME24_1 = _time_of(HOUR_1)
+TIME12 = _time_of(HOUR12, am_pm=True)
+TIME12_1 = _time_of(HOUR12_1, am_pm=True)
+TIME = TIME12 + "|" + TIME24 + "|" + TIME12_1 + "|" + TIME24_1
+TIME_SEPARATOR = r"\s(?:/\s)?"
+GMT_OPT = r"\s?(?:GMT|UTC|Z)?"
+DIFF_UTC = GMT_OPT + r"\s?[+-]" + _g(HOUR) + "(?::?" + _g(MIN) + ")?"
+ISO_TIME = r"[T\s]" + TIME24 + "(?:" + DIFF_UTC + "|Z)?"
+_TZ_OR_DIFF = "(?:" + DIFF_UTC + "|" + TIMEZONE + ")?"
+
 # ---- format bank, reference declaration order (RegExp.java:295-320) --
 
 DATE_RFC_1123 = _df(
@@ -90,14 +124,42 @@ DATE_ANSI_C = _df(
     + _g(DAY_OF_MONTH_1_2) + " " + TIME_SEC + " " + LONG_YEAR,
     "WD MMM DD_1 HH:MM:SS YYYY")
 
+# raw pattern strings shared by the bare and with-time variants
+_EU_D_MM_Y = "|".join(_g(DAY_OF_MONTH_1_2) + sep + _g(MONTH_NUMBER_NORMAL)
+                      + sep + _g(YEAR_SHORT_LONG)
+                      for sep in (r"\.", "/", "_", "-"))
+
+# with-time variants (RegExp.java TIME_FORMATS subset, :300-303) — run
+# BEFORE the bare three-part formats so a dated timestamp masks whole
+TIME_FORMATS = [
+    _df(_g(YEAR_SHORT_LONG) + "-" + _g(MONTH_NUMBER_DOUBLE) + "-"
+        + _g(DAY_OF_MONTH) + ISO_TIME, "YYYY-MM-DDTHH:MM:SS+HH:MM"),
+    _df(_g(MONTH_NUMBER_NORMAL) + "/" + _g(DAY_OF_MONTH_1_2) + "/"
+        + _g(YEAR_SHORT_LONG) + TIME_SEPARATOR + _g(TIME) + _TZ_OR_DIFF,
+        "MM/DD/YYYY HH:MM:SS +UTC"),
+    _df(_g(_EU_D_MM_Y) + TIME_SEPARATOR + _g(TIME) + _TZ_OR_DIFF,
+        "DD.MM.YYYY HH:MM:SS +UTC"),
+    _df(_g(MONTH_NAME_LONG) + " " + _g(DAY_OF_MONTH_1_2)
+        + ST_ND_RD_TH_OPT + ", " + _g(YEAR_SHORT_LONG) + ",?"
+        + TIME_SEPARATOR + _g(TIME) + _TZ_OR_DIFF,
+        "MMMM DD, YYYY HH:MM:SS +UTC"),
+    _df(_g(DAY_OF_MONTH_1_2) + r"(?:\.?\s|-)" + _g(MONTH_NAME_LONG)
+        + _g(r",?\s|-") + _g(YEAR_SHORT_LONG) + TIME_SEPARATOR
+        + _g(TIME) + _TZ_OR_DIFF, "DD. MMMM YYYY HH:MM:SS +UTC"),
+]
+
+# compact ISO YYYYMMDD (ONE_PART_FORMATS, RegExp.java:124-125) — runs
+# LAST; the digit-neighbor rule of findDates keeps it out of longer
+# numbers
+DATE_ISO8601_YMD_NO = _df(
+    LONG_YEAR + _g(MONTH_NUMBER_DOUBLE) + _g(DAY_OF_MONTH), "YYYYMMDD")
+
 THREE_PART_FORMATS = [
     _df(_g(YEAR_SHORT_LONG) + "-" + _g(MONTH_NUMBER_DOUBLE) + "-"
         + _g(DAY_OF_MONTH), "YYYY-MM-DD"),
     _df(_g(MONTH_NUMBER_NORMAL) + "/" + _g(DAY_OF_MONTH_1_2) + "/"
         + _g(YEAR_SHORT_LONG), "MM/DD/YYYY"),
-    _df("|".join(_g(DAY_OF_MONTH_1_2) + sep + _g(MONTH_NUMBER_NORMAL)
-                 + sep + _g(YEAR_SHORT_LONG)
-                 for sep in (r"\.", "/", "_", "-")), "DD.MM.YYYY"),
+    _df(_EU_D_MM_Y, "DD.MM.YYYY"),
     _df(_g(MONTH_NAME_LONG2) + r"(?:\s|\.|\.\s)" + _g(DAY_OF_MONTH_1_2)
         + _g(ST_ND_RD_TH_OPT + r",?\s|\,|\.\s?|\s")
         + _g(YEAR_SHORT_LONG), "MMMM DD, YYYY"),
@@ -129,7 +191,8 @@ DATE_CONTEXT_YYYY = _df(
     r"[0-9]{4}", "YYYY")
 
 ALL_DATE_FORMATS: list[DateFormat] = (
-    [DATE_ANSI_C, DATE_RFC_1123] + THREE_PART_FORMATS + TWO_PART_FORMATS
+    [DATE_ANSI_C, DATE_RFC_1123] + TIME_FORMATS + THREE_PART_FORMATS
+    + TWO_PART_FORMATS + [DATE_ISO8601_YMD_NO]
 )
 DEFAULT_TAGGER_FORMATS: list[DateFormat] = (
     ALL_DATE_FORMATS + [DATE_CONTEXT_YYYY]

@@ -102,3 +102,41 @@ def test_publish_date_priority():
                             "March 9, 2021 was the day.")
     assert got3.source == "content" and got3.value == "March 9, 2021"
     assert meta_dates(root2) == []
+
+
+def test_compact_iso_yyyymmdd():
+    # ONE_PART_FORMATS tail (RegExp.java:124-125): runs last, guarded
+    # by the digit-neighbor rule
+    from kgp.dates import find_dates
+    assert [(d.value, d.fmt) for d in
+            find_dates("Released on 20210304 worldwide.")] == \
+        [("20210304", "YYYYMMDD")]
+    assert find_dates("The id 120210304 is not a date.") == []
+    assert find_dates("Price 20211399 is not a date.") == []
+
+
+def test_with_time_variants_mask_before_bare_dates():
+    # TIME_FORMATS run before THREE_PART (ALL_DATE_FORMATS order,
+    # RegExp.java:346-359): the timestamp masks as ONE date
+    from kgp.dates import find_dates
+    got = find_dates("At 2021-03-04T12:30:45Z the feed updated.")
+    assert [(d.value, d.fmt) for d in got] == \
+        [("2021-03-04T12:30:45Z", "YYYY-MM-DDTHH:MM:SS+HH:MM")]
+    got = find_dates("Logged 03/04/2021 12:30:45 +01:00 by ops.")
+    assert [d.fmt for d in got] == ["MM/DD/YYYY HH:MM:SS +UTC"]
+    got = find_dates("Am 04.03.2021 12:30 GMT war es soweit.")
+    assert [(d.value, d.fmt) for d in got] == \
+        [("04.03.2021 12:30 GMT", "DD.MM.YYYY HH:MM:SS +UTC")]
+    got = find_dates("On March 3, 2021, 10:15 PM the vote closed.")
+    assert [(d.value, d.fmt) for d in got] == \
+        [("March 3, 2021, 10:15 PM", "MMMM DD, YYYY HH:MM:SS +UTC")]
+    got = find_dates("On 4. März 2021 14:00 UTC in Berlin.")
+    assert [(d.value, d.fmt) for d in got] == \
+        [("4. März 2021 14:00 UTC", "DD. MMMM YYYY HH:MM:SS +UTC")]
+
+
+def test_bare_date_still_bare():
+    from kgp.dates import find_dates
+    got = find_dates("The merger was announced on March 3, 2021 in X.")
+    assert [(d.value, d.fmt) for d in got] == \
+        [("March 3, 2021", "MMMM DD, YYYY")]
