@@ -863,19 +863,24 @@ EXTRACT_SCHEMA = T.StructType([
 ])
 
 
-def extract_stage(pages: DataFrame, sentence_lang: str = "en") -> DataFrame:
+def extract_stage(pages: DataFrame,
+                  sentence_lang: str = "auto") -> DataFrame:
     """pages -> docs(url, warc_ts, lang, title, text, sentences).
 
     Per-document work only: Catalyst keeps this a single ArrowEvalPython
     stage over the parquet scan — no shuffle.
 
-    sentence_lang: "en"/"de" force that split regex; "auto" keys off the
-    page's detected language. Default is "en": the <html lang> attribute
-    describes the page, not necessarily the prose, and the reference's DE
-    regex has aggressive abbreviation lookbehinds (e.g. `[mM]s` for "Ms."
-    suppresses any split after a word ending in "ms"); content-based
-    language ID (kgp.textstats) is the scale-path input for "auto".
+    sentence_lang: "en"/"de" force that split regex; "auto" (the
+    default) keys off CONTENT-BASED language ID over the extracted
+    prose (kgp.textstats.lang_id_text marker heuristic) with the
+    page-declared language as tie-breaker when the content is
+    undetermined. Content beats the <html lang> attribute because the
+    attribute describes the page chrome, not necessarily the prose —
+    and the DE regex's aggressive abbreviation lookbehinds (e.g.
+    `[mM]s` for "Ms." suppresses any split after a word ending in
+    "ms") make a false 'de' costly on English text.
     """
+    from kgp.textstats import lang_id_text
 
     @F.pandas_udf(EXTRACT_SCHEMA)
     def _extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
@@ -883,7 +888,12 @@ def extract_stage(pages: DataFrame, sentence_lang: str = "en") -> DataFrame:
         for h, u in zip(html, url):
             r = extract_main_content(h, u or "")
             if sentence_lang == "auto":
-                sl = "de" if r["lang"] == "de" else "en"
+                # a 2k-char prefix is plenty for marker-word lang ID
+                # and keeps the docs stage cost flat on heavy pages
+                content_lang = lang_id_text(r["text"][:2000])
+                if content_lang == "und":
+                    content_lang = r["lang"]
+                sl = "de" if content_lang == "de" else "en"
             else:
                 sl = sentence_lang
             ss = get_sentences(r["text"], only_real=True, language=sl)

@@ -106,6 +106,32 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+_LANG_MARKER_RES = None
+
+
+def lang_id_text(text: str) -> str:
+    """Pure-Python twin of lang_id (same LANG_MARKERS, same argmax and
+    en < de < fr < es tie order) for use inside other pandas UDFs —
+    e.g. the sentence-split language pick in
+    kgp.html_text.extract_stage(sentence_lang='auto')."""
+    global _LANG_MARKER_RES
+    if _LANG_MARKER_RES is None:
+        import re as _re
+        _LANG_MARKER_RES = {
+            lang: _re.compile(r"\b(" + "|".join(ws) + r")\b")
+            for lang, ws in LANG_MARKERS.items()}
+    low = text.lower()
+    counts = {lang: len(pat.findall(low))
+              for lang, pat in _LANG_MARKER_RES.items()}
+    best = max(counts.values())
+    if best == 0:
+        return "und"
+    for lang in LANG_MARKERS:          # declaration order breaks ties
+        if counts[lang] == best:
+            return lang
+    return "und"
+
+
 def fingerprint(col: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the
     whitespace-normalized, case-folded text — the exact-dedup key

@@ -415,3 +415,44 @@ def test_charset_sniffing():
     # unlabelled invalid utf-8 falls back to windows-1252
     assert "\x80" not in sniff_decode(b"<p>caf\xe9</p>")
     assert "café" in sniff_decode(b"<p>caf\xe9</p>")
+
+
+def test_extract_stage_auto_german_sentences(spark):
+    # auto mode: content-based lang-ID routes German prose through the
+    # DE sentence regex, whose abbreviation lookbehinds (z. B., bzw.,
+    # Nr. — SENTENCE_SPLIT_REGEX_DE, Tokenizer.java:31) must NOT split
+    de_body = ("Die Stadt hat z. B. nicht nur einen Bahnhof gebaut. "
+               "Das Projekt kostete ca. zehn Millionen Euro und wurde "
+               "bzw. wird von der Stadt getragen. "
+               "Die Nr. 7 der Liste ist nicht das Ende der Geschichte.")
+    html = ('<html lang="en"><body><div class="article-body"><p>'
+            + de_body + "</p></div></body></html>").encode()
+    pages = spark.createDataFrame([("https://x.example.de/a", html)],
+                                  "url string, html binary")
+    row = extract_stage(pages.withColumn(
+        "warc_ts", F.current_timestamp())).first()
+    sents = [s.text for s in row.sentences]
+    # three sentences — none split at the abbreviation dots
+    assert len(sents) == 3, sents
+    assert sents[0].startswith("Die Stadt hat z. B.")
+    assert "ca. zehn Millionen" in sents[1]
+    assert sents[2].startswith("Die Nr. 7")
+
+    # same prose through the EN regex splits differently ("z. B." is
+    # not in the EN lookbehind list) — pinning that auto picked DE
+    from kgp.tokenize import get_sentences
+    en_sents = get_sentences(de_body, only_real=True, language="en")
+    assert len(en_sents) != 3
+
+
+def test_extract_stage_auto_english_unaffected(spark):
+    html = ('<html lang="de"><body><div class="article-body"><p>'
+            "The committee was not convinced by the proposal. "
+            "It asked for more time and for more evidence of the plan."
+            "</p></div></body></html>").encode()
+    pages = spark.createDataFrame([("https://x.example.de/a", html)],
+                                  "url string, html binary")
+    row = extract_stage(pages.withColumn(
+        "warc_ts", F.current_timestamp())).first()
+    # declared lang is de, but the content is English -> EN split
+    assert len(row.sentences) == 2
