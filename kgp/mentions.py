@@ -628,14 +628,20 @@ def case_dictionary_pairs(text: str) -> list[tuple[str, str]]:
     for tok in tokenize(text):
         if skip:
             skip = False
-        elif regex.fullmatch(r"[.?!]", tok):
+        elif tok in (".", "?", "!"):
             skip = True
         else:
             t = tok.strip()
             if len(t) > 1:
-                sig = get_case_signature(t)
-                if sig[:1] in ("A", "a"):
-                    pairs.append((t.lower(), sig[0]))
+                # only caseSignature.substring(0, 1) is consumed
+                # (PalladianNer.java:207-210), and the run-compressed
+                # signature's first char is exactly the first char's
+                # class — skip building the full signature
+                c0 = t[0]
+                if c0.isupper():
+                    pairs.append((t.lower(), "A"))
+                elif c0.islower():
+                    pairs.append((t.lower(), "a"))
     return pairs
 
 
@@ -645,22 +651,13 @@ _CASE_PAIR_SCHEMA = T.ArrayType(T.StructType([
 ]))
 
 
-def build_case_dictionary(docs: DataFrame, min_count: int = 1,
+def _case_dict_from_pairs(pairs: DataFrame, min_count: int = 1,
                           max_size: int = 200_000) -> DataFrame:
-    """buildCaseDictionary as an aggregation (PalladianNer.java:191-222):
-    WordTokenizer tokens NOT at sentence beginnings (skip flag reset
-    after [.?!] tokens), length > 1, keyed by lowercase form; keep
-    tokens whose occurrences carry lowercase signature with P > 0.5
-    (the reference counts singleton documents per occurrence, so
-    probability == occurrence fraction). min_count/max_size bound the
-    broadcast at web scale (the reference has no bounds)."""
-
-    @F.pandas_udf(_CASE_PAIR_SCHEMA)
-    def pairs_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: case_dictionary_pairs(t or ""))
-
-    pairs = (docs.select(F.explode(pairs_udf("text")).alias("p"))
-             .select("p.token", "p.sig"))
+    """The aggregation half of buildCaseDictionary over (token, sig)
+    occurrence rows: keep tokens with P(sig=='a') > 0.5. The reference
+    counts singleton documents per occurrence, so probability ==
+    occurrence fraction. min_count/max_size bound the broadcast at web
+    scale (the reference has no bounds)."""
     return (
         pairs.groupBy("token")
         .agg(F.count("*").alias("n"),
@@ -673,6 +670,46 @@ def build_case_dictionary(docs: DataFrame, min_count: int = 1,
     )
 
 
+def build_case_dictionary(docs: DataFrame, min_count: int = 1,
+                          max_size: int = 200_000) -> DataFrame:
+    """buildCaseDictionary as an aggregation (PalladianNer.java:191-222):
+    WordTokenizer tokens NOT at sentence beginnings (skip flag reset
+    after [.?!] tokens), length > 1, keyed by lowercase form; keep
+    tokens whose occurrences carry lowercase signature with P > 0.5."""
+
+    @F.pandas_udf(_CASE_PAIR_SCHEMA)
+    def pairs_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: case_dictionary_pairs(t or ""))
+
+    pairs = (docs.select(F.explode(pairs_udf("text")).alias("p"))
+             .select("p.token", "p.sig"))
+    return _case_dict_from_pairs(pairs, min_count, max_size)
+
+
+def _padded_gram_udf():
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def gram_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: char_ngrams((x or "").lower(), GRAM_N,
+                                           GRAM_N, padding=True))
+    return gram_udf
+
+
+def _annotation_dict_from_surfaces(seeds: DataFrame,
+                                   surfaces: DataFrame | None,
+                                   min_count: int = 1) -> DataFrame:
+    """(gram, tag, count) aggregation over seed grams plus (optional)
+    NO_ENTITY grams of pre-scanned corpus candidate surfaces."""
+    gram_udf = _padded_gram_udf()
+    seed_grams = seeds.select(F.col("concept").alias("tag"),
+                              F.explode(gram_udf("entity")).alias("gram"))
+    grams = seed_grams
+    if surfaces is not None:
+        grams = grams.unionByName(
+            _negative_grams(surfaces, seeds, gram_udf))
+    return (grams.groupBy("gram", "tag").count()
+            .where(F.col("count") >= min_count))
+
+
 def build_annotation_dictionary(seeds: DataFrame,
                                 docs: DataFrame | None = None,
                                 min_count: int = 1) -> DataFrame:
@@ -680,14 +717,7 @@ def build_annotation_dictionary(seeds: DataFrame,
     build (DictionaryTrieModel.Builder.addDocument, :78-100) as a hash
     aggregation. When `docs` is given, corpus candidates that are not
     seed surfaces contribute NO_ENTITY rows (trainEnglish 2nd pass)."""
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def gram_udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: char_ngrams((x or "").lower(), GRAM_N,
-                                           GRAM_N, padding=True))
-
-    seed_grams = seeds.select(F.col("concept").alias("tag"),
-                              F.explode(gram_udf("entity")).alias("gram"))
-    parts = [seed_grams]
+    surfaces = None
     if docs is not None:
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def cand_udf(col: pd.Series) -> pd.Series:
@@ -696,19 +726,21 @@ def build_annotation_dictionary(seeds: DataFrame,
                  for c in candidate_annotations(s["text"])}))
         surfaces = docs.select(
             F.explode(cand_udf("sentences")).alias("surface"))
-        seed_set = seeds.select(F.lower("entity").alias("k")).distinct()
-        # dot-stripped comparison: "Acme Corp." (suffix rule keeps the
-        # sentence dot) is NOT a false positive of seed "Acme Corp"
-        negatives = (surfaces
-                     .join(seed_set,
-                           F.lower(F.regexp_replace("surface", r"\.+$", ""))
-                           == F.col("k"), "left_anti")
-                     .select(F.lit(NO_ENTITY).alias("tag"),
-                             F.explode(gram_udf("surface")).alias("gram")))
-        parts.append(negatives)
-    grams = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    return (grams.groupBy("gram", "tag").count()
-            .where(F.col("count") >= min_count))
+    return _annotation_dict_from_surfaces(seeds, surfaces, min_count)
+
+
+def _negative_grams(surfaces: DataFrame, seeds: DataFrame, gram_udf):
+    """Corpus candidates that are not seed surfaces → NO_ENTITY grams
+    (trainEnglish 2nd pass). Dot-stripped comparison: "Acme Corp."
+    (suffix rule keeps the sentence dot) is NOT a false positive of
+    seed "Acme Corp"."""
+    seed_set = seeds.select(F.lower("entity").alias("k")).distinct()
+    return (surfaces
+            .join(seed_set,
+                  F.lower(F.regexp_replace("surface", r"\.+$", ""))
+                  == F.col("k"), "left_anti")
+            .select(F.lit(NO_ENTITY).alias("tag"),
+                    F.explode(gram_udf("surface")).alias("gram")))
 
 
 def build_entity_dictionary(seeds: DataFrame) -> DataFrame:
@@ -771,6 +803,67 @@ def seed_training_spans(docs: DataFrame,
 
     return (docs.select(F.explode(span_udf("sentences")).alias("sp"))
             .select("sp.tag", "sp.ctx", "sp.lefts", "sp.insides"))
+
+
+TRAINING_SCAN_SCHEMA = T.StructType([
+    T.StructField("kind", T.StringType()),     # cand | case | span
+    T.StructField("key", T.StringType()),      # surface | token | ctx
+    T.StructField("tag", T.StringType()),      # - | sig | span tag
+    T.StructField("lefts", T.ArrayType(T.StringType())),
+    T.StructField("insides", T.ArrayType(T.StringType())),
+])
+
+
+def training_scan(docs: DataFrame,
+                  seed_map: dict[str, str]) -> DataFrame:
+    """ALL Python-derived training rows in ONE mapInPandas pass:
+
+      kind='cand'  candidate surfaces (StringTagger, per-doc deduped)
+                   — feeds the NO_ENTITY negatives of the annotation
+                   dictionary;
+      kind='case'  (token, first-char class) occurrences — feeds the
+                   case dictionary;
+      kind='span'  seed-dictionary matches with ±40-char context and
+                   left/inside token lists — feeds the context
+                   dictionary, priors and left contexts.
+
+    The per-sentence loop is shared, the docs table is Arrow-transferred
+    once, and the (small) result is what gets persisted — the shape
+    that matters when the corpus is 100 TB and this is the training
+    sample scan."""
+    automaton = AhoCorasick(
+        (s, t) for s, t in seed_map.items() if len(s) > 1)
+    cols = [f.name for f in TRAINING_SCAN_SCHEMA.fields]
+
+    def scan(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for text, sents in zip(pdf["text"], pdf["sentences"]):
+                for tok, sig in case_dictionary_pairs(text or ""):
+                    rows.append(("case", tok, sig, None, None))
+                cand_set: set[str] = set()
+                for s in (sents if sents is not None else []):
+                    st = s["text"]
+                    for c in candidate_annotations(st):
+                        cand_set.add(c.value)
+                    found = [(a, b, st[a:b], tg)
+                             for a, b, tg in automaton.find_all(st)]
+                    kept = remove_nested([(f[0], f[1]) for f in found])
+                    for i in kept:
+                        start, end, surface, tg = found[i]
+                        parts_ = surface.split(" ")
+                        insides = [" ".join(parts_[:j + 1])
+                                   for j in range(len(parts_))]
+                        rows.append((
+                            "span",
+                            get_character_context(st, start, end), tg,
+                            get_left_contexts(st, start, 3), insides))
+                for surf in cand_set:
+                    rows.append(("cand", surf, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("text", "sentences").mapInPandas(
+        scan, TRAINING_SCAN_SCHEMA)
 
 
 def build_context_dictionary(spans: DataFrame,
@@ -847,12 +940,19 @@ def ner_model_table(docs: DataFrame, seeds: DataFrame,
     if seed_map is None:
         seed_map = {r["entity"]: r["concept"]
                     for r in seeds.select("entity", "concept").collect()}
-    # persist: three union branches consume spans — without the cache
-    # each one re-runs the dictionary-tagger scan over every sentence
-    # (38% of the training job at saturated cores). The cached rows
-    # are small (tags/contexts, never html) and the ContextCleaner
-    # frees them once the table goes out of scope.
-    spans = seed_training_spans(docs, seed_map).persist()
+    # ONE Arrow pass over the training docs produces every
+    # Python-derived raw row (candidate surfaces, case-token pairs,
+    # seed spans); persisted so the six aggregation branches below
+    # never re-scan the corpus or re-run the tagger regexes. Before
+    # this merge the job made three separate full-text Arrow passes
+    # (candidates, case pairs, spans) over the same cached docs.
+    raw = training_scan(docs, seed_map).persist()
+    spans = raw.where(F.col("kind") == "span").select(
+        "tag", F.col("key").alias("ctx"), "lefts", "insides")
+    case_pairs = raw.where(F.col("kind") == "case").select(
+        F.col("key").alias("token"), F.col("tag").alias("sig"))
+    cand_surfaces = raw.where(F.col("kind") == "cand").select(
+        F.col("key").alias("surface"))
 
     def shape(df, kind, key, tag=None, count=None):
         return df.select(
@@ -866,9 +966,9 @@ def ner_model_table(docs: DataFrame, seeds: DataFrame,
     parts = [
         shape(build_entity_dictionary(seeds), "entity", "surface",
               "concept", "count"),
-        shape(build_annotation_dictionary(seeds, docs), "agram", "gram",
-              "tag", "count"),
-        shape(build_case_dictionary(docs), "case", "token"),
+        shape(_annotation_dict_from_surfaces(seeds, cand_surfaces),
+              "agram", "gram", "tag", "count"),
+        shape(_case_dict_from_pairs(case_pairs), "case", "token"),
         shape(build_context_dictionary(spans), "ctxgram", "gram", "tag",
               "count"),
         shape(spans.groupBy("tag").agg(F.count("*").alias("n")),
