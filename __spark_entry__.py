@@ -190,6 +190,18 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank")
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with the deterministic 'seed'
+    IVF blocking — the DuckDB oracle recomputes the identical cells,
+    pair blocking and exact cosine verification. Threshold 0.45: the
+    synthetic embeddings are random, so true near-dups don't exist;
+    this exercises blocking + verify on a non-trivial pair set."""
+    return _sim.embedding_near_dups(_emb_table(spark, sf_dir),
+                                    threshold=0.45, nlist=8,
+                                    quantizer="seed") \
+        .select("a", "b")
+
+
 def _q_lsh_entity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHashLSH fuzzy gazetteer candidate index over the corpus's
     distinct mention surfaces. 15 hash tables push the LSH miss
@@ -220,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "ivf_topk": _q_ivf_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
         "lsh_entity_candidates": _q_lsh_entity_candidates,
     }
 
@@ -260,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _oracle.dedup_exact_sql(),
         "ann_topk": _oracle.ann_topk_sql(),
         "ivf_topk": _oracle.ivf_topk_sql(),
+        "embedding_near_dups": _oracle.embedding_near_dups_sql(),
         "media_stats": _oracle.media_stats_sql(),
         "media_features": _oracle.media_features_sql(),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

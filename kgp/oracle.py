@@ -363,6 +363,41 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored
 WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def embedding_near_dups_sql(threshold: float = 0.45, nlist: int = 8,
+                            n_probe_cells: int = 2) -> str:
+    """Exact recomputation of embedding_near_dups with the 'seed'
+    quantizer: centroids = nlist smallest vec_ids; every vector joins
+    its 2 closest cells (ties: smaller cell id); pairs sharing any
+    cell verify with exact cosine >= threshold. Only (a, b) are
+    compared — the cosine VALUE is float-rounding-sensitive across
+    engines and is pytest-asserted instead (tests/test_similarity)."""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < {nlist}
+), blocked AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), c.ce) DESC,
+               c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn <= {n_probe_cells}
+), pairs AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM blocked l JOIN blocked r
+    ON l.cell = r.cell AND l.vec_id < r.vec_id
+)
+SELECT p.a, p.b
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.a
+JOIN embeddings eb ON eb.vec_id = p.b
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[]))
+      >= {threshold}
+ORDER BY a, b"""
+
+
 def media_stats_sql() -> str:
     """Mirrors kgp.multimodal.synth_media payload sizes in closed form:
     BMP = 54-byte headers + 4-byte-padded BGR rows; WAV = 44-byte

@@ -231,21 +231,25 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         nlist: int = 16, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        quantizer: str = "kmeans") -> DataFrame:
     """Corpus self-near-dup pairs (cos ≥ threshold), blocked by IVF
     cell: pairs are generated within a cell only (plus each vector's
     second-closest cell, to catch boundary pairs). Returns (a, b,
-    cos_sim)."""
+    cos_sim). quantizer='seed' makes the blocking deterministic and
+    SQL-recomputable (exact oracle in
+    kgp.oracle.embedding_near_dups_sql)."""
     spark = embeddings.sparkSession
-    _, centroids, _ = ivf_build(embeddings, nlist, id_col, vec_col)
-    bc_c = spark.sparkContext.broadcast(centroids)
+    _, centroids, cell_ids = ivf_build(embeddings, nlist, id_col,
+                                       vec_col, quantizer=quantizer)
+    bc_c = spark.sparkContext.broadcast((centroids, cell_ids))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def cells2(vec: pd.Series) -> pd.Series:
-        c = bc_c.value
+        c, ids = bc_c.value
         m = _norm_rows(np.array(vec.tolist(), dtype=np.float64))
-        top2 = np.argsort(-(m @ c.T), axis=1)[:, :2]
-        return pd.Series([[int(a), int(b)] for a, b in top2])
+        top2 = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :2]
+        return pd.Series([[int(ids[a]), int(ids[b])] for a, b in top2])
 
     blocked = (embeddings
                .select(F.col(id_col).alias("vec_id"),
