@@ -316,6 +316,10 @@ def is_completely_uppercase(s: str) -> bool:
     return bool(s.strip()) and s == s.upper()
 
 
+_CTX_CACHE: dict[tuple[int, str], dict[str, float]] = {}
+_CTX_CACHE_MAX = 65536
+
+
 def classify_context(context: str, model: NerModel) -> dict[str, float]:
     """PalladianTextClassifier.classify over the context dictionary with
     ExperimentalScorers.CategoryEqualizationScorer
@@ -323,7 +327,16 @@ def classify_context(context: str, model: NerModel) -> dict[str, float]:
     term-category probability DIVIDED by the category prior, then
     normalized; priors when no gram matched. Feature setting is chars(5)
     WITHOUT padding (CONTEXT_FEATURE_SETTING,
-    PalladianNerTrainingSettings.java:86)."""
+    PalladianNerTrainingSettings.java:86).
+
+    Memoized per (model, context): boilerplate-heavy crawl corpora
+    repeat the same ±40-char contexts across pages, and the gram-probe
+    loop is the mentions-stage hot path. Bounded; cleared wholesale at
+    the cap (simpler and faster than LRU bookkeeping in a worker)."""
+    ck = (id(model), context)
+    hit = _CTX_CACHE.get(ck)
+    if hit is not None:
+        return hit
     grams = set(char_ngrams(context.lower(), GRAM_N, GRAM_N,
                             padding=False))
     scores: dict[str, float] = {}
@@ -339,11 +352,16 @@ def classify_context(context: str, model: NerModel) -> dict[str, float]:
             p = cnt / dict_count
             scores[cat] = scores.get(cat, 0.0) + p * p
     if not scores:
-        return dict(model.context_priors)
-    eq = {cat: s / (model.context_priors.get(cat) or 1.0)
-          for cat, s in scores.items()}
-    total = sum(eq.values()) or 1.0
-    return {k: v / total for k, v in eq.items()}
+        result = dict(model.context_priors)
+    else:
+        eq = {cat: s / (model.context_priors.get(cat) or 1.0)
+              for cat, s in scores.items()}
+        total = sum(eq.values()) or 1.0
+        result = {k: v / total for k, v in eq.items()}
+    if len(_CTX_CACHE) >= _CTX_CACHE_MAX:
+        _CTX_CACHE.clear()
+    _CTX_CACHE[ck] = result
+    return result
 
 
 def apply_context_analysis(scores: dict[str, float], sentence: str,
