@@ -124,6 +124,20 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.text_stats(_docs_table(spark, sf_dir)).drop("fp")
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgp import repetition as _rep
+    docs = _docs_table(spark, sf_dir)
+    # adversarial slice: doc_id % 7 == 0 doubled around a newline so
+    # the duplicate-line/paragraph/n-gram families are non-degenerate
+    # on the single-line documents table (oracle mirrors the CASE)
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat("text", F.lit("\n"), "text"))
+        .otherwise(F.col("text")))
+    return _rep.repetition_signals(docs)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dup_groups(_docs_table(spark, sf_dir))
 
@@ -224,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canon_mapping": _q_canon,
         "triples_by_pred": _q_triples_by_pred,
         "text_stats": _q_text_stats,
+        "repetition_signals": _q_repetition_signals,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
@@ -270,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
             " ) GROUP BY subj, pred, obj"
             ") GROUP BY pred ORDER BY pred"),
         "text_stats": _oracle.text_stats_sql(),
+        "repetition_signals": _oracle.repetition_signals_sql(),
         "dedup_exact": _oracle.dedup_exact_sql(),
         "ann_topk": _oracle.ann_topk_sql(),
         "ivf_topk": _oracle.ivf_topk_sql(),

@@ -552,3 +552,103 @@ def canon_sql() -> str:
     return ("SELECT CAST(col0 AS BIGINT) AS entity_id, "
             "CAST(col1 AS BIGINT) AS canon_id FROM "
             f"(VALUES {rows}) ORDER BY entity_id")
+
+
+def repetition_signals_sql(dup_slice_mod: int = 7) -> str:
+    """DuckDB mirror of kgp.repetition.repetition_signals — the exact
+    definitions from that module's docstring: duplicate-segment
+    fractions via per-segment counts ((cnt-1)*len == chars after each
+    first occurrence), top-n-gram by (cnt, gram)-largest pair, and
+    duplicated-n-gram char mass, all over the same word regex.
+
+    dup_slice_mod: the adversarial corpus slice (doc_id % mod == 0 has
+    its text doubled around a newline) that keeps the duplicate-line /
+    duplicate-n-gram families non-degenerate on the single-line
+    documents table — mirrored by the queries() wrapper."""
+    from kgp.repetition import DUP_NS, TOP_NS
+
+    ns = ", ".join(str(n) for n in TOP_NS + DUP_NS)
+    src = ("(SELECT doc_id, CASE WHEN doc_id % {m} = 0 THEN "
+           "text || chr(10) || text ELSE text END AS text "
+           "FROM documents)").format(m=dup_slice_mod) \
+        if dup_slice_mod else "documents"
+
+    def seg_cte(name: str, col: str) -> str:
+        return f"""{name} AS (
+  SELECT doc_id,
+         sum(cnt) AS n_segs, count(*) AS n_distinct,
+         sum(cnt * len) AS total_chars,
+         sum((cnt - 1) * len) AS dup_chars
+  FROM (SELECT doc_id, seg, count(*) AS cnt, length(seg) AS len
+        FROM (SELECT doc_id, unnest({col}) AS seg FROM base)
+        GROUP BY doc_id, seg)
+  GROUP BY doc_id
+)"""
+
+    top_cols = ",\n       ".join(
+        f"round(coalesce(t{n}.top_chars / nullif(b.nc, 0), 0), 4) "
+        f"AS top_{n}gram_char_frac" for n in TOP_NS)
+    dup_cols = ",\n       ".join(
+        f"round(least(1.0, coalesce(d{n}.dup_chars / nullif(b.nc, 0), "
+        f"0)), 4) AS dup_{n}gram_char_frac" for n in DUP_NS)
+    top_joins = "\n".join(
+        f"LEFT JOIN top t{n} ON t{n}.doc_id = b.doc_id AND t{n}.n = {n}"
+        for n in TOP_NS)
+    dup_joins = "\n".join(
+        f"LEFT JOIN dup d{n} ON d{n}.doc_id = b.doc_id AND d{n}.n = {n}"
+        for n in DUP_NS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS nc,
+         list_filter(list_transform(string_split(text, chr(10)),
+                     x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(list_transform(
+                     regexp_split_to_array(text, '\\n\\s*\\n'),
+                     x -> trim(x)), x -> x <> '') AS paras,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM {src}
+), {seg_cte('seg_line', 'lines')}, {seg_cte('seg_para', 'paras')},
+gram_counts AS (
+  SELECT doc_id, n, gram, count(*) AS cnt
+  FROM (SELECT b.doc_id, ns.n,
+               unnest(list_transform(
+                   range(1, greatest(len(b.words) - ns.n + 2, 1)),
+                   i -> array_to_string(b.words[i:i+ns.n-1], ' ')))
+               AS gram
+        FROM base b
+        CROSS JOIN (SELECT unnest([{ns}]) AS n) ns)
+  GROUP BY doc_id, n, gram
+),
+top AS (
+  SELECT doc_id, n, cnt * length(gram) AS top_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM gram_counts WHERE n <= {max(TOP_NS)})
+  WHERE rn = 1
+),
+dup AS (
+  SELECT doc_id, n, sum((cnt - 1) * length(gram)) AS dup_chars
+  FROM gram_counts WHERE n >= {min(DUP_NS)} AND cnt > 1
+  GROUP BY doc_id, n
+)
+SELECT b.doc_id,
+       round(coalesce((l.n_segs - l.n_distinct)
+             / CAST(nullif(l.n_segs, 0) AS DOUBLE), 0), 4)
+           AS dup_line_frac,
+       round(coalesce(l.dup_chars
+             / CAST(nullif(l.total_chars, 0) AS DOUBLE), 0), 4)
+           AS dup_line_char_frac,
+       round(coalesce((p.n_segs - p.n_distinct)
+             / CAST(nullif(p.n_segs, 0) AS DOUBLE), 0), 4)
+           AS dup_para_frac,
+       round(coalesce(p.dup_chars
+             / CAST(nullif(p.total_chars, 0) AS DOUBLE), 0), 4)
+           AS dup_para_char_frac,
+       {top_cols},
+       {dup_cols}
+FROM base b
+LEFT JOIN seg_line l ON l.doc_id = b.doc_id
+LEFT JOIN seg_para p ON p.doc_id = b.doc_id
+{top_joins}
+{dup_joins}
+ORDER BY b.doc_id"""
