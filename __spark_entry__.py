@@ -216,6 +216,17 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style cross-document line dedup over the
+    pipeline's extracted text: strike every trimmed line occurring in
+    more than 4 distinct documents (site chrome / boilerplate), keep
+    the rest in original order. Full oracle: DuckDB rebuilds the same
+    line-frequency table over the symbolically reconstructed text."""
+    p = _products(spark, sf_dir)
+    return _dedup.cross_doc_line_dedup(p["docs"], text_col="text",
+                                       id_col="url", max_docs=4)
+
+
 def _q_lsh_entity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHashLSH fuzzy gazetteer candidate index over the corpus's
     distinct mention surfaces. 15 hash tables push the LSH miss
@@ -246,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "line_dedup": _q_line_dedup,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lsh_entity_candidates": _q_lsh_entity_candidates,
@@ -295,5 +307,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _oracle.minhash_pairs_sql(),
         "near_dup_groups": _oracle.near_dup_groups_sql(),
         "simhash_pairs": _oracle.simhash_pairs_sql(),
+        "line_dedup": _oracle.line_dedup_sql(),
         "lsh_entity_candidates": _oracle.lsh_entity_candidates_sql(),
     }

@@ -308,3 +308,53 @@ def near_dup_groups(docs: DataFrame, text_col: str = "text",
     return out.select(
         "doc_id", "group_id",
         (F.col("doc_id") == F.col("group_id")).alias("is_canonical"))
+
+
+# ------------------------------------------- cross-document line dedup
+# RefinedWeb/CCNet-style boilerplate removal: a line (trimmed, exact)
+# that occurs in more than `max_docs` DISTINCT documents is navigation/
+# chrome/filler, not content, and is struck from every document. This
+# is the corpus-frequency complement of the within-document Gopher
+# signals (kgp.repetition) — the op every web-scale training pipeline
+# runs between extraction and model-side filtering.
+#
+# Scale shape: posexplode lines → two-phase distinct (line, doc) →
+# count per line (partial aggregation absorbs the per-doc repeats;
+# the hottest key carries one row per document after the distinct) →
+# anti-join the exploded lines against the (small) frequent-line set →
+# regroup per document ordered by original line index. Two key
+# shuffles (line, then doc id) — both on high-cardinality keys.
+
+
+def cross_doc_line_dedup(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "url",
+                         max_docs: int = 4) -> DataFrame:
+    """docs → (id, clean_text, n_removed): strike every trimmed
+    non-empty line occurring in > max_docs distinct documents, keep
+    the rest in original order joined by newlines. Documents whose
+    every line is boilerplate stay in the output with empty text."""
+    lines = (docs
+             .select(id_col,
+                     F.posexplode(F.split(text_col, r"\n"))
+                     .alias("_idx", "_raw"))
+             .withColumn("_line", F.trim("_raw"))
+             .where(F.col("_line") != ""))
+    n_orig = lines.groupBy(id_col).agg(F.count("*").alias("_n_orig"))
+    freq = (lines.select(id_col, "_line").distinct()
+            .groupBy("_line").agg(F.count("*").alias("_n_docs"))
+            .where(F.col("_n_docs") > max_docs))
+    kept = lines.join(freq, "_line", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("_idx", "_line"))),
+                            lambda s: s["_line"]),
+                        "\n").alias("clean_text"),
+                    F.count("*").alias("_n_kept")))
+    return (n_orig.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    (F.col("_n_orig")
+                     - F.coalesce("_n_kept", F.lit(0)))
+                    .cast("int").alias("n_removed")))

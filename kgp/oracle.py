@@ -652,3 +652,40 @@ LEFT JOIN seg_para p ON p.doc_id = b.doc_id
 {top_joins}
 {dup_joins}
 ORDER BY b.doc_id"""
+
+
+def line_dedup_sql(max_docs: int = 4) -> str:
+    """DuckDB mirror of kgp.dedup.cross_doc_line_dedup over the
+    extracted pipeline text (the same extract CTE as extract_text):
+    strike trimmed lines present in > max_docs distinct documents,
+    rebuild each document in original line order."""
+    ext = extract_text_sql()
+    return f"""
+WITH docs AS (SELECT url, text FROM ({ext})),
+lines AS (
+  SELECT url, idx, trim(raw) AS line
+  FROM (SELECT url,
+               unnest(string_split(text, chr(10))) AS raw,
+               generate_subscripts(string_split(text, chr(10)), 1)
+                   AS idx
+        FROM docs)
+  WHERE trim(raw) <> ''
+),
+freq AS (
+  SELECT line FROM (SELECT DISTINCT url, line FROM lines)
+  GROUP BY line HAVING count(*) > {max_docs}
+),
+kept AS (
+  SELECT l.* FROM lines l LEFT JOIN freq f ON l.line = f.line
+  WHERE f.line IS NULL
+),
+n_orig AS (SELECT url, count(*) AS n FROM lines GROUP BY url),
+rebuilt AS (
+  SELECT url, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY url
+)
+SELECT o.url, coalesce(r.clean_text, '') AS clean_text,
+       CAST(o.n - coalesce(r.n_kept, 0) AS INT) AS n_removed
+FROM n_orig o LEFT JOIN rebuilt r ON o.url = r.url
+ORDER BY o.url"""

@@ -103,3 +103,40 @@ def test_near_dup_groups_transitive(spark):
     assert got[1].is_canonical
     assert not got[2].is_canonical and not got[3].is_canonical
     assert got[9].group_id == 9 and got[9].is_canonical
+
+
+def test_cross_doc_line_dedup(spark):
+    from kgp.dedup import cross_doc_line_dedup
+    rows = [
+        ("a", "Home | About | Contact\nUnique article text A\nCopyright"),
+        ("b", "Home | About | Contact\nDifferent body B\nCopyright"),
+        ("c", "Home | About | Contact\nThird story C\nCopyright"),
+        ("d", "Home | About | Contact\n  \nOnly chrome here\nCopyright"),
+        ("e", "Home | About | Contact\nCopyright"),    # all boilerplate
+        ("f", "Standalone page with no shared lines at all"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    got = {r.url: r for r in
+           cross_doc_line_dedup(docs, max_docs=2).collect()}
+    assert len(got) == 6
+    # shared lines (5 docs each) struck everywhere; order preserved
+    assert got["a"].clean_text == "Unique article text A"
+    assert got["a"].n_removed == 2
+    assert got["d"].clean_text == "Only chrome here"
+    assert got["d"].n_removed == 2          # blank line never counted
+    # a document that is ALL boilerplate survives with empty text
+    assert got["e"].clean_text == "" and got["e"].n_removed == 2
+    # untouched document round-trips byte-identically
+    assert got["f"].clean_text == rows[5][1] and got["f"].n_removed == 0
+
+
+def test_cross_doc_line_dedup_order_preserved(spark):
+    from kgp.dedup import cross_doc_line_dedup
+    body = "\n".join(f"line {i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [("x", "SHARED\n" + body), ("y", "SHARED"), ("z", "SHARED"),
+         ("w", "SHARED")],
+        "url string, text string")
+    got = {r.url: r for r in
+           cross_doc_line_dedup(docs, max_docs=2).collect()}
+    assert got["x"].clean_text == body      # 50 lines, original order
