@@ -216,6 +216,64 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
 
 
+def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/document filtering (kgp.curation.c4_filter). The
+    single-line documents text is decorated with deterministic slices
+    (doc_id % 5/7/11/13) so every rule family — terminal-punctuation
+    keep, lorem-ipsum drop, curly-brace drop, javascript line drop —
+    is non-degenerate; the oracle builds the identical decoration."""
+    from kgp import curation as _cur
+    docs = _docs_table(spark, sf_dir)
+    nl = F.lit("\n")
+    decorated = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(
+            nl, F.lit("First full sentence for the keep rule to fire."),
+            nl, F.lit("Second full sentence for the keep rule to fire."),
+            nl, F.lit("Third full sentence for the keep rule to fire.")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 1, F.concat(
+            nl, F.lit("Short snip."), nl,
+            F.lit("We mention Lorem Ipsum dolor sit amet right here "
+                  "today."))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 2, F.concat(
+            nl, F.lit("function f() does return early; it is a code "
+                      "line brace {."))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 3, F.concat(
+            nl, F.lit("Please enable JavaScript to continue reading "
+                      "this page today."))).otherwise(F.lit(""))))
+    return _cur.c4_filter(decorated)
+
+
+def _q_url_canon_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + deterministic stratified sampling
+    (kgp.curation). Messy URLs (mixed case, www, :443, tracking
+    params, unsorted query, fragments, trailing slash) are synthesized
+    as a pure function of doc_id; the sample key is md5-derived so the
+    oracle reproduces the identical cut."""
+    from kgp import curation as _cur
+    docs = _docs_table(spark, sf_dir)
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.lit("https://WWW.News-"), (d % 5).cast("string"),
+        F.lit(".Example.COM:443/Articles/"), d.cast("string"),
+        F.lit(".html"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("?utm_source=feed&ref=tw&b="), (d % 7).cast("string"),
+            F.lit("&a=1")))
+        .when(d % 3 == 1, F.concat(
+            F.lit("/?z=2&a="), (d % 7).cast("string")))
+        .otherwise(F.concat(F.lit("#section-"), (d % 4).cast("string"))))
+    sampled = _cur.stratified_sample(
+        docs.withColumn("messy", messy),
+        {"src0": 0.25, "src1": 0.5}, id_col="doc_id",
+        strata_col="source")
+    return sampled.select(
+        "doc_id",
+        _cur.canonical_url(F.col("messy")).alias("canon_url"),
+        _cur.sample_key(F.col("doc_id")).alias("k"))
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb/CCNet-style cross-document line dedup over the
     pipeline's extracted text: strike every trimmed line occurring in
@@ -258,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "line_dedup": _q_line_dedup,
+        "c4_filter": _q_c4_filter,
+        "url_canon_sample": _q_url_canon_sample,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lsh_entity_candidates": _q_lsh_entity_candidates,
@@ -308,5 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups": _oracle.near_dup_groups_sql(),
         "simhash_pairs": _oracle.simhash_pairs_sql(),
         "line_dedup": _oracle.line_dedup_sql(),
+        "c4_filter": _oracle.c4_filter_sql(),
+        "url_canon_sample": _oracle.url_canon_sample_sql(),
         "lsh_entity_candidates": _oracle.lsh_entity_candidates_sql(),
     }

@@ -689,3 +689,117 @@ SELECT o.url, coalesce(r.clean_text, '') AS clean_text,
        CAST(o.n - coalesce(r.n_kept, 0) AS INT) AS n_removed
 FROM n_orig o LEFT JOIN rebuilt r ON o.url = r.url
 ORDER BY o.url"""
+
+
+# --------------------------------------------------- curation oracles
+
+# line decorations the c4_filter GATE QUERY appends to the single-line
+# documents text so every C4 rule family is non-degenerate; the Spark
+# side (__spark_entry__._q_c4_filter) builds the identical column
+C4_SLICES_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||"
+    " 'First full sentence for the keep rule to fire.' || chr(10) ||"
+    " 'Second full sentence for the keep rule to fire.' || chr(10) ||"
+    " 'Third full sentence for the keep rule to fire.'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 1 THEN chr(10) || 'Short snip.' ||"
+    " chr(10) ||"
+    " 'We mention Lorem Ipsum dolor sit amet right here today.'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 2 THEN chr(10) ||"
+    " 'function f() does return early; it is a code line brace {.'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 3 THEN chr(10) ||"
+    " 'Please enable JavaScript to continue reading this page today.'"
+    " ELSE '' END")
+
+
+def c4_filter_sql(min_words: int = 5, min_lines: int = 3) -> str:
+    """DuckDB mirror of kgp.curation.c4_filter over the decorated
+    documents text (C4_SLICES_SQL)."""
+    wc = ("CASE WHEN trim(l) = '' THEN 0 ELSE"
+          " len(regexp_split_to_array(trim(l), '\\s+')) END")
+    keep_line = (f"({wc} >= {min_words}"
+                 " AND regexp_matches(trim(l), '[.!?\"]$')"
+                 " AND NOT contains(lower(trim(l)), 'javascript'))")
+    return f"""
+WITH d AS (SELECT doc_id, {C4_SLICES_SQL} AS text FROM documents),
+split AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+          FROM d)
+SELECT doc_id,
+  coalesce(array_to_string(list_transform(
+      list_filter(lines, l -> {keep_line}), l -> trim(l)), chr(10)), '')
+    AS clean_text,
+  CAST(len(list_filter(lines, l -> trim(l) <> '')) AS INT) AS n_lines,
+  CAST(len(list_filter(lines, l -> {keep_line})) AS INT) AS n_kept,
+  (len(list_filter(lines, l -> {keep_line})) >= {min_lines}
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{{')) AS keep_doc
+FROM split ORDER BY doc_id"""
+
+
+# messy-URL decoration for the url_canon_sample gate query: a pure
+# function of doc_id the Spark query synthesizes identically
+MESSY_URL_SQL = (
+    "'https://WWW.News-' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.Example.COM:443/Articles/' || CAST(doc_id AS VARCHAR)"
+    " || '.html'"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    "  '?utm_source=feed&ref=tw&b=' || CAST(doc_id % 7 AS VARCHAR)"
+    "  || '&a=1'"
+    " WHEN doc_id % 3 = 1 THEN"
+    "  '/?z=2&a=' || CAST(doc_id % 7 AS VARCHAR)"
+    " ELSE '#section-' || CAST(doc_id % 4 AS VARCHAR) END")
+
+
+def url_canon_sample_sql(rates: dict[str, float] | None = None,
+                         default_rate: float = 1.0) -> str:
+    """DuckDB mirror of canonical_url + sample_key + stratified_sample
+    over the synthesized messy URLs. The canonical form is computed by
+    the same regex/sort pipeline, not a closed form, so the oracle
+    exercises every canonicalization step."""
+    rates = rates if rates is not None else {"src0": 0.25, "src1": 0.5}
+    rate = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(rates.items())
+    ) + f" ELSE {default_rate} END"
+    return f"""
+WITH m AS (SELECT doc_id, source, {MESSY_URL_SQL} AS messy
+           FROM documents),
+nofrag AS (SELECT *, regexp_replace(messy, '#.*$', '') AS u FROM m),
+parts AS (
+  SELECT *, regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)
+      AS head0,
+    CASE WHEN regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)
+           = '' THEN u
+         ELSE substr(u, len(regexp_extract(u,
+              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)) + 1) END
+      AS tail FROM nofrag),
+canon AS (
+  SELECT doc_id, source,
+    regexp_replace(regexp_replace(regexp_replace(lower(head0),
+        '^([a-z0-9+.-]+://)www\\.', '\\1'),
+        '^(http://[^/?:]*):80$', '\\1'),
+        '^(https://[^/?:]*):443$', '\\1')
+    || regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+                      '(.)/$', '\\1')
+    || CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+           string_split(CASE WHEN contains(tail, '?') THEN
+               regexp_replace(tail, '^[^?]*\\?', '') ELSE '' END, '&'),
+           p -> p <> '' AND NOT regexp_matches(p,
+             '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)='))), '&'),
+           '') = '' THEN ''
+       ELSE '?' || array_to_string(list_sort(list_filter(
+           string_split(CASE WHEN contains(tail, '?') THEN
+               regexp_replace(tail, '^[^?]*\\?', '') ELSE '' END, '&'),
+           p -> p <> '' AND NOT regexp_matches(p,
+             '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)='))), '&')
+       END AS canon_url
+  FROM parts)
+SELECT doc_id, canon_url,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    % 10000 AS k
+FROM canon
+WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000 AS DOUBLE) < ({rate}) * 10000.0
+ORDER BY doc_id"""
