@@ -67,6 +67,25 @@ def mention_rates(mentions: DataFrame, window: str = "1 hour",
             .agg(F.count("*").alias("n_mentions")))
 
 
+def stream_dedup_exact(docs: DataFrame, watermark: str = "1 hour",
+                       ts_col: str = "warc_ts",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: the batch fingerprint key
+    (kgp.textstats.fingerprint — xxhash64 of whitespace-normalized,
+    case-folded text) with ``dropDuplicatesWithinWatermark``, so a
+    re-crawled page arriving within the watermark of its first copy is
+    dropped and the dedup state is PRUNED once event time passes the
+    watermark — bounded state on an unbounded crawl, the streaming
+    complement of kgp.dedup.exact_dup_groups (same key, same
+    normalization, so batch backfill and streaming ingest agree on
+    what is a duplicate)."""
+    from kgp.textstats import fingerprint
+    keyed = docs.withColumn("_fp", fingerprint(F.col(text_col)))
+    return (keyed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_fp"])
+            .drop("_fp"))
+
+
 def run_stream(df: DataFrame, out_path: str, checkpoint: str,
                output_mode: str = "append",
                fmt: str = "parquet"):

@@ -79,3 +79,50 @@ def test_streaming_mentions_and_watermarked_rates(spark, tmp_path):
     assert rows
     assert {r.tag for r in rows} >= {"PER", "ORG", "CITY"}
     assert all(r.n_mentions > 0 for r in rows)
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Re-crawled pages (identical text, later ts within the
+    watermark) are dropped by the stateful streaming dedup; state key
+    equals the batch dedup fingerprint."""
+    from kgp.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "pages_dup")
+    pages = synth_pages(spark, SF, with_doc_id=True) \
+        .where("doc_id < 20").drop("doc_id")
+    pages.write.mode("append").parquet(src)
+    # the re-crawl: same pages, 10 minutes later (inside the watermark)
+    pages.withColumn("warc_ts",
+                     F.col("warc_ts") + F.expr("INTERVAL 10 MINUTES")) \
+        .write.mode("append").parquet(src)
+
+    deduped = stream_dedup_exact(stream_pages(spark, src))
+    assert deduped.isStreaming
+    sink = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    run_stream(deduped.select("url", "text"), sink, ckpt)
+    got = spark.read.parquet(sink)
+    assert got.count() == 20                       # one copy per page
+    assert got.select("url").distinct().count() == 20
+
+
+def test_streaming_curation_unchanged(spark, tmp_path):
+    """The batch curation ops (C4 filter, stratified sample) run
+    UNCHANGED on a stream — stateless column expressions."""
+    from kgp.curation import c4_filter, stratified_sample
+
+    src = str(tmp_path / "pages_cur")
+    _write_batch(spark, src, 0, 15)
+    docs = stream_docs(stream_pages(spark, src))
+    filtered = c4_filter(docs, id_col="url")
+    assert filtered.isStreaming
+    sampled = stratified_sample(docs.withColumn("src", F.lit("a")),
+                                {"a": 0.5}, id_col="url",
+                                strata_col="src")
+    assert sampled.isStreaming
+
+    sink = str(tmp_path / "cur_out")
+    run_stream(filtered, sink, str(tmp_path / "ckpt_cur"))
+    got = spark.read.parquet(sink)
+    assert got.count() == 15
+    assert {"clean_text", "n_kept", "keep_doc"} <= set(got.columns)
