@@ -216,6 +216,17 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
 
 
+def _q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (kgp.packing): per
+    document, its global token offset and the fixed-length training
+    windows it spans. The Spark side computes the offset with a
+    two-phase distributed scan (range partition + per-partition base
+    offsets) — plan-asserted to never collapse to a single partition —
+    and must equal the oracle's single-node window prefix sum."""
+    from kgp import packing as _pack
+    return _pack.pack_sequences(_docs_table(spark, sf_dir), seq_len=512)
+
+
 def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line/document filtering (kgp.curation.c4_filter). The
     single-line documents text is decorated with deterministic slices
@@ -317,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "line_dedup": _q_line_dedup,
         "c4_filter": _q_c4_filter,
+        "seq_packing": _q_seq_packing,
         "url_canon_sample": _q_url_canon_sample,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -369,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracle.simhash_pairs_sql(),
         "line_dedup": _oracle.line_dedup_sql(),
         "c4_filter": _oracle.c4_filter_sql(),
+        "seq_packing": _oracle.seq_packing_sql(),
         "url_canon_sample": _oracle.url_canon_sample_sql(),
         "lsh_entity_candidates": _oracle.lsh_entity_candidates_sql(),
     }

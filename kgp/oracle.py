@@ -803,3 +803,24 @@ FROM canon
 WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
            AS BIGINT) % 10000 AS DOUBLE) < ({rate}) * 10000.0
 ORDER BY doc_id"""
+
+
+def seq_packing_sql(seq_len: int = 512) -> str:
+    """DuckDB mirror of kgp.packing.pack_sequences over documents:
+    the two-phase distributed scan must equal the plain single-node
+    window prefix sum."""
+    wc = ("CASE WHEN trim(text) = '' THEN 0 ELSE"
+          " len(regexp_split_to_array(trim(text), '\\s+')) END")
+    return f"""
+WITH c AS (SELECT doc_id, CAST({wc} AS BIGINT) AS n_tokens
+           FROM documents),
+o AS (SELECT doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS off
+      FROM c)
+SELECT doc_id, n_tokens, off AS "offset",
+  off // {seq_len} AS chunk_first,
+  CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // {seq_len}
+       ELSE off // {seq_len} END AS chunk_last
+FROM o ORDER BY doc_id"""
