@@ -216,6 +216,16 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
 
 
+def _q_doc_scopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document geographic scope under all four ranking detectors
+    (kgp.scope: frequency / population / midpoint / first — ports of
+    the reference scope/ package). The oracle re-derives the linked
+    location instances closed-form and ranks them in SQL."""
+    from kgp import scope as _scope
+    p = _products(spark, sf_dir)
+    return _scope.detect_scopes(p["links"], _corpus.gazetteer(spark))
+
+
 def _q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing (kgp.packing): per
     document, its global token offset and the fixed-length training
@@ -329,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "c4_filter": _q_c4_filter,
         "seq_packing": _q_seq_packing,
+        "doc_scopes": _q_doc_scopes,
         "url_canon_sample": _q_url_canon_sample,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -382,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _oracle.line_dedup_sql(),
         "c4_filter": _oracle.c4_filter_sql(),
         "seq_packing": _oracle.seq_packing_sql(),
+        "doc_scopes": _oracle.doc_scopes_sql(),
         "url_canon_sample": _oracle.url_canon_sample_sql(),
         "lsh_entity_candidates": _oracle.lsh_entity_candidates_sql(),
     }

@@ -824,3 +824,94 @@ SELECT doc_id, n_tokens, off AS "offset",
   CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // {seq_len}
        ELSE off // {seq_len} END AS chunk_last
 FROM o ORDER BY doc_id"""
+
+
+def doc_scopes_sql() -> str:
+    """Scope detectors over the closed-form location instances.
+
+    Per document the templates yield these location-annotation
+    instances (kgp.constants): {city} in S1 and S3 always, S4 when
+    doc_id%3=0, S8 when doc_id%6=3; {city2} in S2 always, S7 when
+    doc_id%23=11; {city3} in S9 when doc_id%7=4; {country} in S4 when
+    doc_id%3=0. City i: population 10000*(i+3), lat 10+i, lon -3i;
+    country i: population 1000000*(i+2), lat 20+i, lon 5i
+    (kgp.corpus.gazetteer_rows). The ambiguous CITIES[0] duplicate
+    loses linking on population, so city index i maps to CITY_ID+i."""
+    city = f"{C.CITY_ID} + doc_id % 11"
+    city2 = f"{C.CITY_ID} + (doc_id + 3) % 11"
+    city3 = f"{C.CITY_ID} + (doc_id + 5) % 11"
+    country = f"{C.COUNTRY_ID} + doc_id % 7"
+    url = url_sql()
+
+    def crow(e_expr, idx_expr, ord_, cond=None):
+        # the ambiguous CITIES[0] surface: the tiny duplicate wins the
+        # anchor-hierarchy boost when the document's country (present
+        # iff doc_id%3=0, index doc_id%7) is its ancestor COUNTRY_ID+1
+        w = f" WHERE {cond}" if cond else ""
+        dup = (f"(({idx_expr}) = 0 AND doc_id % 3 = 0 "
+               "AND doc_id % 7 = 1)")
+        return (f"SELECT {url} AS url, "
+                f"CASE WHEN {dup} THEN {C.CITY_DUP_ID} "
+                f"ELSE {e_expr} END AS e, 0 AS is_cc, "
+                f"CASE WHEN {dup} THEN 900 "
+                f"ELSE 10000 * (({idx_expr}) + 3) END AS pop, "
+                f"CASE WHEN {dup} THEN 51.0 "
+                f"ELSE 10.0 + ({idx_expr}) END AS lat, "
+                f"CASE WHEN {dup} THEN 7.0 "
+                f"ELSE -3.0 * ({idx_expr}) END AS lon, {ord_} AS ord "
+                f"FROM documents{w}")
+
+    rows = [
+        crow(city, "doc_id % 11", 1),                       # S1
+        crow(city2, "(doc_id + 3) % 11", 2),                # S2
+        crow(city, "doc_id % 11", 3),                       # S3
+        crow(city, "doc_id % 11", 4, "doc_id % 3 = 0"),     # S4
+        (f"SELECT {url} AS url, {country} AS e, 1 AS is_cc, "
+         f"1000000 * ((doc_id % 7) + 2) AS pop, "
+         f"20.0 + (doc_id % 7) AS lat, 5.0 * (doc_id % 7) AS lon, "
+         "5 AS ord FROM documents WHERE doc_id % 3 = 0"),   # S4 country
+        crow(city3, "(doc_id + 5) % 11", 6,
+             f"doc_id % {C.S9_MOD} = {C.S9_VAL}"),          # S9
+        crow(city2, "(doc_id + 3) % 11", 7,
+             f"doc_id % {C.HOLDOUT_MOD} = {C.HOLDOUT_VAL}"),  # S7
+        crow(city, "doc_id % 11", 8,
+             f"doc_id % {C.S8_MOD} = {C.S8_VAL}"),          # S8
+    ]
+    inst = " UNION ALL ".join(rows)
+    return f"""
+WITH inst AS ({inst}),
+freq AS (
+  SELECT url, 'frequency' AS method, e AS entity_id FROM (
+    SELECT url, e, count(*) AS n,
+      row_number() OVER (PARTITION BY url
+                         ORDER BY count(*) DESC, e ASC) AS rn
+    FROM inst GROUP BY url, e) WHERE rn = 1),
+pop AS (
+  SELECT url, 'population' AS method, e AS entity_id FROM (
+    SELECT url, e,
+      row_number() OVER (PARTITION BY url
+                         ORDER BY is_cc DESC, pop DESC, e ASC) AS rn
+    FROM (SELECT DISTINCT url, e, is_cc, pop FROM inst)
+    WHERE is_cc = 1 OR pop > 0) WHERE rn = 1),
+mid AS (
+  SELECT url, 'midpoint' AS method, e AS entity_id FROM (
+    SELECT url, e,
+      row_number() OVER (PARTITION BY url ORDER BY dot DESC, e ASC)
+        AS rn
+    FROM (SELECT url, e,
+            round(avg(cos(radians(lat)) * cos(radians(lon))) OVER w
+              * cos(radians(lat)) * cos(radians(lon))
+            + avg(cos(radians(lat)) * sin(radians(lon))) OVER w
+              * cos(radians(lat)) * sin(radians(lon))
+            + avg(sin(radians(lat))) OVER w * sin(radians(lat)), 12)
+              AS dot
+          FROM inst WINDOW w AS (PARTITION BY url))) WHERE rn = 1),
+frst AS (
+  SELECT url, 'first' AS method, e AS entity_id FROM (
+    SELECT url, e,
+      row_number() OVER (PARTITION BY url ORDER BY ord ASC, e ASC)
+        AS rn
+    FROM inst) WHERE rn = 1)
+SELECT * FROM freq UNION ALL SELECT * FROM pop
+UNION ALL SELECT * FROM mid UNION ALL SELECT * FROM frst
+ORDER BY url, method"""
