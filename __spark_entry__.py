@@ -216,6 +216,15 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
 
 
+def _q_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level entity co-occurrence counts
+    (kgp.relations.co_occurrence_pairs, CoOccurrenceRetriever DOCUMENT
+    context generalized to all mention pairs)."""
+    from kgp.relations import co_occurrence_pairs
+    p = _products(spark, sf_dir)
+    return co_occurrence_pairs(p["mentions"], mode="document")
+
+
 def _q_doc_scopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document geographic scope under all four ranking detectors
     (kgp.scope: frequency / population / midpoint / first — ports of
@@ -340,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": _q_c4_filter,
         "seq_packing": _q_seq_packing,
         "doc_scopes": _q_doc_scopes,
+        "entity_pairs_doc": _q_entity_pairs,
         "url_canon_sample": _q_url_canon_sample,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -394,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter": _oracle.c4_filter_sql(),
         "seq_packing": _oracle.seq_packing_sql(),
         "doc_scopes": _oracle.doc_scopes_sql(),
+        "entity_pairs_doc": _oracle.entity_pairs_sql(),
         "url_canon_sample": _oracle.url_canon_sample_sql(),
         "lsh_entity_candidates": _oracle.lsh_entity_candidates_sql(),
     }

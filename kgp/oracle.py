@@ -915,3 +915,18 @@ frst AS (
 SELECT * FROM freq UNION ALL SELECT * FROM pop
 UNION ALL SELECT * FROM mid UNION ALL SELECT * FROM frst
 ORDER BY url, method"""
+
+
+def entity_pairs_sql() -> str:
+    """DuckDB mirror of kgp.relations.co_occurrence_pairs in DOCUMENT
+    mode over the closed-form mention rows: distinct (url, surface,
+    tag), self-joined per url with surface_a < surface_b."""
+    return f"""
+WITH m AS (SELECT DISTINCT url, surface, tag FROM
+           ({_mention_rows_sql()}))
+SELECT a.surface AS surface_a, b.surface AS surface_b,
+       a.tag AS tag_a, b.tag AS tag_b,
+       CAST(count(*) AS BIGINT) AS n_contexts
+FROM m a JOIN m b ON a.url = b.url AND a.surface < b.surface
+GROUP BY a.surface, b.surface, a.tag, b.tag
+ORDER BY surface_a, surface_b, tag_a, tag_b"""

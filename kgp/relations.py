@@ -232,3 +232,94 @@ def induce_patterns(links: DataFrame, min_support: float = 0.05,
                            regex.compile(regex.escape(r["infix"])),
                            conf=conf))
     return out
+
+
+# ------------------------------------------------- co-occurrence modes
+# CoOccurrenceRetriever.findCoOccurrences
+# (palladian-core/.../cooccurrence/CoOccurrenceRetriever.java:102-141)
+# counts term pairs in three contexts: DOCUMENT, SENTENCE,
+# CONTEXT_200_CHARS. The SENTENCE mode has always driven
+# extract_relations; these are the other two, generalized from a
+# fixed (term1, term2) probe to ALL mention pairs — the web-scale
+# shape of the same statistic.
+
+
+def co_occurrence_pairs(links: DataFrame, mode: str = "document",
+                        max_chars: int = 200) -> DataFrame:
+    """(surface_a, surface_b, tag_a, tag_b, n_contexts): distinct
+    co-occurrence contexts per unordered mention pair.
+
+    mode='document': one context per document containing both
+    (CoOccurrenceContext.DOCUMENT). mode='sentence': one per sentence
+    (SENTENCE). mode='chars': one per document where the two mention
+    START offsets lie within max_chars (CONTEXT_200_CHARS's
+    `term1.{0,200}term2` probe, span-based).
+
+    Scale shape: self-joins are keyed on the context id (url /
+    url+sent), never cross-document. The chars mode adds a bucketed
+    band join — each mention lands in floor(pos/max_chars) and joins
+    only its own and the adjacent bucket, then the exact distance
+    filter verifies; candidate fan-out is bounded by mentions within
+    2*max_chars of each other, not the document's mention count."""
+    pos = (F.col("sent_start") + F.col("start")).alias("pos")
+    base = links.select("url", "sent_idx", "surface", "tag", pos)
+    if mode == "document":
+        m = base.select("url", "surface", "tag").distinct()
+        key = ["url"]
+    elif mode == "sentence":
+        m = base.select("url", "sent_idx", "surface", "tag").distinct()
+        key = ["url", "sent_idx"]
+    elif mode == "chars":
+        m = (base.select("url", "surface", "tag", "pos").distinct()
+             .withColumn("bucket",
+                         F.floor(F.col("pos") / F.lit(max_chars))))
+        a = m.select(F.col("url"),
+                     F.col("surface").alias("surface_a"),
+                     F.col("tag").alias("tag_a"),
+                     F.col("pos").alias("_pa"),
+                     F.col("bucket").alias("_ba"))
+        pairs = None
+        for shift in (0, 1):
+            b = m.select(F.col("url"),
+                         F.col("surface").alias("surface_b"),
+                         F.col("tag").alias("tag_b"),
+                         F.col("pos").alias("_pb"),
+                         (F.col("bucket") - shift).alias("_ba"))
+            part = (a.join(b, ["url", "_ba"])
+                    .where((F.col("surface_a") < F.col("surface_b"))
+                           if shift == 0 else F.lit(True))
+                    .where(F.abs(F.col("_pa") - F.col("_pb"))
+                           <= max_chars))
+            if shift == 1:
+                # adjacent buckets: both directions arrive once; keep
+                # the unordered orientation
+                part = part.where(
+                    F.col("surface_a") != F.col("surface_b"))
+                part = part.select(
+                    "url",
+                    F.least("surface_a", "surface_b").alias("surface_a"),
+                    F.greatest("surface_a", "surface_b")
+                    .alias("surface_b"),
+                    F.when(F.col("surface_a") < F.col("surface_b"),
+                           F.col("tag_a")).otherwise(F.col("tag_b"))
+                    .alias("tag_a"),
+                    F.when(F.col("surface_a") < F.col("surface_b"),
+                           F.col("tag_b")).otherwise(F.col("tag_a"))
+                    .alias("tag_b"))
+            else:
+                part = part.select("url", "surface_a", "surface_b",
+                                   "tag_a", "tag_b")
+            pairs = part if pairs is None else pairs.unionByName(part)
+        return (pairs.distinct()
+                .groupBy("surface_a", "surface_b", "tag_a", "tag_b")
+                .agg(F.count("*").alias("n_contexts")))
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    a = m.select(*key, F.col("surface").alias("surface_a"),
+                 F.col("tag").alias("tag_a"))
+    b = m.select(*key, F.col("surface").alias("surface_b"),
+                 F.col("tag").alias("tag_b"))
+    return (a.join(b, key)
+            .where(F.col("surface_a") < F.col("surface_b"))
+            .groupBy("surface_a", "surface_b", "tag_a", "tag_b")
+            .agg(F.count("*").alias("n_contexts")))

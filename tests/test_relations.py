@@ -103,3 +103,47 @@ def test_induced_pattern_recovers_held_out_predicate(spark):
              f"Contoso {i} Labs") for i in range(100, 110)}
     # precision: nothing else fires on these sentences; recall: all 10
     assert got == want
+
+
+def test_co_occurrence_modes(spark):
+    from kgp.relations import co_occurrence_pairs
+    LNK = ("url string, sent_idx int, sent_start int, start int, "
+           "surface string, tag string")
+    links = spark.createDataFrame(
+        [("u", 0, 0, 0, "Alice", "PER"),
+         ("u", 0, 0, 30, "Acme", "ORG"),
+         ("u", 5, 5000, 10, "Paris", "CITY"),   # far away in u
+         ("v", 0, 0, 0, "Alice", "PER"),
+         ("v", 1, 90, 5, "Acme", "ORG")],       # different sentence
+        LNK)
+
+    doc = {(r.surface_a, r.surface_b): r.n_contexts for r in
+           co_occurrence_pairs(links, "document").collect()}
+    assert doc[("Acme", "Alice")] == 2          # both docs
+    assert doc[("Alice", "Paris")] == 1
+
+    sent = {(r.surface_a, r.surface_b): r.n_contexts for r in
+            co_occurrence_pairs(links, "sentence").collect()}
+    assert sent == {("Acme", "Alice"): 1}       # same sentence only in u
+
+    chars = {(r.surface_a, r.surface_b): r.n_contexts for r in
+             co_occurrence_pairs(links, "chars", max_chars=200).collect()}
+    # Alice@0/Acme@30 in u, Alice@0/Acme@95 in v (cross-sentence but
+    # within 200 chars); Paris@5010 is out of range of everything
+    assert chars == {("Acme", "Alice"): 2}
+
+
+def test_co_occurrence_chars_bucket_boundary(spark):
+    from kgp.relations import co_occurrence_pairs
+    LNK = ("url string, sent_idx int, sent_start int, start int, "
+           "surface string, tag string")
+    # positions 190 and 210 are in ADJACENT 200-buckets, distance 20
+    links = spark.createDataFrame(
+        [("u", 0, 0, 190, "A", "PER"), ("u", 0, 0, 210, "B", "ORG"),
+         ("u", 0, 0, 411, "C", "ORG")],      # 201 chars past B
+        LNK)
+    got = {(r.surface_a, r.surface_b) for r in
+           co_occurrence_pairs(links, "chars", max_chars=200).collect()}
+    assert ("A", "B") in got
+    assert ("B", "C") not in got                # 201 chars apart
+    assert ("A", "C") not in got
