@@ -216,6 +216,24 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
 
 
+def _q_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPath port (kgp.sources.json_query -> get_json_object): build a
+    nested JSON document per row, dig values back out with the
+    reference's JPath syntax; extraction must round-trip the original
+    fields (the oracle states them directly)."""
+    from kgp.sources import json_query
+    docs = _docs_table(spark, sf_dir)
+    j = F.to_json(F.struct(
+        F.struct(F.col("source"), F.col("lang")).alias("meta"),
+        F.array("source", "lang").alias("tags"),
+        F.col("n_chars")))
+    return docs.select(
+        "doc_id",
+        json_query(j, "/meta/source").alias("src"),
+        json_query(j, "tags[1]").alias("lang"),
+        json_query(j, "/n_chars").alias("n_chars_str"))
+
+
 def _q_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level entity co-occurrence counts
     (kgp.relations.co_occurrence_pairs, CoOccurrenceRetriever DOCUMENT
@@ -350,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing": _q_seq_packing,
         "doc_scopes": _q_doc_scopes,
         "entity_pairs_doc": _q_entity_pairs,
+        "json_fields": _q_json_fields,
         "url_canon_sample": _q_url_canon_sample,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -405,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_packing": _oracle.seq_packing_sql(),
         "doc_scopes": _oracle.doc_scopes_sql(),
         "entity_pairs_doc": _oracle.entity_pairs_sql(),
+        "json_fields": _oracle.json_fields_sql(),
         "url_canon_sample": _oracle.url_canon_sample_sql(),
         "lsh_entity_candidates": _oracle.lsh_entity_candidates_sql(),
     }

@@ -930,3 +930,14 @@ SELECT a.surface AS surface_a, b.surface AS surface_b,
 FROM m a JOIN m b ON a.url = b.url AND a.surface < b.surface
 GROUP BY a.surface, b.surface, a.tag, b.tag
 ORDER BY surface_a, surface_b, tag_a, tag_b"""
+
+
+def json_fields_sql() -> str:
+    """Oracle for the JPath gate query: the Spark side round-trips
+    document fields through to_json and extracts them back with JPath
+    queries (kgp.sources.json_query), so the correct output equals the
+    original fields."""
+    return """
+SELECT doc_id, source AS src, lang,
+       CAST(n_chars AS VARCHAR) AS n_chars_str
+FROM documents ORDER BY doc_id"""

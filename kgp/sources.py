@@ -138,3 +138,36 @@ def pages_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
         "url string, warc_ts timestamp, html string").json(path)
     return df.select("url", "warc_ts",
                      F.encode(F.col("html"), "UTF-8").alias("html"))
+
+
+# ------------------------------------------------------ JSON / JPath
+# The reference ships its own JSON DOM with an XPath-inspired "JPath"
+# query syntax (palladian-retrieval/.../parser/json/JsonObject.java:
+# 490-510, JsonUtil.splitJPath:300-320): '/key/sub[2]/name' digs into
+# objects by key and arrays by [index]. Spark's JVM-side JSON path
+# (`get_json_object`) covers the same reach, so the port is a pure
+# plan-time translation — the hot path never leaves codegen.
+
+
+def jpath_to_jsonpath(jpath: str) -> str:
+    """JPath ('/a/b[2]/c', leading slashes optional) → Spark/SQL
+    JSONPath ('$.a.b[2].c'). Pure string translation mirroring
+    JsonUtil.splitJPath: segments split on '/', '[n]' suffixes kept
+    as array indexing."""
+    out = "$"
+    for seg in jpath.strip("/").split("/"):
+        if not seg:
+            continue
+        key, bracket = seg, ""
+        if "[" in seg:
+            key, bracket = seg[:seg.index("[")], seg[seg.index("["):]
+        if key:
+            out += "." + key
+        out += bracket
+    return out
+
+
+def json_query(col, jpath: str):
+    """Column: the value at `jpath` inside a JSON string column
+    (string result, null on missing path — the tryQuery* behavior)."""
+    return F.get_json_object(col, jpath_to_jsonpath(jpath))

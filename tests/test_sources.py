@@ -70,3 +70,24 @@ def test_pages_from_jsonl(tmp_path, spark):
     got = pages_from_jsonl(spark, str(p)).collect()
     assert got[0].url == rows[0]["url"]
     assert bytes(got[0].html) == b"<p>json page</p>"
+
+
+def test_jpath_translation():
+    from kgp.sources import jpath_to_jsonpath
+    assert jpath_to_jsonpath("/a/b/c") == "$.a.b.c"
+    assert jpath_to_jsonpath("a/b[2]/c") == "$.a.b[2].c"
+    assert jpath_to_jsonpath("//a") == "$.a"
+    assert jpath_to_jsonpath("[0]/name") == "$[0].name"
+
+
+def test_json_query(spark):
+    from kgp.sources import json_query
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [('{"meta":{"authors":[{"name":"Ada"},{"name":"Bob"}],'
+          '"year":2020}}',)], "j string")
+    got = df.select(
+        json_query(F.col("j"), "/meta/authors[1]/name").alias("a"),
+        json_query(F.col("j"), "meta/year").alias("y"),
+        json_query(F.col("j"), "/meta/missing").alias("m")).collect()[0]
+    assert (got.a, got.y, got.m) == ("Bob", "2020", None)
