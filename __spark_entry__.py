@@ -347,6 +347,23 @@ def _q_lsh_entity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("surface", "entity_id", "canon_name").distinct()
 
 
+def _q_nb_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes gate: train (n_chars numeric, doc_id%3 nominal) ->
+    lang on the documents table, predict per doc. The DuckDB oracle
+    recomputes the identical Laplace/Gaussian/density-normalization
+    scoring, so the whole classifier math is value-checked."""
+    from kgp.mlzoo import nb_predict, nb_train
+    docs = _docs_table(spark, sf_dir)
+    feat = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.length("text").cast("double").alias("n_chars"),
+        (F.col("doc_id") % 3).cast("string").alias("bucket"),
+        F.col("lang").alias("label"))
+    model = nb_train(feat, "label")
+    return (nb_predict(feat.drop("label"), model, "_id")
+            .select(F.col("_id").alias("doc_id"), "predicted"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -373,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lsh_entity_candidates": _q_lsh_entity_candidates,
+        "nb_lang_pred": _q_nb_lang_pred,
     }
 
 
@@ -427,4 +445,5 @@ def oracle_sql() -> dict[str, str]:
         "json_fields": _oracle.json_fields_sql(),
         "url_canon_sample": _oracle.url_canon_sample_sql(),
         "lsh_entity_candidates": _oracle.lsh_entity_candidates_sql(),
+        "nb_lang_pred": _oracle.nb_lang_pred_sql(),
     }

@@ -941,3 +941,58 @@ def json_fields_sql() -> str:
 SELECT doc_id, source AS src, lang,
        CAST(n_chars AS VARCHAR) AS n_chars_str
 FROM documents ORDER BY doc_id"""
+
+
+def nb_lang_pred_sql(laplace: float = 1e-5) -> str:
+    """DuckDB mirror of the Naive Bayes gate query: train on
+    (n_chars numeric, bucket nominal) -> lang over the documents
+    table, predict per doc — identical Laplace / Gaussian / density-
+    normalization math as kgp.mlzoo.nb_classify (which itself ports
+    NaiveBayesModel.java:85-199), argmax by score with ascending-
+    category tie-break (scores are all-negative log space, so score
+    order == probability order)."""
+    return f"""
+WITH feat AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(doc_id % 3 AS VARCHAR) AS bucket, lang AS label
+  FROM documents
+), cat AS (
+  SELECT label, COUNT(*) AS cat_n FROM feat GROUP BY label
+), tot AS (
+  SELECT COUNT(*) AS k, SUM(cat_n) AS total_n FROM cat
+), nom AS (
+  SELECT label, bucket, COUNT(*) AS n FROM feat GROUP BY label, bucket
+), num AS (
+  SELECT label, avg(n_chars) AS mean,
+         COALESCE(stddev_samp(n_chars), 0) AS std
+  FROM feat GROUP BY label
+), nrm AS (
+  SELECT SUM(CASE WHEN std > 0
+                  THEN 1.0 / (std * sqrt(2 * pi())) END) AS norm
+  FROM num
+), scored AS (
+  SELECT f.doc_id, c.label AS category,
+    ln(CAST(c.cat_n AS DOUBLE) / t.total_n)
+    + ln((COALESCE(nm.n, 0) + {laplace})
+         / (c.cat_n + {laplace} * t.k))
+    + CASE WHEN nu.std > 0 AND
+                (1.0 / sqrt(2 * pi() * nu.std * nu.std)
+                 * exp(-pow(f.n_chars - nu.mean, 2)
+                       / (2 * nu.std * nu.std)) / r.norm) > 0
+           THEN ln(1.0 / sqrt(2 * pi() * nu.std * nu.std)
+                   * exp(-pow(f.n_chars - nu.mean, 2)
+                         / (2 * nu.std * nu.std)) / r.norm)
+           ELSE 0 END AS score
+  FROM feat f
+  CROSS JOIN cat c CROSS JOIN tot t CROSS JOIN nrm r
+  LEFT JOIN nom nm ON nm.label = c.label AND nm.bucket = f.bucket
+  LEFT JOIN num nu ON nu.label = c.label
+), ranked AS (
+  SELECT doc_id, category,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, category ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, category AS predicted FROM ranked WHERE rk = 1
+ORDER BY doc_id
+"""
