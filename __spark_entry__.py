@@ -244,13 +244,18 @@ def _q_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_scopes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document geographic scope under all four ranking detectors
-    (kgp.scope: frequency / population / midpoint / first — ports of
-    the reference scope/ package). The oracle re-derives the linked
-    location instances closed-form and ranks them in SQL."""
+    """Per-document geographic scope under five ranking detectors
+    (kgp.scope: frequency / population / midpoint / first /
+    least_distance — ports of the reference scope/ package; trust is
+    pytest-covered because link_score has no closed form). The oracle
+    re-derives the linked location instances closed-form and ranks
+    them in SQL."""
     from kgp import scope as _scope
     p = _products(spark, sf_dir)
-    return _scope.detect_scopes(p["links"], _corpus.gazetteer(spark))
+    return _scope.detect_scopes(
+        p["links"], _corpus.gazetteer(spark),
+        methods=("frequency", "population", "midpoint", "first",
+                 "least_distance"))
 
 
 def _q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:

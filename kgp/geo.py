@@ -47,6 +47,70 @@ def midpoint(coords: list[tuple[float, float]]) -> tuple[float, float]:
     return math.degrees(lat), math.degrees(lon)
 
 
+def normalize_longitude(lon: float) -> float:
+    """GeoUtils.normalizeLongitude: wrap into [-180, 180]."""
+    return (lon + 180.0) % 360.0 - 180.0 if lon != 180.0 else 180.0
+
+
+def normalize_latitude(lat: float) -> float:
+    """GeoUtils.normalizeLatitude: clamp into [-90, 90]."""
+    return max(-90.0, min(90.0, lat))
+
+
+def destination(lat: float, lon: float, dist_km: float,
+                bearing_deg: float) -> tuple[float, float]:
+    """Destination point at distance/bearing
+    (AbstractGeoCoordinate.getCoordinate, :114-127)."""
+    la = math.radians(lat)
+    lo = math.radians(lon)
+    b = math.radians(bearing_deg)
+    d = dist_km / EARTH_RADIUS_KM
+    la2 = math.asin(math.sin(la) * math.cos(d)
+                    + math.cos(la) * math.sin(d) * math.cos(b))
+    lo2 = lo + math.atan2(math.sin(b) * math.sin(d) * math.cos(la),
+                          math.cos(d) - math.sin(la) * math.sin(la2))
+    return math.degrees(la2), normalize_longitude(math.degrees(lo2))
+
+
+def center_of_minimum_distance(coords: list[tuple[float, float]]
+                               ) -> tuple[float, float]:
+    """GeoUtils.getCenterOfMinimumDistance (:104-159), the geomidpoint
+    .com hill-descent: start from the geographic midpoint, try every
+    input point, then walk 8 compass test points with a halving step
+    until the step falls under 2e-8 earth radii."""
+    if not coords:
+        raise ValueError("coords must not be empty")
+    if len(coords) == 1:
+        return coords[0]
+
+    def dist_sum(p: tuple[float, float]) -> float:
+        return sum(distance_km(p[0], p[1], la, lo) for la, lo in coords)
+
+    current = midpoint(coords)
+    minimum = dist_sum(current)
+    for cand in coords:
+        d = dist_sum(cand)
+        if d < minimum:
+            minimum = d
+            current = cand
+    test = EARTH_RADIUS_KM * math.pi / 2
+    found, iterations = False, 0
+    while iterations < 5000 and (found or test >= 2.0e-8 * EARTH_RADIUS_KM):
+        iterations += 1
+        best_d, best_p = math.inf, None
+        for i in range(8):
+            p = destination(current[0], current[1], test, i * 45)
+            d = dist_sum(p)
+            if d < best_d:
+                best_d, best_p = d, p
+        if best_d < minimum:
+            current, minimum, found = best_p, best_d, True
+        else:
+            test /= 2
+            found = False
+    return current
+
+
 def largest_distance(coords: list[tuple[float, float]]) -> float:
     """Max pairwise distance (LocationSet.largestDistance semantics);
     0 for fewer than two coordinates."""

@@ -911,9 +911,25 @@ frst AS (
     SELECT url, e,
       row_number() OVER (PARTITION BY url ORDER BY ord ASC, e ASC)
         AS rn
-    FROM inst) WHERE rn = 1)
+    FROM inst) WHERE rn = 1),
+ldst AS (
+  -- LeastDistanceScopeDetector: per-annotation summed haversine to
+  -- every annotation instance, quantized to 1e-6 km like the Spark
+  -- side (kgp.scope.scope_least_distance)
+  SELECT url, 'least_distance' AS method, e AS entity_id FROM (
+    SELECT a.url, a.ord, a.e,
+      round(SUM(2 * 6371.0 * asin(sqrt(least(
+        pow(sin((radians(b.lat) - radians(a.lat)) / 2), 2)
+        + cos(radians(a.lat)) * cos(radians(b.lat))
+          * pow(sin((radians(b.lon) - radians(a.lon)) / 2), 2),
+        1.0)))), 6) AS dsum
+    FROM inst a JOIN inst b ON a.url = b.url
+    GROUP BY a.url, a.ord, a.e) t
+  QUALIFY row_number() OVER (PARTITION BY url
+                             ORDER BY dsum ASC, ord ASC, e ASC) = 1)
 SELECT * FROM freq UNION ALL SELECT * FROM pop
 UNION ALL SELECT * FROM mid UNION ALL SELECT * FROM frst
+UNION ALL SELECT * FROM ldst
 ORDER BY url, method"""
 
 

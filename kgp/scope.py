@@ -110,11 +110,57 @@ def scope_first(links: DataFrame, gaz: DataFrame) -> DataFrame:
                            F.asc("entity_id")])
 
 
+def scope_least_distance(links: DataFrame, gaz: DataFrame) -> DataFrame:
+    """Annotation whose summed haversine distance to every OTHER
+    location annotation in the document is minimal
+    (LeastDistanceScopeDetector.java:40-62). The reference's O(n²)
+    Java loop over the per-document annotation list becomes a per-url
+    self-join + one aggregation — all documents in parallel, distances
+    as pure column arithmetic. Duplicated mentions weight the sum
+    exactly as the reference's per-annotation list does; ties resolve
+    to the earliest annotation (the strict `<` in the Java loop),
+    with the float sum quantized to 1e-6 km for cross-run and
+    cross-engine determinism (libm trig differs near 1e-12 relative,
+    which on thousand-km sums is ~1e-9 — a 6-decimal grid keeps both
+    engines on the same side of every rounding boundary)."""
+    pts = (_located(links, gaz)
+           .where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+           .select("url", "sent_idx", "start", "entity_id",
+                   F.radians("lat").alias("_la"),
+                   F.radians("lon").alias("_lo")))
+    other = pts.select(F.col("url").alias("url2"),
+                       F.col("_la").alias("_la2"),
+                       F.col("_lo").alias("_lo2"))
+    a = (F.sin((F.col("_la2") - F.col("_la")) / 2) ** 2
+         + F.cos("_la") * F.cos("_la2")
+         * F.sin((F.col("_lo2") - F.col("_lo")) / 2) ** 2)
+    hav = 2 * 6371.0 * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+    summed = (pts.join(other, pts["url"] == other["url2"])
+              .groupBy("url", "sent_idx", "start", "entity_id")
+              .agg(F.round(F.sum(hav), 6).alias("_dsum")))
+    return _pick_top(summed, [F.asc("_dsum"), F.asc("sent_idx"),
+                              F.asc("start"), F.asc("entity_id")])
+
+
+def scope_trust(links: DataFrame, gaz: DataFrame) -> DataFrame:
+    """Highest-trust annotation (HighestTrustScopeDetector.java:33-62):
+    sort by annotation trust — our link_score — descending, then
+    population descending (null counts as 0), then document order
+    (the reference's stable sort keeps annotation order on full ties)."""
+    locs = _located(links, gaz)
+    return _pick_top(locs, [F.desc("link_score"),
+                            F.desc(F.coalesce("population", F.lit(0))),
+                            F.asc("sent_idx"), F.asc("start"),
+                            F.asc("entity_id")])
+
+
 DETECTORS = {
     "frequency": scope_frequency,
     "population": scope_population,
     "midpoint": scope_midpoint,
     "first": scope_first,
+    "least_distance": scope_least_distance,
+    "trust": scope_trust,
 }
 
 
@@ -131,3 +177,170 @@ def detect_scopes(links: DataFrame, gaz: DataFrame,
             .select("url", F.lit(m).alias("method"), "entity_id")
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# -------------------------------------- trainable dictionary scope
+# DictionaryScopeDetector.java:40-220 — a text classifier over grid
+# cells: training documents with a known main coordinate map to a
+# "(x|y)" cell identifier (GridCreator.java:27-43), a char-gram
+# dictionary is trained with the cell as the category, and a document
+# classifies to the most likely cell, answered as that cell's
+# center-of-minimum-distance over its training coordinates
+# (GridConverter.getMapping, CoordinateStats.java:23-25) or the plain
+# cell center when unseen.
+
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from kgp.geo import (center_of_minimum_distance, normalize_latitude,
+                     normalize_longitude)
+from kgp.textclassifier import (BayesScorer, DictModel, FeatureSetting,
+                                classify, most_likely, preprocess)
+
+# DictionaryScopeDetectorIT.java:27-29,53 — the reference's evaluated
+# configuration: char 6..9-grams, fine 0.7° / coarse 5.63° grids
+SCOPE_FEATURE_SETTING = FeatureSetting(mode="char", min_ngram=6,
+                                       max_ngram=9)
+FINE_GRID_SIZE = 0.7
+COARSE_GRID_SIZE = 5.63
+
+
+def grid_cell_col(lat, lon, grid_size: float):
+    """GridCreator.getCell (:27-43) as a column expression: truncating
+    division into the (x|y) identifier, clamped to the cell range."""
+    nx = int(math.ceil(360 / grid_size))
+    ny = int(math.ceil(180 / grid_size))
+    x = F.least(F.floor((F.col(lon) + 180) / grid_size),
+                F.lit(nx - 1)).cast("int")
+    y = F.least(F.floor((F.col(lat) + 90) / grid_size),
+                F.lit(ny - 1)).cast("int")
+    return F.concat(F.lit("("), x, F.lit("|"), y, F.lit(")"))
+
+
+def cell_center(identifier: str, grid_size: float
+                ) -> tuple[float, float] | None:
+    """GridCell.getCenter (:68-72) from a "(x|y)" identifier."""
+    if (not identifier.startswith("(") or not identifier.endswith(")")
+            or "|" not in identifier):
+        return None
+    xs, ys = identifier[1:-1].split("|", 1)
+    try:
+        x, y = int(xs), int(ys)
+    except ValueError:
+        return None
+    lat1 = y * grid_size - 90
+    lng1 = x * grid_size - 180
+    return (normalize_latitude(lat1 + 0.5 * grid_size),
+            normalize_longitude(lng1 + 0.5 * grid_size))
+
+
+@dataclass
+class ScopeModel:
+    """DictionaryScopeModel (DictionaryScopeDetector.java:50-68):
+    grid size + term dictionary + cell→coordinate mapping."""
+    grid_size: float
+    fs: FeatureSetting
+    dict_model: DictModel
+    cell_coord: dict[str, tuple[float, float]]
+
+
+def train_dictionary_scope(docs: DataFrame, grid_size: float = FINE_GRID_SIZE,
+                           fs: FeatureSetting = SCOPE_FEATURE_SETTING,
+                           text_col: str = "text", lat_col: str = "lat",
+                           lon_col: str = "lon") -> ScopeModel:
+    """DictionaryScopeDetectorLearner.train (:183-198) distributed:
+    documents without a coordinate are filtered (CoordinateFilter),
+    the per-document DISTINCT term set (first-appearance order, capped
+    at fs.max_terms — PalladianTextClassifier.train semantics) explodes
+    into ONE (term, cell) hash aggregation, and each cell's coordinate
+    becomes the center-of-minimum-distance of its training coordinates
+    via applyInPandas. The collected model is vocabulary-sized and
+    broadcast for classification."""
+    pts = docs.where(F.col(lat_col).isNotNull()
+                     & F.col(lon_col).isNotNull())
+    cells = pts.withColumn(
+        "_cell", grid_cell_col(lat_col, lon_col, grid_size))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def terms_udf(texts: pd.Series) -> pd.Series:
+        def doc_terms(t):
+            seen: list[str] = []
+            have = set()
+            for term in preprocess(t or "", fs):
+                if len(have) >= fs.max_terms:
+                    break
+                if term not in have:
+                    have.add(term)
+                    seen.append(term)
+            return seen
+        return texts.map(doc_terms)
+
+    entries = (cells
+               .select("_cell", F.explode(terms_udf(text_col)).alias("_t"))
+               .groupBy("_t", "_cell").agg(F.count("*").alias("_n")))
+    doc_counts = cells.groupBy("_cell").agg(F.count("*").alias("_n"))
+
+    def centers(pdf: pd.DataFrame) -> pd.DataFrame:
+        coords = list(zip(pdf[lat_col], pdf[lon_col]))
+        la, lo = center_of_minimum_distance(coords)
+        return pd.DataFrame([{"cell": pdf["_cell"].iloc[0],
+                              "lat": la, "lon": lo}])
+
+    mapping = (cells.select("_cell", lat_col, lon_col)
+               .groupBy("_cell")
+               .applyInPandas(centers, "cell string, lat double, "
+                                       "lon double"))
+
+    model = DictModel()
+    for r in entries.collect():
+        model.entries.setdefault(r["_t"], {})[r["_cell"]] = r["_n"]
+    for r in doc_counts.collect():
+        model.doc_counts[r["_cell"]] = r["_n"]
+    coord = {r["cell"]: (r["lat"], r["lon"]) for r in mapping.collect()}
+    return ScopeModel(grid_size, fs, model, coord)
+
+
+def dictionary_scope(docs: DataFrame, model: ScopeModel,
+                     text_col: str = "text",
+                     key_col: str = "url") -> DataFrame:
+    """DictionaryScopeDetector.getScope (:201-214): classify each
+    document's text to its most likely grid cell with the BayesScorer
+    (DEFAULT_SCORER, all options), answer the cell's mapped coordinate
+    or its geometric center. One Arrow pass over (key, text) with the
+    broadcast model; exact-tie argmax breaks by ascending cell id
+    (documented determinism deviation from CategoryEntries' HashMap)."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+    out_type = T.StructType([
+        T.StructField("cell", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def scope_udf(texts: pd.Series) -> pd.DataFrame:
+        m = bc.value
+        scorer = BayesScorer()
+
+        def one(t):
+            scores = classify(t or "", m.dict_model, m.fs, scorer)
+            if not scores:
+                return None, None, None
+            cell = most_likely(scores)
+            hit = m.cell_coord.get(cell)
+            if hit is None:
+                hit = cell_center(cell, m.grid_size)
+            if hit is None:
+                return cell, None, None
+            return cell, hit[0], hit[1]
+
+        rows = [one(t) for t in texts]
+        return pd.DataFrame(rows, columns=["cell", "lat", "lon"])
+
+    res = docs.select(key_col, scope_udf(text_col).alias("_s"))
+    return res.select(key_col, F.col("_s.cell").alias("cell"),
+                      F.col("_s.lat").alias("lat"),
+                      F.col("_s.lon").alias("lon"))

@@ -264,7 +264,18 @@ def classify(text: str, model: DictModel, fs: FeatureSetting,
         if len(term_counts) >= fs.max_terms and t not in term_counts:
             continue
         term_counts[t] += 1
-    sums = model.category_sums
+    # the aggregate model statistics are O(|entries|) properties —
+    # evaluate them ONCE per model (memoized on the instance; training
+    # always finishes before classification starts), not once per
+    # (term, category): a 10^5-term scope model otherwise spends
+    # seconds per document
+    stats = model.__dict__.get("_stats_cache")
+    if stats is None:
+        sums = model.category_sums
+        stats = (sums, model.num_uniq_terms, model.num_docs,
+                 sum(sums.values()))
+        model.__dict__["_stats_cache"] = stats
+    sums, num_uniq, num_docs_stat, num_terms = stats
     builder: dict[str, float] = {}
     for term, doc_count in term_counts.items():
         cats = model.entries.get(term, {})
@@ -272,16 +283,16 @@ def classify(text: str, model: DictModel, fs: FeatureSetting,
         matched_cats = set()
         for cat, count in cats.items():
             s = scorer.score(term, cat, count, dict_count, doc_count,
-                             sums[cat], model.num_uniq_terms,
-                             model.num_docs, model.num_terms)
+                             sums[cat], num_uniq, num_docs_stat,
+                             num_terms)
             builder[cat] = builder.get(cat, 0.0) + s
             matched_cats.add(cat)
         if scorer.score_non_matches:
             for cat, category_sum in sums.items():
                 if cat not in matched_cats:
                     s = scorer.score(term, cat, 0, dict_count, doc_count,
-                                     category_sum, model.num_uniq_terms,
-                                     model.num_docs, model.num_terms)
+                                     category_sum, num_uniq,
+                                     num_docs_stat, num_terms)
                     builder[cat] = builder.get(cat, 0.0) + s
     matched = any(v != 0 for v in builder.values())
     num_docs = model.num_docs or 1

@@ -81,3 +81,111 @@ def test_no_python_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---- round-3 additions: least-distance / trust / dictionary scope
+
+LNK_T = ("url string, sent_idx int, start int, entity_id long, "
+         "link_score double")
+
+
+def test_center_of_minimum_distance_goldens():
+    # GeoUtilsTest.testCenterOfMinimumDistance
+    from kgp.geo import center_of_minimum_distance
+    c1 = [(52.52437, 13.41053), (51.50853, -0.12574),
+          (47.66033, 9.17582), (45.74846, 4.84671)]
+    la, lo = center_of_minimum_distance(c1)
+    assert abs(la - 48.337076) < 0.01 and abs(lo - 7.758056) < 0.01
+    assert center_of_minimum_distance(
+        [(52.52437, 13.41053)]) == (52.52437, 13.41053)
+    c4 = [(39.00027, -105.50083), (52.16045, -0.70312), (-33.0, -56.0),
+          (39.5, -8.0), (54.75844, -2.69531), (39.76, -98.5),
+          (51.297, 1.069), (52.5, -3.5), (38.89511, -77.03637)]
+    la, lo = center_of_minimum_distance(c4)
+    assert abs(la - 52.52425) < 0.01 and abs(lo - (-5.220439)) < 0.01
+
+
+def test_grid_cell_goldens(spark):
+    # GridCreatorTest.testGetCellIdentifier (gridSize=90)
+    from kgp.scope import cell_center, grid_cell_col
+    pts = [(-35.3, 149.116667, "(3|0)"), (35.683889, 139.774444, "(3|1)"),
+           (43.7, -79.4, "(1|1)"), (-22.908333, -43.196389, "(1|0)"),
+           (21.311389, -157.796389, "(0|1)"), (90.0, 180.0, "(3|1)"),
+           (-90.0, -180.0, "(0|0)")]
+    df = spark.createDataFrame([(la, lo) for la, lo, _ in pts],
+                               "lat double, lon double")
+    got = [r[0] for r in
+           df.select(grid_cell_col("lat", "lon", 90.0)).collect()]
+    assert got == [p[2] for p in pts]
+    # GridCreatorTest.testGetCoordinate
+    assert cell_center("(3|0)", 90.0) == (-45.0, 135.0)
+    assert cell_center("(0|1)", 90.0) == (45.0, -135.0)
+    assert cell_center("garbage", 90.0) is None
+
+
+def test_scope_least_distance(spark):
+    from kgp.scope import scope_least_distance
+    # entity 2 (40.5,-74) sits between 1 (40,-75) and 3 (41,-74.5):
+    # its summed distance to all three annotations is smallest
+    links = spark.createDataFrame(
+        [("u", 0, 0, 1), ("u", 1, 0, 2), ("u", 2, 0, 3)], LNK)
+    assert scope_least_distance(
+        links, _gaz(spark)).collect()[0].entity_id == 2
+    # duplicated mention of 1 pulls the optimum onto 1 itself
+    links2 = spark.createDataFrame(
+        [("u", 0, 0, 1), ("u", 1, 0, 1), ("u", 2, 0, 1),
+         ("u", 3, 0, 3)], LNK)
+    assert scope_least_distance(
+        links2, _gaz(spark)).collect()[0].entity_id == 1
+    # coordinate-less entities drop out entirely
+    links3 = spark.createDataFrame([("u", 0, 0, 4)], LNK)
+    assert scope_least_distance(links3, _gaz(spark)).count() == 0
+
+
+def test_scope_trust(spark):
+    from kgp.scope import scope_trust
+    links = spark.createDataFrame(
+        [("u", 0, 0, 1, 0.9), ("u", 0, 5, 2, 0.4),
+         ("v", 0, 0, 1, 0.5), ("v", 0, 5, 2, 0.5)],  # tie -> larger pop
+        LNK_T)
+    got = {r.url: r.entity_id
+           for r in scope_trust(links, _gaz(spark)).collect()}
+    assert got == {"u": 1, "v": 2}
+
+
+def test_dictionary_scope_end_to_end(spark):
+    from kgp.scope import (COARSE_GRID_SIZE, dictionary_scope,
+                           train_dictionary_scope)
+    # two training regions with distinctive char 6..9-gram vocabulary
+    rows = [
+        ("t1", "brandenburger strasse quartier", 52.52, 13.40),
+        ("t2", "brandenburger allee quartier", 52.60, 13.50),
+        ("t3", "manhattan broadway borough", 40.71, -74.00),
+        ("t4", "manhattan harlem borough", 40.80, -73.95),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, text string, lat double, lon double")
+    model = train_dictionary_scope(docs, grid_size=COARSE_GRID_SIZE)
+    # cell -> center-of-minimum-distance of its training coordinates
+    assert len(model.cell_coord) == 2
+    q = spark.createDataFrame(
+        [("q1", "brandenburger quartier", None, None),
+         ("q2", "manhattan borough", None, None)],
+        "url string, text string, lat double, lon double")
+    got = {r.url: r for r in dictionary_scope(q, model).collect()}
+    # berlin-side query answers the berlin cell's coordinate
+    assert abs(got["q1"].lat - 52.52) < 0.2
+    assert abs(got["q1"].lon - 13.40) < 0.2
+    assert abs(got["q2"].lat - 40.71) < 0.2
+    assert abs(got["q2"].lon - (-74.00)) < 0.2
+
+
+def test_dictionary_scope_unseen_cell_falls_back_to_center():
+    from kgp.scope import ScopeModel, cell_center
+    from kgp.textclassifier import DictModel
+    m = DictModel()
+    m.entries = {"xxxxxx": {"(1|1)": 1}}
+    m.doc_counts["(1|1)"] = 1
+    from kgp.scope import SCOPE_FEATURE_SETTING
+    model = ScopeModel(90.0, SCOPE_FEATURE_SETTING, m, {})
+    assert cell_center("(1|1)", 90.0) == (45.0, -45.0)
