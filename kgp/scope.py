@@ -344,3 +344,163 @@ def dictionary_scope(docs: DataFrame, model: ScopeModel,
     return res.select(key_col, F.col("_s.cell").alias("cell"),
                       F.col("_s.lat").alias("lat"),
                       F.col("_s.lon").alias("lon"))
+
+
+# ------------------------------------- multi-step dictionary scope
+# MultiStepDictionaryScopeDetector.java:37-170 — classify on simulated
+# coarser grids first, then restrict each finer classification to the
+# cells inside the winning coarse cell. The coarse dictionaries are
+# views of the ONE fine model (CoarseDictionaryDecorator), so only the
+# fine model is ever trained; the focus step is FocusDictionaryDecorator
+# semantics (kgp.textclassifier.classify(allowed=...)).
+
+
+def cell_id(lat: float, lon: float, grid_size: float) -> str:
+    """GridCreator.getCell(GeoCoordinate) identifier (:64-78):
+    truncating division on the (-180,-90)-anchored grid, clamped."""
+    nx = int(math.ceil(360 / grid_size))
+    ny = int(math.ceil(180 / grid_size))
+    x = min(int((lon + 180) / grid_size), nx - 1)
+    y = min(int((lat + 90) / grid_size), ny - 1)
+    return f"({x}|{y})"
+
+
+def cells_within(coarse_id: str, coarse_size: float,
+                 fine_size: float) -> list[str]:
+    """GridCreator.getCells (:88-103): fine-grid cells covering an
+    identifier-parsed coarse cell (getCell(int,int) bounds, anchored
+    at (-180,-90)); coordinates normalized like the reference before
+    the fine lookup."""
+    xs, ys = coarse_id[1:-1].split("|", 1)
+    x, y = int(xs), int(ys)
+    lat1 = y * coarse_size - 90
+    lat2 = lat1 + coarse_size
+    lng1 = x * coarse_size - 180
+    lng2 = lng1 + coarse_size
+    out: list[str] = []
+    lat = lat1
+    while lat < lat2:
+        la = normalize_latitude(lat)
+        lng = lng1
+        while lng < lng2:
+            out.append(cell_id(la, normalize_longitude(lng), fine_size))
+            lng += fine_size
+        lat += fine_size
+    return out
+
+
+def coarsen_model(model: DictModel, fine_size: float,
+                  coarse_size: float) -> DictModel:
+    """CoarseDictionaryDecorator.java:33-249, materialized eagerly:
+    every fine cell category is re-keyed to the coarse cell containing
+    the fine cell's CENTER (mapToCoarse :214-222), counts summed. The
+    aggregate statistics the scorer reads (num_docs, num_uniq_terms,
+    num_terms) are preserved by construction, so scores match the
+    reference's lazy decorator exactly."""
+    memo: dict[str, str] = {}
+
+    def to_coarse(fine_id: str) -> str:
+        hit = memo.get(fine_id)
+        if hit is None:
+            c = cell_center(fine_id, fine_size)
+            hit = cell_id(c[0], c[1], coarse_size)
+            memo[fine_id] = hit
+        return hit
+
+    out = DictModel()
+    for term, cats in model.entries.items():
+        agg = out.entries.setdefault(term, {})
+        for cat, n in cats.items():
+            cc = to_coarse(cat)
+            agg[cc] = agg.get(cc, 0) + n
+    for cat, n in model.doc_counts.items():
+        out.doc_counts[to_coarse(cat)] += n
+    return out
+
+
+def _validate_multi_step(model: ScopeModel,
+                         coarser_grid_sizes: tuple[float, ...]) -> None:
+    """MultiStepDictionaryScopeDetector.validateParameters (:105-121):
+    descending, each size at least twice its successor, smallest coarse
+    at least twice the fine grid."""
+    sizes = list(coarser_grid_sizes)
+    for i in range(1, len(sizes)):
+        if sizes[i - 1] < 2 * sizes[i]:
+            raise ValueError("coarser grid sizes must descend, each at "
+                             "least twice its successor")
+    if sizes and model.grid_size * 2 > sizes[-1]:
+        raise ValueError("smallest coarse grid must be at least twice "
+                         "the fine grid size")
+
+
+def multi_step_scope_text(text: str, model: ScopeModel,
+                          coarser_grid_sizes: tuple[float, ...],
+                          steps: list | None = None
+                          ) -> tuple[str, float, float] | None:
+    """MultiStepDictionaryScopeDetector.getScope (:123-168) for one
+    text. ``steps`` lets callers pass pre-coarsened models (built once,
+    broadcast). Returns (cell, lat, lon) at whatever grid level the
+    walk reached; the reference looks the final identifier up in the
+    fine cell→coordinate map REGARDLESS of which grid produced it (a
+    coarse "(x|y)" string can collide with a fine one — quirk kept),
+    falling back to the answering grid's cell center."""
+    if steps is None:
+        steps = [(s, coarsen_model(model.dict_model, model.grid_size, s))
+                 for s in coarser_grid_sizes]
+        steps.append((model.grid_size, model.dict_model))
+    scorer = BayesScorer()
+    cell, cur_size = None, None
+    for size, m in steps:
+        if cell is None:
+            scores = classify(text or "", m, model.fs, scorer)
+            if not scores:
+                return None
+        else:
+            allowed = set(cells_within(cell, cur_size, size))
+            scores = classify(text or "", m, model.fs, scorer,
+                              allowed=allowed)
+            if not scores:
+                break
+        cell, cur_size = most_likely(scores), size
+    if cell is None:
+        return None
+    hit = model.cell_coord.get(cell)
+    if hit is None:
+        hit = cell_center(cell, cur_size)
+    if hit is None:
+        return cell, None, None
+    return cell, hit[0], hit[1]
+
+
+def multi_step_dictionary_scope(docs: DataFrame, model: ScopeModel,
+                                coarser_grid_sizes: tuple[float, ...] = (
+                                    COARSE_GRID_SIZE,),
+                                text_col: str = "text",
+                                key_col: str = "url") -> DataFrame:
+    """Distributed MultiStepDictionaryScopeDetector: the coarse models
+    are materialized ONCE on the driver from the fine model and the
+    whole step ladder is broadcast; each document is one pure-Python
+    walk inside an Arrow batch — no shuffle, no join."""
+    _validate_multi_step(model, coarser_grid_sizes)
+    steps = [(s, coarsen_model(model.dict_model, model.grid_size, s))
+             for s in coarser_grid_sizes]
+    steps.append((model.grid_size, model.dict_model))
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast((model, steps))
+    out_type = T.StructType([
+        T.StructField("cell", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def scope_udf(texts: pd.Series) -> pd.DataFrame:
+        m, stps = bc.value
+        rows = [multi_step_scope_text(t, m, (), steps=stps) or
+                (None, None, None) for t in texts]
+        return pd.DataFrame(rows, columns=["cell", "lat", "lon"])
+
+    res = docs.select(key_col, scope_udf(text_col).alias("_s"))
+    return res.select(key_col, F.col("_s.cell").alias("cell"),
+                      F.col("_s.lat").alias("lat"),
+                      F.col("_s.lon").alias("lon"))

@@ -252,12 +252,19 @@ class BayesScorer:
 
 
 def classify(text: str, model: DictModel, fs: FeatureSetting,
-             scorer=None) -> dict[str, float]:
+             scorer=None, allowed: set | None = None) -> dict[str, float]:
     """classify port (:213-271): unique terms with per-document counts
     (capped at maxTerms unique), non-match scoring when the scorer
     needs smoothing, final scoreCategory over the model's document
     distribution. Returns the raw category scores; argmax is the
-    predicted class."""
+    predicted class.
+
+    ``allowed`` reproduces FocusDictionaryDecorator.java:27-160: only
+    the given categories are scored and returned, but every AGGREGATE
+    statistic (per-term total count, numDocuments, numUniqTerms,
+    numTerms) stays unfiltered — the decorator's getTotalCount()
+    deliberately returns the wrapped total ("this is not correct; but
+    ... calculating this here would take too much time")."""
     scorer = scorer or DefaultScorer()
     term_counts: Counter = Counter()
     for t in preprocess(text, fs):
@@ -282,6 +289,8 @@ def classify(text: str, model: DictModel, fs: FeatureSetting,
         dict_count = sum(cats.values())
         matched_cats = set()
         for cat, count in cats.items():
+            if allowed is not None and cat not in allowed:
+                continue
             s = scorer.score(term, cat, count, dict_count, doc_count,
                              sums[cat], num_uniq, num_docs_stat,
                              num_terms)
@@ -289,6 +298,8 @@ def classify(text: str, model: DictModel, fs: FeatureSetting,
             matched_cats.add(cat)
         if scorer.score_non_matches:
             for cat, category_sum in sums.items():
+                if allowed is not None and cat not in allowed:
+                    continue
                 if cat not in matched_cats:
                     s = scorer.score(term, cat, 0, dict_count, doc_count,
                                      category_sum, num_uniq,
@@ -298,6 +309,8 @@ def classify(text: str, model: DictModel, fs: FeatureSetting,
     num_docs = model.num_docs or 1
     out: dict[str, float] = {}
     for cat, n in model.doc_counts.items():
+        if allowed is not None and cat not in allowed:
+            continue
         probability = n / num_docs
         out[cat] = scorer.score_category(cat, builder.get(cat, 0.0),
                                          probability, matched)

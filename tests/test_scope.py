@@ -189,3 +189,82 @@ def test_dictionary_scope_unseen_cell_falls_back_to_center():
     from kgp.scope import SCOPE_FEATURE_SETTING
     model = ScopeModel(90.0, SCOPE_FEATURE_SETTING, m, {})
     assert cell_center("(1|1)", 90.0) == (45.0, -45.0)
+
+
+# ---- multi-step dictionary scope (coarse -> fine ladder)
+
+
+def test_cells_within_goldens():
+    from kgp.scope import cell_id, cells_within
+    # 90-degree coarse cell (0|0) over a 45-degree fine grid: 2x2 cells
+    got = cells_within("(0|0)", 90.0, 45.0)
+    assert sorted(set(got)) == ["(0|0)", "(0|1)", "(1|0)", "(1|1)"]
+    # the IT configuration: 5.63-degree coarse over 0.7-degree fine
+    got = cells_within("(30|20)", 5.63, 0.7)
+    assert len(set(got)) == 81  # ceil(5.63/0.7)^2 = 9^2
+    # the sampled coordinate of every enumerated fine cell lies inside
+    # the coarse cell (edge fine cells can straddle the boundary when
+    # the sizes don't divide — reference getCells behaves the same)
+    from kgp.scope import cell_center
+    centers_in = sum(1 for cid in set(got)
+                     if cell_id(*cell_center(cid, 0.7), 5.63) == "(30|20)")
+    assert centers_in >= 64  # interior 8x8 at minimum
+
+
+def test_coarsen_model_preserves_totals():
+    from kgp.scope import coarsen_model
+    from kgp.textclassifier import DictModel
+    m = DictModel()
+    m.entries = {"abc": {"(0|0)": 2, "(1|0)": 1, "(3|3)": 4},
+                 "def": {"(3|3)": 1}}
+    m.doc_counts.update({"(0|0)": 2, "(1|0)": 1, "(3|3)": 3})
+    c = coarsen_model(m, 45.0, 90.0)  # fine 45 -> coarse 90
+    # fine (0|0) and (1|0) centers share coarse cell (0|0)
+    assert c.entries["abc"] == {"(0|0)": 3, "(1|1)": 4}
+    assert c.entries["def"] == {"(1|1)": 1}
+    assert c.num_docs == m.num_docs
+    assert c.num_uniq_terms == m.num_uniq_terms
+    assert c.num_terms == m.num_terms
+
+
+def test_multi_step_validation():
+    import pytest as _pytest
+    from kgp.scope import (SCOPE_FEATURE_SETTING, ScopeModel,
+                           _validate_multi_step)
+    from kgp.textclassifier import DictModel
+    model = ScopeModel(0.7, SCOPE_FEATURE_SETTING, DictModel(), {})
+    _validate_multi_step(model, (5.63, 1.4))
+    with _pytest.raises(ValueError):
+        _validate_multi_step(model, (2.0, 1.5))  # not halving
+    with _pytest.raises(ValueError):
+        _validate_multi_step(model, (5.63, 1.0))  # < 2x fine grid
+
+
+def test_multi_step_scope_end_to_end(spark):
+    from kgp.scope import (FINE_GRID_SIZE, dictionary_scope,
+                           multi_step_dictionary_scope,
+                           train_dictionary_scope)
+    rows = [
+        ("t1", "brandenburger strasse quartier", 52.52, 13.40),
+        ("t2", "brandenburger allee quartier", 52.60, 13.50),
+        ("t3", "manhattan broadway borough", 40.71, -74.00),
+        ("t4", "manhattan harlem borough", 40.80, -73.95),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, text string, lat double, lon double")
+    model = train_dictionary_scope(docs, grid_size=FINE_GRID_SIZE)
+    q = spark.createDataFrame(
+        [("q1", "brandenburger quartier", None, None),
+         ("q2", "manhattan borough", None, None)],
+        "url string, text string, lat double, lon double")
+    got = {r.url: r for r in
+           multi_step_dictionary_scope(q, model).collect()}
+    assert abs(got["q1"].lat - 52.52) < 0.5
+    assert abs(got["q1"].lon - 13.40) < 0.5
+    assert abs(got["q2"].lat - 40.71) < 0.5
+    assert abs(got["q2"].lon - (-74.00)) < 0.5
+    # with well-separated regions the ladder agrees with the flat
+    # fine-grid classification
+    flat = {r.url: r for r in dictionary_scope(q, model).collect()}
+    assert {k: v.cell for k, v in got.items()} == \
+        {k: v.cell for k, v in flat.items()}
