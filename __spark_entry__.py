@@ -298,6 +298,35 @@ def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cur.c4_filter(decorated)
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table A1 quality signals + keep rule
+    (kgp.curation.gopher_quality_signals / gopher_quality_filter).
+    Deterministic doc_id % 3/5/7/11 slices add stop-word prose (the
+    documents table is short keyword soup that the word-count and
+    stop-word rules correctly drop wholesale — %3 pushes a third of
+    the corpus over both bars so keep=true appears), bullet lines,
+    ellipsis lines and hash spam so every rule family is
+    non-degenerate; the oracle builds the identical decoration
+    (kgp.oracle.GOPHER_SLICES_SQL)."""
+    from kgp import curation as _cur
+    docs = _docs_table(spark, sf_dir)
+    nl = F.lit("\n")
+    decorated = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            nl, F.lit(_oracle.GOPHER_PROSE))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(
+            nl, F.lit("• bullet one"), nl, F.lit("• bullet two")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(
+            nl, F.lit("to be continued..."), nl, F.lit("still going…")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.concat(
+            nl, F.lit("# # # # # # # #"))).otherwise(F.lit(""))))
+    sig = _cur.gopher_quality_signals(decorated)
+    return sig.withColumn("keep", _cur.gopher_quality_filter())
+
+
 def _q_url_canon_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + deterministic stratified sampling
     (kgp.curation). Messy URLs (mixed case, www, :443, tracking
@@ -387,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "line_dedup": _q_line_dedup,
         "c4_filter": _q_c4_filter,
+        "gopher_quality": _q_gopher_quality,
         "seq_packing": _q_seq_packing,
         "doc_scopes": _q_doc_scopes,
         "entity_pairs_doc": _q_entity_pairs,
@@ -444,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracle.simhash_pairs_sql(),
         "line_dedup": _oracle.line_dedup_sql(),
         "c4_filter": _oracle.c4_filter_sql(),
+        "gopher_quality": _oracle.gopher_quality_sql(),
         "seq_packing": _oracle.seq_packing_sql(),
         "doc_scopes": _oracle.doc_scopes_sql(),
         "entity_pairs_doc": _oracle.entity_pairs_sql(),

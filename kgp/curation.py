@@ -149,3 +149,94 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
                       F.lit(float(r))).otherwise(rate)
     return docs.where(
         sample_key(F.col(id_col)).cast("double") < rate * 10000.0)
+
+
+# ------------------------------------------- Gopher quality rules
+# Rae et al. 2021 (Gopher), Table A1 — the document-quality heuristics
+# that complement the repetition family in kgp.repetition: word-count
+# bounds, mean word length, hash/ellipsis symbol ratios, bullet- and
+# ellipsis-line fractions, alphabetic-word fraction, and the required
+# English stop words. All pure JVM column expressions (higher-order
+# array functions over the split words/lines) — zero Python, zero
+# shuffle, and every fraction is reproducible in any SQL engine.
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and",
+                     "that", "have", "with")
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring (length delta / needle len)."""
+    return ((F.length(text)
+             - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+            / len(needle)).cast("long")
+
+
+def gopher_quality_signals(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """docs -> one row per document with the Gopher quality signals:
+
+    n_words, mean_word_len, hash_word_ratio, ellipsis_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_words.
+
+    Words are non-empty whitespace tokens; lines are non-blank
+    newline-split segments; "alphabetic" is ASCII [A-Za-z] (documented
+    simplification — language-specific alphabets ride the lang column
+    upstream); ellipses count both '…' and '...'. Fractions round to
+    6 decimals so any engine lands on the same side of a threshold."""
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    lines = F.filter(F.transform(F.split(c, "\n"), F.trim),
+                     lambda s: s != "")
+    n_words = F.size(words)
+    nw = F.when(n_words > 0, n_words.cast("double"))       # null -> null
+    n_lines = F.size(lines)
+    nl = F.when(n_lines > 0, n_lines.cast("double"))
+    word_chars = F.aggregate(words, F.lit(0).cast("long"),
+                             lambda a, w: a + F.length(w))
+    n_ellipsis = (_count_occurrences(c, "…")
+                  + _count_occurrences(c, "..."))
+    n_bullet_lines = F.size(F.filter(
+        lines, lambda s: (s.startswith("•") | s.startswith("-")
+                          | s.startswith("*"))))
+    n_ellipsis_lines = F.size(F.filter(
+        lines, lambda s: (s.endswith("…") | s.endswith("..."))))
+    n_alpha_words = F.size(F.filter(words,
+                                    lambda w: w.rlike("[A-Za-z]")))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+    n_stops = F.size(F.array_intersect(
+        F.transform(words, F.lower), stops))
+    r6 = lambda col: F.round(col, 6)  # noqa: E731
+    return docs.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        r6(word_chars / nw).alias("mean_word_len"),
+        r6(_count_occurrences(c, "#") / nw).alias("hash_word_ratio"),
+        r6(n_ellipsis / nw).alias("ellipsis_word_ratio"),
+        r6(n_bullet_lines / nl).alias("bullet_line_frac"),
+        r6(n_ellipsis_lines / nl).alias("ellipsis_line_frac"),
+        r6(n_alpha_words / nw).alias("alpha_word_frac"),
+        n_stops.cast("int").alias("n_stop_words"),
+    )
+
+
+def gopher_quality_filter(min_words: int = 50, max_words: int = 100_000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          max_symbol_ratio: float = 0.1,
+                          max_bullet_frac: float = 0.9,
+                          max_ellipsis_frac: float = 0.3,
+                          min_alpha_frac: float = 0.8,
+                          min_stop_words: int = 2) -> Column:
+    """Gopher Table A1 keep rule over a gopher_quality_signals row.
+    Null fractions (empty documents) fail the rule."""
+    return (F.col("n_words").between(min_words, max_words)
+            & F.col("mean_word_len").between(min_mean_word_len,
+                                             max_mean_word_len)
+            & (F.col("hash_word_ratio") <= max_symbol_ratio)
+            & (F.col("ellipsis_word_ratio") <= max_symbol_ratio)
+            & (F.coalesce(F.col("bullet_line_frac"), F.lit(1.0))
+               <= max_bullet_frac)
+            & (F.coalesce(F.col("ellipsis_line_frac"), F.lit(1.0))
+               <= max_ellipsis_frac)
+            & (F.col("alpha_word_frac") >= min_alpha_frac)
+            & (F.col("n_stop_words") >= min_stop_words))

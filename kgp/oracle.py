@@ -1012,3 +1012,85 @@ WITH feat AS (
 SELECT doc_id, category AS predicted FROM ranked WHERE rk = 1
 ORDER BY doc_id
 """
+
+
+# decoration for the gopher_quality gate query: deterministic slices
+# keep every rule family non-degenerate on the keyword-soup documents
+# table (which the word-count + stop-word rules correctly drop
+# wholesale — the %3 prose slice pushes a third of the corpus over
+# both bars so keep=true appears)
+GOPHER_PROSE = (
+    "the quick brown fox jumps over that lazy dog to be of and with "
+    "have plenty more plain words in this long extra line so the keep "
+    "rule can fire on some documents today and tomorrow without any "
+    "trouble at all")
+
+GOPHER_SLICES_SQL = (
+    "text"
+    f" || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{GOPHER_PROSE}'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN"
+    " chr(10) || '• bullet one' || chr(10) || '• bullet two'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN"
+    " chr(10) || 'to be continued...' || chr(10) || 'still going…'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN"
+    " chr(10) || '# # # # # # # #' ELSE '' END")
+
+
+def gopher_quality_sql(min_words: int = 50, max_words: int = 100000,
+                       max_symbol_ratio: float = 0.1,
+                       max_bullet_frac: float = 0.9,
+                       max_ellipsis_frac: float = 0.3,
+                       min_alpha_frac: float = 0.8,
+                       min_stop_words: int = 2) -> str:
+    """DuckDB mirror of kgp.curation.gopher_quality_signals + filter
+    over the decorated documents text (GOPHER_SLICES_SQL)."""
+    stops = ", ".join(f"'{s}'" for s in
+                      ("the", "be", "to", "of", "and",
+                       "that", "have", "with"))
+    return f"""
+WITH dec AS (SELECT doc_id, {GOPHER_SLICES_SQL} AS text FROM documents),
+w AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+      AS words,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               x -> trim(x)), x -> x <> '') AS lines
+  FROM dec),
+s AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    round(CAST(list_sum(list_transform(words, x -> length(x)))
+               AS DOUBLE) / nullif(len(words), 0), 6) AS mean_word_len,
+    round(CAST(length(text) - length(replace(text, '#', ''))
+               AS DOUBLE) / nullif(len(words), 0), 6)
+      AS hash_word_ratio,
+    round(CAST((length(text) - length(replace(text, '…', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               AS DOUBLE) / nullif(len(words), 0), 6)
+      AS ellipsis_word_ratio,
+    round(CAST(len(list_filter(lines, x -> starts_with(x, '•')
+               OR starts_with(x, '-') OR starts_with(x, '*')))
+               AS DOUBLE) / nullif(len(lines), 0), 6)
+      AS bullet_line_frac,
+    round(CAST(len(list_filter(lines, x -> ends_with(x, '…')
+               OR ends_with(x, '...'))) AS DOUBLE)
+          / nullif(len(lines), 0), 6) AS ellipsis_line_frac,
+    round(CAST(len(list_filter(words, x -> regexp_matches(x,
+               '[A-Za-z]'))) AS DOUBLE) / nullif(len(words), 0), 6)
+      AS alpha_word_frac,
+    CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+                            [{stops}])) AS INT) AS n_stop_words
+  FROM w)
+SELECT *,
+  (n_words BETWEEN {min_words} AND {max_words}
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND hash_word_ratio <= {max_symbol_ratio}
+   AND ellipsis_word_ratio <= {max_symbol_ratio}
+   AND coalesce(bullet_line_frac, 1.0) <= {max_bullet_frac}
+   AND coalesce(ellipsis_line_frac, 1.0) <= {max_ellipsis_frac}
+   AND alpha_word_frac >= {min_alpha_frac}
+   AND n_stop_words >= {min_stop_words}) AS keep
+FROM s ORDER BY doc_id"""

@@ -118,3 +118,61 @@ def test_no_python_no_shuffle_plan(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# ---- Gopher quality rules (Rae et al. 2021 Table A1)
+
+
+def test_gopher_quality_signals_goldens(spark):
+    from kgp.curation import gopher_quality_filter, gopher_quality_signals
+    rows = [
+        (1, "the cat sat on the mat with a hat that fits"),
+        (2, "• one\n• two\nplain line here."),
+        (3, "wait...\nmore…\nok."),
+        (4, "# # # code"),
+        (5, "ab cd"),
+        (6, "12 34 56 78 x9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           gopher_quality_signals(docs).collect()}
+    r1 = got[1]
+    assert r1.n_words == 11
+    assert r1.n_stop_words == 3            # the, with, that
+    assert abs(r1.alpha_word_frac - 1.0) < 1e-9
+    assert abs(r1.mean_word_len - 33 / 11) < 1e-6
+    r2 = got[2]
+    assert abs(r2.bullet_line_frac - 2 / 3) < 1e-6
+    r3 = got[3]
+    assert abs(r3.ellipsis_line_frac - 2 / 3) < 1e-6
+    assert abs(r3.ellipsis_word_ratio - 2 / 3) < 1e-6
+    r4 = got[4]
+    assert abs(r4.hash_word_ratio - 3 / 4) < 1e-6
+    r5 = got[5]
+    assert abs(r5.mean_word_len - 2.0) < 1e-9
+    r6 = got[6]
+    assert abs(r6.alpha_word_frac - 1 / 5) < 1e-6
+    # the filter: only long-enough prose with stop words survives
+    long_doc = " ".join(["the quick brown fox jumps over that lazy dog"
+                         " to be of and with have"] * 8)
+    docs2 = spark.createDataFrame(
+        [(10, long_doc), (11, "short text.")], "doc_id long, text string")
+    sig = gopher_quality_signals(docs2)
+    kept = {r.doc_id: r.keep for r in
+            sig.withColumn("keep", gopher_quality_filter()).collect()}
+    assert kept == {10: True, 11: False}
+
+
+def test_gopher_quality_empty_and_plan(spark):
+    from kgp.curation import gopher_quality_filter, gopher_quality_signals
+    docs = spark.createDataFrame([(1, ""), (2, "   \n  ")],
+                                 "doc_id long, text string")
+    sig = gopher_quality_signals(docs)
+    rows = {r.doc_id: r for r in
+            sig.withColumn("keep", gopher_quality_filter()).collect()}
+    for r in rows.values():
+        assert r.n_words == 0 and r.mean_word_len is None
+        assert r.keep is False
+    # zero Python, zero Exchange — pure JVM expressions over the scan
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
