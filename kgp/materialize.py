@@ -24,6 +24,7 @@ Everything is JVM-side column work — no Python in the lineage path.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from hashlib import blake2b
 
@@ -96,12 +97,23 @@ def partition_manifest(df: DataFrame, stage: str) -> DataFrame:
     )
 
 
+# stages on concurrent DAG branches (kgp.pipeline runs the canon
+# branch on its own thread) append to the ONE lineage table; the
+# Hadoop FileOutputCommitter stages every append under the same
+# <dir>/_temporary/0, so two in-flight appends corrupt each other —
+# serialize them (the append itself is a millisecond-scale 1-file
+# write; the lock never holds up real work)
+_LINEAGE_LOCK = threading.Lock()
+
+
 def append_lineage(spark: SparkSession, out_dir: str, manifest: DataFrame,
                    wall_ms: int, input_rows: int | None = None) -> None:
     rows = manifest.withColumn("wall_ms", F.lit(wall_ms)) \
                    .withColumn("input_rows",
                                F.lit(input_rows).cast("long"))
-    rows.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+    with _LINEAGE_LOCK:
+        rows.write.mode("append").parquet(
+            os.path.join(out_dir, "lineage"))
 
 
 def _append_lineage_rows(spark: SparkSession, out_dir: str,
@@ -109,8 +121,10 @@ def _append_lineage_rows(spark: SparkSession, out_dir: str,
                          input_rows: int | None) -> None:
     rows = [(s, p, input_rows, n, c, wall_ms, ts)
             for (s, p, _ir, n, c, _w, ts) in rows]
-    spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1) \
-        .write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+    with _LINEAGE_LOCK:
+        spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(
+                os.path.join(out_dir, "lineage"))
 
 
 def write_stage(spark: SparkSession, df: DataFrame, out_dir: str,

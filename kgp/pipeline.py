@@ -42,6 +42,7 @@ if os.path.dirname(_HERE) not in [os.path.abspath(p or os.getcwd())
 
 import argparse
 import json
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -110,6 +111,26 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     gaz = corpus.gazetteer(spark)
     seeds = corpus.seed_dictionary(spark)
 
+    # the canon mapping depends ONLY on the gazetteer — an independent
+    # DAG branch of tiny 1-task jobs (alias edges → connected
+    # components). Submit it from a separate thread so its fixed job
+    # latency overlaps the big corpus scans instead of serializing
+    # after them (Spark schedules concurrent jobs from one session;
+    # the small jobs slot into idle cores mid-stage).
+    canon_box: dict = {}
+
+    def _canon_branch():
+        try:
+            canon_box["mapping"] = _stage(
+                spark, out_dir, "canon",
+                lambda: canon.canonical_mapping(gaz),
+                force=force, metrics=metrics)
+        except BaseException as e:  # re-raised on join below
+            canon_box["error"] = e
+
+    canon_thread = threading.Thread(target=_canon_branch, daemon=True)
+    canon_thread.start()
+
     # NER training runs on the stable hash split (corpus.training_docs)
     # — held-out docs carry the novel entities that must be typed by
     # context, and a production pipeline trains on a sample anyway.
@@ -138,10 +159,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         lambda: link_fn(mention_df, gaz),
         force=force, metrics=metrics)
 
-    mapping = _stage(
-        spark, out_dir, "canon",
-        lambda: canon.canonical_mapping(gaz),
-        force=force, metrics=metrics)
+    canon_thread.join()
+    if "error" in canon_box:
+        raise canon_box["error"]
+    mapping = canon_box["mapping"]
 
     triples_raw = _stage(
         spark, out_dir, "triples_raw",
