@@ -327,6 +327,32 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.withColumn("keep", _cur.gopher_quality_filter())
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (kgp.pii.pii_scrub): emails, IPv4s and phone
+    numbers replaced with placeholder tokens + per-class raw-text
+    counts. Deterministic doc_id % 4/6/9 slices inject each class
+    (the documents table has no organic PII); the oracle decorates
+    identically (kgp.oracle.PII_SLICES_SQL) and runs the SAME regexes
+    under RE2."""
+    from kgp import pii as _pii
+    docs = _docs_table(spark, sf_dir)
+    d = F.col("doc_id")
+    decorated = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.concat(
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@mail-"), (d % 7).cast("string"),
+            F.lit(".example.com"))).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.concat(
+            F.lit(" from 10."), (d % 256).cast("string"),
+            F.lit(".0."), (d % 100).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.concat(
+            F.lit(" call +1 (555) 123-"),
+            (d % 9000 + 1000).cast("string"))).otherwise(F.lit(""))))
+    return _pii.pii_scrub(decorated)
+
+
 def _q_url_canon_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + deterministic stratified sampling
     (kgp.curation). Messy URLs (mixed case, www, :443, tracking
@@ -417,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "c4_filter": _q_c4_filter,
         "gopher_quality": _q_gopher_quality,
+        "pii_scrub": _q_pii_scrub,
         "seq_packing": _q_seq_packing,
         "doc_scopes": _q_doc_scopes,
         "entity_pairs_doc": _q_entity_pairs,
@@ -475,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _oracle.line_dedup_sql(),
         "c4_filter": _oracle.c4_filter_sql(),
         "gopher_quality": _oracle.gopher_quality_sql(),
+        "pii_scrub": _oracle.pii_scrub_sql(),
         "seq_packing": _oracle.seq_packing_sql(),
         "doc_scopes": _oracle.doc_scopes_sql(),
         "entity_pairs_doc": _oracle.entity_pairs_sql(),

@@ -1094,3 +1094,46 @@ SELECT *,
    AND alpha_word_frac >= {min_alpha_frac}
    AND n_stop_words >= {min_stop_words}) AS keep
 FROM s ORDER BY doc_id"""
+
+
+# decoration for the pii_scrub gate query: deterministic PII snippets
+# (the documents table contains none organically)
+PII_SLICES_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    " ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN"
+    " ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN"
+    " ' call +1 (555) 123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    " ELSE '' END")
+
+
+def pii_scrub_sql() -> str:
+    """DuckDB mirror of kgp.pii.pii_scrub over the decorated documents
+    text — the identical regexes run under RE2 ('g' replace, group-0
+    extract_all), in the identical email → IP → phone order."""
+    from kgp.pii import (EMAIL_RE, EMAIL_TOKEN, IP_TOKEN, IPV4_RE,
+                         PHONE_RE, PHONE_TOKEN)
+
+    def q(p: str) -> str:
+        # standard SQL string literals keep backslashes verbatim —
+        # only quotes need doubling
+        return p.replace("'", "''")
+
+    return f"""
+WITH dec AS (SELECT doc_id, {PII_SLICES_SQL} AS text FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{q(EMAIL_RE)}', '{EMAIL_TOKEN}', 'g'),
+      '{q(IPV4_RE)}', '{IP_TOKEN}', 'g'),
+      '{q(PHONE_RE)}', '{PHONE_TOKEN}', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '{q(EMAIL_RE)}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text, '{q(IPV4_RE)}')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '{q(PHONE_RE)}')) AS INT)
+    AS n_phones
+FROM dec ORDER BY doc_id"""
