@@ -504,3 +504,179 @@ def multi_step_dictionary_scope(docs: DataFrame, model: ScopeModel,
     return res.select(key_col, F.col("_s.cell").alias("cell"),
                       F.col("_s.lat").alias("lat"),
                       F.col("_s.lon").alias("lon"))
+
+
+# ------------------------------------- feature-based (ML) detector
+# FeatureBasedScopeDetector.java:63-244 — 16 features per DISTINCT
+# location of a document (distance-to-midpoint/center, occurrence
+# frequency, ancestor/descendant percentages, hierarchy depth,
+# population, type, max disambiguation trust, offset statistics,
+# distance stats to the other distinct coordinates), scored by a
+# random forest; the highest-probability location is the scope.
+# The reference trains QuickDtLearner.randomForest(100) on documents
+# whose closest candidate lies within 50 km of the gold scope.
+
+import numpy as np
+
+from kgp.geo import distance_km, midpoint
+
+# LocationType → numeric index for the forest (the reference feeds
+# the type as a QuickDt nominal; pyspark.ml needs a stable encoding)
+_TYPE_INDEX = {t: i for i, t in enumerate(LOCATION_TYPES)}
+
+SCOPE_FEATURES = [
+    "midpoint_distance", "centerpoint_distance", "occurrence_frequency",
+    "descendant_percentage", "ancestor_percentage", "hierarchy_depth",
+    "population", "location_type", "disambiguation_trust",
+    "offset_first", "offset_last", "offset_spread",
+    "min_distance_to_others", "max_distance_to_others",
+    "mean_distance_to_others", "median_distance_to_others",
+]
+
+_FEAT_SCHEMA = ("url string, entity_id long, "
+                + ", ".join(f"{f} double" for f in SCOPE_FEATURES))
+
+
+def scope_features(links: DataFrame, gaz: DataFrame) -> DataFrame:
+    """(url, entity_id) + the 16 FeatureBasedScopeDetector features —
+    ONE applyInPandas over url groups (a document's annotation list is
+    tiny; the heavy part is the url shuffle all scope detectors share).
+    The document offset is the (sent_idx, start) surrogate
+    sent_idx*10000+start — offsets only appear RELATIVE to maxOffset.
+    Coordinate-less locations take GeoCoordinate.NULL = (0, 0) exactly
+    like the reference's coalesce."""
+    anc = (F.coalesce("ancestor_ids", F.array())
+           if "ancestor_ids" in gaz.columns
+           else F.array().cast("array<long>"))
+    geo = (gaz.where(F.col("type").isin(LOCATION_TYPES))
+           .select(F.col("id").alias("entity_id"),
+                   F.col("type").alias("etype"),
+                   "population", "lat", "lon",
+                   anc.alias("_anc")))
+    ann = (links.join(F.broadcast(geo), "entity_id")
+           .select("url", "sent_idx", "start", "entity_id",
+                   F.coalesce("link_score", F.lit(0.0)).alias("_trust"),
+                   "etype", "population", "lat", "lon", "_anc"))
+
+    def per_url(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_ann = len(pdf)
+        offs = (pdf["sent_idx"].fillna(0).astype(np.int64) * 10_000
+                + pdf["start"].fillna(0).astype(np.int64))
+        max_offset = max(1, int(offs.max()))
+        # distinct locations, first-appearance deterministic order
+        pdf = pdf.assign(_off=offs)
+        groups = pdf.groupby("entity_id", sort=True)
+        # distinct COORDINATES of the document (Set<GeoCoordinate>)
+        coord_rows = pdf.dropna(subset=["lat", "lon"])
+        coords = sorted({(la, lo) for la, lo in
+                         zip(coord_rows["lat"], coord_rows["lon"])})
+        if not coords:
+            return pd.DataFrame(columns=["url", "entity_id",
+                                         *SCOPE_FEATURES])
+        mid = midpoint(coords)
+        center = center_of_minimum_distance(coords)
+        # per-distinct-location coordinate (locations are gazetteer
+        # rows: one coordinate per entity_id)
+        loc_coord = {}
+        loc_rows = {}
+        for eid, g in groups:
+            loc_rows[eid] = g
+            la, lo = g["lat"].iloc[0], g["lon"].iloc[0]
+            loc_coord[eid] = ((la, lo)
+                              if la == la and lo == lo else (0.0, 0.0))
+        all_ids = set(loc_rows)
+        anc_of = {eid: set(loc_rows[eid]["_anc"].iloc[0] or [])
+                  for eid in loc_rows}
+        out = []
+        for eid, g in loc_rows.items():
+            la, lo = loc_coord[eid]
+            # distances to the OTHER distinct coordinate locations
+            others = [distance_km(la, lo, c[0], c[1])
+                      for oid, c in loc_coord.items()
+                      if oid != eid and not (
+                          loc_rows[oid]["lat"].isna().iloc[0])]
+            dists = np.array(others) if others else None
+            n_desc = sum(1 for oid in all_ids if eid in anc_of[oid])
+            n_anc = sum(1 for oid in all_ids if oid in anc_of[eid])
+            pop = g["population"].iloc[0]
+            out.append({
+                "url": g["url"].iloc[0], "entity_id": eid,
+                "midpoint_distance": distance_km(mid[0], mid[1], la, lo),
+                "centerpoint_distance": distance_km(center[0], center[1],
+                                                    la, lo),
+                "occurrence_frequency": len(g) / n_ann,
+                "descendant_percentage": n_desc / n_ann,
+                "ancestor_percentage": n_anc / n_ann,
+                "hierarchy_depth": float(len(anc_of[eid])),
+                "population": float(pop) if pop == pop and
+                pop is not None else 0.0,
+                "location_type": float(_TYPE_INDEX.get(
+                    g["etype"].iloc[0], len(_TYPE_INDEX))),
+                "disambiguation_trust": float(g["_trust"].max()),
+                "offset_first": float(g["_off"].min()) / max_offset,
+                "offset_last": float(g["_off"].max()) / max_offset,
+                "offset_spread": float(g["_off"].max()
+                                       - g["_off"].min()) / max_offset,
+                "min_distance_to_others":
+                    float(dists.min()) if dists is not None else 0.0,
+                "max_distance_to_others":
+                    float(dists.max()) if dists is not None else 0.0,
+                "mean_distance_to_others":
+                    float(dists.mean()) if dists is not None else 0.0,
+                "median_distance_to_others":
+                    float(np.median(dists)) if dists is not None
+                    else 0.0,
+            })
+        return pd.DataFrame(out)
+
+    return ann.groupBy("url").applyInPandas(per_url, _FEAT_SCHEMA)
+
+
+def train_feature_based_scope(links: DataFrame, gaz: DataFrame,
+                              gold: DataFrame, positive_km: float = 50.0,
+                              num_trees: int = 100, seed: int = 13):
+    """FeatureBasedScopeDetector.train (:176-244): the candidate
+    closest to the document's gold coordinate becomes the positive
+    instance when within 50 km; every other candidate is negative.
+    gold: (url, lat, lon). Returns a fitted pyspark.ml pipeline."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = scope_features(links, gaz)
+    geo = gaz.select(F.col("id").alias("entity_id"),
+                     F.col("lat").alias("_gla"),
+                     F.col("lon").alias("_glo"))
+    g = gold.select("url", F.col("lat").alias("_la"),
+                    F.col("lon").alias("_lo"))
+    a = (F.sin((F.radians("_gla") - F.radians("_la")) / 2) ** 2
+         + F.cos(F.radians("_la")) * F.cos(F.radians("_gla"))
+         * F.sin((F.radians("_glo") - F.radians("_lo")) / 2) ** 2)
+    dist = 2 * 6371.0 * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+    cand = (feats.join(F.broadcast(geo), "entity_id")
+            .join(F.broadcast(g), "url")
+            .withColumn("_dist", dist))
+    w = Window.partitionBy("url").orderBy(F.asc("_dist"),
+                                          F.asc("entity_id"))
+    labeled = (cand.withColumn("_rn", F.row_number().over(w))
+               .withColumn("label",
+                           ((F.col("_rn") == 1)
+                            & (F.col("_dist") <= positive_km))
+                           .cast("double")))
+    asm = VectorAssembler(inputCols=SCOPE_FEATURES, outputCol="_fv",
+                          handleInvalid="keep")
+    rf = RandomForestClassifier(featuresCol="_fv", labelCol="label",
+                                numTrees=num_trees, seed=seed)
+    return Pipeline(stages=[asm, rf]).fit(labeled)
+
+
+def scope_feature_based(links: DataFrame, gaz: DataFrame,
+                        model) -> DataFrame:
+    """Highest P(true) candidate per document (getScope :85-106); the
+    reference's HashSet iteration tie-break becomes entity_id asc."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = scope_features(links, gaz)
+    scored = model.transform(feats).withColumn(
+        "_p", F.element_at(vector_to_array("probability"), 2))
+    return _pick_top(scored, [F.desc("_p"), F.asc("entity_id")])

@@ -268,3 +268,49 @@ def test_multi_step_scope_end_to_end(spark):
     flat = {r.url: r for r in dictionary_scope(q, model).collect()}
     assert {k: v.cell for k, v in got.items()} == \
         {k: v.cell for k, v in flat.items()}
+
+
+# ---- feature-based (ML) scope detector
+
+
+def test_scope_features(spark):
+    from kgp.scope import scope_features
+    links = spark.createDataFrame(
+        [("u", 0, 0, 1, 0.9), ("u", 0, 10, 1, 0.5), ("u", 1, 0, 2, 0.7),
+         ("u", 2, 0, 3, 0.2)], LNK_T)
+    got = {r.entity_id: r for r in
+           scope_features(links, _gaz(spark)).collect()}
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    assert abs(r1.occurrence_frequency - 0.5) < 1e-9   # 2 of 4
+    assert abs(r1.disambiguation_trust - 0.9) < 1e-9   # max of the two
+    assert r1.offset_first == 0.0
+    assert r1.min_distance_to_others > 0
+    # entity 2 is geographically between 1 and 3 -> smaller midpoint
+    # distance than at least one endpoint
+    assert got[2].midpoint_distance <= max(got[1].midpoint_distance,
+                                           got[3].midpoint_distance)
+
+
+def test_feature_based_scope_end_to_end(spark):
+    from kgp.scope import (scope_feature_based,
+                           train_feature_based_scope)
+    # training documents whose scope is the frequent city (entity 1)
+    rows = []
+    for i in range(8):
+        u = f"t{i}"
+        rows += [(u, 0, 0, 1, 0.9), (u, 1, 0, 1, 0.8),
+                 (u, 2, 0, 3, 0.3)]
+    links = spark.createDataFrame(rows, LNK_T)
+    gaz = _gaz(spark)
+    g = {r["id"]: r for r in gaz.collect()}
+    gold = spark.createDataFrame(
+        [(f"t{i}", g[1]["lat"], g[1]["lon"]) for i in range(8)],
+        "url string, lat double, lon double")
+    model = train_feature_based_scope(links, gaz, gold, num_trees=10)
+    # held-out doc with the same shape resolves to entity 1
+    test = spark.createDataFrame(
+        [("q", 0, 0, 1, 0.9), ("q", 1, 0, 1, 0.8), ("q", 2, 0, 3, 0.3)],
+        LNK_T)
+    got = scope_feature_based(test, gaz, model).collect()
+    assert got[0].url == "q" and got[0].entity_id == 1
