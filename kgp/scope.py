@@ -680,3 +680,115 @@ def scope_feature_based(links: DataFrame, gaz: DataFrame,
     scored = model.transform(feats).withColumn(
         "_p", F.element_at(vector_to_array("probability"), 2))
     return _pick_top(scored, [F.desc("_p"), F.asc("entity_id")])
+
+
+# ------------------------------------ k-nearest-neighbor detector
+# KNearestNeighborScopeDetector.java:56-334 (palladian-experimental):
+# index training texts with their coordinate; a query's scope is the
+# center-of-minimum-distance of the top-k most similar training docs'
+# coordinates, each replicated round(10 * score / maxScore) times.
+# The reference scores with a Lucene index; the port builds the same
+# thing Spark-side — an inverted index of TF-IDF postings over the
+# char-gram terms, broadcast to the workers — so queries sharing NO
+# term with a training document score 0 exactly like a Lucene boolean
+# query with no hits (cosine is the documented stand-in for Lucene's
+# TF-IDF-family practical scoring).
+
+from collections import Counter as _Counter
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class KnnScopeModel:
+    fs: FeatureSetting
+    postings: dict          # term -> list[(doc_idx, weight)]
+    coords: list            # [(lat, lon)] per doc
+    idf: dict               # term -> idf
+
+
+def train_knn_scope(docs: DataFrame, fs: FeatureSetting | None = None,
+                    text_col: str = "text", lat_col: str = "lat",
+                    lon_col: str = "lon") -> KnnScopeModel:
+    """NearestNeighborScopeDetectorLearner.train (:174-208): every
+    coordinate-bearing training document becomes one indexed vector.
+    Term extraction runs distributed (one Arrow pass); the inverted
+    index is built driver-side and broadcast — scope training corpora
+    are vocabulary-sized next to the crawl, the same broadcast-model
+    assumption the dictionary scope detector makes."""
+    fs = fs or SCOPE_FEATURE_SETTING
+    pts = docs.where(F.col(lat_col).isNotNull()
+                     & F.col(lon_col).isNotNull())
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def terms_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: preprocess(t or "", fs))
+
+    rows = (pts.select(terms_udf(text_col).alias("_t"), lat_col, lon_col)
+            .collect())
+    if not rows:
+        raise ValueError("no coordinate-bearing training documents")
+    n = len(rows)
+    tfs = [_Counter(r["_t"]) for r in rows]
+    df_counts: _Counter = _Counter()
+    for tf in tfs:
+        df_counts.update(tf.keys())
+    idf = {t: math.log((n + 1) / (c + 1.0)) + 1.0
+           for t, c in df_counts.items()}
+    postings: dict = {}
+    for i, tf in enumerate(tfs):
+        norm = math.sqrt(sum((cnt * idf[t]) ** 2
+                             for t, cnt in tf.items())) or 1.0
+        for t, cnt in tf.items():
+            postings.setdefault(t, []).append((i, cnt * idf[t] / norm))
+    coords = [(r[lat_col], r[lon_col]) for r in rows]
+    return KnnScopeModel(fs, postings, coords, idf)
+
+
+def knn_scope(docs: DataFrame, model: KnnScopeModel, k: int = 3,
+              text_col: str = "text", key_col: str = "url") -> DataFrame:
+    """KNearestNeighborScopeDetector.getScope (:210-246): TF-IDF
+    cosine top-k against the broadcast inverted index, coordinates
+    replicated round(10*score/maxScore) times, answered as their
+    center-of-minimum-distance; zero hits -> no row values (the
+    reference returns null). One Arrow pass, no shuffle."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+    out_type = T.StructType([T.StructField("lat", T.DoubleType()),
+                             T.StructField("lon", T.DoubleType())])
+
+    @F.pandas_udf(out_type)
+    def scope_udf(texts: pd.Series) -> pd.DataFrame:
+        m = bc.value
+
+        def one(t):
+            q = _Counter(preprocess(t or "", m.fs))
+            if not q:
+                return None, None
+            qw = {term: cnt * m.idf.get(term, 0.0)
+                  for term, cnt in q.items()}
+            qnorm = math.sqrt(sum(w * w for w in qw.values())) or 1.0
+            scores: dict[int, float] = {}
+            for term, w in qw.items():
+                for i, dw in m.postings.get(term, ()):
+                    scores[i] = scores.get(i, 0.0) + w * dw / qnorm
+            if not scores:
+                return None, None
+            top = sorted(scores.items(),
+                         key=lambda kv: (-kv[1], kv[0]))[:k]
+            max_score = top[0][1]
+            if max_score <= 0:
+                return None, None
+            pts = []
+            for i, s in top:
+                factor = int(round(10 * s / max_score))
+                pts.extend([m.coords[i]] * max(0, factor))
+            if not pts:
+                return None, None
+            return center_of_minimum_distance(pts)
+
+        rows = [one(t) for t in texts]
+        return pd.DataFrame(rows, columns=["lat", "lon"])
+
+    res = docs.select(key_col, scope_udf(text_col).alias("_s"))
+    return res.select(key_col, F.col("_s.lat").alias("lat"),
+                      F.col("_s.lon").alias("lon"))

@@ -314,3 +314,45 @@ def test_feature_based_scope_end_to_end(spark):
         LNK_T)
     got = scope_feature_based(test, gaz, model).collect()
     assert got[0].url == "q" and got[0].entity_id == 1
+
+
+# ---- k-nearest-neighbor scope detector
+
+
+def test_knn_scope_end_to_end(spark):
+    from kgp.scope import knn_scope, train_knn_scope
+    rows = [
+        ("t1", "brandenburger strasse quartier", 52.52, 13.40),
+        ("t2", "brandenburger allee quartier", 52.60, 13.50),
+        ("t3", "manhattan broadway borough", 40.71, -74.00),
+        ("t4", "manhattan harlem borough", 40.80, -73.95),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, text string, lat double, lon double")
+    model = train_knn_scope(docs)
+    q = spark.createDataFrame(
+        [("q1", "brandenburger quartier", None, None),
+         ("q2", "manhattan borough", None, None),
+         ("q3", "zzz completely unrelated gibberish qqq", None, None)],
+        "url string, text string, lat double, lon double")
+    got = {r.url: r for r in knn_scope(q, model, k=2).collect()}
+    # the two berlin training docs dominate -> center between them
+    assert abs(got["q1"].lat - 52.56) < 0.3
+    assert abs(got["q1"].lon - 13.45) < 0.3
+    assert abs(got["q2"].lat - 40.75) < 0.3
+    assert abs(got["q2"].lon - (-73.97)) < 0.3
+    # no positive similarity -> no scope (reference returns null)
+    assert got["q3"].lat is None
+
+
+def test_knn_scope_zero_hit_semantics(spark):
+    # a query sharing no term with the index gets NO scope — exact
+    # term matching (inverted index), not hashed similarity
+    from kgp.scope import train_knn_scope
+    docs = spark.createDataFrame(
+        [("t", "brandenburger strasse quartier", 52.5, 13.4)],
+        "url string, text string, lat double, lon double")
+    model = train_knn_scope(docs)
+    assert "quartie" in model.postings or any(
+        "brandenburger"[:7] in t for t in model.postings)
+    assert all(len(p) == 1 for p in model.postings.values())
