@@ -109,3 +109,18 @@ def test_trained_rater_roundtrip(spark):
     rows = scored.collect()
     assert all(0.0 <= r.rate <= 1.0 for r in rows)
     assert set(cands.columns).issubset(set(scored.columns))
+
+
+def test_contentdates_hostile_inputs(spark):
+    from kgp import contentdates as cd
+    pages = spark.createDataFrame(
+        [("u1", ""), ("u2", "<html><body></body></html>"),
+         ("u3", "not html at all 2010-07-20"),
+         ("u4", "<p>unclosed <b>deep " + "<div>" * 50 + "x 1.1.2001")],
+        "url string, html string")
+    cands = cd.content_dates_stage(pages)
+    rows = cands.collect()   # must not throw
+    assert all(r.url in {"u1", "u2", "u3", "u4"} for r in rows)
+    # rating and best-date never crash on whatever survived
+    best = cd.best_content_dates(cd.rate_content_dates(cands))
+    assert best.count() <= 4

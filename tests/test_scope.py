@@ -356,3 +356,29 @@ def test_knn_scope_zero_hit_semantics(spark):
     assert "quartie" in model.postings or any(
         "brandenburger"[:7] in t for t in model.postings)
     assert all(len(p) == 1 for p in model.postings.values())
+
+
+# ---- hostile inputs across the new detectors
+
+
+def test_scope_hostile_inputs(spark):
+    from kgp.scope import (SCOPE_FEATURE_SETTING, ScopeModel,
+                           dictionary_scope, detect_scopes,
+                           scope_features)
+    from kgp.textclassifier import DictModel
+    gaz = _gaz(spark)
+    # empty links: every detector yields zero rows, no crash
+    empty = spark.createDataFrame([], LNK_T)
+    assert detect_scopes(empty, gaz).count() == 0
+    assert scope_features(empty, gaz).count() == 0
+    # links referencing only coordinate-less entities
+    nocoord = spark.createDataFrame([("u", 0, 0, 4, 0.5)], LNK_T)
+    assert scope_features(nocoord, gaz).count() == 0
+    # dictionary scope with an empty model: classify returns {} ->
+    # null cells, no crash
+    m = ScopeModel(90.0, SCOPE_FEATURE_SETTING, DictModel(), {})
+    docs = spark.createDataFrame([("u", "", None, None)],
+                                 "url string, text string, "
+                                 "lat double, lon double")
+    row = dictionary_scope(docs, m).collect()[0]
+    assert row.cell is None and row.lat is None
