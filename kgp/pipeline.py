@@ -13,7 +13,10 @@ a `_SUCCESS` marker is skipped on re-run → checkpoint-resume):
     ner_*        model training aggregations                  (kgp.mentions)
     mentions     stage 2: candidate detection + typing        (kgp.mentions)
     links        stage 3: gazetteer join + disambiguation     (kgp.linker)
-    canon        stage 5 mapping: connected components        (kgp.canonicalize)
+    canon        mapping: connected components (kgp.canonicalize) —
+                 depends only on the gazetteer, so it runs on a
+                 CONCURRENT job-submission thread overlapping the
+                 corpus stages; joined before triples_raw needs it
     triples_raw  stage 4: pattern relation extraction         (kgp.relations)
     triples      stage 6: dedup'd, partitioned by pred        (kgp.materialize)
     lineage      per-partition manifests, appended per stage
