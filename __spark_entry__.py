@@ -424,6 +424,42 @@ def _q_nb_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("_id").alias("doc_id"), "predicted"))
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (kgp.decontam): 13-gram overlap of
+    every training document against the held-out "benchmark" slice
+    (doc_id % 31 = 0). A deterministic canary sentence is appended to
+    the test slice AND to the doc_id % 17 = 5 training slice so
+    contamination is non-degenerate (the keyword corpus has ~zero
+    organic 13-gram overlap); the oracle decorates identically and
+    recomputes the exact n-gram pipeline."""
+    from kgp import decontam as _dec
+    docs = _docs_table(spark, sf_dir)
+    canary = F.lit(" " + _oracle.DECONTAM_CANARY)
+    is_test = F.col("doc_id") % 31 == 0
+    test_docs = docs.where(is_test).select(
+        F.concat("text", canary).alias("text"))
+    train_docs = docs.where(~is_test).select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 17 == 5, canary)
+                 .otherwise(F.lit(""))).alias("text"))
+    return _dec.decontaminate(train_docs, test_docs)
+
+
+def _q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score (kgp.lmscore — the CCNet perplexity
+    filter's engine-reproducible stand-in): top-30 add-one unigram
+    model fit on the documents table, then per-document mean token
+    log-probability. max_vocab=30 is below the corpus's organic
+    vocabulary so the OOV path is exercised; the oracle refits the
+    identical model in SQL."""
+    from kgp import lmscore as _lm
+    docs = _docs_table(spark, sf_dir)
+    vocab = _lm.unigram_vocab(docs, max_vocab=30)
+    total = _lm.corpus_token_count(docs)
+    return _lm.unigram_logprob(docs, vocab, total)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -453,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "lsh_entity_candidates": _q_lsh_entity_candidates,
         "nb_lang_pred": _q_nb_lang_pred,
+        "decontaminate": _q_decontaminate,
+        "unigram_lm": _q_unigram_lm,
     }
 
 
@@ -510,4 +548,6 @@ def oracle_sql() -> dict[str, str]:
         "url_canon_sample": _oracle.url_canon_sample_sql(),
         "lsh_entity_candidates": _oracle.lsh_entity_candidates_sql(),
         "nb_lang_pred": _oracle.nb_lang_pred_sql(),
+        "decontaminate": _oracle.decontaminate_sql(),
+        "unigram_lm": _oracle.unigram_lm_sql(),
     }

@@ -87,7 +87,18 @@ def main() -> None:
             "\nNotes: fixed costs (JVM+session start ~10 s, Python worker "
             "fork, tiny model-training stages) are NOT subtracted; at "
             "cluster scale those amortize to zero, so these efficiencies "
-            "are a lower bound.\n")
+            "are a lower bound.\n"
+            f"\nMethodology: each level is min-of-{REPEATS} "
+            "fresh-subprocess runs (this VM has 1.5-4.5 CPUs of bursty "
+            "hypervisor steal, measured via /proc/stat; min-wall is the "
+            "closest observable to true capability and the same selection "
+            "applies to BOTH levels). The canon stage runs on a concurrent "
+            "job-submission thread overlapping the corpus stages "
+            "(kgp/pipeline.py), so its per-stage wall includes queue-wait "
+            "behind the big jobs and the stage table can double-count "
+            "contended seconds — it no longer sums to the wall. The "
+            "DRIVER's own single-shot bench numbers (BENCH_r*.json) sit "
+            "above these min-of-repeats ones on this VM; both are real.\n")
     print(json.dumps(result))
 
 

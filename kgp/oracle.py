@@ -1137,3 +1137,81 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{q(PHONE_RE)}')) AS INT)
     AS n_phones
 FROM dec ORDER BY doc_id"""
+
+
+# canary sentence for the decontaminate gate query (20 normalized
+# tokens -> 8 matching 13-grams per contaminated slice); appended to
+# the doc_id % 31 = 0 "benchmark" slice AND the doc_id % 17 = 5
+# training slice, so contamination is non-degenerate on the keyword
+# corpus (whose organic 13-gram overlap is ~0)
+DECONTAM_CANARY = (
+    "the quick brown benchmark fox jumps over the lazy evaluation "
+    "suite and answers every single held out question")
+
+DECONTAM_TEST_SLICE = "doc_id % 31 = 0"
+DECONTAM_TRAIN_CONTAM_SLICE = "doc_id % 17 = 5"
+
+
+def _decontam_tokens_sql(expr: str) -> str:
+    return ("list_filter(string_split(regexp_replace(lower(" + expr +
+            "), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')")
+
+
+def decontaminate_sql(n: int = 13) -> str:
+    """DuckDB mirror of kgp.decontam.decontaminate over the decorated
+    documents split: doc_id % 31 = 0 rows (plus canary) form the test
+    set, the rest (canary on the % 17 = 5 slice) the training corpus.
+    The n-gram pipeline (lowercase, punctuation -> space, split,
+    space-joined n-grams) is recomputed from the same expressions."""
+    grams = (f"list_transform(generate_series(1, len(words) - {n - 1}),"
+             f" i -> array_to_string(list_slice(words, i, i + {n - 1}),"
+             " ' '))")
+    return f"""
+WITH test_d AS (
+  SELECT text || ' ' || '{DECONTAM_CANARY}' AS text
+  FROM documents WHERE {DECONTAM_TEST_SLICE}),
+train_d AS (
+  SELECT doc_id,
+    text || CASE WHEN {DECONTAM_TRAIN_CONTAM_SLICE}
+                 THEN ' ' || '{DECONTAM_CANARY}' ELSE '' END AS text
+  FROM documents WHERE NOT ({DECONTAM_TEST_SLICE})),
+test_g AS (
+  SELECT DISTINCT unnest({grams}) AS ngram
+  FROM (SELECT {_decontam_tokens_sql('text')} AS words FROM test_d)),
+train_g AS (
+  SELECT doc_id, words, {grams} AS grams
+  FROM (SELECT doc_id, {_decontam_tokens_sql('text')} AS words
+        FROM train_d)),
+matches AS (
+  SELECT t.doc_id, count(*) AS n_matches
+  FROM (SELECT doc_id, unnest(grams) AS ngram FROM train_g) t
+  JOIN test_g USING (ngram) GROUP BY t.doc_id)
+SELECT g.doc_id, CAST(len(g.grams) AS INT) AS n_ngrams,
+  CAST(coalesce(m.n_matches, 0) AS INT) AS n_matches,
+  coalesce(m.n_matches, 0) > 0 AS contaminated
+FROM train_g g LEFT JOIN matches m ON g.doc_id = m.doc_id
+ORDER BY g.doc_id"""
+
+
+def unigram_lm_sql(max_vocab: int = 30) -> str:
+    """DuckDB mirror of kgp.lmscore: top-`max_vocab` add-one unigram
+    model fit on the documents table, then per-document mean token
+    log-probability. Token logp rounded to 7 decimals before the mean
+    (Java vs C ln() last-ulp), mean rounded to 6."""
+    toks = _decontam_tokens_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS word FROM documents),
+tot AS (SELECT count(*) AS t FROM toks),
+voc AS (SELECT word, count(*) AS cnt FROM toks
+        GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {max_vocab}),
+vn AS (SELECT count(*) AS v FROM voc)
+SELECT d.doc_id,
+  CAST(count(t.word) AS INT) AS n_tokens,
+  round(avg(CASE WHEN t.word IS NOT NULL THEN
+                round(ln((coalesce(voc.cnt, 0) + 1.0)
+                         / (tot.t + vn.v + 1)), 7) END), 6) AS avg_logp
+FROM documents d
+LEFT JOIN toks t ON d.doc_id = t.doc_id
+LEFT JOIN voc ON t.word = voc.word, tot, vn
+GROUP BY d.doc_id ORDER BY d.doc_id"""
