@@ -460,6 +460,57 @@ def _q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lm.unigram_logprob(docs, vocab, total)
 
 
+def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN (kgp.clustering — DBSCAN.java port) over the
+    embeddings table, composed with the deterministic IVF-blocked
+    within-eps pair generator (cos >= 0.3, 'seed' quantizer). At
+    minPts=3 the corpus splits into all three roles (385 core /
+    66 border / 49 noise at sf0.01); the oracle recomputes blocking,
+    degrees, recursive core-component reachability and the min-id
+    border assignment."""
+    from kgp.clustering import dbscan
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = _sim.embedding_near_dups(emb, threshold=0.3, nlist=8,
+                                     quantizer="seed")
+    return dbscan(emb, pairs, min_pts=3)
+
+
+def _eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (actual, predicted) decoration mirroring
+    kgp.oracle.EVAL_ACTUAL_SQL / EVAL_PREDICTED_SQL."""
+    d = F.col("doc_id")
+    c = lambda e: F.concat(F.lit("c"), e.cast("string"))  # noqa: E731
+    return _docs_table(spark, sf_dir).select(
+        F.when(d % 31 == 7, F.lit("never_pred"))
+        .otherwise(c(d % 3)).alias("actual"),
+        F.when(d % 5 == 0, c(d % 3))
+        .when(d % 5 == 1, F.lit("ghost"))
+        .otherwise(c((d + 1) % 3)).alias("predicted"))
+
+
+def _q_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category evaluation (kgp.evaluate.category_metrics —
+    ConfusionMatrix.java port) over deterministic (actual, predicted)
+    pairs built so every reference edge case is non-degenerate: the
+    'ghost' class is predicted but never real (recall-quirk 1.0), the
+    'never_pred' class is real but never predicted (null precision)."""
+    from kgp.evaluate import category_metrics
+    return category_metrics(_eval_pairs(spark, sf_dir))
+
+
+def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC (kgp.evaluate.roc_auc — RocCurves.java port, tie-
+    averaged): label = doc_id%3=0 scored by doc_id%7 — seven distinct
+    scores over 500 rows exercise the per-distinct-score trapezoid
+    with heavy ties."""
+    from kgp.evaluate import roc_auc
+    d = F.col("doc_id")
+    labeled = _docs_table(spark, sf_dir).select(
+        (d % 3 == 0).alias("label"),
+        (d % 7).cast("double").alias("score"))
+    return roc_auc(labeled)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -491,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_pred": _q_nb_lang_pred,
         "decontaminate": _q_decontaminate,
         "unigram_lm": _q_unigram_lm,
+        "dbscan_clusters": _q_dbscan_clusters,
+        "model_eval": _q_model_eval,
+        "roc_auc": _q_roc_auc,
     }
 
 
@@ -550,4 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_pred": _oracle.nb_lang_pred_sql(),
         "decontaminate": _oracle.decontaminate_sql(),
         "unigram_lm": _oracle.unigram_lm_sql(),
+        "dbscan_clusters": _oracle.dbscan_clusters_sql(threshold=0.3),
+        "model_eval": _oracle.model_eval_sql(),
+        "roc_auc": _oracle.roc_auc_sql(),
     }

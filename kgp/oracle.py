@@ -1215,3 +1215,130 @@ FROM documents d
 LEFT JOIN toks t ON d.doc_id = t.doc_id
 LEFT JOIN voc ON t.word = voc.word, tot, vn
 GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+
+def dbscan_clusters_sql(threshold: float = 0.45, nlist: int = 8,
+                        min_pts: int = 3) -> str:
+    """DuckDB mirror of kgp.clustering.dbscan over the deterministic
+    IVF-blocked within-eps pair set (embedding_near_dups_sql's exact
+    blocking): degree+1 >= min_pts -> core; clusters = recursive
+    reachability over core-core edges (min id); border -> min
+    neighboring core cluster; noise -> singleton."""
+    pairs = embedding_near_dups_sql(threshold, nlist)
+    pairs_body = pairs[:pairs.rindex("ORDER BY")]
+    return f"""
+WITH RECURSIVE pair_set AS ({pairs_body}),
+sym AS (
+  SELECT a, b FROM pair_set UNION SELECT b, a FROM pair_set),
+deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY a),
+core AS (SELECT id FROM deg WHERE d + 1 >= {min_pts}),
+core_edges AS (
+  SELECT s.a AS src, s.b AS dst FROM sym s
+  JOIN core c1 ON s.a = c1.id JOIN core c2 ON s.b = c2.id),
+walk(id, comp) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.dst, walk.comp FROM walk JOIN core_edges e
+    ON e.src = walk.id),
+core_cluster AS (
+  SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
+border AS (
+  SELECT s.a AS id, MIN(cc.cluster_id) AS cluster_id
+  FROM sym s JOIN core_cluster cc ON s.b = cc.id
+  WHERE s.a NOT IN (SELECT id FROM core)
+  GROUP BY s.a)
+SELECT e.vec_id,
+  coalesce(cc.cluster_id, b.cluster_id, e.vec_id) AS cluster_id,
+  CASE WHEN cc.id IS NOT NULL THEN 'core'
+       WHEN b.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role
+FROM embeddings e
+LEFT JOIN core_cluster cc ON e.vec_id = cc.id
+LEFT JOIN border b ON e.vec_id = b.id
+ORDER BY e.vec_id"""
+
+
+# deterministic actual/predicted decoration for the model_eval gate
+# query: every ConfusionMatrix edge case is non-degenerate — %5=0
+# correct, %5=1 predicts the never-real 'ghost' class (recall-quirk
+# row), %31=7 adds a real-but-never-predicted class (null precision),
+# the rest are off-by-one wrong
+EVAL_ACTUAL_SQL = ("CASE WHEN doc_id % 31 = 7 THEN 'never_pred' "
+                   "ELSE 'c' || CAST(doc_id % 3 AS VARCHAR) END")
+EVAL_PREDICTED_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN 'c' || CAST(doc_id % 3 AS VARCHAR) "
+    "WHEN doc_id % 5 = 1 THEN 'ghost' "
+    "ELSE 'c' || CAST((doc_id + 1) % 3 AS VARCHAR) END")
+
+
+def model_eval_sql() -> str:
+    """DuckDB mirror of kgp.evaluate.category_metrics over the
+    decorated (actual, predicted) pairs, including the reference edge
+    cases: recall=1.0 for categories with no real docs, precision
+    null for categories never predicted."""
+    return f"""
+WITH r AS (
+  SELECT {EVAL_ACTUAL_SQL} AS actual, {EVAL_PREDICTED_SQL} AS predicted
+  FROM documents),
+cm AS (SELECT actual, predicted, count(*) AS n FROM r
+       GROUP BY actual, predicted),
+cats AS (SELECT actual AS category FROM cm
+         UNION SELECT predicted FROM cm),
+real AS (SELECT actual AS category, sum(n) AS n_real FROM cm
+         GROUP BY actual),
+cls AS (SELECT predicted AS category, sum(n) AS n_classified FROM cm
+        GROUP BY predicted),
+corr AS (SELECT actual AS category, n AS n_correct FROM cm
+         WHERE actual = predicted),
+tot AS (SELECT sum(n) AS t FROM cm),
+j AS (
+  SELECT c.category,
+    coalesce(r.n_real, 0) AS n_real,
+    coalesce(cl.n_classified, 0) AS n_classified,
+    coalesce(co.n_correct, 0) AS n_correct, tot.t
+  FROM cats c
+  LEFT JOIN real r ON c.category = r.category
+  LEFT JOIN cls cl ON c.category = cl.category
+  LEFT JOIN corr co ON c.category = co.category, tot),
+m AS (
+  SELECT *,
+    CASE WHEN n_classified > 0
+         THEN CAST(n_correct AS DOUBLE) / n_classified END AS prec,
+    CASE WHEN n_real > 0 THEN CAST(n_correct AS DOUBLE) / n_real
+         ELSE 1.0 END AS rec
+  FROM j)
+SELECT category, n_real, n_classified, n_correct,
+  round(CAST(n_real AS DOUBLE) / t, 6) AS prior,
+  round(prec, 6) AS precision,
+  round(rec, 6) AS recall,
+  round(CASE WHEN prec IS NOT NULL AND prec + rec > 0
+             THEN 2 * prec * rec / (prec + rec) END, 6) AS f1
+FROM m ORDER BY category"""
+
+
+def roc_auc_sql() -> str:
+    """DuckDB mirror of kgp.evaluate.roc_auc: label = doc_id%3=0
+    ranked by score = doc_id%7 (heavy ties exercise the tie-averaged
+    trapezoid), one point per distinct score."""
+    return """
+WITH r AS (
+  SELECT (doc_id % 3 = 0) AS label,
+         CAST(doc_id % 7 AS DOUBLE) AS score
+  FROM documents),
+per_score AS (
+  SELECT score,
+    sum(CASE WHEN label THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN label THEN 0 ELSE 1 END) AS fp
+  FROM r GROUP BY score),
+cum AS (
+  SELECT score,
+    sum(tp) OVER w AS ctp, sum(fp) OVER w AS cfp,
+    sum(tp) OVER w - tp AS ptp, sum(fp) OVER w - fp AS pfp
+  FROM per_score
+  WINDOW w AS (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CAST(max(ctp) AS INT) AS n_pos, CAST(max(cfp) AS INT) AS n_neg,
+  CASE WHEN max(ctp) > 0 AND max(cfp) > 0 THEN
+    round(sum((cfp - pfp) * (ctp + ptp))
+          / (2.0 * max(ctp) * max(cfp)), 6) END AS auc
+FROM cum"""
