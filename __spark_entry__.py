@@ -511,6 +511,29 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(labeled)
 
 
+def _q_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature rankers (kgp.featuresel — ChiSquaredFeatureRanker with
+    AverageMergingStrategy + InformationGainFeatureRanker) over three
+    deterministic nominal features of the documents table (source,
+    length-bucket, doc_id parity) against the 3-way doc_id%3 category.
+    The oracle recomputes both rankings in SQL with the identical
+    zero-cell materialization and log2-entropy rounding ladder."""
+    from kgp import featuresel as _fs
+    feats = _docs_table(spark, sf_dir).select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 3).cast("string"))
+        .alias("category"),
+        F.col("source").alias("f_src"),
+        F.floor(F.length("text") / 100).cast("long").cast("string")
+        .alias("f_len"),
+        (F.col("doc_id") % 2).cast("string").alias("f_par"))
+    cols = ["f_len", "f_par", "f_src"]
+    chi = _fs.chi_squared_ranking(feats, cols) \
+        .select(F.lit("chi2").alias("method"), "feature", "score")
+    ig = _fs.information_gain_ranking(feats, cols) \
+        .select(F.lit("infogain").alias("method"), "feature", "score")
+    return chi.union(ig)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -545,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": _q_dbscan_clusters,
         "model_eval": _q_model_eval,
         "roc_auc": _q_roc_auc,
+        "feature_ranking": _q_feature_ranking,
     }
 
 
@@ -607,4 +631,5 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_clusters": _oracle.dbscan_clusters_sql(threshold=0.3),
         "model_eval": _oracle.model_eval_sql(),
         "roc_auc": _oracle.roc_auc_sql(),
+        "feature_ranking": _oracle.feature_ranking_sql(),
     }

@@ -1,0 +1,135 @@
+"""Feature selection — distributed ports of the reference's feature
+rankers (palladian-core classification/featureselection/):
+
+  * ChiSquaredFeatureRanker.calculateChiSquareValues
+    (ChiSquaredFeatureRanker.java:63-117): for every
+    (feature###value, category) cell, chi² over the 2x2 contingency
+    N11/N10/N01/N00 (Manning IR-book p. 275), then the
+    AverageMergingStrategy (AverageMergingStrategy.java:21-29):
+    average the cell scores across categories per feature VALUE, and
+    SUM those averages per base feature. (RoundRobinMergingStrategy is
+    not ported — its output order walks a HashMap entrySet,
+    RoundRobinMergingStrategy.java:43-58, which is nondeterministic by
+    construction.)
+  * InformationGainFeatureRanker (InformationGainFeatureRanker.java:
+    63-131, Yang & Pedersen 1997): G(t) = H(C) + H(F) - H(C,F) with
+    log2 entropies (AbstractCategoryEntries.java:102-110) — the
+    jointOccurrences/featureOccurrences decomposition the reference
+    uses, verbatim.
+
+Features are nominal string columns (the reference discretizes
+numerics first via Fayyad/Irani MDL binning; callers bin upstream —
+e.g. a width or quantile bucket column — which keeps the ranker itself
+a pure aggregation). Nulls group as the literal 'null', matching
+Value.toString() on a null value.
+
+Scale shape: ONE explode of (instance, feature, value, category) rows
+feeds every count — groupBy with map-side combine on feature-value
+cardinality keys; the per-cell chi²/entropy math is a join over the
+tiny aggregate tables. Nothing is per-row Python.
+
+Cross-engine float identity: entropy terms are rounded to 9 decimals
+before summation and final scores to 6 (Java vs C log() last-ulp),
+the same ladder the unigram LM uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LOG2 = math.log(2.0)
+
+
+def _long_form(instances: DataFrame, feature_cols: list[str],
+               category_col: str) -> DataFrame:
+    """(category, feature, value) — one row per instance x feature."""
+    structs = F.array(*[
+        F.struct(F.lit(c).alias("feature"),
+                 F.coalesce(F.col(c).cast("string"), F.lit("null"))
+                 .alias("value"))
+        for c in feature_cols])
+    return instances.select(
+        F.col(category_col).alias("category"),
+        F.explode(structs).alias("fv")
+    ).select("category", "fv.feature", "fv.value")
+
+
+def chi_squared_ranking(instances: DataFrame, feature_cols: list[str],
+                        category_col: str = "category") -> DataFrame:
+    """(feature, score): chi² cells averaged across categories per
+    feature value, summed per feature (AverageMergingStrategy).
+    Score rounded to 6 decimals."""
+    lf = _long_form(instances, feature_cols, category_col)
+    n_total = instances.count()
+    n_cats = lf.select("category").distinct().count()
+
+    cells = lf.groupBy("feature", "value", "category") \
+        .agg(F.count("*").alias("n11"))
+    fv_tot = cells.groupBy("feature", "value") \
+        .agg(F.sum("n11").alias("fv_sum"))
+    cat_tot = instances.groupBy(
+        F.col(category_col).alias("category")).agg(
+        F.count("*").alias("cat_n"))
+
+    # every (feature-value, category) cell — including zero-count
+    # cells, which the reference materializes via categoryCounts
+    full = (fv_tot.crossJoin(F.broadcast(cat_tot))
+            .join(cells, ["feature", "value", "category"], "left")
+            .withColumn("n11", F.coalesce("n11", F.lit(0))))
+    n11 = F.col("n11").cast("double")
+    n10 = (F.col("fv_sum") - F.col("n11")).cast("double")
+    n01 = (F.col("cat_n") - F.col("n11")).cast("double")
+    n00 = F.lit(float(n_total)) - (n10 + n01 + n11)
+    num = (n11 + n10 + n01 + n00) * F.pow(n11 * n00 - n10 * n01,
+                                          F.lit(2.0))
+    den = (n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00)
+    # zero denominator happens only for a CONSTANT feature (its value
+    # is in every instance -> N01+N00 = 0); the reference's int->double
+    # promotion then emits Infinity (ChiSquaredFeatureRanker.java:112),
+    # which is the opposite of useful — here the cell is skipped, so a
+    # constant feature scores 0 (documented deviation)
+    chi = F.when(den != 0, num / den)
+    avg_per_value = (full
+                     .groupBy("feature", "value")
+                     .agg((F.coalesce(F.sum(chi), F.lit(0.0)) / n_cats)
+                          .alias("avg_chi")))
+    return (avg_per_value.groupBy("feature")
+            .agg(F.round(F.sum("avg_chi"), 6).alias("score")))
+
+
+def _entropy_from_counts(counts: DataFrame, keys: list[str],
+                         total: int):
+    """Sum of round(-p*log2(p), 9) over count rows (one scalar)."""
+    p = F.col("n") / F.lit(float(total))
+    term = F.round(-p * F.log(p) / F.lit(LOG2), 9)
+    return counts.agg(F.sum(term).alias("h"))
+
+
+def information_gain_ranking(instances: DataFrame,
+                             feature_cols: list[str],
+                             category_col: str = "category") \
+        -> DataFrame:
+    """(feature, score): information gain G = H(C) + H(F) - H(C,F)
+    per feature, log2, rounded to 6."""
+    n_total = instances.count()
+    cat_counts = instances.groupBy(F.col(category_col).alias("c")) \
+        .agg(F.count("*").alias("n"))
+    h_c = _entropy_from_counts(cat_counts, ["c"], n_total) \
+        .collect()[0]["h"]
+
+    lf = _long_form(instances, feature_cols, category_col)
+    p = F.col("n") / F.lit(float(n_total))
+    term = F.round(-p * F.log(p) / F.lit(LOG2), 9)
+    h_f = (lf.groupBy("feature", "value")
+           .agg(F.count("*").alias("n"))
+           .groupBy("feature").agg(F.sum(term).alias("h_f")))
+    h_cf = (lf.groupBy("feature", "value", "category")
+            .agg(F.count("*").alias("n"))
+            .groupBy("feature").agg(F.sum(term).alias("h_cf")))
+    return (h_f.join(h_cf, "feature")
+            .select("feature",
+                    F.round(F.lit(h_c) + F.col("h_f") - F.col("h_cf"),
+                            6).alias("score")))

@@ -1342,3 +1342,86 @@ SELECT CAST(max(ctp) AS INT) AS n_pos, CAST(max(cfp) AS INT) AS n_neg,
     round(sum((cfp - pfp) * (ctp + ptp))
           / (2.0 * max(ctp) * max(cfp)), 6) END AS auc
 FROM cum"""
+
+
+# deterministic nominal features for the feature_ranking gate query
+FEATSEL_CATEGORY_SQL = "'c' || CAST(doc_id % 3 AS VARCHAR)"
+FEATSEL_FEATURES_SQL = {
+    "f_src": "source",
+    "f_len": "CAST(CAST(floor(length(text) / 100) AS BIGINT) AS VARCHAR)",
+    "f_par": "CAST(doc_id % 2 AS VARCHAR)",
+}
+
+
+def feature_ranking_sql() -> str:
+    """DuckDB mirror of kgp.featuresel over the decorated documents
+    features: chi² (AverageMergingStrategy — zero cells materialized
+    via the category cross join) and information gain (log2 entropies,
+    terms rounded to 9 before summing), both rounded to 6."""
+    fv = " UNION ALL ".join(
+        f"SELECT {FEATSEL_CATEGORY_SQL} AS category, '{name}' AS feature,"
+        f" coalesce({expr}, 'null') AS value FROM documents"
+        for name, expr in sorted(FEATSEL_FEATURES_SQL.items()))
+    return f"""
+WITH lf AS ({fv}),
+tot AS (SELECT count(*) AS n FROM documents),
+ncat AS (SELECT count(DISTINCT category) AS k FROM lf),
+cells AS (SELECT feature, value, category, count(*) AS n11
+          FROM lf GROUP BY ALL),
+fv_tot AS (SELECT feature, value, sum(n11) AS fv_sum
+           FROM cells GROUP BY ALL),
+cat_tot AS (SELECT {FEATSEL_CATEGORY_SQL} AS category,
+                   count(*) AS cat_n FROM documents GROUP BY ALL),
+full_cells AS (
+  SELECT f.feature, f.value, c.category, f.fv_sum, c.cat_n,
+         coalesce(ce.n11, 0) AS n11, tot.n
+  FROM fv_tot f CROSS JOIN cat_tot c
+  LEFT JOIN cells ce ON ce.feature = f.feature
+    AND ce.value = f.value AND ce.category = c.category, tot),
+chi AS (
+  SELECT feature, value,
+    sum(CASE WHEN (CAST(n11 AS DOUBLE) + (cat_n - n11))
+              * (n11 + (fv_sum - n11))
+              * ((fv_sum - n11) + (n - (fv_sum - n11) - (cat_n - n11)
+                 - n11))
+              * ((cat_n - n11) + (n - (fv_sum - n11) - (cat_n - n11)
+                 - n11)) <> 0 THEN
+      (CAST(n11 AS DOUBLE) + (fv_sum - n11) + (cat_n - n11)
+       + (n - (fv_sum - n11) - (cat_n - n11) - n11))
+      * pow(CAST(n11 AS DOUBLE)
+            * (n - (fv_sum - n11) - (cat_n - n11) - n11)
+            - CAST(fv_sum - n11 AS DOUBLE) * (cat_n - n11), 2)
+      / ((CAST(n11 AS DOUBLE) + (cat_n - n11))
+         * (n11 + (fv_sum - n11))
+         * ((fv_sum - n11) + (n - (fv_sum - n11) - (cat_n - n11) - n11))
+         * ((cat_n - n11) + (n - (fv_sum - n11) - (cat_n - n11) - n11)))
+    ELSE NULL END) AS chi_sum
+  FROM full_cells GROUP BY feature, value),
+chi_rank AS (
+  SELECT feature,
+         round(sum(coalesce(chi_sum, 0) / ncat.k), 6) AS score
+  FROM chi, ncat GROUP BY feature, ncat.k),
+h_c AS (
+  SELECT sum(round(-(CAST(cnt AS DOUBLE) / tot.n)
+                   * ln(CAST(cnt AS DOUBLE) / tot.n) / ln(2), 9)) AS h
+  FROM (SELECT count(*) AS cnt FROM documents
+        GROUP BY {FEATSEL_CATEGORY_SQL}), tot),
+h_f AS (
+  SELECT feature,
+    sum(round(-(CAST(cnt AS DOUBLE) / tot.n)
+              * ln(CAST(cnt AS DOUBLE) / tot.n) / ln(2), 9)) AS h
+  FROM (SELECT feature, value, count(*) AS cnt FROM lf
+        GROUP BY ALL), tot GROUP BY feature),
+h_cf AS (
+  SELECT feature,
+    sum(round(-(CAST(cnt AS DOUBLE) / tot.n)
+              * ln(CAST(cnt AS DOUBLE) / tot.n) / ln(2), 9)) AS h
+  FROM (SELECT feature, value, category, count(*) AS cnt FROM lf
+        GROUP BY ALL), tot GROUP BY feature),
+ig_rank AS (
+  SELECT f.feature, round(h_c.h + f.h - cf.h, 6) AS score
+  FROM h_f f JOIN h_cf cf ON f.feature = cf.feature, h_c)
+SELECT 'chi2' AS method, feature, score FROM chi_rank
+UNION ALL
+SELECT 'infogain' AS method, feature, score FROM ig_rank
+ORDER BY method, feature"""
