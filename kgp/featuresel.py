@@ -133,3 +133,105 @@ def information_gain_ranking(instances: DataFrame,
             .select("feature",
                     F.round(F.lit(h_c) + F.col("h_f") - F.col("h_cf"),
                             6).alias("score")))
+
+
+# ---------------------------------------------- MDL discretization
+# Fayyad & Irani 1993 multi-interval discretization — the reference's
+# Binner (classification/discretization/Binner.java:120-187), which
+# Discretization.java applies to every numeric feature before the
+# rankers above. The boundary search needs the SORTED (value,
+# category) sequence, but gain candidates exist only at value changes
+# and every entropy term is a function of cumulative per-category
+# counts — so the dataset first collapses to (value, category, count)
+# via ONE distributed aggregation (vocabulary-sized for any real
+# feature), and the exact reference recursion runs driver-side over
+# that compact form (the same bounded-driver pattern as the
+# union-find). Bin assignment is a pure JVM expression: the boundary
+# list is a literal array and bin(v) = #boundaries strictly below v,
+# which equals Binner.bin's binarySearch contract incl. the
+# exact-match-goes-to-the-lower-bin case (Binner.java:192-196).
+
+def _entropy_counts(counts: dict[str, int]) -> float:
+    total = sum(counts.values())
+    if total == 0:
+        return 0.0
+    ent = 0.0
+    for c in counts.values():
+        if c > 0:
+            p = c / total
+            ent -= p * (math.log(p) / LOG2)   # MathHelper.log2 shape
+    return ent
+
+
+def _find_boundaries(groups: list[tuple[float, dict[str, int]]]) \
+        -> list[float]:
+    """Exact Binner.findBoundaries recursion over (value -> category
+    counts) groups sorted by value. Returns boundary values."""
+    priors: dict[str, int] = {}
+    for _, cnts in groups:
+        for cat, c in cnts.items():
+            priors[cat] = priors.get(cat, 0) + c
+    n = sum(priors.values())
+    if n == 0:
+        return []
+    ent_s = _entropy_counts(priors)
+    k = len(priors)
+
+    max_gain = 0.0
+    boundary = 0.0
+    boundary_group = -1
+    left: dict[str, int] = {}
+    right = dict(priors)
+    i = 0
+    for g in range(len(groups) - 1):
+        value, cnts = groups[g]
+        for cat, c in cnts.items():
+            left[cat] = left.get(cat, 0) + c
+            right[cat] -= c
+        i += sum(cnts.values())
+        ent1 = _entropy_counts(left)
+        ent2 = _entropy_counts(right)
+        ent = i / n * ent1 + (n - i) / n * ent2
+        gain = ent_s - ent
+        k1 = sum(1 for v in left.values() if v > 0)
+        k2 = sum(1 for v in right.values() if v > 0)
+        delta = (math.log(pow(3, k) - 2) / LOG2
+                 - (k * ent_s - k1 * ent1 - k2 * ent2))
+        if (gain > (math.log(n - 1) / LOG2 + delta) / n
+                and gain > max_gain):      # strict: first max wins
+            max_gain = gain
+            boundary = (value + groups[g + 1][0]) / 2
+            boundary_group = g + 1
+    if max_gain == 0:
+        return []
+    return (_find_boundaries(groups[:boundary_group])
+            + [boundary]
+            + _find_boundaries(groups[boundary_group:]))
+
+
+def fit_mdl_bins(df: DataFrame, value_col: str,
+                 category_col: str = "category") -> list[float]:
+    """Distributed fit of the Fayyad/Irani boundaries for one numeric
+    column (nulls skipped, Binner.java:110-115): one groupBy to the
+    (value, category, count) aggregate, exact recursion driver-side."""
+    rows = (df.where(F.col(value_col).isNotNull())
+            .groupBy(F.col(value_col).cast("double").alias("v"),
+                     F.col(category_col).alias("c"))
+            .agg(F.count("*").alias("n"))
+            .collect())
+    by_value: dict[float, dict[str, int]] = {}
+    for r in rows:
+        by_value.setdefault(r.v, {})[r.c] = r.n
+    groups = sorted(by_value.items())
+    return _find_boundaries([(v, dict(c)) for v, c in groups])
+
+
+def apply_mdl_bins(value, boundaries: list[float]):
+    """Column: bin index per Binner.bin (0..len(boundaries)); a value
+    equal to a boundary lands in the LOWER bin. Pure JVM filter over
+    the literal boundary array; nulls stay null."""
+    if not boundaries:
+        return F.when(value.isNotNull(), F.lit(0))
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.when(value.isNotNull(),
+                  F.size(F.filter(arr, lambda b: b < value)))

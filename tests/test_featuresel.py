@@ -81,3 +81,92 @@ def test_null_values_group_as_literal(spark):
     # nulls become the 'null' value -> f has 2 values, no crash
     assert chi_squared_ranking(df, ["f"]).count() == 1
     assert information_gain_ranking(df, ["f"]).count() == 1
+
+
+# ------------------------------------------- MDL discretization
+
+def _direct_find_boundaries(data):
+    """Row-by-row transliteration of Binner.findBoundaries
+    (Binner.java:130-187) for parity testing."""
+    import math
+    LOG2 = math.log(2.0)
+
+    def ent(counts):
+        t = sum(counts.values())
+        return -sum(c / t * (math.log(c / t) / LOG2)
+                    for c in counts.values() if c > 0) if t else 0.0
+
+    data = sorted(data, key=lambda vc: vc[0])
+    priors = {}
+    for _, c in data:
+        priors[c] = priors.get(c, 0) + 1
+    n = len(data)
+    if n == 0:
+        return []
+    ent_s, k = ent(priors), len(priors)
+    max_gain, boundary, idx = 0.0, 0.0, -1
+    left, right = {}, dict(priors)
+    for i in range(1, n):
+        pv, pc = data[i - 1]
+        left[pc] = left.get(pc, 0) + 1
+        right[pc] -= 1
+        if pv < data[i][0]:
+            e1, e2 = ent(left), ent(right)
+            gain = ent_s - (i / n * e1 + (n - i) / n * e2)
+            k1 = sum(1 for v in left.values() if v > 0)
+            k2 = sum(1 for v in right.values() if v > 0)
+            delta = (math.log(3 ** k - 2) / LOG2
+                     - (k * ent_s - k1 * e1 - k2 * e2))
+            if gain > (math.log(n - 1) / LOG2 + delta) / n \
+                    and gain > max_gain:
+                max_gain, idx = gain, i
+                boundary = (pv + data[i][0]) / 2
+    if max_gain == 0:
+        return []
+    return (_direct_find_boundaries(data[:idx]) + [boundary]
+            + _direct_find_boundaries(data[idx:]))
+
+
+def test_mdl_bins_separable_and_uninformative(spark):
+    from kgp.featuresel import fit_mdl_bins
+    rows = [(float(i), "lo" if i < 50 else "hi") for i in range(100)]
+    df = spark.createDataFrame(rows, "v double, category string")
+    assert fit_mdl_bins(df, "v") == [49.5]
+    # category independent of value -> MDL rejects every cut
+    rows = [(float(i % 10), "a" if (i // 10) % 2 == 0 else "b")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "v double, category string")
+    assert fit_mdl_bins(df, "v") == []
+
+
+def test_mdl_bins_matches_direct_port(spark):
+    """Distributed fit over (value, category) counts == the exact
+    row-by-row reference recursion, on awkward data (ties, repeats,
+    three classes, a null)."""
+    import random
+    from kgp.featuresel import fit_mdl_bins
+    rng = random.Random(7)
+    data = []
+    for _ in range(400):
+        v = rng.choice([1.0, 2.0, 2.5, 3.0, 7.0, 7.5, 9.0])
+        cat = ("a" if v < 3 and rng.random() < 0.9
+               else "b" if v < 8 and rng.random() < 0.8 else "c")
+        data.append((v, cat))
+    df = spark.createDataFrame(
+        data + [(None, "a")], "v double, category string")
+    assert fit_mdl_bins(df, "v") == _direct_find_boundaries(data)
+
+
+def test_apply_mdl_bins_binarysearch_contract(spark):
+    from pyspark.sql import functions as F
+    from kgp.featuresel import apply_mdl_bins
+    df = spark.createDataFrame(
+        [(0.5,), (1.0,), (1.5,), (2.0,), (99.0,), (None,)], "v double")
+    got = [r.b for r in df.select(
+        apply_mdl_bins(F.col("v"), [1.0, 2.0]).alias("b")).collect()]
+    # exact boundary match lands in the LOWER bin (Binner.java:192-196)
+    assert got == [0, 0, 1, 1, 2, None]
+    # no boundaries -> single bin 0
+    got = [r.b for r in df.select(
+        apply_mdl_bins(F.col("v"), []).alias("b")).collect()]
+    assert got == [0, 0, 0, 0, 0, None]
