@@ -276,3 +276,21 @@ def test_nb_classify_plan_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------- ZeroR
+
+def test_zeror_majority_baseline(spark):
+    from kgp.mlzoo import zeror_train, zeror_predict
+    df = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b") for i in range(10)],
+        "doc_id long, category string")
+    model = zeror_train(df)
+    assert model == [("a", 0.6), ("b", 0.4)]
+    got = zeror_predict(df.select("doc_id"), model, "doc_id").collect()
+    assert all(r.predicted == "a" and r.probability == 0.6 for r in got)
+    assert len(got) == 10
+    # tie -> ascending category name
+    tie = spark.createDataFrame([(1, "z"), (2, "y")],
+                                "doc_id long, category string")
+    assert zeror_train(tie)[0][0] == "y"
