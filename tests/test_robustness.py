@@ -60,3 +60,70 @@ def test_rules_and_strsim_edges():
     assert apply_rules([], "text", []) == []
     assert levenshtein_distance("", "") == 0
     assert jaro_winkler_similarity("a", "") == 0.0
+
+
+def test_sentiment_hostile_inputs():
+    from kgp.sentiment import load_sentiws, polarity, sentence_sums
+    # malformed lexicon lines are skipped, not fatal
+    lex = load_sentiws(["", "noval", "ok|X\t0.5", "bad|X\tNaN-ish\t"
+                        .replace("NaN-ish", "0.1"), "\t\t"])
+    assert lex["ok"] == 0.5
+    # hostile text: control chars, emoji, lone surrogates area, huge
+    # token, no sentences
+    for text in ("", "\x00\x01\x02", "🎉" * 50, "a" * 10000,
+                 "nicht " * 30):
+        label, p, n = polarity(text, lex)
+        assert label in ("positive", "negative")
+    assert sentence_sums("", lex) == (0.0, 0.0)
+
+
+def test_decontam_lmscore_hostile_inputs(spark):
+    from pyspark.sql import functions as F
+    from kgp.decontam import decontaminate, word_ngrams
+    from kgp.lmscore import (corpus_token_count, unigram_logprob,
+                             unigram_vocab)
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "\x00\t\n"), (4, "ONLY-punct!!! ..."),
+         (5, "x " * 2000)],
+        "doc_id long, text string")
+    # null text: n-grams empty, never contaminated
+    out = {r.doc_id: r for r in decontaminate(
+        docs, docs.where("doc_id = 5"), n=3).collect()}
+    assert out[1].n_ngrams == 0 and not out[1].contaminated
+    assert out[5].contaminated          # doc 5 IS the test doc
+    g = docs.select(word_ngrams(F.col("text"), 3).alias("g")) \
+        .collect()
+    assert all(isinstance(r.g, list) for r in g)
+    vocab = unigram_vocab(docs, max_vocab=2)
+    lm = {r.doc_id: r for r in unigram_logprob(
+        docs, vocab, corpus_token_count(docs)).collect()}
+    assert lm[1].n_tokens == 0 and lm[1].avg_logp is None
+    assert lm[5].avg_logp is not None
+
+
+def test_pagetype_hostile_inputs():
+    from kgp.pagetype import classify_content_type, page_features
+    for html in (b"", b"\x00\xff\xfe garbage", b"<not html",
+                 b"<html><body>" + b"<div>" * 200 + b"deep",
+                 "<html><title> tit</title><a>no href</a>"
+                 "<img></html>".encode()):
+        feat = page_features(html, url="::bad url::")
+        assert classify_content_type(feat) in (
+            "CONTENT", "OVERVIEW", "SEARCH_RESULTS", "SPAM")
+
+
+def test_evaluate_clustering_hostile_inputs(spark):
+    from kgp.clustering import dbscan
+    from kgp.evaluate import category_metrics, roc_auc
+    # empty results -> empty metrics, no crash
+    empty = spark.createDataFrame([], "actual string, predicted string")
+    assert category_metrics(empty).count() == 0
+    r = roc_auc(spark.createDataFrame([], "label boolean, score double")
+                ).collect()[0]
+    assert r.auc is None
+    # dbscan with self-loops and duplicate edges
+    pts = spark.createDataFrame([(i,) for i in range(3)], "vec_id long")
+    edges = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0), (0, 1)], "a long, b long")
+    got = {x.vec_id: x.role for x in dbscan(pts, edges, 2).collect()}
+    assert got[0] == "core" and got[1] == "core" and got[2] == "noise"
