@@ -235,3 +235,17 @@ def apply_mdl_bins(value, boundaries: list[float]):
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
     return F.when(value.isNotNull(),
                   F.size(F.filter(arr, lambda b: b < value)))
+
+
+def discretize(df: DataFrame, numeric_cols: list[str],
+               category_col: str = "category") -> DataFrame:
+    """Discretization.java:44-79 — fit a Binner per numeric column and
+    replace it with its MDL bin index (string, so the rankers above
+    consume it as nominal); non-listed columns pass through. One
+    aggregation per column to fit, zero extra shuffle to apply."""
+    out = df
+    for col in numeric_cols:
+        bounds = fit_mdl_bins(df, col, category_col)
+        out = out.withColumn(
+            col, apply_mdl_bins(F.col(col), bounds).cast("string"))
+    return out

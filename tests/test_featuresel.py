@@ -170,3 +170,19 @@ def test_apply_mdl_bins_binarysearch_contract(spark):
     got = [r.b for r in df.select(
         apply_mdl_bins(F.col("v"), []).alias("b")).collect()]
     assert got == [0, 0, 0, 0, 0, None]
+
+
+def test_discretize_end_to_end_with_rankers(spark):
+    """Discretization.java wrapper: numeric columns become MDL-binned
+    nominals the rankers consume directly."""
+    from kgp.featuresel import discretize, information_gain_ranking
+    rows = [(float(i), "x" if i % 2 else "y",
+             "lo" if i < 50 else "hi") for i in range(100)]
+    df = spark.createDataFrame(rows,
+                               "v double, nom string, category string")
+    binned = discretize(df, ["v"])
+    vals = {r.v for r in binned.select("v").distinct().collect()}
+    assert vals == {"0", "1"}            # one boundary at 49.5
+    ig = {r.feature: r.score for r in information_gain_ranking(
+        binned, ["v", "nom"]).collect()}
+    assert ig["v"] == 1.0 and abs(ig["nom"]) < 1e-6
