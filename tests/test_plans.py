@@ -113,3 +113,49 @@ def test_triples_partition_pruning(spark, tmp_path):
     plan = plan_of(t.where(F.col("pred") == "ceo_of"))
     assert "PartitionFilters" in plan
     assert "ceo_of" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_unigram_lm_broadcasts_vocab(spark):
+    """The LM scoring probe must hit a broadcast vocabulary — a
+    sort-merge join here would shuffle the full token stream by WORD
+    (skewed: stop words) instead of only (doc_id, logp) pairs."""
+    from kgp.lmscore import unigram_logprob, unigram_vocab
+    docs = spark.createDataFrame([(1, "a b c a")],
+                                 "doc_id long, text string")
+    vocab = unigram_vocab(docs, max_vocab=2)
+    plan = plan_of(unigram_logprob(docs, vocab, 4))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_category_metrics_is_aggregation_only(spark):
+    """Confusion-matrix metrics are pure JVM aggregations + joins over
+    category-cardinality tables — no Python anywhere."""
+    from kgp.evaluate import category_metrics
+    r = spark.createDataFrame([("a", "a"), ("a", "b")],
+                              "actual string, predicted string")
+    plan = plan_of(category_metrics(r))
+    assert "Python" not in plan
+
+
+def test_roc_auc_windows_distinct_scores_only(spark):
+    """The AUC window must run AFTER the per-score aggregation: the
+    single-partition window sees |distinct scores| rows, never raw
+    rows. The plan therefore has an aggregate BEFORE the window."""
+    from kgp.evaluate import roc_auc
+    r = spark.createDataFrame([(True, 1.0), (False, 0.5)],
+                              "label boolean, score double")
+    plan = plan_of(roc_auc(r))
+    assert plan.index("Window") > plan.index("HashAggregate") or \
+        "Window" not in plan.split("HashAggregate")[0]
+
+
+def test_sentiment_and_pagetype_zero_shuffle(spark):
+    from kgp.pagetype import content_type_stage
+    from kgp.sentiment import sentiment_stage
+    docs = spark.createDataFrame([(1, "Das ist toll.")],
+                                 "doc_id long, text string")
+    assert "Exchange" not in plan_of(sentiment_stage(docs, {"toll": .5}))
+    pages = spark.createDataFrame([("u", b"<html></html>")],
+                                  "url string, html binary")
+    assert "Exchange" not in plan_of(content_type_stage(pages))
