@@ -116,10 +116,13 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
 
     # the canon mapping depends ONLY on the gazetteer — an independent
     # DAG branch of tiny 1-task jobs (alias edges → connected
-    # components). Submit it from a separate thread so its fixed job
-    # latency overlaps the big corpus scans instead of serializing
-    # after them (Spark schedules concurrent jobs from one session;
-    # the small jobs slot into idle cores mid-stage).
+    # components). With enough cores its fixed job latency overlaps
+    # the big corpus scans on a separate job-submission thread (the
+    # small jobs slot into idle cores mid-stage); on SMALL clusters
+    # (< 16 slots) there are no idle cores to slot into — the extra
+    # concurrent jobs only contend with the corpus stages (measured:
+    # +30 s on the ner stage at 8 cores, nothing gained at 2) — so
+    # the branch serializes exactly like any other stage there.
     canon_box: dict = {}
 
     def _canon_branch():
@@ -131,8 +134,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         except BaseException as e:  # re-raised on join below
             canon_box["error"] = e
 
+    overlap_canon = spark.sparkContext.defaultParallelism >= 16
     canon_thread = threading.Thread(target=_canon_branch, daemon=True)
-    canon_thread.start()
+    if overlap_canon:
+        canon_thread.start()
 
     # NER training runs on the stable hash split (corpus.training_docs)
     # — held-out docs carry the novel entities that must be typed by
@@ -162,7 +167,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         lambda: link_fn(mention_df, gaz),
         force=force, metrics=metrics)
 
-    canon_thread.join()
+    if overlap_canon:
+        canon_thread.join()
+    else:
+        _canon_branch()
     if "error" in canon_box:
         raise canon_box["error"]
     mapping = canon_box["mapping"]
