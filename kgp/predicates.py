@@ -67,6 +67,7 @@ IRREGULAR_VERBS: dict[str, str] = {
 IRREGULAR_NOUNS: dict[str, str] = {
     "men": "man", "women": "woman", "children": "child",
     "people": "person", "feet": "foot", "teeth": "tooth",
+    "mice": "mouse", "geese": "goose",
     "companies": "company", "subsidiaries": "subsidiary",
 }
 
@@ -146,3 +147,168 @@ def normalize_predicates(triples: DataFrame,
     return triples.withColumn(
         pred_col,
         F.coalesce(lit_map[F.col(pred_col)], F.col(pred_col)))
+
+
+# ------------------------------------- generative word transforms
+# The inverse directions of WordTransformer, used when GENERATING
+# surface variants for relation patterns (one canonical predicate ->
+# every phrasing to match). Pure functions; the reference keys its
+# irregular-verb lookups by the Snowball stem (stemEnglishWord) — the
+# compact Porter port (kgp.textclassifier.porter_stem) stands in, with
+# a raw-form lookup first so common forms never depend on stemmer
+# agreement.
+
+# (present, simple past, past participle) — used subset of
+# EnglishVerb/irregularVerbs.csv
+IRREGULAR_VERB_FORMS: dict[str, tuple[str, str]] = {
+    "be": ("was", "been"), "have": ("had", "had"),
+    "go": ("went", "gone"), "run": ("ran", "run"),
+    "hold": ("held", "held"), "lead": ("led", "led"),
+    "make": ("made", "made"), "build": ("built", "built"),
+    "buy": ("bought", "bought"), "sell": ("sold", "sold"),
+    "grow": ("grew", "grown"), "become": ("became", "become"),
+    "begin": ("began", "begun"), "write": ("wrote", "written"),
+    "take": ("took", "taken"), "give": ("gave", "given"),
+}
+
+_MODALS = {"can", "could", "will", "would", "may", "might", "shall",
+           "should", "must"}
+
+
+def word_to_plural(singular: str) -> str:
+    """wordToPluralEnglishCaseSensitive port (WordTransformer.java:
+    414-489): composite terms pluralize the LAST word; irregular map;
+    vowel+y -> +s; consonant+y -> -ies; -is -> -es; s/z/x/ch/sh ->
+    +es; default +s. Words under 3 chars pass through."""
+    if not singular:
+        return ""
+    s = singular.lower()
+    prefix = ""
+    parts = s.split(" ")
+    if len(parts) > 1:
+        s = parts[-1]
+        prefix = " ".join(parts[:-1]) + " "
+    inv_nouns = {v: k for k, v in sorted(IRREGULAR_NOUNS.items())}
+    if s in inv_nouns:
+        return prefix + inv_nouns[s]
+    if len(s) < 3:
+        return prefix + s
+    last, last2 = s[-1], s[-2:]
+    if last2 in ("ay", "ey", "iy", "oy", "uy"):
+        return prefix + s + "s"
+    if last == "y":
+        return prefix + s[:-1] + "ies"
+    if last2 == "is":
+        return prefix + s[:-2] + "es"
+    if last in "szx" or last2 in ("ch", "sh"):
+        return prefix + s + "es"
+    return prefix + s + "s"
+
+
+def _lookup_irregular(verb: str) -> str | None:
+    """Present form of an irregular verb, by raw form then stem
+    (stemEnglishWord lookup at WordTransformer.java:635-636)."""
+    from kgp.textclassifier import porter_stem
+    if verb in IRREGULAR_VERBS:
+        return IRREGULAR_VERBS[verb]
+    if verb in IRREGULAR_VERB_FORMS:
+        return verb
+    stem = porter_stem(verb)
+    if stem in IRREGULAR_VERB_FORMS:
+        return stem
+    return None
+
+
+def third_person_singular(verb: str) -> str:
+    """getThirdPersonSingular port (WordTransformer.java:608-671):
+    be/was/been/have specials, modals stay, past forms of irregular
+    verbs stay, regular -ed stays, then the es/ies suffix rules
+    (incl. the vowel+s/z letter-doubling branch)."""
+    if not verb:
+        return verb
+    v = verb.lower()
+    if v == "be":
+        return "is"
+    if v in ("was", "been"):
+        return v
+    if v == "have":
+        return "has"
+    if v in _MODALS:
+        return v
+    present = _lookup_irregular(v)
+    if present is not None:
+        past, part = IRREGULAR_VERB_FORMS.get(present, ("", ""))
+        if v in (past, part):
+            return v
+        v = present
+    elif v.endswith("ed"):
+        return v
+    if len(v) >= 2:
+        before = v[-2]
+        if v.endswith(("ch", "sh", "x", "o")):
+            return v + "es"
+        if before not in _VOWELS and v[-1] in "sz":
+            return v + "es"
+        if before in _VOWELS and v[-1] in "sz":
+            return v + v[-1] + "es"
+        if before not in _VOWELS and v.endswith("y"):
+            return v[:-1] + "ies"
+    return v + "s"
+
+
+def _regular_verb_past(verb: str) -> str:
+    """getRegularVerbPast port (WordTransformer.java:706-729) incl.
+    the qui/qua/quo/quu final-consonant-doubling quirk."""
+    if not verb:
+        return verb
+    v = verb.lower()
+    if v.endswith("ed"):
+        return v
+    if v.endswith("e"):
+        return v + "d"
+    if v.endswith("y"):
+        return v[:-1] + "ied"
+    if any(q in v for q in ("qui", "qua", "quo", "quu")):
+        return v + v[-1] + "ed"
+    return v + "ed"
+
+
+def simple_past(verb: str) -> str:
+    """getSimplePast port (:694-704): irregular past, else regular."""
+    if not verb:
+        return verb
+    present = _lookup_irregular(verb.lower())
+    if present is not None:
+        return IRREGULAR_VERB_FORMS[present][0]
+    return _regular_verb_past(verb)
+
+
+def past_participle(verb: str) -> str:
+    """getPastParticiple port (:731-745): irregular participle, else
+    the regular past of the STEMMED word (the reference quirk —
+    participles of regular verbs are built on the Snowball stem)."""
+    from kgp.textclassifier import porter_stem
+    if not verb:
+        return verb
+    present = _lookup_irregular(verb.lower())
+    if present is not None:
+        return IRREGULAR_VERB_FORMS[present][1]
+    return _regular_verb_past(porter_stem(verb.lower()))
+
+
+def predicate_variants(pred: str) -> list[str]:
+    """Every surface phrasing of a snake_cased predicate the pattern
+    bank should match: the name itself plus third-person / past /
+    participle forms of the leading verb. Deterministic order, no
+    duplicates — feeds kgp.relations pattern generation."""
+    toks = pred.split("_")
+    head, tail = toks[0], toks[1:]
+    forms = [head, third_person_singular(head), simple_past(head),
+             past_participle(head)]
+    out, seen = [], set()
+    for f in forms:
+        name = "_".join([f] + tail)
+        if name not in seen:
+            seen.add(name)
+            out.append(name)
+    return out

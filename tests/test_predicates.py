@@ -63,3 +63,54 @@ def test_based_in_sentence_merges_into_canonical(spark):
     got = {(r.subj, r.pred, r.obj) for r in
            extract_relations(links).collect()}
     assert got == {("Duff Brewing", "headquartered_in", "Maplewood")}
+
+
+# --------------------------------- generative transforms (r3 tail)
+
+def test_word_to_plural_rule_bank():
+    from kgp.predicates import word_to_plural
+    assert word_to_plural("company") == "companies"      # consonant+y
+    assert word_to_plural("boy") == "boys"               # vowel+y
+    assert word_to_plural("analysis") == "analyses"      # -is -> -es
+    assert word_to_plural("box") == "boxes"
+    assert word_to_plural("church") == "churches"
+    assert word_to_plural("person") == "people"          # irregular
+    # composite terms pluralize the LAST word
+    assert word_to_plural("computer mouse") == "computer mice"
+    assert word_to_plural("ox") == "ox"    # <3 chars pass through
+    assert word_to_plural("") == ""
+
+
+def test_third_person_singular():
+    from kgp.predicates import third_person_singular as tps
+    assert tps("be") == "is" and tps("have") == "has"
+    assert tps("was") == "was" and tps("been") == "been"
+    assert tps("can") == "can"                           # modal stays
+    assert tps("go") == "goes" and tps("watch") == "watches"
+    assert tps("fly") == "flies" and tps("pass") == "passes"
+    assert tps("quiz") == "quizzes"       # vowel+z doubles the letter
+    assert tps("played") == "played"      # regular past stays
+    assert tps("went") == "went"          # irregular past stays
+    assert tps("write") == "writes"
+
+
+def test_simple_past_and_participle():
+    from kgp.predicates import past_participle, simple_past
+    assert simple_past("found") == "founded"
+    assert simple_past("acquire") == "acquired"
+    assert simple_past("marry") == "married"
+    # reference quirk kept: getRegularVerbPast's unconditional y->ied
+    assert simple_past("employ") == "emploied"
+    # qui/qua/quo/quu doubling quirk
+    assert simple_past("quiz") == "quizzed"
+    assert simple_past("go") == "went" and simple_past("write") == "wrote"
+    assert past_participle("write") == "written"
+    assert past_participle("take") == "taken"
+
+
+def test_predicate_variants_feed_patterns():
+    from kgp.predicates import predicate_variants
+    assert predicate_variants("work_for") == [
+        "work_for", "works_for", "worked_for"]
+    v = predicate_variants("hold_stake_in")
+    assert "holds_stake_in" in v and "held_stake_in" in v
