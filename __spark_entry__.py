@@ -534,6 +534,24 @@ def _q_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi.union(ig)
 
 
+def _q_nominal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nominal co-occurrence classifier (kgp.encode — NominalClassifier
+    port, incl. the one-row-space-for-all-columns matrix quirk) over
+    two nominal features (source, doc_id%5 bucket) predicting lang.
+    The oracle recomputes counts, the 9/6 rounding ladder, and the
+    name-asc tie-break in SQL."""
+    from kgp.encode import nominal_predict, nominal_train
+    docs = _docs_table(spark, sf_dir)
+    feats = docs.select(
+        "doc_id", F.col("source").alias("f1"),
+        F.concat(F.lit("b"), (F.col("doc_id") % 5).cast("string"))
+        .alias("f2"),
+        F.col("lang").alias("category"))
+    model = nominal_train(feats, ["f1", "f2"])
+    return nominal_predict(feats.drop("category"), model,
+                           ["f1", "f2"], "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -569,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_eval": _q_model_eval,
         "roc_auc": _q_roc_auc,
         "feature_ranking": _q_feature_ranking,
+        "nominal_pred": _q_nominal_pred,
     }
 
 
@@ -632,4 +651,5 @@ def oracle_sql() -> dict[str, str]:
         "model_eval": _oracle.model_eval_sql(),
         "roc_auc": _oracle.roc_auc_sql(),
         "feature_ranking": _oracle.feature_ranking_sql(),
+        "nominal_pred": _oracle.nominal_pred_sql(),
     }

@@ -1425,3 +1425,41 @@ SELECT 'chi2' AS method, feature, score FROM chi_rank
 UNION ALL
 SELECT 'infogain' AS method, feature, score FROM ig_rank
 ORDER BY method, feature"""
+
+
+def nominal_pred_sql() -> str:
+    """DuckDB mirror of kgp.encode.nominal_train + nominal_predict:
+    (value, category) co-occurrence counts over the source and
+    doc_id%5 bucket columns (ONE row space — the reference quirk),
+    count/rowSum scores rounded to 9, summed per (doc, category),
+    normalized to 6; most likely with name-asc ties."""
+    return """
+WITH feats AS (
+  SELECT doc_id, source AS f1,
+         'b' || CAST(doc_id % 5 AS VARCHAR) AS f2,
+         lang AS category
+  FROM documents),
+lf AS (
+  SELECT f1 AS value, category FROM feats
+  UNION ALL SELECT f2, category FROM feats),
+cells AS (SELECT value, category, count(*) AS n FROM lf GROUP BY ALL),
+sums AS (SELECT value, sum(n) AS row_sum FROM cells GROUP BY value),
+melted AS (
+  SELECT doc_id, f1 AS value FROM feats
+  UNION ALL SELECT doc_id, f2 FROM feats),
+scored AS (
+  SELECT m.doc_id, c.category,
+         sum(round(CAST(c.n AS DOUBLE) / s.row_sum, 9)) AS score
+  FROM melted m JOIN cells c ON m.value = c.value
+  JOIN sums s ON c.value = s.value
+  GROUP BY m.doc_id, c.category),
+tot AS (SELECT doc_id, sum(score) AS t FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT s.doc_id, s.category, s.score, tot.t,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.score DESC, s.category ASC)
+           AS rn
+  FROM scored s JOIN tot ON s.doc_id = tot.doc_id)
+SELECT doc_id, category AS predicted,
+       round(score / t, 6) AS probability
+FROM ranked WHERE rn = 1 ORDER BY doc_id"""
