@@ -118,11 +118,13 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     # DAG branch of tiny 1-task jobs (alias edges → connected
     # components). With enough cores its fixed job latency overlaps
     # the big corpus scans on a separate job-submission thread (the
-    # small jobs slot into idle cores mid-stage); on SMALL clusters
-    # (< 16 slots) there are no idle cores to slot into — the extra
-    # concurrent jobs only contend with the corpus stages (measured:
-    # +30 s on the ner stage at 8 cores, nothing gained at 2) — so
-    # the branch serializes exactly like any other stage there.
+    # small jobs slot into idle cores mid-stage); when every slot is
+    # busy the extra concurrent jobs only contend with the corpus
+    # stages, so the branch serializes like any other stage there.
+    # Threshold 32: measured at BOTH 8 and 16 local cores the overlap
+    # added contention (+30 s / +tens of s on the ner stage) and
+    # bought nothing; at 32+ slots the corpus stages leave idle cores
+    # mid-stage for the canon jobs to use.
     canon_box: dict = {}
 
     def _canon_branch():
@@ -134,7 +136,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         except BaseException as e:  # re-raised on join below
             canon_box["error"] = e
 
-    overlap_canon = spark.sparkContext.defaultParallelism >= 16
+    overlap_canon = spark.sparkContext.defaultParallelism >= 32
     canon_thread = threading.Thread(target=_canon_branch, daemon=True)
     if overlap_canon:
         canon_thread.start()
