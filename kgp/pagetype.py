@@ -207,3 +207,65 @@ def content_type_stage(pages: DataFrame, html_col: str = "html",
                                 "consecutive_sentences": consec})
 
     return pages.select(url_col, html_col).mapInPandas(run, schema)
+
+
+# ------------------------------------------- PageTypeClassifier
+# BLOG / FORUM / GENERIC from page metadata
+# (PageTypeClassifier.java:30-67): the "generator" meta tag (wordpress/
+# blogger -> BLOG, vbulletin/phpbb -> FORUM), a phpbb "copyright" meta,
+# a phpbb-titled <link rel>, or "google groups" in the title.
+
+def extract_meta_tags(root) -> dict[str, str]:
+    """name -> content of every <meta> with both attributes, names
+    lowercased (PageAnalyzer.extractMetaInformation:1330-1346)."""
+    tags: dict[str, str] = {}
+    for n in root.iter():
+        if n.tag == "meta" and n.attrs.get("name") is not None \
+                and n.attrs.get("content") is not None:
+            tags[str(n.attrs["name"]).lower()] = str(n.attrs["content"])
+    return tags
+
+
+def classify_page_type(html: str | bytes) -> str:
+    """PageTypeClassifier.classify rule order, verbatim."""
+    root = parse_html(html)
+    meta = extract_meta_tags(root)
+    generator = meta.get("generator")
+    if generator is not None:
+        g = generator.lower()
+        if "wordpress" in g or "blogger" in g:
+            return "BLOG"
+        if "vbulletin" in g or "phpbb" in g:
+            return "FORUM"
+    if "phpbb" in (meta.get("copyright") or "").lower():
+        return "FORUM"
+    for n in root.iter():
+        if n.tag == "link" and n.attrs.get("rel") is not None \
+                and "phpbb" in str(n.attrs.get("title") or "").lower():
+            return "FORUM"
+    title = ""
+    for n in root.iter():
+        if n.tag == "title":
+            title = n.text_content()
+            break
+    if "google groups" in title.lower():
+        return "FORUM"
+    return "GENERIC"
+
+
+def page_type_stage(pages: DataFrame, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """pages -> (url, page_type): one Arrow pass, zero shuffle."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("page_type", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf[url_col],
+                "page_type": [classify_page_type(h or b"")
+                              for h in pdf[html_col]]})
+
+    return pages.select(url_col, html_col).mapInPandas(run, schema)

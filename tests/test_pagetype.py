@@ -85,3 +85,36 @@ def test_content_type_stage_spark(spark):
     plan = content_type_stage(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_page_type_rules():
+    from kgp.pagetype import classify_page_type
+    wp = '<html><head><meta name="Generator" content="WordPress 5.2">' \
+         '</head><body></body></html>'
+    assert classify_page_type(wp) == "BLOG"
+    vb = '<html><head><meta name="generator" content="vBulletin 4">' \
+         '</head></html>'
+    assert classify_page_type(vb) == "FORUM"
+    cp = '<html><head><meta name="copyright" content="Powered by ' \
+         'phpBB"></head></html>'
+    assert classify_page_type(cp) == "FORUM"
+    ln = '<html><head><link rel="stylesheet" title="phpBB theme">' \
+         '</head></html>'
+    assert classify_page_type(ln) == "FORUM"
+    gg = "<html><head><title>My Google Groups thread</title></head>" \
+         "</html>"
+    assert classify_page_type(gg) == "FORUM"
+    assert classify_page_type("<html><body>hi</body></html>") == \
+        "GENERIC"
+    assert classify_page_type(b"") == "GENERIC"
+
+
+def test_page_type_stage_spark(spark):
+    from kgp.pagetype import page_type_stage
+    pages = spark.createDataFrame(
+        [("u1", b'<html><head><meta name="generator" '
+                b'content="blogger"></head></html>'),
+         ("u2", b"<html></html>")],
+        "url string, html binary")
+    got = {r.url: r.page_type for r in page_type_stage(pages).collect()}
+    assert got == {"u1": "BLOG", "u2": "GENERIC"}
