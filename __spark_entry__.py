@@ -552,6 +552,75 @@ def _q_nominal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ["f1", "f2"], "doc_id")
 
 
+def _q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF document vectors (kgp.textvector — TextVectorizer port,
+    TERM_FREQUENCY x IDF): corpus fit on ALL documents, sparse
+    (doc_id, term, weight) rows for the doc_id % 17 = 0 slice. The
+    idf ln() rounds to 7 before the tf product, the weight to 6
+    (cross-engine ladder); the oracle recomputes the corpus and both
+    strategies in SQL."""
+    from kgp import textvector as _tv
+    docs = _docs_table(spark, sf_dir)
+    counts, n = _tv.fit_term_corpus(docs)
+    out = _tv.vectorize_stage(docs.where(F.col("doc_id") % 17 == 0),
+                              counts, n, tf="term_frequency",
+                              idf="idf", round_to=6, idf_round=7)
+    return out
+
+
+def _q_tfidf_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise TfIdfSimilarity (kgp.textvector — TfIdfSimilarity.java
+    port: tf = count/total, Lucene smoothed idf, cosine) over the
+    (doc_id, doc_id + 1) pairs for doc_id % 5 = 0. Per-doc weights and
+    norms compute ONCE and join per pair — candidate pairs are an
+    equi-join, never all-pairs. Cosine rounds to 4 (order-dependent
+    sums sit ~1e-13 below that)."""
+    from kgp import textvector as _tv
+    docs = _docs_table(spark, sf_dir)
+    counts, n = _tv.fit_term_corpus(docs)
+    weights = _tv.doc_weights_tfidfsim(docs, counts, n, idf_round=7)
+    ids = docs.select("doc_id")
+    pairs = (ids.where(F.col("doc_id") % 5 == 0)
+             .select(F.col("doc_id").alias("a_id"),
+                     (F.col("doc_id") + 1).alias("b_id"))
+             .join(ids.select(F.col("doc_id").alias("b_id")), "b_id")
+             .select("a_id", "b_id"))
+    return _tv.tfidf_pair_sim_stage(pairs, weights, round_to=4)
+
+
+def _q_feature_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max + z-score normalization (kgp.encode — MinMaxNormalizer /
+    ZScoreNormalizer ports; sample stddev per SlimStats.java:109-117)
+    of the events value column; stats fit on the full table, outputs
+    rounded to 6."""
+    from kgp.encode import (apply_minmax, apply_zscore, fit_minmax,
+                            fit_zscore)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = events.select("event_id",
+                         F.col("value").alias("value_minmax"),
+                         F.col("value").alias("value_zscore"))
+    mm = fit_minmax(base, ["value_minmax"])
+    zs = fit_zscore(base, ["value_zscore"])
+    out = apply_zscore(apply_minmax(base, mm), zs)
+    return out.select(
+        "event_id",
+        F.round("value_minmax", 6).alias("value_minmax"),
+        F.round("value_zscore", 6).alias("value_zscore"))
+
+
+def _q_one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding (kgp.encode — DummyVariableCreator port) of
+    the events event_type column (5-value domain, no collapse rule):
+    fit on the full table, indicator columns for the event_id % 13 = 0
+    slice."""
+    from kgp.encode import apply_one_hot, fit_one_hot
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mapping = fit_one_hot(events, ["event_type"])
+    sliced = events.where(F.col("event_id") % 13 == 0) \
+        .select("event_id", "event_type")
+    return apply_one_hot(sliced, mapping)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -588,6 +657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": _q_roc_auc,
         "feature_ranking": _q_feature_ranking,
         "nominal_pred": _q_nominal_pred,
+        "tfidf_vectors": _q_tfidf_vectors,
+        "tfidf_doc_sim": _q_tfidf_doc_sim,
+        "feature_normalize": _q_feature_normalize,
+        "one_hot_events": _q_one_hot_events,
     }
 
 
@@ -652,4 +725,8 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc": _oracle.roc_auc_sql(),
         "feature_ranking": _oracle.feature_ranking_sql(),
         "nominal_pred": _oracle.nominal_pred_sql(),
+        "tfidf_vectors": _oracle.tfidf_vectors_sql(),
+        "tfidf_doc_sim": _oracle.tfidf_doc_sim_sql(),
+        "feature_normalize": _oracle.feature_normalize_sql(),
+        "one_hot_events": _oracle.one_hot_events_sql(),
     }

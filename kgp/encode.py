@@ -1,5 +1,6 @@
-"""Feature encoders + the nominal co-occurrence classifier — ports of
-palladian-core classification/encode/ and classification/nominal/.
+"""Feature encoders, normalizers + the nominal co-occurrence
+classifier — ports of palladian-core classification/encode/,
+classification/nominal/ and classification/utils/.
 
   * LabelEncoder (LabelEncoder.java:44-70, sklearn-style): each
     nominal column gets a companion ``<col>_index`` in [0, n) assigned
@@ -9,6 +10,19 @@ palladian-core classification/encode/ and classification/nominal/.
     ``<col>_frequency`` = count(value in the reference dataset) /
     total rows; nulls either stay null (KEEP_NULL, default) or take
     the null-count frequency (ASSIGN_FREQUENCY).
+  * MinMaxNormalizer / ZScoreNormalizer (MinMaxNormalizer.java:59-86,
+    ZScoreNormalizer.java + SlimStats.java:109-117): per-column stats
+    over the NON-NULL values; min==max degenerates to value-min, and
+    stddev==0 (sample stddev, n-1 denominator) to value-mean — the
+    reference's exact fallbacks.
+  * DummyVariableCreator (DummyVariableCreator.java:59-127): one-hot
+    companion columns named ``<col>:<value>``; a column with <= 2
+    distinct values INCLUDING null collapses to a single indicator —
+    for the {true,false} domain the "true" column, otherwise one
+    arbitrary value (the reference takes HashSet iteration order,
+    nondeterministic by construction; this port takes the SORTED-first
+    value, a documented deterministic substitute). Unseen / null
+    values map to all-zeros.
   * NominalClassifier (NominalClassifier.java:24-66): training counts
     (value, category) co-occurrences into ONE matrix keyed by the raw
     value string — values colliding across feature columns SHARE a row
@@ -108,3 +122,104 @@ def nominal_predict(df: DataFrame, model: DataFrame,
             .select(id_col, F.col("category").alias("predicted"),
                     F.round(F.col("score") / F.col("_t"), 6)
                     .alias("probability")))
+
+# --------------------------------------------------------- normalizers
+
+
+def fit_minmax(df: DataFrame, cols: list[str]) -> dict[str, tuple]:
+    """Per-column (min, max) over non-null values in ONE aggregation
+    (MinMaxNormalizer + AbstractStatsNormalizer.calculate — nulls are
+    skipped, AbstractStatsNormalizer.java:36-45). Columns with no
+    non-null value get no entry (normalize passes them through)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(c + "_min"), F.max(c).alias(c + "_max")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: (row[c + "_min"], row[c + "_max"]) for c in cols
+            if row[c + "_min"] is not None}
+
+
+def apply_minmax(df: DataFrame, stats: dict[str, tuple]) -> DataFrame:
+    """MinMaxNormalization.normalize (MinMaxNormalizer.java:76-86):
+    (v - min) / (max - min), degenerating to v - min when max == min.
+    Pure column expressions — zero shuffle, zero Python."""
+    out = df
+    for c, (lo, hi) in stats.items():
+        diff = hi - lo
+        expr = ((F.col(c) - F.lit(lo)) / F.lit(diff) if diff != 0
+                else F.col(c) - F.lit(lo))
+        out = out.withColumn(c, expr)
+    return out
+
+
+def fit_zscore(df: DataFrame, cols: list[str]) -> dict[str, tuple]:
+    """Per-column (mean, sample stddev) over non-null values in ONE
+    aggregation (ZScoreNormalizer + SlimStats.getStandardDeviation,
+    SlimStats.java:109-117: n-1 denominator, 0 for a single value)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(c).alias(c + "_mean"),
+                 F.stddev_samp(c).alias(c + "_std"),
+                 F.count(c).alias(c + "_n")]
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for c in cols:
+        if row[c + "_n"] == 0:
+            continue
+        std = row[c + "_std"]
+        out[c] = (row[c + "_mean"], 0.0 if std is None else std)
+    return out
+
+
+def apply_zscore(df: DataFrame, stats: dict[str, tuple]) -> DataFrame:
+    """ZScoreNormalization.normalize: (v - mean) / std, degenerating
+    to v - mean when std == 0. Pure column expressions."""
+    out = df
+    for c, (mean, std) in stats.items():
+        expr = F.col(c) - F.lit(mean)
+        if std != 0:
+            expr = expr / F.lit(std)
+        out = out.withColumn(c, expr)
+    return out
+
+
+# ------------------------------------------------------------ one-hot
+
+
+def fit_one_hot(df: DataFrame, cols: list[str]) -> dict[str, list[str]]:
+    """DummyVariableCreator fit: distinct values per nominal column
+    (one distinct aggregation per column — value-cardinality keys).
+    Applies the <= 2-uniques-including-null collapse rule
+    (DummyVariableCreator.java:85-99); see module docstring for the
+    deterministic tie substitute."""
+    mapping: dict[str, list[str]] = {}
+    for c in cols:
+        rows = df.select(F.col(c).cast("string").alias("_v")) \
+            .distinct().collect()
+        vals = sorted(r["_v"] for r in rows if r["_v"] is not None)
+        has_null = any(r["_v"] is None for r in rows)
+        if len(vals) + int(has_null) <= 2:
+            if set(vals) >= {"true", "false"}:
+                vals = ["true"]
+            elif vals:
+                vals = [vals[0]]
+        mapping[c] = vals
+    return mapping
+
+
+def apply_one_hot(df: DataFrame, mapping: dict[str, list[str]],
+                  keep_original: bool = False) -> DataFrame:
+    """DummyVariableCreator apply: ``<col>:<value>`` integer indicator
+    columns; null / unseen values produce all-zeros
+    (DummyVariableCreator.java:120-127 `missing` vector). Pure column
+    expressions — zero shuffle, zero Python."""
+    out = df
+    for c, vals in mapping.items():
+        for v in vals:
+            out = out.withColumn(
+                f"{c}:{v}",
+                F.when(F.col(c).cast("string") == v, 1)
+                .otherwise(0).cast("int"))
+        if not keep_original:
+            out = out.drop(c)
+    return out

@@ -1463,3 +1463,101 @@ ranked AS (
 SELECT doc_id, category AS predicted,
        round(score / t, 6) AS probability
 FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+
+
+def tfidf_vectors_sql(doc_mod: int = 17) -> str:
+    """DuckDB mirror of kgp.textvector.vectorize_stage
+    (TextVectorizer TERM_FREQUENCY x IDF, TextVectorizer.java:34-101):
+    the corpus fits on ALL documents (distinct terms per doc ->
+    doc_count), the output is the doc_id % doc_mod = 0 slice. The
+    idf ln() is rounded to 7 decimals before the tf product, the
+    weight to 6 (the repo cross-engine ladder)."""
+    toks = _decontam_tokens_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS doc_count
+       FROM toks GROUP BY term),
+cnt AS (SELECT doc_id, term, count(*) AS c FROM toks
+        GROUP BY doc_id, term),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+SELECT c.doc_id, c.term,
+       round((c.c / t.n) * round(ln(nd.n_docs / df.doc_count), 7), 6)
+         AS weight
+FROM cnt c JOIN tot t USING (doc_id) JOIN df USING (term), nd
+WHERE c.doc_id % {doc_mod} = 0
+ORDER BY c.doc_id, c.term"""
+
+
+def tfidf_doc_sim_sql(pair_mod: int = 5) -> str:
+    """DuckDB mirror of kgp.textvector.doc_weights_tfidfsim +
+    tfidf_pair_sim_stage (TfIdfSimilarity.java:36-76): per-doc
+    tf = count / total_tokens, idf = 1 + ln(N / (df + 1)) rounded to
+    7, cosine over (doc_id, doc_id + 1) pairs for doc_id % pair_mod
+    = 0, rounded to 4 (sums are engine-order-dependent; 4 decimals
+    sit far above the 1e-13 accumulation error)."""
+    toks = _decontam_tokens_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS doc_count
+       FROM toks GROUP BY term),
+cnt AS (SELECT doc_id, term, count(*) AS c FROM toks
+        GROUP BY doc_id, term),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),
+w AS (
+  SELECT c.doc_id, c.term,
+         (c.c / t.n)
+           * round(1 + ln(nd.n_docs / (df.doc_count + 1)), 7) AS wt
+  FROM cnt c JOIN tot t USING (doc_id) JOIN df USING (term), nd),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nn FROM w
+        GROUP BY doc_id),
+prs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % {pair_mod} = 0),
+dots AS (
+  SELECT p.a_id, p.b_id, sum(wa.wt * wb.wt) AS dot
+  FROM prs p
+  JOIN w wa ON wa.doc_id = p.a_id
+  JOIN w wb ON wb.doc_id = p.b_id AND wb.term = wa.term
+  GROUP BY p.a_id, p.b_id)
+SELECT p.a_id, p.b_id,
+       coalesce(round(d.dot / (na.nn * nb.nn), 4), 0.0) AS cosine
+FROM prs p
+LEFT JOIN dots d ON d.a_id = p.a_id AND d.b_id = p.b_id
+JOIN nrm na ON na.doc_id = p.a_id
+JOIN nrm nb ON nb.doc_id = p.b_id
+ORDER BY p.a_id"""
+
+
+def feature_normalize_sql() -> str:
+    """DuckDB mirror of kgp.encode fit/apply_minmax + fit/apply_zscore
+    (MinMaxNormalizer.java:76-86, ZScoreNormalizer + SlimStats.java:
+    109-117 sample stddev) over the events value column; both outputs
+    rounded to 6."""
+    return """
+WITH s AS (
+  SELECT min(value) AS mn, max(value) AS mx,
+         avg(value) AS av, stddev_samp(value) AS sd FROM events)
+SELECT event_id,
+       round((value - s.mn) / (s.mx - s.mn), 6) AS value_minmax,
+       round((value - s.av) / s.sd, 6) AS value_zscore
+FROM events, s ORDER BY event_id"""
+
+
+def one_hot_events_sql(slice_mod: int = 13) -> str:
+    """DuckDB mirror of kgp.encode fit/apply_one_hot
+    (DummyVariableCreator.java:59-127) over the events event_type
+    column (stable 5-value domain: click/error/purchase/signup/view —
+    > 2 uniques, so no collapse rule fires); event_id % slice_mod = 0
+    slice."""
+    cols = ",\n       ".join(
+        f"CAST(event_type = '{v}' AS INT) AS \"event_type:{v}\""
+        for v in ["click", "error", "purchase", "signup", "view"])
+    return f"""
+SELECT event_id,
+       {cols}
+FROM events WHERE event_id % {slice_mod} = 0 ORDER BY event_id"""
