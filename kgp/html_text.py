@@ -95,6 +95,39 @@ _TABLE_STRUCTURAL = {"caption", "colgroup", "col", "thead", "tbody",
                      "template", "form"}
 _ROW_STRUCTURAL = {"td", "th", "tr", "script", "style", "template"}
 
+# WHATWG "formatting" category (the adoption-agency participants) and
+# the "special" category (block/structural elements an end tag may
+# never pop through)
+_FORMATTING = {"a", "b", "big", "code", "em", "font", "i", "nobr", "s",
+               "small", "strike", "strong", "tt", "u"}
+# end tags with an explicit in-body rule: "if in scope, generate
+# implied end tags, then pop through" — these DO pop across open
+# specials (an unclosed <li> before </ul>, a <div> before </section>),
+# bounded by the scope barriers
+_BLOCK_END = {"address", "article", "aside", "blockquote", "button",
+              "center", "details", "dialog", "dir", "div", "dl",
+              "fieldset", "figcaption", "figure", "footer", "header",
+              "hgroup", "listing", "main", "menu", "nav", "ol", "pre",
+              "section", "summary", "ul", "p", "li", "dd", "dt", "h1",
+              "h2", "h3", "h4", "h5", "h6", "form"}
+# "has an element in scope" stops at these (the spec's particular
+# scope list)
+_SCOPE_BARRIERS = {"html", "table", "td", "th", "caption", "object",
+                   "marquee", "template"}
+_SPECIAL = {"address", "applet", "area", "article", "aside", "base",
+            "basefont", "bgsound", "blockquote", "body", "br", "button",
+            "caption", "center", "col", "colgroup", "dd", "details",
+            "dir", "div", "dl", "dt", "embed", "fieldset", "figcaption",
+            "figure", "footer", "form", "frame", "frameset", "h1", "h2",
+            "h3", "h4", "h5", "h6", "head", "header", "hgroup", "hr",
+            "html", "iframe", "img", "input", "li", "link", "listing",
+            "main", "marquee", "menu", "meta", "nav", "noembed",
+            "noframes", "noscript", "object", "ol", "p", "param",
+            "plaintext", "pre", "script", "section", "select", "source",
+            "style", "summary", "table", "tbody", "td", "template",
+            "textarea", "tfoot", "th", "thead", "title", "tr", "track",
+            "ul", "wbr", "xmp"}
+
 
 class _DomParser(HTMLParser):
     def __init__(self) -> None:
@@ -131,8 +164,16 @@ class _DomParser(HTMLParser):
         if tag == "table" and self.stack[-1].tag in _TABLE_CTX:
             # "table start tag in table": close the open table first
             self._pop_to("table")
-        if tag in P_CLOSERS and "p" in self._open_tags():
-            self._pop_to("p")
+        if tag in P_CLOSERS:
+            # close an open <p> only within button scope (a <p> on the
+            # other side of a table cell stays open, per spec)
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    del self.stack[i:]
+                    break
+                if t in _SCOPE_BARRIERS or t == "button":
+                    break
         implied = _SELF_CLOSERS.get(tag)
         if implied and self.stack[-1].tag in implied:
             self.stack.pop()
@@ -158,7 +199,47 @@ class _DomParser(HTMLParser):
             return
         if tag in VOID_ELEMENTS:
             return
-        self._pop_to(tag)
+        if tag in _BLOCK_END:
+            # explicit in-body end-tag rule: pop through the matching
+            # element if it is in scope (implied end tags close the
+            # unclosed <li>/<p>/<div>s in between); ignore otherwise.
+            # <li> uses "list item scope" (+ ul/ol barriers), <p>
+            # "button scope" (+ button)
+            barriers = _SCOPE_BARRIERS
+            if tag == "li":
+                barriers = barriers | {"ul", "ol"}
+            elif tag == "p":
+                barriers = barriers | {"button"}
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == tag:
+                    del self.stack[i:]
+                    return
+                if t in barriers:
+                    return
+            return
+        # WHATWG "any other end tag" in body: walk the open stack from
+        # the top; a matching node pops through (implied ends for the
+        # elements above it), but a SPECIAL (block/structural) node in
+        # the way means the end tag is misnested. For formatting
+        # elements that is the adoption-agency case: the formatting
+        # entry is removed from the open stack WITHOUT popping the
+        # blocks above it (the algorithm's subtree cloning only
+        # re-wraps inline formatting, which never changes
+        # documentToText output — the text-relevant effect is that the
+        # block stays open). For any other tag the token is ignored,
+        # as the spec does.
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+            if self.stack[i].tag in _SPECIAL:
+                if tag in _FORMATTING:
+                    for j in range(i - 1, 0, -1):
+                        if self.stack[j].tag == tag:
+                            del self.stack[j]
+                            break
+                return
 
     def _pop_to(self, tag: str) -> None:
         if tag not in self._open_tags():

@@ -456,3 +456,71 @@ def test_extract_stage_auto_english_unaffected(spark):
         "warc_ts", F.current_timestamp())).first()
     # declared lang is de, but the content is English -> EN split
     assert len(row.sentences) == 2
+
+
+def test_adoption_agency_formatting_end_keeps_block_open():
+    """</b> across an open <div> removes the formatting entry but must
+    NOT close the div (the adoption-agency outcome for text placement):
+    text after the end tag stays inside the block."""
+    from kgp.html_text import parse_html
+    root = parse_html("<body><b>one<div>two</b>three</div>after</body>")
+    div = next(n for n in root.iter() if n.tag == "div")
+    assert "three" in div.text_content()
+    body = next(n for n in root.iter() if n.tag == "body")
+    # "after" is a direct child of body, not swallowed by <b>
+    assert any(c.tag == "#text" and "after" in (c.data or "")
+               for c in body.children)
+
+
+def test_misnested_special_end_tag_ignored():
+    """WHATWG 'any other end tag': </span> with an open <div> in the
+    way is ignored — the div stays open and the span swallows the
+    following content (matching browser trees)."""
+    from kgp.html_text import parse_html
+    root = parse_html("<body><span><div>x</span>y</div>z</body></html>")
+    div = next(n for n in root.iter() if n.tag == "div")
+    assert "y" in div.text_content()
+    span = next(n for n in root.iter() if n.tag == "span")
+    assert "z" in span.text_content()
+
+
+def test_ul_end_closes_unclosed_li():
+    """</ul> with unclosed <li> children pops through them (generate
+    implied end tags) — the codinghorror fixture case: content after
+    the list must not nest inside the last <li>."""
+    from kgp.html_text import parse_html
+    root = parse_html("<body><ul><li>a<li>b</ul><p>after</p></body>")
+    ul = next(n for n in root.iter() if n.tag == "ul")
+    assert "after" not in ul.text_content()
+    assert len([c for c in ul.children if c.tag == "li"]) == 2
+
+
+def test_block_end_tag_not_in_scope_ignored():
+    """</div> inside a table cell must not close a div outside the
+    table (scope barrier), and an implied </p> is likewise bounded."""
+    from kgp.html_text import parse_html
+    root = parse_html("<body><div>out<table><tr><td>in</div>still"
+                      "</td></tr></table>tail</div></body>")
+    td = next(n for n in root.iter() if n.tag == "td")
+    assert "still" in td.text_content()
+    # the outer div survives until its real end tag
+    div = next(n for n in root.iter() if n.tag == "div")
+    assert "tail" in div.text_content()
+
+
+def test_table_closes_p_and_td_p_is_scoped():
+    """<table> start closes an open <p> (standards mode); a <p> opened
+    inside a td is closed by a block start WITHIN the cell, not by
+    anything outside (button scope bounded at the cell)."""
+    from kgp.html_text import parse_html
+    root = parse_html("<body><p>before<table><tr><td><p>inner<div>d"
+                      "</div></td></tr></table>after</body>")
+    body = next(n for n in root.iter() if n.tag == "body")
+    assert [c.tag for c in body.children
+            if not c.tag.startswith("#")] == ["p", "table"]
+    outer_p = next(n for n in root.iter() if n.tag == "p")
+    assert outer_p.text_content() == "before"
+    td = next(n for n in root.iter() if n.tag == "td")
+    inner_p = next(n for n in td.iter() if n.tag == "p")
+    assert "d" not in inner_p.text_content()   # div closed it
+    assert "d" in td.text_content()
