@@ -39,6 +39,7 @@ class FeatureSetting:
     min_term_len: int = 3
     max_term_len: int = 20
     case_sensitive: bool = False
+    skip_grams: bool = False
 
 
 STOPWORDS = set(STOPWORDS_EN) | {
@@ -135,7 +136,18 @@ def preprocess(text: str, fs: FeatureSetting) -> list[str]:
         tokens = [t for t in tokens if t.lower() not in STOPWORDS]
     tokens = [t for t in tokens
               if fs.min_term_len <= len(t) <= fs.max_term_len]
-    return word_ngrams(tokens, fs.min_ngram, fs.max_ngram)
+    grams = word_ngrams(tokens, fs.min_ngram, fs.max_ngram)
+    if fs.skip_grams:
+        # SkipGramWrapperIterator (SkipGramWrapperIterator.java:20-44):
+        # each n-gram of > 2 words is followed by "first last"
+        out = []
+        for g in grams:
+            out.append(g)
+            parts = g.split(" ")
+            if len(parts) > 2:
+                out.append(parts[0] + " " + parts[-1])
+        return out
+    return grams
 
 
 # ------------------------------------------------------ dictionary model

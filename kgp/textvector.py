@@ -322,6 +322,43 @@ def read_vec_file(path: str, limit: int | None = None
     return entries, dim, case_sensitive
 
 
+def read_word2vec_bin(path: str) -> tuple[dict[str, list[float]],
+                                           int, bool]:
+    """Word2VecReader.fromBinFile port (Word2VecReader.java:16-90):
+    header line `vocab_size vector_size`, then per entry the word up
+    to a space (leading newlines skipped) followed by vector_size
+    floats. Reference quirks kept: the floats are read BIG-endian
+    (the Java reader's explicit ByteOrder, though canonical word2vec
+    files are little-endian), and words containing '_' are filtered
+    out. Returns (vectors, dim, case_sensitive)."""
+    import struct
+
+    with open(path, "rb") as fh:
+        header = b""
+        while not header.endswith(b"\n"):
+            header += fh.read(1)
+        vocab_size, vector_size = (int(x) for x in
+                                   header.decode("ascii").split(" "))
+        entries: dict[str, list[float]] = {}
+        case_sensitive = False
+        for _ in range(vocab_size):
+            wb = b""
+            while True:
+                c = fh.read(1)
+                if c == b" ":
+                    break
+                if c != b"\n":
+                    wb += c
+            word = wb.decode("utf-8", errors="replace")
+            floats = list(struct.unpack(f">{vector_size}f",
+                                        fh.read(4 * vector_size)))
+            if "_" not in word:
+                entries[word] = floats
+            if word != word.lower():
+                case_sensitive = True
+    return entries, vector_size, case_sensitive
+
+
 # ------------------------------------------------------- Spark stages
 
 

@@ -112,3 +112,19 @@ def test_language_classifier_chars():
     assert detect_language("der hund springt über den zaun", model) == "de"
     assert detect_language("le chien saute par dessus la barrière",
                            model) == "fr"
+
+
+def test_skip_grams():
+    """SkipGramWrapperIteratorTest: 1- and 2-word grams pass through
+    unchanged; a 3-word gram is followed by 'first last'."""
+    from kgp.textclassifier import FeatureSetting, preprocess
+    fs = FeatureSetting(mode="word", min_ngram=3, max_ngram=3,
+                        min_term_len=1, max_term_len=100,
+                        skip_grams=True)
+    assert preprocess("the quick brown", fs) == \
+        ["the quick brown", "the brown"]
+    fs2 = FeatureSetting(mode="word", min_ngram=1, max_ngram=2,
+                         min_term_len=1, max_term_len=100,
+                         skip_grams=True)
+    got = preprocess("the quick", fs2)
+    assert got == ["the", "quick", "the quick"]

@@ -258,3 +258,21 @@ def test_vectorize_stage_plan_no_python(spark, docs_df):
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_read_word2vec_bin(tmp_path):
+    """Word2VecReader quirks: big-endian floats, '_'-words filtered,
+    case-sensitivity sniff, inter-record newlines skipped."""
+    import struct
+    from kgp.textvector import read_word2vec_bin
+    p = tmp_path / "toy.bin"
+    with open(p, "wb") as fh:
+        fh.write(b"3 2\n")
+        fh.write(b"alpha " + struct.pack(">2f", 1.0, 0.5))
+        fh.write(b"\nBeta " + struct.pack(">2f", 0.25, -1.0))
+        fh.write(b"\nsome_compound " + struct.pack(">2f", 9.0, 9.0))
+    vecs, dim, cs = read_word2vec_bin(str(p))
+    assert dim == 2 and cs is True
+    assert vecs["alpha"] == [1.0, 0.5]
+    assert vecs["Beta"] == [0.25, -1.0]
+    assert "some_compound" not in vecs
