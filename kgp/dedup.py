@@ -222,10 +222,10 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
 # ----------------------------------------------------------- SimHash
 
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", k: int = 5) -> DataFrame:
-    """(doc_id, simhash: long) — 64-bit SimHash over k-shingles
-    (sign-aggregated bitwise votes), numpy-vectorized."""
+def simhash_udf(k: int = 5):
+    """The 64-bit SimHash pandas UDF as a reusable column function
+    (so streaming stages can compute the signature inline without a
+    rejoin — stream-stream joins need time bounds)."""
 
     @F.pandas_udf(T.LongType())
     def sh_udf(texts: pd.Series) -> pd.Series:
@@ -247,8 +247,15 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
             out.append(val - (1 << 64) if val >= (1 << 63) else val)
         return pd.Series(out)
 
+    return sh_udf
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash over k-shingles
+    (sign-aggregated bitwise votes), numpy-vectorized."""
     return docs.select(F.col(id_col).alias("doc_id"),
-                       sh_udf(F.col(text_col)).alias("simhash"))
+                       simhash_udf(k)(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",

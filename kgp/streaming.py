@@ -100,3 +100,91 @@ def run_stream(df: DataFrame, out_path: str, checkpoint: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def stream_near_dups(docs: DataFrame, watermark: str = "1 hour",
+                     ts_col: str = "warc_ts", id_col: str = "url",
+                     text_col: str = "text", k: int = 5,
+                     max_hamming: int = 3,
+                     state_ttl_ms: int = 3_600_000) -> DataFrame:
+    """Streaming near-duplicate detection — the custom stateful
+    operator Spark has no built-in for (dropDuplicatesWithinWatermark
+    is exact-key only): SimHash 4x16-bit pigeonhole bands
+    (kgp.dedup.simhash_near_dups' exact blocking), with per-bucket
+    state carried across micro-batches via applyInPandasWithState.
+
+    Each (band, chunk) bucket keeps the signatures seen inside the
+    watermark horizon; a new document emits one row per prior
+    in-bucket document within Hamming distance max_hamming — so a
+    re-crawl arriving in a LATER micro-batch is still caught (the
+    batch/stream agreement test pins this against
+    kgp.dedup.simhash_near_dups on the union). State is dropped by an
+    event-time timeout one TTL past the watermark — bounded state on
+    an unbounded crawl.
+
+    Within a micro-batch, rows process in (ts, id) order so output is
+    partition- and arrival-order-independent. Output: (id, dup_of,
+    hamming) — a pair sharing multiple bands emits once per band;
+    downstream distinct() if pair-unique rows are needed.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kgp.dedup import simhash_udf
+
+    # signature computed INLINE so ts rides along — a rejoin would be
+    # a stream-stream join, which needs time bounds
+    signed = docs.select(F.col(id_col).alias("_id"), F.col(ts_col),
+                         simhash_udf(k)(F.col(text_col))
+                         .alias("simhash"))
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("simhash", i * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+        for i in range(4)])
+    buckets = (signed.withColumn("bk", F.explode(bands))
+               .select("_id", ts_col, "simhash",
+                       F.col("bk.band").alias("band"),
+                       F.col("bk.chunk").alias("chunk")))
+
+    mask = (1 << 64) - 1
+    out_schema = ("id string, dup_of string, hamming int, band int")
+    state_schema = "ids array<string>, fps array<long>"
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, fps = ([], [])
+        if state.exists:
+            ids, fps = state.get
+            ids, fps = list(ids), list(fps)
+        rows = []
+        frames = list(pdf_iter)
+        group_max_ms = 0
+        if frames:
+            pdf = pd.concat(frames).sort_values([ts_col, "_id"])
+            group_max_ms = int(pdf[ts_col].max().timestamp() * 1000)
+            for _id, fp in zip(pdf["_id"], pdf["simhash"]):
+                fpu = int(fp) & mask
+                for pid, pfp in zip(ids, fps):
+                    h = bin(fpu ^ (int(pfp) & mask)).count("1")
+                    if h <= max_hamming:
+                        rows.append((_id, pid, h, int(key[0])))
+                ids.append(_id)
+                fps.append(int(fp))
+        state.update((ids, fps))
+        # TTL anchors to EVENT time (group max or the watermark,
+        # whichever is later) — the first batch's watermark is 0, so a
+        # watermark-only anchor would expire fresh state at epoch+ttl
+        state.setTimeoutTimestamp(
+            max(group_max_ms, state.getCurrentWatermarkMs() + 1)
+            + state_ttl_ms)
+        yield pd.DataFrame(rows, columns=["id", "dup_of", "hamming",
+                                          "band"])
+
+    return (buckets.withWatermark(ts_col, watermark)
+            .groupBy("band", "chunk")
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))

@@ -126,3 +126,97 @@ def test_streaming_curation_unchanged(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 15
     assert {"clean_text", "n_kept", "keep_doc"} <= set(got.columns)
+
+
+def test_stream_near_dups_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState near-dup: a re-crawl arriving in a LATER
+    micro-batch is caught against the banded SimHash state, and the
+    emitted pairs agree with the batch operator on the union."""
+    import pandas as pd
+    from kgp.dedup import simhash_near_dups
+    from kgp.streaming import run_stream, stream_near_dups
+
+    src = str(tmp_path / "nd_pages")
+    sink = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "on running through the quiet green field all day long")
+    variant = base.replace("green", "greener")     # near-dup of base
+    distinct = ("completely different content about distributed "
+                "query engines shuffling columnar batches at scale")
+
+    rows1 = [("u1", "2024-01-01 00:00:00", base),
+             ("u2", "2024-01-01 00:01:00", distinct)]
+    rows2 = [("u3", "2024-01-01 00:05:00", variant),
+             ("u4", "2024-01-01 00:06:00", base)]
+
+    def write(rows):
+        spark.createDataFrame(
+            [(u, t, x) for u, t, x in rows],
+            "url string, ts string, text string") \
+            .selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts",
+                        "text") \
+            .write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string").parquet(src)
+        out = stream_near_dups(stream, watermark="10 minutes")
+        run_stream(out, sink, ckpt)
+
+    write(rows1)
+    drain()
+    got1 = spark.read.parquet(sink)
+    assert got1.count() == 0            # nothing similar yet
+
+    write(rows2)
+    drain()
+    got = {(r.id, r.dup_of) for r in
+           spark.read.parquet(sink).collect()}
+    # batch/stream agreement: same pairs as the batch operator on the
+    # union (batch emits (a<b) once; stream emits (newer, older))
+    all_rows = rows1 + rows2
+    union = spark.createDataFrame(
+        [(u, x) for u, _, x in all_rows], "doc_id string, text string")
+    want = set()
+    for r in simhash_near_dups(union, id_col="doc_id").collect():
+        a, b = sorted([r.a, r.b])      # u1 < u3 < u4: older id first
+        want.add((b, a))               # stream emits newer -> older
+    assert want, "batch operator must find the planted near-dups"
+    assert got == want
+
+
+def test_stream_near_dups_state_expires(spark, tmp_path):
+    """State is dropped once event time passes watermark + TTL: a
+    re-crawl arriving hours later no longer matches."""
+    from kgp.streaming import run_stream, stream_near_dups
+
+    src = str(tmp_path / "ndx_pages")
+    sink = str(tmp_path / "ndx_out")
+    ckpt = str(tmp_path / "ndx_ckpt")
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "on running through the quiet green field all day long")
+
+    def write(rows):
+        spark.createDataFrame(rows, "url string, ts string, text string") \
+            .selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts",
+                        "text").write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string").parquet(src)
+        run_stream(stream_near_dups(
+            stream, watermark="10 minutes", state_ttl_ms=600_000),
+            sink, ckpt)
+
+    write([("u1", "2024-01-01 00:00:00", base)])
+    drain()
+    # 4 hours later: watermark advances far past u1's 10-min TTL, so
+    # the timed-out bucket state is removed before u2 is processed
+    write([("w1", "2024-01-01 04:00:00", "unrelated filler text")])
+    drain()
+    write([("u2", "2024-01-01 04:10:00", base)])
+    drain()
+    ids = {r.id for r in spark.read.parquet(sink).collect()}
+    assert "u2" not in ids
