@@ -22,6 +22,7 @@ Design for a 100 TB multimodal corpus:
 
 from __future__ import annotations
 
+import math
 import struct
 from collections.abc import Iterator
 from hashlib import blake2b
@@ -318,3 +319,150 @@ def media_stats(media: DataFrame) -> DataFrame:
                  .alias("avg_bytes"),
                  F.max("meta.width").alias("max_width"))
             .orderBy("kind"))
+
+
+# --------------------------------------------------- color analysis
+# ColorSpaceConverter port (extraction/multimedia/
+# ColorSpaceConverter.java:15-33 D65 white point + sRGB matrix,
+# :rgbToXyz/:xyzToLab — the standard CIE pipeline) and
+# ImageHandler.detectColors (ImageHandler.java:1004-1082): perceptual
+# Lab-distance pixel clustering, top-3 main colors.
+
+_SRGB_M = ((0.4124, 0.3576, 0.1805),
+           (0.2126, 0.7152, 0.0722),
+           (0.0193, 0.1192, 0.9505))
+_D65 = (95.0429, 100.0, 108.8900)
+
+
+def rgb_to_lab(r: int, g: int, b: int) -> tuple[float, float, float]:
+    """ColorSpaceConverter.rgbToLab (rgbToXyz + xyzToLab, exact
+    constants incl. the 7.787 linear segment and 16/116 offset)."""
+    def lin(v: float) -> float:
+        v = v / 255.0
+        return v / 12.92 if v <= 0.04045 else ((v + 0.055) / 1.055) ** 2.4
+
+    rl, gl, bl = lin(r) * 100, lin(g) * 100, lin(b) * 100
+    xyz = [rl * m[0] + gl * m[1] + bl * m[2] for m in _SRGB_M]
+
+    def f(v: float) -> float:
+        return v ** (1 / 3) if v > 0.008856 else 7.787 * v + 16.0 / 116.0
+
+    x, y, z = (f(xyz[i] / _D65[i]) for i in range(3))
+    return 116.0 * y - 16.0, 500.0 * (x - y), 200.0 * (y - z)
+
+
+def color_distance(rgb1, rgb2) -> float:
+    """ImageHandler.colorDistance: CIE76 Euclidean distance in Lab."""
+    l1 = rgb_to_lab(*rgb1)
+    l2 = rgb_to_lab(*rgb2)
+    return math.sqrt(sum((a - b) ** 2 for a, b in zip(l1, l2)))
+
+
+# Named-color palette. The reference ships a 347-entry colors.csv
+# resource; copying it is out (data file of the reference repo), so
+# this uses the CSS2/CSS3 *basic color keywords* (public W3C spec)
+# with the obvious main-color grouping — same schema (hex, fine name,
+# main name), same matching algorithm, smaller vocabulary. Swap in any
+# richer table at construction time.
+CSS_BASIC_PALETTE: list[tuple[str, str, str]] = [
+    ("#000000", "Black", "Black"), ("#C0C0C0", "Silver", "Gray"),
+    ("#808080", "Gray", "Gray"), ("#FFFFFF", "White", "White"),
+    ("#800000", "Maroon", "Red"), ("#FF0000", "Red", "Red"),
+    ("#800080", "Purple", "Purple"), ("#FF00FF", "Fuchsia", "Purple"),
+    ("#008000", "Green", "Green"), ("#00FF00", "Lime", "Green"),
+    ("#808000", "Olive", "Yellow"), ("#FFFF00", "Yellow", "Yellow"),
+    ("#000080", "Navy", "Blue"), ("#0000FF", "Blue", "Blue"),
+    ("#008080", "Teal", "Green"), ("#00FFFF", "Aqua", "Blue"),
+    ("#FFA500", "Orange", "Orange"), ("#A52A2A", "Brown", "Brown"),
+    ("#FFC0CB", "Pink", "Pink"),
+]
+
+
+def _hex_to_rgb(hex_code: str) -> tuple[int, int, int]:
+    h = hex_code.lstrip("#")
+    return int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16)
+
+
+def find_best_match_color(rgb, palette=None) -> tuple[str, str]:
+    """ImageHandler.findBestMatchColor (:1068-1082): nearest palette
+    entry by Lab distance; strictly-smaller wins, so the FIRST of
+    equal-distance entries is kept (list order, deterministic)."""
+    palette = palette or CSS_BASIC_PALETTE
+    best = None
+    best_d = None
+    for hex_code, fine, main in palette:
+        d = color_distance(rgb, _hex_to_rgb(hex_code))
+        if best is None or d < best_d:
+            best, best_d = (fine, main), d
+    return best
+
+
+def detect_colors(pixels: "np.ndarray", palette=None,
+                  max_cluster_distance: float = 50.0,
+                  top: int = 3) -> list[tuple[str, str]]:
+    """ImageHandler.detectColors(BufferedImage) port
+    (ImageHandler.java:1004-1066): scan pixels x-outer/y-inner (the
+    BufferedImage.getRGB(i, j) order), drop near-white (all channels
+    > 245) and near-black (all < 10), greedily assign each pixel to
+    the first cluster whose running center is within Lab distance 50
+    (else open a new cluster), sort clusters by population desc, and
+    return (fine, main) names of the first `top` DISTINCT main
+    colors. Python ints throughout (the Java totals are longs)."""
+    clusters: list[list[int]] = []   # [tot_r, tot_g, tot_b, n]
+    h, w = pixels.shape[0], pixels.shape[1]
+    for i in range(w):
+        for j in range(h):
+            r, g, b = (int(v) for v in pixels[j, i, :3])
+            if (r > 245 and g > 245 and b > 245) or \
+                    (r < 10 and g < 10 and b < 10):
+                continue
+            for cl in clusters:
+                center = (int(cl[0] / cl[3]), int(cl[1] / cl[3]),
+                          int(cl[2] / cl[3]))
+                if color_distance(center, (r, g, b)) \
+                        < max_cluster_distance:
+                    cl[0] += r
+                    cl[1] += g
+                    cl[2] += b
+                    cl[3] += 1
+                    break
+            else:
+                clusters.append([r, g, b, 1])
+    clusters.sort(key=lambda c: -c[3])
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for cl in clusters:
+        center = (int(cl[0] / cl[3]), int(cl[1] / cl[3]),
+                  int(cl[2] / cl[3]))
+        fine, main = find_best_match_color(center, palette)
+        if main not in seen:
+            seen.add(main)
+            out.append((fine, main))
+        if len(seen) >= top:
+            break
+    return out
+
+
+def dominant_colors_stage(media: DataFrame, fake: bool = False,
+                          palette=None) -> DataFrame:
+    """(media_id, fine_color, main_color) of the most-populous color
+    cluster per image row — ONE mapInPandas pass over the pruned
+    (media_id, content) columns, decode + cluster per batch."""
+    pruned = media.where(F.col("kind") == "image") \
+        .select("media_id", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_image(bytes(content), fake=fake)
+                colors = detect_colors(px, palette)
+                if colors:
+                    rows.append((int(mid), colors[0][0], colors[0][1]))
+                else:
+                    rows.append((int(mid), None, None))
+            yield pd.DataFrame(rows, columns=["media_id", "fine_color",
+                                              "main_color"])
+
+    return pruned.mapInPandas(
+        run, "media_id long, fine_color string, main_color string")

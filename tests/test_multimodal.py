@@ -116,3 +116,57 @@ def test_media_stats_jvm_only(media):
     assert stats["image"].n > 0
     assert stats["image"].total_bytes > 0
     assert stats["video"].max_width <= 655
+
+
+# ------------------------------------------------------ color analysis
+
+
+def test_rgb_to_lab_reference_values():
+    """ColorSpaceConverter math: canonical sRGB/D65 Lab values."""
+    from kgp.multimodal import rgb_to_lab
+    l, a, b = rgb_to_lab(255, 0, 0)
+    assert abs(l - 53.23) < 0.1 and abs(a - 80.1) < 0.2 \
+        and abs(b - 67.2) < 0.2
+    l, a, b = rgb_to_lab(255, 255, 255)
+    assert abs(l - 100.0) < 0.1 and abs(a) < 0.2 and abs(b) < 0.2
+    l, a, b = rgb_to_lab(0, 0, 0)
+    assert abs(l) < 0.01
+
+
+def test_detect_colors_clusters_and_bounds():
+    import numpy as np
+    from kgp.multimodal import detect_colors
+    px = np.zeros((6, 6, 3), dtype=np.uint8)
+    px[:, :] = [252, 252, 252]      # near-white -> discarded
+    px[:3, :] = [250, 12, 12]       # red block
+    px[3:, :3] = [12, 12, 250]      # blue block (smaller)
+    got = detect_colors(px)
+    assert got[0][1] == "Red"       # most-populous cluster first
+    assert ("Blue" in [m for _, m in got])
+    # all-white image -> no clusters
+    white = np.full((4, 4, 3), 255, dtype=np.uint8)
+    assert detect_colors(white) == []
+
+
+def test_detect_colors_merges_close_shades():
+    import numpy as np
+    from kgp.multimodal import detect_colors
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[:, :2] = [200, 30, 30]
+    px[:, 2:] = [210, 40, 40]       # within Lab distance 50 of above
+    got = detect_colors(px)
+    # one merged cluster; its center (205,35,35) sits nearest the
+    # palette's Brown (#A52A2A) in Lab space
+    assert len(got) == 1 and got[0][1] in ("Red", "Brown")
+
+
+def test_dominant_colors_stage(spark):
+    import numpy as np
+    from kgp.multimodal import dominant_colors_stage, encode_bmp
+    px = np.zeros((5, 5, 3), dtype=np.uint8)
+    px[:, :] = [15, 15, 240]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(px)))],
+        "media_id long, kind string, content binary")
+    [row] = dominant_colors_stage(media).collect()
+    assert row.main_color == "Blue"
