@@ -276,3 +276,16 @@ def test_read_word2vec_bin(tmp_path):
     assert vecs["alpha"] == [1.0, 0.5]
     assert vecs["Beta"] == [0.25, -1.0]
     assert "some_compound" not in vecs
+
+
+def test_fit_with_palladian_preprocessor_tokens(spark, docs_df):
+    """The Arrow token UDF path (preprocess_tokens_udf) fits the same
+    corpus as the pure Preprocessor."""
+    from kgp.textvector import preprocess_tokens_udf
+    counts, n = fit_term_corpus(
+        docs_df, tokens=preprocess_tokens_udf(WORDS_1_100))
+    got = {r["term"]: r["doc_count"] for r in counts.collect()}
+    want = TermCorpusLocal()
+    for d in DOCS:
+        want.add_doc(preprocess(d, WORDS_1_100))
+    assert got == want.counts and n == want.num_docs
