@@ -322,6 +322,37 @@ def read_vec_file(path: str, limit: int | None = None
     return entries, dim, case_sensitive
 
 
+def save_term_corpus(corpus: TermCorpusLocal, path: str) -> None:
+    """MapTermCorpus.save port (MapTermCorpus.java:155-171): gzip text,
+    `numDocs#N` header, blank line, `term#count` rows."""
+    import gzip
+    with gzip.open(path, "wt", encoding="utf-8") as fh:
+        fh.write(f"numDocs#{corpus.num_docs}\n\n")
+        for term, count in corpus.counts.items():
+            fh.write(f"{term}#{count}\n")
+
+
+def load_term_corpus(path: str) -> TermCorpusLocal:
+    """MapTermCorpus.load port (MapTermCorpus.java:124-153): lines
+    past the header split on '#'; malformed lines are skipped, exactly
+    as the reference does."""
+    import gzip
+    counts: dict[str, int] = {}
+    num_docs = 0
+    with gzip.open(path, "rt", encoding="utf-8") as fh:
+        for number, line in enumerate(fh):
+            line = line.rstrip("\n")
+            split = line.split("#")
+            if number > 1:
+                if len(split) != 2:
+                    continue
+                counts[split[0]] = counts.get(split[0], 0) \
+                    + int(split[1])
+            elif line.startswith("numDocs#"):
+                num_docs = int(split[1])
+    return TermCorpusLocal(counts, num_docs)
+
+
 def read_word2vec_bin(path: str) -> tuple[dict[str, list[float]],
                                            int, bool]:
     """Word2VecReader.fromBinFile port (Word2VecReader.java:16-90):
@@ -512,7 +543,9 @@ def tfidf_pair_sim_stage(pairs: DataFrame, weights: DataFrame,
     if round_to is not None:
         cos = F.round(cos, round_to)
     # pairs with no shared term have dot 0 -> cosine 0, but the join
-    # dropped them; restore with a left join
+    # dropped them; restore with a left join. (A pair with an EMPTY
+    # token list on either side also lands here as 0.0 — the reference
+    # returns float NaN for those; callers filter empty docs first.)
     return (pairs.join(dots, [a_col, b_col], "left")
             .select(F.col(a_col), F.col(b_col),
                     F.coalesce(cos, F.lit(0.0)).alias("cosine")))

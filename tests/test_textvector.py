@@ -289,3 +289,19 @@ def test_fit_with_palladian_preprocessor_tokens(spark, docs_df):
     for d in DOCS:
         want.add_doc(preprocess(d, WORDS_1_100))
     assert got == want.counts and n == want.num_docs
+
+
+def test_term_corpus_save_load_roundtrip(tmp_path):
+    """MapTermCorpus gzip text format: numDocs header, term#count
+    rows; malformed lines skipped on load."""
+    import gzip
+    from kgp.textvector import load_term_corpus, save_term_corpus
+    c = _corpus()
+    p = str(tmp_path / "corpus.gz")
+    save_term_corpus(c, p)
+    back = load_term_corpus(p)
+    assert back.counts == c.counts and back.num_docs == c.num_docs
+    # malformed line is skipped like the reference's split-length check
+    with gzip.open(p, "at", encoding="utf-8") as fh:
+        fh.write("not a valid line without separator\n")
+    assert load_term_corpus(p).counts == c.counts
