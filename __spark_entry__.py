@@ -621,6 +621,20 @@ def _q_one_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_one_hot(sliced, mapping)
 
 
+def _q_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-threshold sweep (kgp.evaluate.threshold_analysis —
+    ThresholdAnalyzer.java port: round(score*bins) buckets, cumulative
+    at-or-above precision/recall, irrelevant-below accuracy, empty
+    bins between min and max occupied included) over the deterministic
+    label = doc_id%3=0 / score = (doc_id%101)/100 decoration."""
+    from kgp.evaluate import threshold_analysis
+    docs = _docs_table(spark, sf_dir)
+    labeled = docs.select(
+        (F.col("doc_id") % 3 == 0).alias("label"),
+        ((F.col("doc_id") % 101) / F.lit(100.0)).alias("score"))
+    return threshold_analysis(labeled)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -661,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_doc_sim": _q_tfidf_doc_sim,
         "feature_normalize": _q_feature_normalize,
         "one_hot_events": _q_one_hot_events,
+        "threshold_metrics": _q_threshold_metrics,
     }
 
 
@@ -729,4 +744,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_doc_sim": _oracle.tfidf_doc_sim_sql(),
         "feature_normalize": _oracle.feature_normalize_sql(),
         "one_hot_events": _oracle.one_hot_events_sql(),
+        "threshold_metrics": _oracle.threshold_metrics_sql(),
     }

@@ -165,3 +165,126 @@ def cross_validate(df: DataFrame, k: int, id_col: str):
     for i in range(k):
         yield (i, folded.where(F.col("fold") != i).drop("fold"),
                folded.where(F.col("fold") == i).drop("fold"))
+
+
+# ------------------------------------------------- threshold analysis
+
+
+class ThresholdAnalyzerLocal:
+    """ThresholdAnalyzer twin (helper/math/ThresholdAnalyzer.java:
+    66-200): (relevant, confidence) pairs bucket into
+    round(confidence * num_bins) bins; per threshold t = bin/num_bins,
+    precision/recall/accuracy come from cumulative counts at-or-above
+    the bin (and irrelevant strictly below, for accuracy)."""
+
+    def __init__(self, num_bins: int = 5):
+        if num_bins < 2:
+            raise ValueError("numBins must be least two")
+        self.num_bins = num_bins
+        self.retrieved: dict[int, int] = {}
+        self.relevant: dict[int, int] = {}
+
+    def get_bin(self, threshold: float) -> int:
+        if not 0 <= threshold <= 1:
+            raise ValueError("threshold must be in [0,1]")
+        # Java Math.round = floor(x + 0.5)
+        import math
+        return int(math.floor(threshold * self.num_bins + 0.5))
+
+    def add(self, relevant: bool, confidence: float) -> None:
+        b = self.get_bin(confidence)
+        self.retrieved[b] = self.retrieved.get(b, 0) + 1
+        if relevant:
+            self.relevant[b] = self.relevant.get(b, 0) + 1
+
+    def entry(self, threshold: float) -> dict:
+        b = self.get_bin(threshold)
+        num_rel_ret = sum(n for i, n in self.relevant.items() if i >= b)
+        num_irr_below = sum(
+            self.retrieved.get(i, 0) - self.relevant.get(i, 0)
+            for i in range(0, b))
+        num_ret = sum(n for i, n in self.retrieved.items() if i >= b)
+        num_relevant = sum(self.relevant.values())
+        num_total = sum(self.retrieved.values())
+        pr = num_rel_ret / num_ret if num_ret else float("nan")
+        rc = num_rel_ret / num_relevant if num_relevant else float("nan")
+        acc = (num_rel_ret + num_irr_below) / num_total
+        f1 = 2 * pr * rc / (pr + rc) if pr + rc else float("nan")
+        return {"threshold": threshold, "precision": pr, "recall": rc,
+                "f1": f1, "accuracy": acc}
+
+    def entries(self) -> list[dict]:
+        """Iterator port: one entry per bin from the min to the max
+        OCCUPIED bin (empty bins in between included), thresholds
+        above 1 cut off."""
+        if not self.retrieved:
+            return []
+        out = []
+        for b in range(min(self.retrieved), max(self.retrieved) + 1):
+            t = b / self.num_bins
+            if t > 1:
+                break
+            out.append(self.entry(t))
+        return out
+
+    def max_f1_entry(self) -> dict | None:
+        best = None
+        for e in self.entries():
+            if best is None or (e["f1"] == e["f1"]
+                                and best["f1"] < e["f1"]):
+                best = e
+        return best
+
+
+def threshold_analysis(results: DataFrame, label_col: str = "label",
+                       score_col: str = "score",
+                       num_bins: int = 5) -> DataFrame:
+    """Distributed ThresholdAnalyzer: ONE groupBy over <= num_bins + 1
+    bin keys (map-side combine), then windowed cumulative sums over
+    the bin-sized table — the raw rows never hit a window. Output: one
+    row per bin from the min to the max occupied bin (threshold,
+    precision, recall, f1, accuracy), all rounded to 6."""
+    spark = results.sparkSession
+    binned = results.select(
+        F.round(F.col(score_col).cast("double") * num_bins)
+        .cast("int").alias("bin"),
+        F.col(label_col).cast("boolean").cast("int").alias("rel"))
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("retrieved"),
+        F.sum("rel").alias("relevant"))
+    # fill EMPTY bins between min and max occupied (the reference's
+    # iterator emits those too)
+    bounds = per_bin.agg(F.min("bin").alias("lo"),
+                         F.max("bin").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("bin"))
+    filled = grid.join(per_bin, "bin", "left").fillna(
+        0, subset=["retrieved", "relevant"])
+    w_at = Window.orderBy("bin").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing)
+    w_below = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    cum = filled.select(
+        "bin",
+        F.sum("retrieved").over(w_at).alias("ret_at"),
+        F.sum("relevant").over(w_at).alias("rel_at"),
+        F.coalesce(F.sum(F.col("retrieved") - F.col("relevant"))
+                   .over(w_below), F.lit(0)).alias("irr_below"),
+        F.sum("relevant").over(tot).alias("n_rel"),
+        F.sum("retrieved").over(tot).alias("n_tot"))
+    pr = F.col("rel_at").cast("double") / F.col("ret_at")
+    rc = F.col("rel_at").cast("double") / F.col("n_rel")
+    # pr = rc = 0 makes the reference's f1 a float NaN (0/0); emit
+    # NULL instead — ANSI mode refuses the division, and NULL survives
+    # the oracle compare where NaN-vs-NaN string canon would too
+    f1 = F.when(pr + rc > 0, F.round(2 * pr * rc / (pr + rc), 6))
+    return (cum.where(F.col("bin") <= num_bins)
+            .select(F.round(F.col("bin").cast("double") / num_bins, 6)
+                    .alias("threshold"),
+                    F.round(pr, 6).alias("precision"),
+                    F.round(rc, 6).alias("recall"),
+                    f1.alias("f1"),
+                    F.round((F.col("rel_at") + F.col("irr_below"))
+                            / F.col("n_tot"), 6).alias("accuracy"))
+            .orderBy("threshold"))

@@ -1561,3 +1561,51 @@ def one_hot_events_sql(slice_mod: int = 13) -> str:
 SELECT event_id,
        {cols}
 FROM events WHERE event_id % {slice_mod} = 0 ORDER BY event_id"""
+
+
+def threshold_metrics_sql(num_bins: int = 5) -> str:
+    """DuckDB mirror of kgp.evaluate.threshold_analysis over the
+    deterministic decoration label = doc_id % 3 = 0, score =
+    (doc_id % 101) / 100: round(score * bins) bucketing, cumulative
+    at-or-above counts, irrelevant-below for accuracy, empty bins
+    between min and max occupied filled in."""
+    return f"""
+WITH binned AS (
+  SELECT CAST(round(((doc_id % 101) / CAST(100 AS DOUBLE))
+                    * {num_bins}) AS INT) AS bin,
+         CAST(doc_id % 3 = 0 AS INT) AS rel
+  FROM documents),
+per_bin AS (
+  SELECT bin, count(*) AS retrieved, sum(rel) AS relevant
+  FROM binned GROUP BY bin),
+bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM per_bin),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS bin FROM bounds),
+filled AS (
+  SELECT g.bin, coalesce(p.retrieved, 0) AS retrieved,
+         coalesce(p.relevant, 0) AS relevant
+  FROM grid g LEFT JOIN per_bin p USING (bin)),
+cum AS (
+  SELECT bin,
+    sum(retrieved) OVER (ORDER BY bin
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ret_at,
+    sum(relevant) OVER (ORDER BY bin
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rel_at,
+    coalesce(sum(retrieved - relevant) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS irr_below,
+    sum(relevant) OVER () AS n_rel,
+    sum(retrieved) OVER () AS n_tot
+  FROM filled)
+SELECT round(bin / CAST({num_bins} AS DOUBLE), 6) AS threshold,
+       round(rel_at / CAST(ret_at AS DOUBLE), 6) AS "precision",
+       round(rel_at / CAST(n_rel AS DOUBLE), 6) AS recall,
+       CASE WHEN (rel_at / CAST(ret_at AS DOUBLE))
+                  + (rel_at / CAST(n_rel AS DOUBLE)) > 0
+            THEN round(2 * (rel_at / CAST(ret_at AS DOUBLE))
+                         * (rel_at / CAST(n_rel AS DOUBLE))
+                       / ((rel_at / CAST(ret_at AS DOUBLE))
+                          + (rel_at / CAST(n_rel AS DOUBLE))), 6)
+       END AS f1,
+       round((rel_at + irr_below) / CAST(n_tot AS DOUBLE), 6)
+         AS accuracy
+FROM cum WHERE bin <= {num_bins} ORDER BY threshold"""

@@ -185,3 +185,61 @@ def test_dbscan_embedding_pairs_end_to_end(spark, sf_dir):
         out.select(F.col("vec_id").alias("cluster_id")).distinct(),
         "cluster_id", "anti").count()
     assert bad == 0
+
+
+# ------------------------------------------------- threshold analysis
+
+
+def test_threshold_analyzer_reference_goldens():
+    """ThresholdAnalyzerTest.testThresholdStats, verbatim."""
+    from kgp.evaluate import ThresholdAnalyzerLocal
+    s = ThresholdAnalyzerLocal(5)
+    assert s.get_bin(0.0) == 0 and s.get_bin(0.1) == 1
+    assert s.get_bin(0.2) == 1 and s.get_bin(0.8) == 4
+    assert s.get_bin(0.9) == 5 and s.get_bin(1.0) == 5
+    data = [(True, 1), (False, .895), (False, .894), (True, .856),
+            (True, .833), (True, .723), (True, .703), (False, .674),
+            (True, .651), (True, .589), (True, .548), (False, .37),
+            (False, .363), (False, .338), (True, 0)]
+    for r, c in data:
+        s.add(r, c)
+    assert s.entry(0)["precision"] == pytest.approx(9 / 15)
+    assert s.entry(0.548)["precision"] == pytest.approx(8 / 11)
+    assert s.entry(1)["precision"] == pytest.approx(1.0)
+    assert s.entry(0)["recall"] == pytest.approx(1.0)
+    assert s.entry(0.548)["recall"] == pytest.approx(8 / 9)
+    assert s.entry(1)["recall"] == pytest.approx(1 / 9)
+    assert s.entry(0)["accuracy"] == pytest.approx(9 / 15)
+    assert s.entry(0.548)["accuracy"] == pytest.approx(11 / 15)
+    assert s.entry(1)["accuracy"] == pytest.approx(7 / 15)
+    assert s.max_f1_entry()["f1"] == pytest.approx(0.8)
+
+
+def test_threshold_analysis_stage_matches_twin(spark):
+    from kgp.evaluate import ThresholdAnalyzerLocal, threshold_analysis
+    data = [(True, 1.0), (False, .895), (False, .894), (True, .856),
+            (True, .833), (True, .723), (True, .703), (False, .674),
+            (True, .651), (True, .589), (True, .548), (False, .37),
+            (False, .363), (False, .338), (True, 0.0)]
+    df = spark.createDataFrame(data, "label boolean, score double")
+    got = threshold_analysis(df).collect()
+    twin = ThresholdAnalyzerLocal(5)
+    for r, c in data:
+        twin.add(r, c)
+    want = twin.entries()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.threshold == pytest.approx(w["threshold"], abs=1e-6)
+        assert g.precision == pytest.approx(w["precision"], abs=1e-6)
+        assert g.recall == pytest.approx(w["recall"], abs=1e-6)
+        assert g.accuracy == pytest.approx(w["accuracy"], abs=1e-6)
+
+
+def test_threshold_analysis_fills_empty_bins(spark):
+    """An unoccupied bin between min and max occupied still yields a
+    row (the reference iterator walks every bin in the range)."""
+    from kgp.evaluate import threshold_analysis
+    df = spark.createDataFrame(
+        [(True, 0.0), (False, 1.0)], "label boolean, score double")
+    got = threshold_analysis(df).collect()
+    assert len(got) == 6          # bins 0..5 inclusive
