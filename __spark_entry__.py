@@ -635,6 +635,58 @@ def _q_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_analysis(labeled)
 
 
+def _q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query average-precision curve (kgp.mathstats —
+    MathHelper.computeAveragePrecision port) over query = doc_id % 5,
+    rank = doc_id, relevant = doc_id % 3 = 0; windows partition by
+    query, never the whole corpus."""
+    from kgp.mathstats import average_precision_curve
+    docs = _docs_table(spark, sf_dir)
+    ranked = docs.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 5).cast("string"))
+        .alias("query"),
+        F.col("doc_id").alias("rank"),
+        (F.col("doc_id") % 3 == 0).alias("relevant"))
+    return average_precision_curve(ranked, round_to=6)
+
+
+def _q_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r + OLS alpha/beta (kgp.mathstats — MathHelper
+    computePearsonCorrelationCoefficient / performLinearRegression
+    ports as built-in second-order aggregates) over events value vs
+    event_id % 97."""
+    from kgp.mathstats import corr_regression
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    xy = events.select(F.col("value"),
+                       (F.col("event_id") % 97).alias("y"))
+    return corr_regression(xy, "value", "y", round_to=6)
+
+
+def _q_set_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dice/Jaccard/Overlap set similarities (kgp.mathstats —
+    SetSimilarities.java port incl. the empty-set rules) over the
+    norm-token SETS of (doc_id, doc_id + 1) pairs — pure JVM array
+    expressions, zero Python."""
+    from kgp.mathstats import set_similarity_expr
+    from kgp.decontam import norm_tokens
+    docs = _docs_table(spark, sf_dir)
+    t = docs.select("doc_id",
+                    F.array_distinct(norm_tokens(F.col("text")))
+                    .alias("s"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    pairs = (a.where(F.col("a_id") % 9 == 0)
+             .join(b, F.col("b_id") == F.col("a_id") + 1))
+    return pairs.select(
+        "a_id", "b_id",
+        F.round(set_similarity_expr("dice", F.col("sa"), F.col("sb")),
+                6).alias("dice"),
+        F.round(set_similarity_expr("jaccard", F.col("sa"),
+                                    F.col("sb")), 6).alias("jaccard"),
+        F.round(set_similarity_expr("overlap", F.col("sa"),
+                                    F.col("sb")), 6).alias("overlap"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -676,6 +728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_normalize": _q_feature_normalize,
         "one_hot_events": _q_one_hot_events,
         "threshold_metrics": _q_threshold_metrics,
+        "avg_precision": _q_avg_precision,
+        "corr_regression": _q_corr_regression,
+        "set_sims": _q_set_sims,
     }
 
 
@@ -745,4 +800,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_normalize": _oracle.feature_normalize_sql(),
         "one_hot_events": _oracle.one_hot_events_sql(),
         "threshold_metrics": _oracle.threshold_metrics_sql(),
+        "avg_precision": _oracle.avg_precision_sql(),
+        "corr_regression": _oracle.corr_regression_sql(),
+        "set_sims": _oracle.set_sims_sql(),
     }

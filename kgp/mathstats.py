@@ -1,0 +1,145 @@
+"""Math/statistics helpers — ports of the reference's tested
+helper-math members (palladian-commons helper/math/), distributed
+where a table-shaped form exists.
+
+- SetSimilarities DICE / JACCARD / OVERLAP (SetSimilarities.java:
+  24-79) with the shared empty-set rules (both empty -> 1, one
+  empty -> 0, AbstractSetSimilarity:9-19).
+- MathHelper.computeAveragePrecision (MathHelper.java:699-729):
+  precision@k and running average precision over a ranked relevance
+  list, divided by the given total-relevant count.
+- MathHelper.computePearsonCorrelationCoefficient (:751-787) and
+  performLinearRegression (:651-697, simple OLS alpha/beta).
+
+Spark shapes:
+- set similarities are pure JVM column expressions over array
+  columns (array_distinct + array_intersect) — zero Python;
+- the AP curve is a window partitioned BY QUERY (per-query ranked
+  lists are result-page-sized; the corpus never single-partitions);
+- pearson/regression are one aggregation (corr, regr_slope,
+  regr_intercept — Catalyst's built-in second-order aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ pure twins
+
+
+def set_similarity(kind: str, s1: set, s2: set) -> float:
+    """DICE / JACCARD / OVERLAP with the reference's empty rules."""
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    inter = len(s1 & s2)
+    if kind == "dice":
+        return 2.0 * inter / (len(s1) + len(s2))
+    if kind == "jaccard":
+        return inter / (len(s1) + len(s2) - inter)
+    if kind == "overlap":
+        return inter / min(len(s1), len(s2))
+    raise ValueError(kind)
+
+
+def average_precision(ranked: list[bool],
+                      total_relevant: int) -> list[tuple[float, float]]:
+    """computeAveragePrecision twin: [(pr@k, ap@k)] per position."""
+    num_rel = 0
+    rel_pr_sum = 0.0
+    out = []
+    for k, relevant in enumerate(ranked):
+        if relevant:
+            num_rel += 1
+        pr_at_k = num_rel / (k + 1)
+        if relevant:
+            rel_pr_sum += pr_at_k
+        out.append((pr_at_k, rel_pr_sum / total_relevant))
+    return out
+
+
+def pearson(x: list[float], y: list[float]) -> float:
+    """computePearsonCorrelationCoefficient twin (exact formula)."""
+    import math
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    syy = sum(b * b for b in y)
+    num = sxy - sx * sy / n
+    den = math.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return num / den
+
+
+def linear_regression(x: list[float], y: list[float]
+                      ) -> tuple[float, float]:
+    """performLinearRegression twin: (alpha intercept, beta slope)."""
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(a * a for a in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    alpha = sy / n - beta * sx / n
+    return alpha, beta
+
+
+# ------------------------------------------------------- column forms
+
+
+def set_similarity_expr(kind: str, a: Column, b: Column) -> Column:
+    """Set similarity over two array columns as pure JVM expressions
+    (arrays are treated as sets via array_distinct)."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    na, nb = F.size(da), F.size(db)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    if kind == "dice":
+        sim = 2 * inter / (na + nb)
+    elif kind == "jaccard":
+        sim = inter / (na + nb - inter)
+    elif kind == "overlap":
+        sim = inter / F.least(na, nb)
+    else:
+        raise ValueError(kind)
+    return (F.when((na == 0) & (nb == 0), 1.0)
+            .when((na == 0) | (nb == 0), 0.0)
+            .otherwise(sim))
+
+
+def average_precision_curve(ranked: DataFrame, query_col: str = "query",
+                            rank_col: str = "rank",
+                            relevant_col: str = "relevant",
+                            round_to: int | None = None) -> DataFrame:
+    """Per-query AP curve: (query, rank, pr_at_k, ap). total-relevant
+    is the query's own relevant count (a window aggregate). Windows
+    partition by query — ranked lists are result-page-sized."""
+    w_cum = Window.partitionBy(query_col).orderBy(rank_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(query_col)
+    rel = F.col(relevant_col).cast("int")
+    num_rel = F.sum(rel).over(w_cum)
+    k1 = F.row_number().over(
+        Window.partitionBy(query_col).orderBy(rank_col))
+    pr = num_rel.cast("double") / k1
+    rel_pr_sum = F.sum(F.when(rel == 1, pr)).over(w_cum)
+    total = F.sum(rel).over(w_all)
+    ap = F.coalesce(rel_pr_sum, F.lit(0.0)) / total
+    pr_o, ap_o = pr, ap
+    if round_to is not None:
+        pr_o, ap_o = F.round(pr, round_to), F.round(ap, round_to)
+    return ranked.select(F.col(query_col), F.col(rank_col),
+                         pr_o.alias("pr_at_k"), ap_o.alias("ap"))
+
+
+def corr_regression(df: DataFrame, x_col: str, y_col: str,
+                    round_to: int | None = None) -> DataFrame:
+    """One row: (pearson_r, alpha, beta) — built-in second-order
+    aggregates, one pass, map-side partials."""
+    r = F.corr(x_col, y_col)
+    beta = F.regr_slope(F.col(y_col), F.col(x_col))
+    alpha = F.regr_intercept(F.col(y_col), F.col(x_col))
+    if round_to is not None:
+        r, alpha, beta = (F.round(c, round_to) for c in (r, alpha, beta))
+    return df.agg(r.alias("pearson_r"), alpha.alias("alpha"),
+                  beta.alias("beta"))

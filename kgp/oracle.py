@@ -1609,3 +1609,68 @@ SELECT round(bin / CAST({num_bins} AS DOUBLE), 6) AS threshold,
        round((rel_at + irr_below) / CAST(n_tot AS DOUBLE), 6)
          AS accuracy
 FROM cum WHERE bin <= {num_bins} ORDER BY threshold"""
+
+
+def avg_precision_sql(n_queries: int = 5) -> str:
+    """DuckDB mirror of kgp.mathstats.average_precision_curve over
+    query = doc_id % n, rank = doc_id, relevant = doc_id % 3 = 0
+    (MathHelper.computeAveragePrecision semantics; total-relevant =
+    the query's own relevant count)."""
+    return f"""
+WITH ranked AS (
+  SELECT concat('q', doc_id % {n_queries}) AS query, doc_id AS rank,
+         CAST(doc_id % 3 = 0 AS INT) AS rel
+  FROM documents),
+cum AS (
+  SELECT query, rank, rel,
+    sum(rel) OVER (PARTITION BY query ORDER BY rank
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num_rel,
+    row_number() OVER (PARTITION BY query ORDER BY rank) AS k1,
+    sum(rel) OVER (PARTITION BY query) AS total
+  FROM ranked),
+pr AS (
+  SELECT *, num_rel / CAST(k1 AS DOUBLE) AS pr_at_k FROM cum)
+SELECT query, rank, round(pr_at_k, 6) AS pr_at_k,
+  round(coalesce(sum(CASE WHEN rel = 1 THEN pr_at_k END)
+    OVER (PARTITION BY query ORDER BY rank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+    / total, 6) AS ap
+FROM pr ORDER BY query, rank"""
+
+
+def corr_regression_sql() -> str:
+    """DuckDB mirror of kgp.mathstats.corr_regression over the events
+    decoration x = value, y = event_id % 97."""
+    return """
+SELECT round(corr(value, event_id % 97), 6) AS pearson_r,
+       round(regr_intercept(event_id % 97, value), 6) AS alpha,
+       round(regr_slope(event_id % 97, value), 6) AS beta
+FROM events"""
+
+
+def set_sims_sql(pair_mod: int = 9) -> str:
+    """DuckDB mirror of kgp.mathstats.set_similarity_expr over the
+    norm-token SETS of (doc_id, doc_id + 1) pairs."""
+    toks = _decontam_tokens_sql("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({toks}) AS s FROM documents),
+prs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.s AS sa, b.s AS sb
+  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % {pair_mod} = 0),
+m AS (
+  SELECT a_id, b_id, len(sa) AS na, len(sb) AS nb,
+         CAST(len(list_intersect(sa, sb)) AS DOUBLE) AS i
+  FROM prs)
+SELECT a_id, b_id,
+  round(CASE WHEN na = 0 AND nb = 0 THEN 1.0
+             WHEN na = 0 OR nb = 0 THEN 0.0
+             ELSE 2 * i / (na + nb) END, 6) AS dice,
+  round(CASE WHEN na = 0 AND nb = 0 THEN 1.0
+             WHEN na = 0 OR nb = 0 THEN 0.0
+             ELSE i / (na + nb - i) END, 6) AS jaccard,
+  round(CASE WHEN na = 0 AND nb = 0 THEN 1.0
+             WHEN na = 0 OR nb = 0 THEN 0.0
+             ELSE i / least(na, nb) END, 6) AS overlap
+FROM m ORDER BY a_id"""

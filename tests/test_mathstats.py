@@ -1,0 +1,88 @@
+"""Math/statistics helpers (kgp/mathstats.py) — MathHelperTest +
+SetSimilarities goldens and Spark parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgp.mathstats import (average_precision, average_precision_curve,
+                           corr_regression, linear_regression, pearson,
+                           set_similarity, set_similarity_expr)
+
+
+def test_average_precision_golden():
+    """MathHelperTest.testComputeAveragePrecision."""
+    ap = average_precision([True, False, True, True, True, True,
+                            False], 5)
+    assert ap[-1][0] == pytest.approx(5 / 7)
+    assert ap[-1][1] == pytest.approx(
+        (1 + 2 / 3 + 3 / 4 + 4 / 5 + 5 / 6) / 5)
+
+
+def test_pearson_and_regression_goldens():
+    """MathHelperTest Pearson + wikipedia simple-linear-regression."""
+    x = [56., 56., 65., 65., 50., 25., 87., 44., 35.]
+    y = [87., 91., 85., 91., 75., 28., 122., 66., 58.]
+    assert pearson(x, y) == pytest.approx(0.9661943464912911, abs=0.01)
+    w = [1.47, 1.5, 1.52, 1.55, 1.57, 1.6, 1.63, 1.65, 1.68, 1.70,
+         1.73, 1.75, 1.78, 1.80, 1.83]
+    h = [52.21, 53.12, 54.48, 55.84, 57.20, 58.57, 59.93, 61.29,
+         63.11, 64.47, 66.28, 68.10, 69.92, 72.19, 74.46]
+    alpha, beta = linear_regression(w, h)
+    assert round(alpha, 3) == pytest.approx(-39.062)
+    assert round(beta, 3) == pytest.approx(61.272)
+
+
+def test_set_similarity_rules():
+    assert set_similarity("dice", set(), set()) == 1.0
+    assert set_similarity("overlap", {1}, set()) == 0.0
+    assert set_similarity("dice", {1, 2, 3}, {2, 3, 4}) == \
+        pytest.approx(4 / 6)
+    assert set_similarity("jaccard", {1, 2, 3}, {2, 3, 4}) == \
+        pytest.approx(2 / 4)
+    assert set_similarity("overlap", {1, 2}, {2, 3, 4}) == \
+        pytest.approx(1 / 2)
+
+
+def test_ap_curve_stage_matches_twin(spark):
+    ranked = [("q", k, rel) for k, rel in
+              enumerate([True, False, True, True, True, True, False])]
+    df = spark.createDataFrame(ranked,
+                               "query string, rank int, relevant boolean")
+    got = sorted(average_precision_curve(df).collect(),
+                 key=lambda r: r.rank)
+    want = average_precision([r[2] for r in ranked], 5)
+    for g, (pr, ap) in zip(got, want):
+        assert g.pr_at_k == pytest.approx(pr)
+        assert g.ap == pytest.approx(ap)
+
+
+def test_corr_regression_stage(spark):
+    w = [1.47, 1.5, 1.52, 1.55, 1.57, 1.6, 1.63, 1.65, 1.68, 1.70,
+         1.73, 1.75, 1.78, 1.80, 1.83]
+    h = [52.21, 53.12, 54.48, 55.84, 57.20, 58.57, 59.93, 61.29,
+         63.11, 64.47, 66.28, 68.10, 69.92, 72.19, 74.46]
+    df = spark.createDataFrame(list(zip(w, h)), "x double, y double")
+    [r] = corr_regression(df, "x", "y").collect()
+    assert round(r.alpha, 3) == pytest.approx(-39.062)
+    assert round(r.beta, 3) == pytest.approx(61.272)
+    assert r.pearson_r == pytest.approx(pearson(w, h), abs=1e-9)
+
+
+def test_set_similarity_expr_pure_jvm(spark):
+    from pyspark.sql import functions as F
+    from tests.test_plans import plan_of
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"]), ([], []), (["x"], [])],
+        "a array<string>, b array<string>")
+    out = df.select(
+        set_similarity_expr("dice", F.col("a"), F.col("b"))
+        .alias("dice"),
+        set_similarity_expr("jaccard", F.col("a"), F.col("b"))
+        .alias("jaccard"))
+    rows = sorted(out.collect(), key=lambda r: (r.dice is None, r.dice))
+    plan = plan_of(out)
+    assert "Python" not in plan and "Exchange" not in plan
+    vals = {(round(r.dice, 4), round(r.jaccard, 4)) for r in rows}
+    assert (round(4 / 6, 4), 0.5) in vals
+    assert (1.0, 1.0) in vals and (0.0, 0.0) in vals
