@@ -85,6 +85,28 @@ def linear_regression(x: list[float], y: list[float]
     return alpha, beta
 
 
+def token_similarity(s1: str, s2: str, kind: str = "jaccard") -> float:
+    """TokenSimilarity port (helper/nlp/TokenSimilarity.java:15-30):
+    lowercase + trim, equal strings short-circuit to 1, else the set
+    similarity over whitespace-split token sets."""
+    a, b = s1.lower().strip(), s2.lower().strip()
+    if a == b:
+        return 1.0
+    import re
+    return set_similarity(kind, set(re.split(r"\s", a)),
+                          set(re.split(r"\s", b)))
+
+
+def token_similarity_expr(a: Column, b: Column,
+                          kind: str = "jaccard") -> Column:
+    """TokenSimilarity as a pure JVM expression over string columns."""
+    la, lb = F.trim(F.lower(a)), F.trim(F.lower(b))
+    sa = F.array_distinct(F.split(la, r"\s"))
+    sb = F.array_distinct(F.split(lb, r"\s"))
+    return F.when(la == lb, 1.0) \
+        .otherwise(set_similarity_expr(kind, sa, sb))
+
+
 # ------------------------------------------------------- column forms
 
 

@@ -86,3 +86,22 @@ def test_set_similarity_expr_pure_jvm(spark):
     vals = {(round(r.dice, 4), round(r.jaccard, 4)) for r in rows}
     assert (round(4 / 6, 4), 0.5) in vals
     assert (1.0, 1.0) in vals and (0.0, 0.0) in vals
+
+
+def test_token_similarity_goldens(spark):
+    """TokenSimilarityTest: jaccard over whitespace token sets."""
+    from pyspark.sql import functions as F
+    from kgp.mathstats import token_similarity, token_similarity_expr
+    s1 = "Earthquake Shakes Mexico City"
+    s2 = "Panic as earthquake hits Mexico City"
+    s3 = "Powerful Quake Rattles Mexico"
+    assert token_similarity(s1, s2) == pytest.approx(0.4286, abs=1e-3)
+    assert token_similarity(s2, s3) == pytest.approx(0.1111, abs=1e-3)
+    assert token_similarity(s1, s3) == pytest.approx(0.1429, abs=1e-3)
+    assert token_similarity("Same  Text", "same  text") == 1.0
+    df = spark.createDataFrame([(s1, s2), (s2, s3), (s1, s3)],
+                               "a string, b string")
+    got = sorted(r.sim for r in df.select(
+        token_similarity_expr(F.col("a"), F.col("b")).alias("sim"))
+        .collect())
+    assert got == pytest.approx([0.1111, 0.1429, 0.4286], abs=1e-3)
