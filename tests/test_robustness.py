@@ -127,3 +127,67 @@ def test_evaluate_clustering_hostile_inputs(spark):
         [(0, 0), (0, 1), (1, 0), (0, 1)], "a long, b long")
     got = {x.vec_id: x.role for x in dbscan(pts, edges, 2).collect()}
     assert got[0] == "core" and got[1] == "core" and got[2] == "noise"
+
+
+def test_spellcheck_hostile_inputs():
+    from kgp.spellcheck import SpellChecker, edits
+    sc = SpellChecker()
+    sc.add_text("plain words here")
+    # empty / whitespace / unicode / very long words never raise
+    assert sc.auto_correct("") == ""
+    assert sc.auto_correct("   ") == ""
+    assert sc.auto_correct("naïve café word") is not None
+    assert sc.correct_word("ü") == "ü"
+    long_word = "x" * 500
+    assert sc.correct_word(long_word) == long_word
+    assert edits("") == []
+    # umlaut edits stay well-formed
+    assert all(e for e in edits("tür"))
+
+
+def test_textvector_hostile_inputs(spark):
+    from kgp.textvector import (TermCorpusLocal, fit_term_corpus,
+                                tfidf_similarity, vectorize_stage,
+                                vectorize_text)
+    from kgp.textclassifier import FeatureSetting
+    fs = FeatureSetting(mode="word", min_ngram=1, max_ngram=1,
+                        min_term_len=1, max_term_len=100)
+    c = TermCorpusLocal()
+    c.add_doc(["word"])
+    # empty text -> empty vector; NaN similarity contract
+    assert vectorize_text("", c, fs) == {}
+    import math
+    assert math.isnan(tfidf_similarity("", "", c, fs))
+    # empty documents produce no sparse rows, and don't break the fit
+    df = spark.createDataFrame([(0, ""), (1, "some words"),
+                                (2, None)], "doc_id long, text string")
+    counts, n = fit_term_corpus(df.fillna("", subset=["text"]))
+    assert n == 3
+    rows = vectorize_stage(df.fillna("", subset=["text"]),
+                           counts, n).collect()
+    assert {r.doc_id for r in rows} == {1}
+
+
+def test_mathstats_hostile_inputs(spark):
+    from pyspark.sql import functions as F
+    from kgp.mathstats import set_similarity_expr, token_similarity
+    # null arrays -> null similarity (not an exception)
+    df = spark.createDataFrame([(None, ["a"])],
+                               "a array<string>, b array<string>")
+    [r] = df.select(set_similarity_expr(
+        "dice", F.col("a"), F.col("b")).alias("s")).collect()
+    assert r.s is None
+    # whitespace-only strings: split('\\s') of '' yields [''] on both
+    # sides -> equal -> 1.0 (reference behavior)
+    assert token_similarity("", "") == 1.0
+
+
+def test_compaction_rejects_nothing_but_verifies(spark, tmp_path):
+    """compact_stage on an already-compact stage is a safe no-op
+    rewrite (1 -> 1 file) with the checksum proven."""
+    from kgp.materialize import compact_stage, write_stage
+    out = str(tmp_path / "c")
+    df = spark.range(0, 10).coalesce(1)
+    write_stage(spark, df, out, "tiny")
+    r = compact_stage(spark, out, "tiny")
+    assert r["files_after"] == 1 and r["rows"] == 10
