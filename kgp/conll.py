@@ -15,6 +15,8 @@ same Spark training/tagging stages as the synthetic corpus.
 
 from __future__ import annotations
 
+import re
+
 from collections import Counter
 from dataclasses import dataclass, field
 from typing import NamedTuple
@@ -248,3 +250,37 @@ def evaluate_annotations(gold: list[Ann], pred: list[Ann],
         if (g.start, g.end, g.tag) not in tagged:
             result.add(ERROR2, g.tag, None)
     return result
+
+
+# -------------------------------------------- XML-tagged-text reader
+
+_XML_ANN_RE = re.compile(r"<([A-Z]+)>(.{1,1000}?)</\1>",
+                         re.DOTALL | re.IGNORECASE)
+_ANY_TAG_RE = re.compile(r"<(.*?)>", re.DOTALL)
+_STRIP_TAGS_RE = re.compile(
+    r"<!--.*?-->|<script.*?>.*?</script>|<style.*?>.*?</style>|<[^<]*?>",
+    re.DOTALL | re.IGNORECASE)
+
+
+def annotations_from_xml_text(tagged_text: str) -> list[Ann]:
+    """FileFormatParser.getAnnotationsFromXmlText port
+    (FileFormatParser.java:536-580): plain-text offsets recovered by
+    accumulating the tag lengths seen so far (including NESTED tags
+    inside an entity, whose markup is stripped and newlines removed
+    from the value — the reference's exact arithmetic). The reader
+    complement of tag_text's XML writer; also loads TUD-Loc-style
+    gold markup for kgp.geoeval."""
+    out: list[Ann] = []
+    cumulated = 0
+    for m in _XML_ANN_RE.finditer(tagged_text):
+        concept = m.group(1)
+        entity = m.group(2)
+        nested_len = sum(len(t.group(1)) + 2
+                         for t in _ANY_TAG_RE.finditer(entity))
+        entity = _STRIP_TAGS_RE.sub("", entity).replace("\n", "")
+        tag_offset = len(concept) + 2
+        cumulated += tag_offset
+        offset = m.start() + tag_offset - cumulated
+        out.append(Ann(offset, entity, concept))
+        cumulated += nested_len + len(concept) + 3
+    return out

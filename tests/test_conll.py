@@ -162,3 +162,26 @@ def test_gazetteer_from_csv(spark, tmp_path):
     assert gaz[3034720].type == "UNDETERMINED"
     assert gaz[3034720].population == 0         # clamped at 0
     assert abs(gaz[2950159].lat - 52.52) < 1e-9
+
+
+def test_annotations_from_xml_text():
+    """FileFormatParser.getAnnotationsFromXmlText: plain-text offsets
+    via cumulative tag arithmetic; nested markup stripped from the
+    value (reference javadoc + XXX examples)."""
+    from kgp.conll import Ann, annotations_from_xml_text
+    got = annotations_from_xml_text(
+        "The <PHONE>iphone 4</PHONE> is a phone.")
+    assert got == [Ann(4, "iphone 4", "PHONE")]
+    nested = annotations_from_xml_text(
+        "text <PERSON><PHONE>John J</PHONE>. Smith</PERSON> lives")
+    assert nested == [Ann(5, "John J. Smith", "PERSON")]
+    multi = annotations_from_xml_text("<A>x</A> and <B>y</B>")
+    assert [a.start for a in multi] == [0, 6]
+
+
+def test_xml_writer_reader_roundtrip():
+    from kgp.conll import Ann, annotations_from_xml_text, tag_text
+    text = "Jim Carter visited Paris in May."
+    anns = [Ann(0, "Jim Carter", "PER"), Ann(19, "Paris", "LOC")]
+    tagged = tag_text(text, anns, fmt="XML")
+    assert annotations_from_xml_text(tagged) == anns
