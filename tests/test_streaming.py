@@ -220,3 +220,53 @@ def test_stream_near_dups_state_expires(spark, tmp_path):
     drain()
     ids = {r.id for r in spark.read.parquet(sink).collect()}
     assert "u2" not in ids
+
+
+def test_stream_triples_full_pipeline(spark, tmp_path):
+    """The whole pipeline on a stream (foreachBatch): two file drops
+    drained incrementally produce the EXACT triple set of one batch
+    run over their union, and epoch overwrite keeps re-drains
+    idempotent."""
+    from kgp.canonicalize import canonical_mapping, canonicalize_links
+    from kgp.corpus import gazetteer, seed_dictionary, training_docs
+    from kgp.linker import link_mentions
+    from kgp.materialize import finalize_triples
+    from kgp.mentions import detect_mentions, train_ner_model
+    from kgp.relations import extract_relations
+    from kgp.streaming import (read_stream_triples, stream_pages,
+                               stream_triples)
+
+    src = str(tmp_path / "pages_t")
+    out = str(tmp_path / "triples_t")
+    ckpt = str(tmp_path / "ckpt_t")
+
+    # bootstrap: train the model once on the full static corpus
+    pages_all = synth_pages(spark, SF)
+    docs_all = extract_stage(pages_all).persist()
+    model = train_ner_model(spark, training_docs(docs_all),
+                            seed_dictionary(spark))
+    bc = spark.sparkContext.broadcast(model)
+    gaz = gazetteer(spark)
+    mapping = canonical_mapping(gaz).persist()
+    mapping.count()
+
+    n1 = _write_batch(spark, src, 0, 25)
+    stream_triples(stream_pages(spark, src), bc, gaz, mapping,
+                   out, ckpt)
+    first = read_stream_triples(spark, out)
+    assert first.count() > 0
+
+    n2 = _write_batch(spark, src, 25, 50)
+    stream_triples(stream_pages(spark, src), bc, gaz, mapping,
+                   out, ckpt)
+    got = read_stream_triples(spark, out)
+
+    # batch twin over the union of both drops
+    sub = synth_pages(spark, SF, with_doc_id=True) \
+        .where("doc_id < 50").drop("doc_id")
+    docs = extract_stage(sub)
+    want = finalize_triples(extract_relations(canonicalize_links(
+        link_mentions(detect_mentions(docs, bc), gaz), mapping)))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
