@@ -100,3 +100,34 @@ def ngram_similarity(s1: str, s2: str, n: int = 3,
         return 2.0 * inter / (len(g1) + len(g2)) if g1 or g2 else 1.0
     union = len(g1 | g2)
     return inter / union if union else 1.0
+
+
+def permute_regex(regexp: str) -> list[str]:
+    """RegexPermuter.permute port (helper/nlp/RegexPermuter.java:
+    10-58): expand an alternation regex into its concrete strings —
+    between-group literals become groups of their own, `(...)?` adds
+    an empty alternative (the `_` placeholder stripped at the end),
+    and permutations build recursively in group-then-alternative
+    order. Used for query/pattern expansion of learned relation
+    patterns."""
+    import re as _re
+    regexp = _re.sub(r"\)\?([^()]+)\(", r")(\1)(", regexp)
+    regexp = _re.sub(r"\)([^?][^()]*)\(", r")(\1)(", regexp)
+    brackets = _re.findall(r"\(.*?\)\??", regexp)
+    splits: list[list[str]] = []
+    for bracket in brackets:
+        bracket = bracket.replace("(", "").replace(")", "")
+        if bracket.endswith("?"):
+            bracket = bracket.replace("?", "").strip() + "|_"
+        splits.append(bracket.split("|"))
+    out: list[str] = []
+
+    def recurse(rest: list[list[str]], current: str) -> None:
+        if not rest:
+            out.append(current.replace("_", "").strip())
+            return
+        for alt in rest[0]:
+            recurse(rest[1:], current + alt)
+
+    recurse(splits, "")
+    return out

@@ -62,3 +62,19 @@ def test_ngram_similarity_reference_goldens():
     assert jac("philipp", "philip") == approx(0.7, abs=0.001)
     assert jac("philipp", "p") == approx(0.2, abs=0.001)
     assert jac("word", "wort") == approx(0.333, abs=0.001)
+
+
+def test_permute_regex_goldens():
+    """RegexPermuterTest.testPermute."""
+    from kgp.strsim import permute_regex
+    got = permute_regex("(a|b)(d|e)")
+    assert set(got) >= {"ad", "ae", "bd", "be"}
+    got = permute_regex("(a|b)?(d|e)")
+    assert set(got) >= {"ad", "ae", "bd", "be", "d", "e"}
+    assert len(got) == 6
+    got = permute_regex("(a|b)?(d|ds|e)")
+    assert len(got) == 9
+    got = permute_regex("(how|what) (is|are) (you|strange)")
+    assert {"what is strange", "how are you", "how is strange"} <= \
+        set(got)
+    assert len(got) == 8
