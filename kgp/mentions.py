@@ -91,6 +91,57 @@ def candidate_annotations(text: str) -> list[Candidate]:
             for m in STRING_TAGGER_PATTERN.finditer(text) if m.group()]
 
 
+def token_candidates(text: str) -> list[Candidate]:
+    """LanguageIndependent candidate tagging
+    (PalladianNer.getAnnotationsInternal:549-552): EVERY word token is
+    a potential (part of an) entity — RegExTagger over
+    Tokenizer.TOKEN_SPLIT_REGEX instead of the StringTagger."""
+    from kgp.tokenize import iterate_tokens
+    return [Candidate(t.start, t.value) for t in iterate_tokens(text)]
+
+
+def combine_annotations(mentions: list[dict]) -> list[dict]:
+    """combineAnnotations port (PalladianNer.java:585-612): adjacent
+    (previous.end + 1 == current.start) same-tag annotations merge
+    into one growing span; 'o'-tagged annotations are skipped.
+
+    DOCUMENTED DEVIATION: the reference executes `add(combined);
+    previousCombined = combined; remove(previousCombined)` (:603-605),
+    which removes the combination it JUST added — so as written, a
+    merged span never survives and only the chain's first token
+    remains. That defeats the method's stated purpose ("Combine
+    annotations that are right next to each other having the same
+    tag"); this port implements the evident intent: the previous
+    partial combination (or the chain's first token) is REPLACED by
+    the extended one."""
+    out: list[dict] = []
+    previous: dict | None = None
+    prev_combined: dict | None = None
+    for cur in sorted(mentions, key=lambda m: (m["start"], m["end"])):
+        if cur["tag"].lower() == "o":
+            continue
+        if (previous is not None and cur["tag"] == previous["tag"]
+                and cur["start"] == previous["end"] + 1):
+            base = prev_combined if prev_combined is not None \
+                else previous
+            combined = dict(base)
+            combined["end"] = cur["end"]
+            combined["surface"] = (base["surface"] + " "
+                                   + cur["surface"])
+            # the reference's combined annotation carries the
+            # PREVIOUS annotation's category entries (:601)
+            combined["score"] = previous.get("score", combined.get("score"))
+            if out and out[-1] is (prev_combined or previous):
+                out.pop()
+            out.append(combined)
+            prev_combined = combined
+        else:
+            out.append(cur)
+            prev_combined = None
+        previous = cur
+    return out
+
+
 # RegExTagger family — UrlTagger (UrlTagger.java:13-23, tag "URI") and
 # TwitterTagger (TwitterTagger.java:14-22, tag "TWITTER", [@#]\\w+)
 
@@ -524,15 +575,21 @@ def remove_nested(anns: list[tuple[int, int]]) -> list[int]:
 
 def tag_sentence(sentence: str, sent_start: int, model: NerModel,
                  tag_dates: bool = True,
-                 tag_uris: bool = False) -> list[dict]:
+                 tag_uris: bool = False,
+                 language_mode: str = "english") -> list[dict]:
     """getAnnotationsInternal order (PalladianNer.java:419-437):
     StringTagger candidates → preProcessAnnotations (:603-626 pass
     order) → classifyCandidates gate (:446-456) → postProcessAnnotations
     (context switch :499-513, then dictionary switch :517-545) →
     removeNested. Sentence-local where the reference is document-local
     (candidate sets and contexts never cross a sentence boundary in the
-    distributed pipeline)."""
-    cands = candidate_annotations(sentence)
+    distributed pipeline). language_mode="independent" switches to the
+    LanguageIndependent flavor (:549-561): every TOKEN is a candidate
+    and adjacent same-tag classifications combine afterwards."""
+    if language_mode == "independent":
+        cands = token_candidates(sentence)
+    else:
+        cands = candidate_annotations(sentence)
     # --- preProcessAnnotations -------------------------------------
     # 1. removeIncorrectlyTaggedInTraining (:764-772)
     cands = [c for c in cands
@@ -586,6 +643,12 @@ def tag_sentence(sentence: str, sent_start: int, model: NerModel,
         out.append({"start": sent_start + start,
                     "end": sent_start + start + len(value),
                     "surface": value, "tag": tag, "score": float(score)})
+    # LanguageIndependent: combine adjacent same-tag classifications
+    # BEFORE the URI/date add-backs (the reference combines at the end
+    # of getAnnotationsInternal, :559-561; add-backs happen in the
+    # outer getAnnotations)
+    if language_mode == "independent":
+        out = combine_annotations(out)
     # URI add-back (PalladianNer.getAnnotations:452-459, tagUrls):
     # UrlTagger annotations join the stream; removeNested then drops
     # entity fragments that were part of a URL
@@ -730,11 +793,24 @@ def _annotation_dict_from_surfaces(seeds: DataFrame,
 
 def build_annotation_dictionary(seeds: DataFrame,
                                 docs: DataFrame | None = None,
-                                min_count: int = 1) -> DataFrame:
+                                min_count: int = 1,
+                                token_based: bool = False) -> DataFrame:
     """(gram, tag, count) via explode + groupBy — the reference's trie
     build (DictionaryTrieModel.Builder.addDocument, :78-100) as a hash
     aggregation. When `docs` is given, corpus candidates that are not
-    seed surfaces contribute NO_ENTITY rows (trainEnglish 2nd pass)."""
+    seed surfaces contribute NO_ENTITY rows (trainEnglish 2nd pass).
+    token_based=True trains on each surface's TOKENS labelled with the
+    surface's concept — trainLanguageIndependent's
+    getAnnotationsFromColumnTokenBased feed (PalladianNer.java:354-372)."""
+    if token_based:
+        from kgp.tokenize import tokenize as _tok
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def tok_udf(col: pd.Series) -> pd.Series:
+            return col.map(lambda v: _tok(v or ""))
+
+        seeds = seeds.select("concept",
+                             F.explode(tok_udf("entity")).alias("entity"))
     surfaces = None
     if docs is not None:
         @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -1067,7 +1143,8 @@ MENTION_SCHEMA = T.ArrayType(T.StructType([
 
 def detect_mentions(docs: DataFrame, model_bc,
                     tag_dates: bool = True,
-                    carry_cols: tuple[str, ...] = ()) -> DataFrame:
+                    carry_cols: tuple[str, ...] = (),
+                    language_mode: str = "english") -> DataFrame:
     """docs -> mentions(url, sent_idx, start, end, surface, tag, score,
     sent_text).
 
@@ -1086,7 +1163,8 @@ def detect_mentions(docs: DataFrame, model_bc,
             doc_mentions = []
             for idx, s in enumerate(sents if sents is not None else []):
                 for m in tag_sentence(s["text"], int(s["start"]), model,
-                                      tag_dates=tag_dates):
+                                      tag_dates=tag_dates,
+                                      language_mode=language_mode):
                     m["sent_idx"] = idx
                     m["sent_start"] = int(s["start"])
                     m["sent_text"] = s["text"]
