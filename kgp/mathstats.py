@@ -165,3 +165,39 @@ def corr_regression(df: DataFrame, x_col: str, y_col: str,
         r, alpha, beta = (F.round(c, round_to) for c in (r, alpha, beta))
     return df.agg(r.alias("pearson_r"), alpha.alias("alpha"),
                   beta.alias("beta"))
+
+
+def list_similarity(list1: list[str], list2: list[str]) -> dict:
+    """MathHelper.computeListSimilarity port (MathHelper.java:377-420):
+    rank-shift similarity between two orderings. The maximum possible
+    summed (squared) displacement pairs positions from the ends
+    inward; each list1 entry found in list2 contributes its absolute
+    (squared) position shift; entries missing from list2 contribute
+    nothing (the reference's break-only loop). rmse = sqrt(mean of
+    squared shifts over the FOUND entries only)."""
+    import math
+    summed_max = 0
+    summed_max_sq = 0
+    distance = len(list1) - 1
+    i = len(list1)
+    while i > 0:
+        summed_max += 2 * distance
+        summed_max_sq += 2 * distance ** 2
+        distance -= 2
+        i -= 2
+    real = 0
+    real_sq = 0
+    sq_shifts: list[float] = []
+    for p1, e1 in enumerate(list1):
+        for p2, e2 in enumerate(list2):
+            if e1 == e2:
+                real += abs(p1 - p2)
+                real_sq += (p1 - p2) ** 2
+                sq_shifts.append(float(abs(p1 - p2)) ** 2)
+                break
+    shift = 1 - real / summed_max
+    squared_shift = 1 - real_sq / summed_max_sq
+    rmse = (math.sqrt(sum(sq_shifts) / len(sq_shifts))
+            if sq_shifts else float("nan"))
+    return {"shift_similarity": shift,
+            "squared_shift_similarity": squared_shift, "rmse": rmse}

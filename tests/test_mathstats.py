@@ -105,3 +105,26 @@ def test_token_similarity_goldens(spark):
         token_similarity_expr(F.col("a"), F.col("b")).alias("sim"))
         .collect())
     assert got == pytest.approx([0.1111, 0.1429, 0.4286], abs=1e-3)
+
+
+def test_list_similarity_goldens():
+    """MathHelperTest.testCalculateListSimilarity (incl. the reference
+    list.csv resource when available)."""
+    import os
+    from kgp.mathstats import list_similarity
+    assert list_similarity(["a", "b", "c"], ["c", "b", "a"])[
+        "shift_similarity"] == pytest.approx(0.0)
+    assert list_similarity(["a", "b", "c"], ["a", "b", "c"])[
+        "shift_similarity"] == pytest.approx(1.0)
+    path = ("/root/reference/palladian-commons/src/test/resources/"
+            "list.csv")
+    if os.path.exists(path):
+        l1, l2 = [], []
+        for line in open(path):
+            a, b = line.strip().split("#")
+            l1.append(a)
+            l2.append(b)
+        r = list_similarity(l1, l2)
+        assert r["shift_similarity"] == pytest.approx(0.37, abs=0.01)
+        assert r["squared_shift_similarity"] == \
+            pytest.approx(0.57, abs=0.01)
