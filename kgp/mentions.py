@@ -31,7 +31,7 @@ from typing import NamedTuple
 
 import pandas as pd
 import regex
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -958,6 +958,30 @@ def training_scan(docs: DataFrame,
 
     return docs.select("text", "sentences").mapInPandas(
         scan, TRAINING_SCAN_SCHEMA)
+
+
+def equalize_type_counts(spans: DataFrame) -> DataFrame:
+    """PalladianNerTrainingSettings.equalizeTypeCounts
+    (trainEnglish, PalladianNer.java:391-405): downsample every tag's
+    training spans to the RAREST tag's count so no type dominates the
+    context/left-context dictionaries. The reference samples with
+    MathHelper.sample (java.util.Random — nondeterministic); this port
+    ranks rows by the md5-derived sample key (kgp.curation.sample_key,
+    ties by key string) and keeps the first min-count per tag — the
+    same deterministic-substitute policy as stratified_sample.
+    Operates on the 'span' rows of the training scan; other kinds pass
+    through untouched."""
+    from kgp.curation import sample_key
+    span_rows = spans.where(F.col("kind") == "span")
+    min_count = (span_rows.groupBy("tag").count()
+                 .agg(F.min("count")).collect()[0][0])
+    if min_count is None:
+        return spans
+    w = Window.partitionBy("tag").orderBy(
+        sample_key(F.concat_ws("\x1f", "key", "tag")), "key")
+    kept = (span_rows.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= min_count).drop("_rk"))
+    return spans.where(F.col("kind") != "span").unionByName(kept)
 
 
 def build_context_dictionary(spans: DataFrame,

@@ -536,3 +536,29 @@ def test_language_independent_tagging(spark):
     assert "Jim Carter" in surfaces or "Jim" in surfaces
     # the combine step must produce at least one multi-token span
     assert any(" " in s for s in surfaces)
+
+
+def test_equalize_type_counts(spark):
+    """equalizeTypeCounts (PalladianNer.java:391-405): every tag's
+    span rows downsample to the rarest tag's count; other training
+    kinds pass through; the cut is deterministic (md5 sample key)."""
+    from kgp.mentions import equalize_type_counts
+    rows = ([("span", f"ctx{i}", "PER", [], []) for i in range(10)]
+            + [("span", f"ctx{i}", "LOC", [], []) for i in range(3)]
+            + [("case", "tok", "Aa", [], []),
+               ("cand", "Surface", None, [], [])])
+    df = spark.createDataFrame(
+        rows, "kind string, key string, tag string, "
+              "lefts array<string>, insides array<string>")
+    out = equalize_type_counts(df)
+    counts = {r["tag"]: r["count"] for r in
+              out.where("kind = 'span'").groupBy("tag").count()
+              .collect()}
+    assert counts == {"PER": 3, "LOC": 3}
+    assert out.where("kind != 'span'").count() == 2
+    # deterministic: same rows kept on re-run
+    a = {(r.kind, r.key, r.tag) for r in
+         equalize_type_counts(df).collect()}
+    b = {(r.kind, r.key, r.tag) for r in
+         equalize_type_counts(df).collect()}
+    assert a == b
