@@ -199,6 +199,11 @@ class _DomParser(HTMLParser):
             return
         if tag in VOID_ELEMENTS:
             return
+        if self.stack[-1].tag == tag and len(self.stack) > 1:
+            # fast path: a well-nested end tag (the overwhelmingly
+            # common case) — every rule family agrees it just pops
+            self.stack.pop()
+            return
         if tag in _BLOCK_END:
             # explicit in-body end-tag rule: pop through the matching
             # element if it is in scope (implied end tags close the
