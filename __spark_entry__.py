@@ -687,6 +687,19 @@ def _q_set_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.col("sb")), 6).alias("overlap"))
 
 
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles (kgp.mathstats.fat_percentiles —
+    FatStats.getPercentile rule) of the events value column via the
+    two-phase range-partitioned rank selection (no single-node sort);
+    the oracle recomputes the identical ranks with a window."""
+    from kgp.mathstats import fat_percentiles
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ps = [10, 25, 50, 75, 90]
+    got = fat_percentiles(events, "value", ps)
+    return spark.createDataFrame(
+        [(p, got[p]) for p in ps], "p int, value double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -731,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_precision": _q_avg_precision,
         "corr_regression": _q_corr_regression,
         "set_sims": _q_set_sims,
+        "value_percentiles": _q_value_percentiles,
     }
 
 
@@ -803,4 +817,5 @@ def oracle_sql() -> dict[str, str]:
         "avg_precision": _oracle.avg_precision_sql(),
         "corr_regression": _oracle.corr_regression_sql(),
         "set_sims": _oracle.set_sims_sql(),
+        "value_percentiles": _oracle.value_percentiles_sql(),
     }

@@ -201,3 +201,102 @@ def list_similarity(list1: list[str], list2: list[str]) -> dict:
             if sq_shifts else float("nan"))
     return {"shift_similarity": shift,
             "squared_shift_similarity": squared_shift, "rmse": rmse}
+
+
+def exact_ranks(df: DataFrame, col: str,
+                ranks: list[int]) -> dict[int, float]:
+    """Distributed EXACT order statistics: the 1-based `ranks` of
+    `col` without ever sorting on one node. Two-phase shape (the same
+    pattern as kgp.packing's offset scan): range-repartition + local
+    sort, ONE pass counts rows per partition (a #partitions-sized
+    collect), the driver turns counts into global offsets, and a
+    second pass emits only the requested rank values from whichever
+    partition holds them. Nothing but (rank, value) pairs leave the
+    executors."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    ranked = df.select(F.col(col).alias("_v")).where(
+        F.col("_v").isNotNull())
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    # PERSIST between the two passes: repartitionByRange samples its
+    # boundaries per execution, so without pinning the physical layout
+    # the offsets from pass 1 would describe a different partitioning
+    # than pass 2 reads
+    arranged = ranked.repartitionByRange(parts, "_v") \
+        .sortWithinPartitions("_v")
+
+    def count_parts(batches):
+        n = 0
+        pid = -1
+        for pdf in batches:
+            n += len(pdf)
+            if len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
+        yield pd.DataFrame([(pid, n)], columns=["pid", "n"])
+
+    with_pid = arranged.withColumn("_pid", F.spark_partition_id()) \
+        .persist()
+    counts = {int(r["pid"]): int(r["n"])
+              for r in with_pid.mapInPandas(
+                  count_parts, "pid int, n long").collect()
+              if r["pid"] >= 0}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast((offsets, sorted(ranks)))
+
+    def pick(batches):
+        offs, targets = bc.value
+        rows = []
+        buf = []
+        pid = -1
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
+                buf.append(pdf["_v"])
+        if pid >= 0 and buf:
+            vals = pd.concat(buf).reset_index(drop=True)
+            base = offs.get(pid, 0)
+            for t in targets:
+                local = t - 1 - base
+                if 0 <= local < len(vals):
+                    rows.append((t, float(vals.iloc[local])))
+        yield pd.DataFrame(rows, columns=["rank", "value"])
+
+    got = with_pid.mapInPandas(pick, "rank long, value double").collect()
+    with_pid.unpersist()
+    return {int(r["rank"]): r["value"] for r in got}
+
+
+def fat_percentiles(df: DataFrame, col: str,
+                    ps: list[int]) -> dict[int, float]:
+    """FatStats.getPercentile (FatStats.java:getPercentile): with
+    n = p/100 * count, an INTEGER n averages the values at 1-based
+    ranks n and n+1; otherwise the value at rank ceil(n). Exact, via
+    the distributed rank selection above."""
+    import math
+    n_total = df.where(F.col(col).isNotNull()).count()
+    if n_total == 0:
+        return {p: float("nan") for p in ps}
+    needed: set[int] = set()
+    plan: dict[int, tuple] = {}
+    for p in ps:
+        n = p / 100.0 * n_total
+        if n == int(n) and int(n) >= 1:
+            plan[p] = ("avg", int(n), min(int(n) + 1, n_total))
+            needed.update(plan[p][1:])
+        else:
+            r = max(1, math.ceil(n))
+            plan[p] = ("one", r)
+            needed.add(r)
+    vals = exact_ranks(df, col, sorted(needed))
+    out = {}
+    for p, spec in plan.items():
+        if spec[0] == "avg":
+            out[p] = 0.5 * vals[spec[1]] + 0.5 * vals[spec[2]]
+        else:
+            out[p] = vals[spec[1]]
+    return out

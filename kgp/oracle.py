@@ -1674,3 +1674,27 @@ SELECT a_id, b_id,
              WHEN na = 0 OR nb = 0 THEN 0.0
              ELSE i / least(na, nb) END, 6) AS overlap
 FROM m ORDER BY a_id"""
+
+
+def value_percentiles_sql(ps: tuple = (10, 25, 50, 75, 90)) -> str:
+    """DuckDB mirror of kgp.mathstats.fat_percentiles over the events
+    value column (FatStats.getPercentile rule: integer n = p/100*count
+    averages 1-based ranks n and n+1, else ceil(n))."""
+    plist = ", ".join(str(p) for p in ps)
+    return f"""
+WITH v AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rk
+  FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS c FROM v),
+ps AS (SELECT unnest([{plist}]) AS p)
+SELECT ps.p,
+  CASE WHEN (ps.p * n.c) % 100 = 0 AND ps.p * n.c / 100 >= 1
+    THEN 0.5 * (SELECT value FROM v WHERE rk = ps.p * n.c / 100)
+       + 0.5 * (SELECT value FROM v
+                WHERE rk = least(ps.p * n.c / 100 + 1, n.c))
+    ELSE (SELECT value FROM v
+          WHERE rk = greatest(1, CAST(ceil(ps.p * n.c
+                                           / CAST(100 AS DOUBLE))
+                                      AS BIGINT)))
+  END AS value
+FROM ps, n ORDER BY ps.p"""

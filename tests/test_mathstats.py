@@ -128,3 +128,30 @@ def test_list_similarity_goldens():
         assert r["shift_similarity"] == pytest.approx(0.37, abs=0.01)
         assert r["squared_shift_similarity"] == \
             pytest.approx(0.57, abs=0.01)
+
+
+def test_fat_percentiles_golden(spark):
+    """FatStatsTest.testPercentile: [1,1,1,3,4,7,9,11,13,13] ->
+    p30 = 2 (integer rank: average of ranks 3 and 4), p75 = 11
+    (ceil rank 8)."""
+    from kgp.mathstats import fat_percentiles
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 1, 1, 3, 4, 7, 9, 11, 13, 13]],
+        "v double")
+    got = fat_percentiles(df, "v", [30, 75, 50])
+    assert got[30] == pytest.approx(2.0)
+    assert got[75] == pytest.approx(11.0)
+    assert got[50] == pytest.approx(0.5 * 4 + 0.5 * 7)   # ranks 5+6
+
+
+def test_exact_ranks_partition_independent(spark):
+    from kgp.mathstats import exact_ranks
+    import random
+    vals = list(range(1, 1001))
+    rnd = random.Random(7)
+    rnd.shuffle(vals)
+    df = spark.createDataFrame([(float(v),) for v in vals],
+                               "v double").repartition(13)
+    got = exact_ranks(df, "v", [1, 250, 500, 999, 1000])
+    assert got == {1: 1.0, 250: 250.0, 500: 500.0, 999: 999.0,
+                   1000: 1000.0}
