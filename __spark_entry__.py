@@ -700,6 +700,78 @@ def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, got[p]) for p in ps], "p int, value double")
 
 
+def _q_page_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor/link extraction (HtmlHelper.getLinks + UrlHelper
+    .makeFullUrl port, kgp.webgraph): one column-pruned Arrow pass over
+    the pages html, document-order dedup per (src, dst), nofollow
+    respected. The oracle re-derives every followed link closed-form,
+    including the two dedup collisions (hub-vs-Home on news pages,
+    next-vs-related when doc_id % 7 == 6 on a host-stable pair)."""
+    from kgp import webgraph as _wg
+    pages = _corpus.synth_pages(spark, sf_dir)
+    return _wg.extract_links_stage(pages)
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph: ONE hash aggregation over the extracted
+    links, hosts parsed JVM-side (parse_url) — partial aggregation
+    absorbs the 40%-hot news host before the shuffle."""
+    from kgp import webgraph as _wg
+    pages = _corpus.synth_pages(spark, sf_dir)
+    return _wg.host_graph(_wg.extract_links_stage(pages))
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 power steps, d=0.85, dangling mass redistributed)
+    over the page-level link graph. The oracle unrolls the identical
+    iteration in SQL; ranks compare at the house 6-decimal rounding
+    (summation order is the only engine difference)."""
+    from kgp import webgraph as _wg
+    pages = _corpus.synth_pages(spark, sf_dir)
+    links = _wg.extract_links_stage(pages)
+    pr = _wg.pagerank(
+        links.select(F.col("src_url").alias("src"),
+                     F.col("dst_url").alias("dst")), iterations=5)
+    return pr.select("node", F.round("rank", 6).alias("rank_r6"))
+
+
+def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target — the web-scale
+    entity-alias signal: in-link counts, distinct source hosts, and
+    the majority anchor (ties lexicographic). Two hash aggregations +
+    a dst-partitioned window, never a global one."""
+    from kgp import webgraph as _wg
+    pages = _corpus.synth_pages(spark, sf_dir)
+    return _wg.anchor_stats(_wg.extract_links_stage(pages))
+
+
+def _q_crawl_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch crawl frontier (Crawler.java:398-428 follow rules:
+    length < 400, blacklist find-match drops) — BFS over the link
+    graph from every 101st page, 4 levels, /about.html blacklisted.
+    Each level joins edges against the FRONTIER only; the oracle
+    unrolls the identical BFS."""
+    from kgp import webgraph as _wg
+    pages = _corpus.synth_pages(spark, sf_dir, with_doc_id=True)
+    links = _wg.extract_links_stage(pages.drop("doc_id"))
+    seeds = pages.where(F.col("doc_id") % 101 == 0).select("url")
+    return _wg.crawl_reachable(links, seeds, max_depth=4,
+                               blacklist=[r"/about\.html"])
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (5 L1-normalized iterations) over the
+    page link graph; compares at the house 6-decimal rounding."""
+    from kgp import webgraph as _wg
+    pages = _corpus.synth_pages(spark, sf_dir)
+    links = _wg.extract_links_stage(pages)
+    s = _wg.hits(links.select(F.col("src_url").alias("src"),
+                              F.col("dst_url").alias("dst")),
+                 iterations=5)
+    return s.select("node", F.round("hub", 6).alias("hub_r6"),
+                    F.round("auth", 6).alias("auth_r6"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -745,6 +817,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_regression": _q_corr_regression,
         "set_sims": _q_set_sims,
         "value_percentiles": _q_value_percentiles,
+        "page_links": _q_page_links,
+        "host_graph": _q_host_graph,
+        "pagerank": _q_pagerank,
+        "anchor_stats": _q_anchor_stats,
+        "crawl_reachable": _q_crawl_reachable,
+        "hits": _q_hits,
     }
 
 
@@ -818,4 +896,10 @@ def oracle_sql() -> dict[str, str]:
         "corr_regression": _oracle.corr_regression_sql(),
         "set_sims": _oracle.set_sims_sql(),
         "value_percentiles": _oracle.value_percentiles_sql(),
+        "page_links": _oracle.page_links_sql(),
+        "host_graph": _oracle.host_graph_sql(),
+        "pagerank": _oracle.pagerank_sql(iterations=5),
+        "anchor_stats": _oracle.anchor_stats_sql(),
+        "crawl_reachable": _oracle.crawl_reachable_sql(),
+        "hits": _oracle.hits_sql(iterations=5),
     }

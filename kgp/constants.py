@@ -119,6 +119,36 @@ EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
 HINT_CLASS = "article-body"
 NOHINT_CLASS = "content-zone"
 
+# web-graph link block (normal body only; the adversarial %17==13
+# slice carries no links so its full-walk byte-identity stays intact).
+# Targets are closed-form over doc_id so the link graph has an exact
+# SQL derivation (kgp.oracle.page_links_sql):
+#   next  -> relative /articles/{doc_id+1}.html (same host; dangles
+#            when doc_id+1 canonically lives on another host — real
+#            crawls are full of moved links)
+#   dst2  -> absolute url of the NEXT multiple of LINK_REL_STRIDE
+#            (head-entity skew: only every 7th article gets in-links)
+#   hub   -> the news homepage (hot-node skew for PageRank)
+#   about -> ../about.html (exercises dot-segment resolution)
+#   ads   -> rel=nofollow (dropped when respect_nofollow)
+#   mailto-> dropped by the tel/mailto filter
+LINK_REL_STRIDE = 7
+LINK_NEXT_ANCHOR = "Next: article {next_id}"
+LINK_REL_ANCHOR = "Related coverage {dst2_id}"
+LINK_HUB_URL = "https://news.example.com/"
+LINK_HUB_ANCHOR = "Example News"
+LINK_ABOUT_ANCHOR = "About"
+RELATED_HTML = (
+    '<div class="related"><h3>Related</h3><ul>'
+    '<li><a href="/articles/{next_id}.html">' + LINK_NEXT_ANCHOR
+    + '</a></li>'
+    '<li><a href="{dst2_url}">' + LINK_REL_ANCHOR + '</a></li>'
+    '<li><a href="' + LINK_HUB_URL + '">' + LINK_HUB_ANCHOR + '</a></li>'
+    '<li><a href="../about.html">' + LINK_ABOUT_ANCHOR + '</a></li>'
+    '<li><a rel="nofollow" href="https://ads.example.biz/click?id='
+    '{doc_id}">Sponsored</a></li>'
+    '<li><a href="mailto:tips@example.com">Contact</a></li></ul></div>')
+
 PREDICATES = ["ceo_of", "born_in", "headquartered_in", "capital_of",
               "works_for", "founded"]
 

@@ -51,6 +51,16 @@ def _tfmt(template: str, cols: dict[str, Column]) -> Column:
 # ------------------------------------------------------------- generator
 
 
+def _host_for(idc: Column) -> Column:
+    """Host of doc `idc`'s canonical url (skewed: 40% news host)."""
+    return (
+        F.when(idc % 10 < 4, F.lit("news.example.com"))
+        .when(idc % 10 < 6, F.lit("blog.example.org"))
+        .otherwise(F.concat(F.lit("site"), (idc % 14).cast("string"),
+                            F.lit(".example.net")))
+    )
+
+
 def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
                   heavy: int = 1) -> dict:
     i32 = lambda c: c.cast("int")  # noqa: E731
@@ -131,6 +141,20 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
               "<script>var tracker = 1 + 2;</script>"
               "</head>"),
     )
+    # related-links block (closed-form web graph; kgp.webgraph extracts
+    # it, kgp.oracle.page_links_sql re-derives it symbolically)
+    next_id = doc_id + 1
+    dst2_id = doc_id - (doc_id % C.LINK_REL_STRIDE) + C.LINK_REL_STRIDE
+    dst2_url = F.concat(F.lit("https://"), _host_for(dst2_id),
+                        F.lit("/articles/"), dst2_id.cast("string"),
+                        F.lit(".html"))
+    related = _tfmt(C.RELATED_HTML, {
+        "next_id": next_id.cast("string"),
+        "dst2_id": dst2_id.cast("string"),
+        "dst2_url": dst2_url,
+        "doc_id": doc_id.cast("string"),
+    })
+
     body = F.concat(
         F.lit("<body><header><nav><ul>"
               '<li><a href="/">Home</a></li>'
@@ -144,8 +168,9 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
         F.lit("</div>"),
         F.lit('<div class="comments"><h3>Comments</h3><p>great read '),
         (doc_id % 7).cast("string"),
-        F.lit("</p><p>nice article</p></div>"
-              "<footer><p>(c) 2024 Example News. All rights reserved.</p>"
+        F.lit("</p><p>nice article</p></div>"),
+        related,
+        F.lit("<footer><p>(c) 2024 Example News. All rights reserved.</p>"
               "</footer></body></html>"),
     )
 
@@ -173,12 +198,7 @@ def _page_columns(doc_id: Column, doc_text: Column, lang: Column,
     html = F.concat(head, F.when(adv_cond, adv_body).otherwise(body))
 
     # --- url: skewed hosts (40% news.example.com) ---------------------
-    host = (
-        F.when(doc_id % 10 < 4, F.lit("news.example.com"))
-        .when(doc_id % 10 < 6, F.lit("blog.example.org"))
-        .otherwise(F.concat(F.lit("site"), (doc_id % 14).cast("string"),
-                            F.lit(".example.net")))
-    )
+    host = _host_for(doc_id)
     url = F.concat(F.lit("https://"), host, F.lit("/articles/"),
                    doc_id.cast("string"), F.lit(".html"))
     warc_ts = F.timestamp_seconds(F.lit(C.EPOCH_2024) + doc_id)

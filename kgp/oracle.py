@@ -59,12 +59,16 @@ def _tfmt_sql(template: str, sl: dict[str, str]) -> str:
     return "(" + " || ".join(out) + ")"
 
 
+def host_sql(idx: str = "doc_id") -> str:
+    """Host of doc `idx`'s canonical url (kgp.corpus._host_for)."""
+    return (f"CASE WHEN ({idx}) % 10 < 4 THEN 'news.example.com' "
+            f"WHEN ({idx}) % 10 < 6 THEN 'blog.example.org' "
+            f"ELSE 'site' || CAST(({idx}) % 14 AS VARCHAR) || "
+            "'.example.net' END")
+
+
 def url_sql() -> str:
-    host = ("CASE WHEN doc_id % 10 < 4 THEN 'news.example.com' "
-            "WHEN doc_id % 10 < 6 THEN 'blog.example.org' "
-            "ELSE 'site' || CAST(doc_id % 14 AS VARCHAR) || '.example.net' "
-            "END")
-    return ("('https://' || " + host +
+    return ("('https://' || " + host_sql() +
             " || '/articles/' || CAST(doc_id AS VARCHAR) || '.html')")
 
 
@@ -1698,3 +1702,195 @@ SELECT ps.p,
                                       AS BIGINT)))
   END AS value
 FROM ps, n ORDER BY ps.p"""
+
+
+# ------------------------------------------------------------ web graph
+
+
+def _link_class_sql(idx: str) -> str:
+    """Registrable-domain class of doc `idx`'s host (com/org/net) —
+    the include_subdomains=True in-domain test reduces to class
+    equality on this corpus."""
+    return (f"CASE WHEN ({idx}) % 10 < 4 THEN 'com' "
+            f"WHEN ({idx}) % 10 < 6 THEN 'org' ELSE 'net' END")
+
+
+def _page_link_rows_sql() -> str:
+    """The followed links of every non-adversarial page, deduped on
+    (src, dst) keeping the first in DOCUMENT ORDER — exactly what
+    kgp.webgraph.extract_links_stage (getLinks set semantics) emits.
+    Collisions that make the dedup observable: news pages' hub link
+    equals their nav Home link (anchor 'Home' wins), and when
+    doc_id % 7 == 6 on a host-stable id pair the 'next' and 'related'
+    targets coincide (the 'next' anchor wins)."""
+    host = host_sql("doc_id")
+    dst2 = (f"(doc_id - (doc_id % {C.LINK_REL_STRIDE}) "
+            f"+ {C.LINK_REL_STRIDE})")
+    dst2_host = host_sql(dst2)
+    next_s = "CAST(doc_id + 1 AS VARCHAR)"
+    dst2_s = f"CAST({dst2} AS VARCHAR)"
+    next_anchor = _tfmt_sql(C.LINK_NEXT_ANCHOR, {"next_id": next_s})
+    rel_anchor = _tfmt_sql(C.LINK_REL_ANCHOR, {"dst2_id": dst2_s})
+    in_dom_rel = (f"({_link_class_sql('doc_id')} = "
+                  f"{_link_class_sql(dst2)})")
+    rows = [
+        (1, f"'https://' || {host} || '/'", "'Home'", "TRUE"),
+        (2, f"'https://' || {host} || '/world'", "'World'", "TRUE"),
+        (3, f"'https://' || {host} || '/articles/' || {next_s} "
+            "|| '.html'", next_anchor, "TRUE"),
+        (4, f"'https://' || {dst2_host} || '/articles/' || {dst2_s} "
+            "|| '.html'", rel_anchor, in_dom_rel),
+        (5, _lit(C.LINK_HUB_URL), _lit(C.LINK_HUB_ANCHOR),
+         "(doc_id % 10 < 4)"),
+        (6, f"'https://' || {host} || '/about.html'",
+         _lit(C.LINK_ABOUT_ANCHOR), "TRUE"),
+    ]
+    selects = [
+        (f"SELECT {url_sql()} AS src_url, {d} AS dst_url, "
+         f"{a} AS anchor, {ind} AS in_domain, {ordv} AS ord "
+         "FROM documents WHERE doc_id % 17 <> 13")
+        for ordv, d, a, ind in rows
+    ]
+    return ("SELECT src_url, dst_url, anchor, in_domain FROM (\n"
+            + "\nUNION ALL\n".join(selects) + "\n) "
+            "QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY src_url, dst_url ORDER BY ord) = 1")
+
+
+def page_links_sql() -> str:
+    return (f"SELECT * FROM ({_page_link_rows_sql()}) "
+            "ORDER BY src_url, dst_url")
+
+
+def host_graph_sql() -> str:
+    h = lambda c: f"split_part(split_part({c}, '//', 2), '/', 1)"  # noqa
+    return (f"WITH l AS ({_page_link_rows_sql()}) "
+            f"SELECT {h('src_url')} AS src_host, "
+            f"{h('dst_url')} AS dst_host, "
+            "COUNT(*) AS weight, "
+            "COUNT(DISTINCT src_url) AS n_src_pages "
+            "FROM l GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iteration (DuckDB's recursive CTEs reject the
+    per-step aggregation, so each of the K steps is its own CTE —
+    fixed K keeps this closed-form). Literal float constants are
+    injected via repr() so both engines evaluate the IEEE-identical
+    expression tree; summation order still differs, which is why the
+    gate column is the 6-decimal rounding (house round_to=6 rule)."""
+    d = repr(float(damping))
+    one_minus_d = repr(1.0 - damping)
+    ctes = [
+        f"l AS MATERIALIZED ({_page_link_rows_sql()})",
+        "e AS MATERIALIZED (SELECT DISTINCT src_url AS src, dst_url AS dst FROM l)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src AS node, COUNT(*) AS deg "
+        "FROM e GROUP BY src)",
+        "pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank "
+        "FROM nodes, nn)",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"pr{k - 1}"
+        ctes.append(
+            f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank), 0.0) AS mass "
+            f"FROM {p} p LEFT JOIN outdeg o ON o.node = p.node "
+            "WHERE o.node IS NULL)")
+        ctes.append(
+            f"pr{k} AS MATERIALIZED (SELECT n.node, "
+            f"CAST({one_minus_d} AS DOUBLE) / nn.n "
+            f"+ CAST({d} AS DOUBLE) * (COALESCE(c.contrib, 0.0) "
+            f"+ dk.mass / nn.n) AS rank "
+            f"FROM nodes n CROSS JOIN nn CROSS JOIN dang{k} dk "
+            "LEFT JOIN (SELECT e.dst AS node, "
+            "SUM(p.rank / o.deg) AS contrib "
+            f"FROM e JOIN {p} p ON e.src = p.node "
+            "JOIN outdeg o ON o.node = e.src GROUP BY e.dst) c "
+            "ON c.node = n.node)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, ROUND(rank, 6) AS rank_r6 "
+            f"FROM pr{iterations} ORDER BY node")
+
+
+def anchor_stats_sql() -> str:
+    h = "split_part(split_part(src_url, '//', 2), '/', 1)"
+    return (f"WITH l AS MATERIALIZED ({_page_link_rows_sql()}), "
+            "t AS (SELECT dst_url, COUNT(*) AS n_inlinks, "
+            f"COUNT(DISTINCT {h}) AS n_src_hosts FROM l GROUP BY dst_url), "
+            "pa AS (SELECT dst_url, anchor, COUNT(*) AS n FROM l "
+            "GROUP BY 1, 2), "
+            "top AS (SELECT dst_url, anchor AS top_anchor FROM pa "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY dst_url "
+            "ORDER BY n DESC, anchor ASC) = 1) "
+            "SELECT t.dst_url, t.n_inlinks, t.n_src_hosts, "
+            "top.top_anchor FROM t JOIN top USING (dst_url) "
+            "ORDER BY dst_url")
+
+
+def crawl_reachable_sql(max_depth: int = 4, seed_mod: int = 101,
+                        blacklist: tuple[str, ...] =
+                        (r"/about\.html",)) -> str:
+    """Unrolled BFS mirroring kgp.webgraph.crawl_reachable
+    (Crawler.java:398-428 follow rules: length < 400, no blacklist
+    find-match; filters skip the seeds)."""
+    follow = "LENGTH(url) < 400"
+    for p in blacklist:
+        esc = p.replace("'", "''")
+        follow += f" AND NOT regexp_matches(url, '{esc}')"
+    ctes = [
+        f"l AS MATERIALIZED ({_page_link_rows_sql()})",
+        "e AS MATERIALIZED (SELECT DISTINCT src_url AS src, dst_url AS dst FROM l)",
+        f"r0 AS MATERIALIZED (SELECT DISTINCT {url_sql()} AS url, 0 AS depth "
+        f"FROM documents WHERE doc_id % {seed_mod} = 0)",
+    ]
+    prev = "r0"
+    all_parts = ["SELECT url, depth FROM r0"]
+    for k in range(1, max_depth + 1):
+        reached = " UNION ALL ".join(
+            f"SELECT url FROM r{i}" for i in range(k))
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT url, {k} AS depth FROM ("
+            f"SELECT DISTINCT e.dst AS url FROM e "
+            f"JOIN r{k - 1} f ON e.src = f.url) "
+            f"WHERE {follow} AND url NOT IN ({reached}))")
+        all_parts.append(f"SELECT url, depth FROM r{k}")
+        prev = f"r{k}"
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT url, depth FROM ("
+            + " UNION ALL ".join(all_parts) + ") ORDER BY url")
+
+
+def hits_sql(iterations: int = 5) -> str:
+    """Unrolled HITS with per-half-step L1 normalization, mirroring
+    kgp.webgraph.hits."""
+    ctes = [
+        f"l AS MATERIALIZED ({_page_link_rows_sql()})",
+        "e AS MATERIALIZED (SELECT DISTINCT src_url AS src, dst_url AS dst FROM l)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "s0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS hub, "
+        "CAST(1.0 AS DOUBLE) AS auth FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"s{k - 1}"
+        ctes.append(
+            f"a{k}r AS MATERIALIZED (SELECT e.dst AS node, SUM(s.hub) AS a "
+            f"FROM e JOIN {p} s ON e.src = s.node GROUP BY e.dst)")
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT node, a / (SELECT SUM(a) FROM a{k}r) "
+            f"AS auth FROM a{k}r)")
+        ctes.append(
+            f"h{k}r AS MATERIALIZED (SELECT e.src AS node, SUM(a.auth) AS h "
+            f"FROM e JOIN a{k} a ON e.dst = a.node GROUP BY e.src)")
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT node, h / (SELECT SUM(h) FROM h{k}r) "
+            f"AS hub FROM h{k}r)")
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT n.node, "
+            f"COALESCE(h.hub, CAST(0.0 AS DOUBLE)) AS hub, "
+            f"COALESCE(a.auth, CAST(0.0 AS DOUBLE)) AS auth "
+            f"FROM nodes n LEFT JOIN h{k} h ON h.node = n.node "
+            f"LEFT JOIN a{k} a ON a.node = n.node)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, ROUND(hub, 6) AS hub_r6, "
+            f"ROUND(auth, 6) AS auth_r6 FROM s{iterations} "
+            "ORDER BY node")
