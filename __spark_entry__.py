@@ -772,6 +772,33 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("auth", 6).alias("auth_r6"))
 
 
+def _q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction from prose (UrlHelper.URL_PATTERN handed to the
+    JVM regex engine — the same engine the reference runs on) plus
+    session-id scrubbing, both pure column expressions. The prose is
+    synthesized closed-form (each doc's canonical url + a bare www
+    host + non-URL distractors); the oracle re-derives the matches
+    SYMBOLICALLY — it never runs the regex, so the pattern port is
+    checked against an independent derivation."""
+    from kgp import webgraph as _wg
+    pages = _corpus.synth_pages(spark, sf_dir, with_doc_id=True)
+    dirty = F.concat(
+        F.col("url"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(";jsessionid="),
+                        F.substring(F.md5(F.col("doc_id")
+                                          .cast("string")), 1, 16)))
+        .otherwise(F.lit("")))
+    text = F.concat(F.lit("Read more at "), F.col("url"),
+                    F.lit(" or www.example.com. Not a link: "
+                          "filename.txt or 6:00p."))
+    return (pages
+            .select("doc_id",
+                    F.posexplode(_wg.extract_urls_col(text))
+                    .alias("pos", "url_match"),
+                    _wg.remove_session_id_col(dirty).alias("cleaned")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -823,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "crawl_reachable": _q_crawl_reachable,
         "hits": _q_hits,
+        "text_urls": _q_text_urls,
     }
 
 
@@ -902,4 +930,5 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": _oracle.anchor_stats_sql(),
         "crawl_reachable": _oracle.crawl_reachable_sql(),
         "hits": _oracle.hits_sql(iterations=5),
+        "text_urls": _oracle.text_urls_sql(),
     }

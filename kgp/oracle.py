@@ -1894,3 +1894,18 @@ def hits_sql(iterations: int = 5) -> str:
             + f"\nSELECT node, ROUND(hub, 6) AS hub_r6, "
             f"ROUND(auth, 6) AS auth_r6 FROM s{iterations} "
             "ORDER BY node")
+
+
+def text_urls_sql() -> str:
+    """Symbolic derivation of the text_urls gate query: the prose is
+    'Read more at <url> or www.example.com. Not a link: ...' so the
+    matches are exactly [url, 'www.example.com'] (trailing dot
+    refused by the pattern tail); cleaned = the canonical url (the
+    appended ;jsessionid=<md5-prefix> token always matches the
+    session-id pattern). Derived WITHOUT running any regex."""
+    u = url_sql()
+    return (f"SELECT doc_id, 0 AS pos, {u} AS url_match, "
+            f"{u} AS cleaned FROM documents "
+            "UNION ALL "
+            f"SELECT doc_id, 1, 'www.example.com', {u} FROM documents "
+            "ORDER BY doc_id, pos")

@@ -82,7 +82,7 @@ _TLDS = [
     "br", "in", "ca", "ch", "at", "se", "no", "dk", "fi", "be", "us",
     "eu", "cz", "pt", "gr", "hu", "ro", "ie", "nz", "za", "kr", "tw",
     "hk", "sg", "my", "th", "id", "ph", "vn", "tr", "il", "mx", "ar",
-    "cl", "ua",
+    "cl", "ua", "ly", "gd",
 ]
 DOMAIN_SUFFIXES = _SLD_SUFFIXES + ["." + t for t in _TLDS]
 
@@ -474,3 +474,62 @@ def hits(edges: DataFrame, iterations: int = 5, src: str = "src",
                           F.coalesce("auth", F.lit(0.0)).alias("auth"))
                   .localCheckpoint(eager=True))
     return scores
+
+
+# -------------------------------------------- URL extraction from text
+
+# UrlHelper.URL_PATTERN (UrlHelper.java:105-110, the adapted
+# daringfireball URL regex): optional scheme, 1+ dotted host labels, a
+# TLD from the alternation (the reference joins its bundled TLD file;
+# this port joins _TLDS — same construction), then a path/query part
+# that tolerates one parenthesized group and refuses trailing
+# punctuation. The Spark column versions hand the IDENTICAL pattern to
+# the JVM regex engine — the same engine the reference runs on.
+TOP_LEVEL_DOMAINS = "|".join(_TLDS)
+
+URL_PATTERN = (
+    r"\b(?:https?://)?([0-9a-zäöü-]{1,63}?\.)+(?:" + TOP_LEVEL_DOMAINS
+    + r")(?:[?/](?:\([^\s()<>\[\]\"']{0,255}\)|[^\s()<>\[\]\"']{0,255})+"
+    r"(?:\([^\s()<>\[\]\"']{0,255}\)|[^\s.,;!?:()<>\[\]\"'])|/|\b)")
+
+_URL_RE = re.compile(URL_PATTERN, re.IGNORECASE)
+
+# UrlHelper.SESSION_ID_PATTERN (UrlHelper.java:53-54)
+SESSION_ID_PATTERN = (r"[&;]?(?<!\w)(jsessionid=|s=|sid=|PHPSESSID=|"
+                      r"sessionid=)[A-Za-z_0-9\-]{12,200}(?!\w)")
+
+_SESSION_ID_RE = re.compile(SESSION_ID_PATTERN)
+
+
+def extract_urls(text: str) -> list[str]:
+    """UrlHelper.extractUrls:433-435 — all URL matches in order."""
+    if not text:
+        return []
+    return [m.group(0) for m in _URL_RE.finditer(text)]
+
+
+def extract_urls_col(col: Column | str) -> Column:
+    """Column twin: regexp_extract_all with the reference's own Java
+    pattern — JVM-side, codegen-friendly, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit("(?i)" + URL_PATTERN), 0)
+
+
+def remove_session_id(url: str | None) -> str | None:
+    """UrlHelper.removeSessionId:127-130 — strip
+    jsessionid/sid/PHPSESSID-style tokens, then dangling '?' and
+    '?&'."""
+    if url is None:
+        return None
+    out = _SESSION_ID_RE.sub("", url)
+    out = re.sub(r"\?$", "", out)
+    return out.replace("?&", "?")
+
+
+def remove_session_id_col(col: Column | str) -> Column:
+    """Column twin of remove_session_id — three chained JVM
+    regexp_replace calls, exactly the reference's replaceAll chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, SESSION_ID_PATTERN, "")
+    c = F.regexp_replace(c, r"\?$", "")
+    return F.regexp_replace(c, r"\?&", "?")

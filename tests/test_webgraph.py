@@ -366,3 +366,156 @@ def test_hits_tiny_graph_vs_numpy(spark):
     # c is the clear authority; a the clear hub
     assert got["c"][1] == max(v[1] for v in got.values())
     assert got["a"][0] == max(v[0] for v in got.values())
+
+
+# ------------------------------- URL extraction from text (URL_PATTERN)
+
+EXTRACT_URL_GOLDENS = [
+    # (text, first expected match) — UrlHelperTest.testExtractUrls
+    ("http://foo.com/blah_blah", "http://foo.com/blah_blah"),
+    ("http://foo.com/blah_blah/", "http://foo.com/blah_blah/"),
+    ("(Something like http://foo.com/blah_blah)",
+     "http://foo.com/blah_blah"),
+    ("http://foo.com/blah_blah_(wikipedia)",
+     "http://foo.com/blah_blah_(wikipedia)"),
+    ("http://foo.com/more_(than)_one_(parens)",
+     "http://foo.com/more_(than)_one_(parens)"),
+    ("(Something like http://foo.com/blah_blah_(wikipedia))",
+     "http://foo.com/blah_blah_(wikipedia)"),
+    ("http://foo.com/blah_(wikipedia)#cite-1",
+     "http://foo.com/blah_(wikipedia)#cite-1"),
+    ("http://foo.com/blah_(wikipedia)_blah#cite-1",
+     "http://foo.com/blah_(wikipedia)_blah#cite-1"),
+    ("http://foo.com/unicode_(✪)_in_parens",
+     "http://foo.com/unicode_(✪)_in_parens"),
+    ("http://foo.com/(something)?after=parens",
+     "http://foo.com/(something)?after=parens"),
+    ("http://foo.com/blah_blah.", "http://foo.com/blah_blah"),
+    ("http://foo.com/blah_blah/.", "http://foo.com/blah_blah/"),
+    ("<http://foo.com/blah_blah>", "http://foo.com/blah_blah"),
+    ("<http://foo.com/blah_blah/>", "http://foo.com/blah_blah/"),
+    ("http://foo.com/blah_blah,", "http://foo.com/blah_blah"),
+    ("http://www.extinguishedscholar.com/wpglob/?p=364.",
+     "http://www.extinguishedscholar.com/wpglob/?p=364"),
+    ("<tag>http://example.com</tag>", "http://example.com"),
+    ("Just a www.example.com link.", "www.example.com"),
+    ("http://example.com/something?with,commas,in,url, but not at end",
+     "http://example.com/something?with,commas,in,url"),
+    ("bit.ly/foo", "bit.ly/foo"),
+    ("WWW.EXAMPLE.COM", "WWW.EXAMPLE.COM"),
+    ("http://example.com/quotes-are-“part”",
+     "http://example.com/quotes-are-“part”"),
+    ("example.com", "example.com"),
+    ("example.com/", "example.com/"),
+    ("'http://foo.com/blah_blah'", "http://foo.com/blah_blah"),
+    ('"http://foo.com/blah_blah"', "http://foo.com/blah_blah"),
+    ("You can download it here: cinefreaks.com/coolstuff.zip but",
+     "cinefreaks.com/coolstuff.zip"),
+    ("here: 1-2-3.net/auctions-Are-out.jpg but",
+     "1-2-3.net/auctions-Are-out.jpg"),
+    ("here: http://www.cinefreaks.com/coolstuff.zip but",
+     "http://www.cinefreaks.com/coolstuff.zip"),
+    ("here: http://www.cinefreaks.com/", "http://www.cinefreaks.com/"),
+    ("here: http://www.cinefreaks.com.", "http://www.cinefreaks.com"),
+    ("here: http://www.cinefreaks.com?", "http://www.cinefreaks.com"),
+    ("here: http://www.cinefreaks.com! Or", "http://www.cinefreaks.com"),
+    ("here: http://www.cinefreaks.com, this", "http://www.cinefreaks.com"),
+    ("http://www.google.com/search?tbm=isch&hl=en&source=hp&biw=1660&"
+     "bih=751&q=alfred+neuman+mad+magazine&gbv=2&aq=1s&aqi=g1g-s1g-sx1&"
+     "aql=&oq=alfred+newman+m",
+     "http://www.google.com/search?tbm=isch&hl=en&source=hp&biw=1660&"
+     "bih=751&q=alfred+neuman+mad+magazine&gbv=2&aq=1s&aqi=g1g-s1g-sx1&"
+     "aql=&oq=alfred+newman+m"),
+    ("http://add.my.yahoo.com/rss?url=http://feeds.reuters.com/news/"
+     "artsculture",
+     "http://add.my.yahoo.com/rss?url=http://feeds.reuters.com/news/"
+     "artsculture"),
+    ("http://stockscreener.us.reuters.com/Stock/US/Index?"
+     "quickscreen=gaarp",
+     "http://stockscreener.us.reuters.com/Stock/US/Index?"
+     "quickscreen=gaarp"),
+]
+
+EXTRACT_URL_NEGATIVES = [
+    "6:00p", "filename.txt", "16-28-33.0.backup.allcues.update.7z",
+    "09.Sep.11", "Environment.CurrentDirectory",
+    "zipProcess.StandardOutput.ReadToEnd()", "check_lang.sh",
+]
+
+SESSION_ID_GOLDENS = [
+    ("http://www.idealo.de/preisvergleich/OffersOfProduct/"
+     "3914600_-lumia-925-16gb-white-nokia.html;jsessionid=a1jUi00AR7u-",
+     "http://www.idealo.de/preisvergleich/OffersOfProduct/"
+     "3914600_-lumia-925-16gb-white-nokia.html"),
+    ("http://brbb.freeforums.org/viewforum.php?f=3&"
+     "sid=5c2676a9f621ffbadb6962da7e0c50d4",
+     "http://brbb.freeforums.org/viewforum.php?f=3"),
+    ("http://brbb.freeforums.org/viewforum.php?"
+     "sid=5c2676a9f621ffbadb6962da7e0c50d4",
+     "http://brbb.freeforums.org/viewforum.php"),
+    ("http://brbb.freeforums.org/viewforum.php?"
+     "sid=5c2676a9f621ffbadb6962da7e0c50d4&f=3",
+     "http://brbb.freeforums.org/viewforum.php?f=3"),
+    ("http://brbb.freeforums.org/viewforum.php?f=3;"
+     "sid=5c2676a9f621ffbadb6962da7e0c50d4",
+     "http://brbb.freeforums.org/viewforum.php?f=3"),
+    ("http://www.hagebau.de/Garten-und-Freizeit/Pavillons/sh3391862;"
+     "sid=QyZVAH0QUTdSAC95WwlCaREaDHk7KDmlYK6T5C8iB5N2iJYpHCTsIwPsB5N2"
+     "iA1M7nBXWZ_h",
+     "http://www.hagebau.de/Garten-und-Freizeit/Pavillons/sh3391862"),
+]
+
+
+def test_extract_urls_goldens():
+    from kgp.webgraph import extract_urls
+    for text, want in EXTRACT_URL_GOLDENS:
+        got = extract_urls(text)
+        assert got and got[0] == want, (text, got)
+
+
+def test_extract_urls_multi_and_negatives():
+    from kgp.webgraph import extract_urls
+    text = ("The quick brown fox. Check out: http://microsoft.com, "
+            "www.apple.com, google.com. (www.tu-dresden.de)")
+    got = extract_urls(text)
+    for want in ["http://microsoft.com", "www.apple.com", "google.com",
+                 "www.tu-dresden.de"]:
+        assert want in got
+    for neg in EXTRACT_URL_NEGATIVES:
+        assert extract_urls(neg) == [], neg
+    assert extract_urls("") == []
+    assert extract_urls(None) == []
+
+
+def test_remove_session_id_goldens():
+    from kgp.webgraph import remove_session_id
+    for dirty, clean in SESSION_ID_GOLDENS:
+        assert remove_session_id(dirty) == clean, dirty
+    assert remove_session_id(None) is None
+
+
+def test_url_column_twins_match_python(spark):
+    """The JVM column versions (reference's own regex engine) agree
+    with the pure-python twins on every golden."""
+    from kgp.webgraph import (extract_urls, extract_urls_col,
+                              remove_session_id, remove_session_id_col)
+    texts = ([t for t, _ in EXTRACT_URL_GOLDENS]
+             + EXTRACT_URL_NEGATIVES)
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select("t", extract_urls_col("t").alias("m")).collect()
+    for r in rows:
+        assert list(r.m) == extract_urls(r.t), r.t
+    urls = [d for d, _ in SESSION_ID_GOLDENS]
+    df2 = spark.createDataFrame([(u,) for u in urls], "u string")
+    for r in df2.select("u", remove_session_id_col("u").alias("c")) \
+            .collect():
+        assert r.c == remove_session_id(r.u), r.u
+
+
+def test_text_urls_query_plan_pure_jvm(spark):
+    """The text_urls gate query must stay entirely JVM-side: no
+    Python eval anywhere (regexp_extract_all + regexp_replace)."""
+    import __spark_entry__ as entry
+    df = entry.queries()["text_urls"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
