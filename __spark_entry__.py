@@ -799,6 +799,92 @@ def _q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _wg.remove_session_id_col(dirty).alias("cleaned")))
 
 
+def _sitemap_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize per-host sitemap XML files from the pages table:
+    CDATA-wrapped locs (doc_id%4==1), entity-escaped query suffixes
+    (doc_id%5==2), a priority tag per entry EXCEPT half the blog
+    entries (pinning the reference's all-or-nothing priority rule),
+    gzipped members for odd siteK hosts, plus one sitemap index
+    listing every file."""
+    import gzip as _gzip
+    import pandas as _pd
+    pages = (_corpus.synth_pages(spark, sf_dir, with_doc_id=True)
+             .select("doc_id", "url"))
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    is_blog = host == "blog.example.org"
+    loc_url = F.concat(
+        F.col("url"),
+        F.when(F.col("doc_id") % 5 == 2, F.lit("?a=1&amp;b=2"))
+        .otherwise(F.lit("")))
+    loc_inner = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(F.lit("<![CDATA["), loc_url, F.lit("]]>"))) \
+        .otherwise(loc_url)
+    prio_tag = F.when(is_blog & (F.col("doc_id") % 2 == 0), F.lit("")) \
+        .otherwise(F.concat(F.lit("<priority>0."),
+                            (F.col("doc_id") % 10).cast("string"),
+                            F.lit("</priority>")))
+    entry = F.concat(F.lit("<url><loc>"), loc_inner, F.lit("</loc>"),
+                     prio_tag, F.lit("</url>"))
+    sm = (pages.groupBy(host.alias("host"))
+          .agg(F.array_join(
+              F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct(F.col("doc_id"), entry.alias("e")))),
+                  lambda s: s.e), "\n").alias("body")))
+    content = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9" xmlns:news="http://www.google.com/'
+              'schemas/sitemap-news/0.9">\n'),
+        F.col("body"), F.lit("\n</urlset>"))
+    gz = F.col("host").rlike(r"^site(1|3|5|7|9|11|13)\.")
+    files = sm.select(
+        F.concat(F.lit("https://"), "host", F.lit("/sitemap.xml"),
+                 F.when(gz, F.lit(".gz")).otherwise(F.lit("")))
+        .alias("url"),
+        F.encode(content, "UTF-8").alias("content"))
+
+    def _gzip_members(batches):
+        for pdf in batches:
+            out_c = []
+            for u, c in zip(pdf["url"], pdf["content"]):
+                raw = bytes(c)
+                out_c.append(_gzip.compress(raw, mtime=0)
+                             if u.endswith(".gz") else raw)
+            yield _pd.DataFrame({"url": pdf["url"], "content": out_c})
+
+    files = files.mapInPandas(_gzip_members,
+                              "url string, content binary")
+    idx_body = (files.agg(F.array_join(
+        F.transform(F.array_sort(F.collect_list("url")),
+                    lambda u: F.concat(F.lit("<sitemap><loc>"), u,
+                                       F.lit("</loc></sitemap>"))),
+        "\n").alias("b")))
+    index = idx_body.select(
+        F.lit("https://news.example.com/sitemap_index.xml")
+        .alias("url"),
+        F.encode(F.concat(
+            F.lit('<?xml version="1.0"?>\n<sitemapindex xmlns='
+                  '"http://www.sitemaps.org/schemas/sitemap/0.9">\n'),
+            F.col("b"), F.lit("\n</sitemapindex>")), "UTF-8")
+        .alias("content"))
+    return files.union(index)
+
+
+def _q_sitemap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap reading (SitemapRetriever port): the synthesized XML
+    round-trips through the REAL parser — per-record gunzip, namespace
+    cleanup, regex loc/priority scan, entity normalization, the
+    all-or-nothing priority rule — while the oracle derives the same
+    rows symbolically from doc_id, never touching XML."""
+    from kgp import sitemap as _sm
+    rows = _sm.sitemap_rows_stage(_sitemap_files(spark, sf_dir))
+    return (rows.where(F.col("kind") == "page")
+            .select("sitemap_url", F.col("loc").alias("page_url"),
+                    "priority"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -851,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_reachable": _q_crawl_reachable,
         "hits": _q_hits,
         "text_urls": _q_text_urls,
+        "sitemap_pages": _q_sitemap_pages,
     }
 
 
@@ -931,4 +1018,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_reachable": _oracle.crawl_reachable_sql(),
         "hits": _oracle.hits_sql(iterations=5),
         "text_urls": _oracle.text_urls_sql(),
+        "sitemap_pages": _oracle.sitemap_pages_sql(),
     }

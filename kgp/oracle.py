@@ -1909,3 +1909,24 @@ def text_urls_sql() -> str:
             "UNION ALL "
             f"SELECT doc_id, 1, 'www.example.com', {u} FROM documents "
             "ORDER BY doc_id, pos")
+
+
+def sitemap_pages_sql() -> str:
+    """Symbolic derivation of the sitemap_pages gate query (the Spark
+    side builds real XML and parses it back; this never touches XML):
+    sitemap_url = https://<host>/sitemap.xml (+'.gz' for odd siteK
+    hosts), page_url = the canonical url plus the unescaped query
+    suffix for the doc_id%5==2 slice, priority = (doc_id%10)/10 except
+    the blog host where half the entries carry no priority tag and the
+    reference's all-or-nothing rule nulls the WHOLE file."""
+    host = host_sql("doc_id")
+    gz = "(doc_id % 10 >= 6 AND (doc_id % 14) % 2 = 1)"
+    blog = "(doc_id % 10 >= 4 AND doc_id % 10 < 6)"
+    return (
+        "SELECT ('https://' || " + host + " || '/sitemap.xml' || "
+        f"CASE WHEN {gz} THEN '.gz' ELSE '' END) AS sitemap_url, "
+        "(" + url_sql() + " || CASE WHEN doc_id % 5 = 2 "
+        "THEN '?a=1&b=2' ELSE '' END) AS page_url, "
+        f"CASE WHEN {blog} THEN NULL "
+        "ELSE CAST(doc_id % 10 AS DOUBLE) / 10 END AS priority "
+        "FROM documents ORDER BY sitemap_url, page_url")
