@@ -757,7 +757,8 @@ def parse_document(html: str | bytes, language: str = "en") -> dict:
     parents = xpath_nodes(root, parent_xpath)
     if not parents:
         return {"text": full_text_content, "xpath": "",
-                "full_text": full_text_content}
+                "full_text": full_text_content, "node": None,
+                "root": root}
     result_node = parents[0]
 
     main_text = ""
@@ -770,7 +771,8 @@ def parse_document(html: str | bytes, language: str = "en") -> dict:
     if len(main_text.strip()) < MIN_MAIN_LEN:
         main_text = full_text_content
     return {"text": main_text, "xpath": shortest,
-            "full_text": full_text_content}
+            "full_text": full_text_content, "node": result_node,
+            "root": root}
 
 
 # ------------------------------------------- main-content extraction
@@ -1131,3 +1133,106 @@ def get_dominant_image(root: Node, base_url: str = "") -> dict | None:
         candidates.sort(key=lambda c: max(c["width"], 0)
                         * max(c["height"], 0), reverse=True)
     return candidates[0]
+
+
+# ------------------------- content-scoped image extraction (reference
+# getImages: PalladianContentExtractor.java:555-650)
+
+DEFAULT_IMAGE_CONTAINER_SIZE = 500
+
+
+def _image_size(text: str) -> int:
+    """PalladianContentExtractor.getImageSize:655-670: the literal
+    ",*" deletion, %-of-500-container sizing, px strip; a non-numeric
+    value raises (and the CALLER skips the whole image, like the
+    reference's catch of NumberFormatException)."""
+    text = text.replace(",*", "")
+    if "%" in text:
+        return int(0.01 * int(text.replace("%", "").strip())
+                   * DEFAULT_IMAGE_CONTAINER_SIZE)
+    return int(text.replace("px", "").strip())
+
+
+def _substring_between(text: str, left: str, right: str) -> str:
+    i = text.find(left)
+    if i < 0:
+        return ""
+    j = text.find(right, i + len(left))
+    if j < 0:
+        return ""
+    return text[i + len(left):j]
+
+
+def get_content_images(root: Node, main_node: Node | None,
+                       document_url: str = "") -> list[dict]:
+    """The reference's result-scoped getImages
+    (PalladianContentExtractor.java:555-650): .//img under the main
+    content node, CLIMBING to the parent while empty; header/footer
+    images (//header//img, //div[@id='header']//img and the footer
+    twins) removed; src absolutized against base href / document url;
+    width/height via getImageSize with the inline-style fallback; an
+    unparseable size SKIPS the whole image (the reference catches
+    NumberFormatException around the builder)."""
+    from kgp.webgraph import make_full_url
+    if main_node is None:
+        return []
+    base = ""
+    for n in root.iter():
+        if n.tag == "head":
+            for m in n.iter():
+                if m.tag == "base" and m.attrs.get("href"):
+                    base = str(m.attrs["href"])
+                    break
+            break
+
+    pmap = _parent_index_map(root)
+    node = main_node
+    image_nodes: list[Node] = []
+    while not image_nodes and node is not None:
+        image_nodes = [n for n in node.iter() if n.tag == "img"]
+        node = pmap[id(node)][0] if id(node) in pmap else None
+
+    # images under header/footer chrome anywhere in the document
+    remove: set[int] = set()
+    for n in root.iter():
+        is_chrome = n.tag in ("header", "footer") or (
+            n.tag == "div" and n.attrs.get("id") in ("header", "footer"))
+        if is_chrome:
+            for m in n.iter():
+                if m.tag == "img":
+                    remove.add(id(m))
+
+    out: list[dict] = []
+    for n in image_nodes:
+        if id(n) in remove:
+            continue
+        src = n.attrs.get("src")
+        if src is None:
+            continue  # the reference's swallowed NullPointerException
+        url = src
+        if not url.startswith("http"):
+            context = base if base else (document_url or None)
+            url = make_full_url(context, None, url)
+        try:
+            width = height = -1
+            found = False
+            if n.attrs.get("width") is not None:
+                width = _image_size(str(n.attrs["width"]))
+                found = True
+            if n.attrs.get("height") is not None:
+                height = _image_size(str(n.attrs["height"]))
+                found = True
+            if not found and n.attrs.get("style") is not None:
+                style = str(n.attrs["style"])
+                wt = _substring_between(style, "width:", "px").strip()
+                ht = _substring_between(style, "height:", "px").strip()
+                if wt:
+                    width = int(float(wt))
+                if ht:
+                    height = int(float(ht))
+        except ValueError:
+            continue
+        out.append({"url": url, "width": width, "height": height,
+                    "summary": str(n.attrs.get("alt") or ""),
+                    "title": str(n.attrs.get("title") or "")})
+    return out

@@ -524,3 +524,65 @@ def test_table_closes_p_and_td_p_is_scoped():
     inner_p = next(n for n in td.iter() if n.tag == "p")
     assert "d" not in inner_p.text_content()   # div closed it
     assert "d" in td.text_content()
+
+
+# ----------------- content-scoped image extraction (reference getImages)
+
+
+def test_content_images_reference_fixtures():
+    """PalladianContentExtractorTest.testImageExtraction — the
+    result-scoped getImages: test015 -> 2 images, first has no
+    declared width (-1); test020 -> 4 images, images[1].width ==
+    624."""
+    from kgp.html_text import get_content_images, parse_document
+    p15 = os.path.join(FIXDIR, "test015.html")
+    p20 = os.path.join(FIXDIR, "test020.html")
+    if not os.path.exists(p15):
+        pytest.skip("reference fixtures not available")
+    r = parse_document(open(p15, "rb").read())
+    images = get_content_images(r["root"], r["node"])
+    assert len(images) == 2
+    assert images[0]["width"] == -1
+    r = parse_document(open(p20, "rb").read())
+    images = get_content_images(r["root"], r["node"])
+    assert len(images) == 4
+    assert images[1]["width"] == 624
+
+
+def test_content_images_semantics():
+    from kgp.html_text import get_content_images, parse_html
+    html = ('<html><head><base href="http://cdn.ex.com/"></head><body>'
+            '<header><img src="logo.png"></header>'
+            '<div id="main">'
+            '<img src="a.jpg" width="50%">'
+            '<img src="b.jpg" style="width:120.5px;height:80px">'
+            '<img src="bad.jpg" width="wide">'
+            '<img alt="no src">'
+            '</div>'
+            '<div id="footer"><img src="f.png"></div>'
+            '</body></html>')
+    root = parse_html(html)
+    main = next(n for n in root.iter()
+                if n.attrs.get("id") == "main")
+    images = get_content_images(root, main)
+    urls = [i["url"] for i in images]
+    # header/footer chrome removed, srcless skipped, bad width SKIPS
+    # the whole image (the reference's NumberFormatException catch)
+    assert urls == ["http://cdn.ex.com/a.jpg", "http://cdn.ex.com/b.jpg"]
+    # 50% of the 500px default container; inline-style floats truncate
+    assert images[0]["width"] == 250
+    assert images[1]["width"] == 120 and images[1]["height"] == 80
+
+
+def test_content_images_parent_climb():
+    from kgp.html_text import get_content_images, parse_html
+    # no img under the main node -> climb to the parent (reference's
+    # while-empty loop)
+    html = ('<html><body><div><img src="http://x.com/up.jpg">'
+            '<div id="main"><p>text only</p></div></div></body></html>')
+    root = parse_html(html)
+    main = next(n for n in root.iter()
+                if n.attrs.get("id") == "main")
+    images = get_content_images(root, main)
+    assert [i["url"] for i in images] == ["http://x.com/up.jpg"]
+    assert get_content_images(root, None) == []
