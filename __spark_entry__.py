@@ -885,6 +885,24 @@ def _q_sitemap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "priority"))
 
 
+def _q_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile (kgp.datasetstats —
+    DatasetStatistics/NumericValueStatistics/NominalValueStatistics
+    port: numeric mean/sample-std/min/max + nominal distinct counts,
+    null tallies, unsupported types skipped) over the events table in
+    ONE full-scan aggregation; floats rounded per the house rule."""
+    from kgp.datasetstats import dataset_statistics
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stats = dataset_statistics(
+        events, ["event_id", "user_id", "event_type", "value", "props"])
+    return stats.select(
+        "column", "kind", "num_nulls", "num_unique",
+        F.round("mean", 6).alias("mean"),
+        F.round("std_dev", 6).alias("std_dev"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -938,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _q_hits,
         "text_urls": _q_text_urls,
         "sitemap_pages": _q_sitemap_pages,
+        "dataset_stats": _q_dataset_stats,
     }
 
 
@@ -1019,4 +1038,5 @@ def oracle_sql() -> dict[str, str]:
         "hits": _oracle.hits_sql(iterations=5),
         "text_urls": _oracle.text_urls_sql(),
         "sitemap_pages": _oracle.sitemap_pages_sql(),
+        "dataset_stats": _oracle.dataset_stats_sql(),
     }

@@ -1930,3 +1930,35 @@ def sitemap_pages_sql() -> str:
         f"CASE WHEN {blog} THEN NULL "
         "ELSE CAST(doc_id % 10 AS DOUBLE) / 10 END AS priority "
         "FROM documents ORDER BY sitemap_url, page_url")
+
+
+def dataset_stats_sql() -> str:
+    """DuckDB mirror of kgp.datasetstats.dataset_statistics over the
+    events table: one UNION ALL branch per profiled column — numeric
+    columns carry mean / SAMPLE std / min / max, nominal columns carry
+    the distinct non-null count; the timestamp column is skipped like
+    the reference's unsupported Value types."""
+    def num(col):
+        return (f"SELECT '{col}' AS \"column\", 'numeric' AS kind, "
+                f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) "
+                "AS BIGINT) AS num_nulls, "
+                "CAST(NULL AS BIGINT) AS num_unique, "
+                f"round(avg({col}), 6) AS mean, "
+                f"round(stddev_samp({col}), 6) AS std_dev, "
+                f"round(CAST(min({col}) AS DOUBLE), 6) AS \"min\", "
+                f"round(CAST(max({col}) AS DOUBLE), 6) AS \"max\" "
+                "FROM events")
+
+    def nom(col):
+        return (f"SELECT '{col}', 'nominal', "
+                f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) "
+                "AS BIGINT), "
+                f"CAST(count(DISTINCT {col}) AS BIGINT), "
+                "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+                "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) "
+                "FROM events")
+
+    return (" UNION ALL ".join([num("event_id"), num("user_id"),
+                                nom("event_type"), num("value"),
+                                nom("props")])
+            + " ORDER BY \"column\"")
