@@ -903,6 +903,23 @@ def _q_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max", 6).alias("max"))
 
 
+def _q_token_informativeness(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Corpus token-frequency informativeness (kgp.informativeness —
+    InformativenessAssigner port: Tokenizer tokens via the reference's
+    exact Java regex JVM-side, freq = count/total, normalized by the
+    max frequency among tokens longer than one char).  One explode +
+    one groupBy; the normalization windows run on the
+    vocabulary-sized count table."""
+    from kgp.informativeness import fit_informativeness_stage
+    docs = _docs_table(spark, sf_dir)
+    fit = fit_informativeness_stage(docs)
+    return fit.select(
+        "token", "count",
+        F.round("frequency", 9).alias("frequency"),
+        F.round("informativeness", 6).alias("informativeness"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -957,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_urls": _q_text_urls,
         "sitemap_pages": _q_sitemap_pages,
         "dataset_stats": _q_dataset_stats,
+        "token_informativeness": _q_token_informativeness,
     }
 
 
@@ -1039,4 +1057,5 @@ def oracle_sql() -> dict[str, str]:
         "text_urls": _oracle.text_urls_sql(),
         "sitemap_pages": _oracle.sitemap_pages_sql(),
         "dataset_stats": _oracle.dataset_stats_sql(),
+        "token_informativeness": _oracle.token_informativeness_sql(),
     }

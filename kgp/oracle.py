@@ -1962,3 +1962,30 @@ def dataset_stats_sql() -> str:
                                 nom("event_type"), num("value"),
                                 nom("props")])
             + " ORDER BY \"column\"")
+
+
+def token_informativeness_sql() -> str:
+    """DuckDB mirror of kgp.informativeness.fit_informativeness_stage
+    over the documents table.  The tokenizer is the reference's exact
+    Java pattern (Tokenizer.java:27) — RE2 and Java agree on it
+    (pinned corpus-wide by tests/test_informativeness.py); the
+    normalization max spans only tokens longer than one character."""
+    from kgp.informativeness import TOKEN_SPLIT_JAVA
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{TOKEN_SPLIT_JAVA}')) AS token
+  FROM documents),
+counts AS (
+  SELECT token, count(*) AS count FROM toks GROUP BY token),
+freq AS (
+  SELECT token, count,
+         count / sum(count) OVER () AS frequency
+  FROM counts),
+h AS (
+  SELECT max(CASE WHEN length(token) > 1 THEN frequency END) AS highest
+  FROM freq)
+SELECT token, CAST(count AS BIGINT) AS count,
+       round(frequency, 9) AS frequency,
+       round(CASE WHEN highest IS NULL OR highest = 0 THEN frequency
+                  ELSE frequency / highest END, 6) AS informativeness
+FROM freq, h ORDER BY token"""
