@@ -920,6 +920,19 @@ def _q_token_informativeness(spark: SparkSession,
         F.round("informativeness", 6).alias("informativeness"))
 
 
+def _q_synonym_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym canonicalization (kgp.synonyms —
+    SynonymDictionaryCreator.createDictionaryOpenThesaurus port, pure
+    JVM per-line parse) over the code-defined demo thesaurus: pairs →
+    string connected components → (word, canon_word).  The oracle
+    derives the groups symbolically from the same constants, never
+    running the parser."""
+    from kgp.synonyms import (demo_thesaurus_df,
+                              open_thesaurus_pairs_stage, synonym_groups)
+    pairs = open_thesaurus_pairs_stage(demo_thesaurus_df(spark))
+    return synonym_groups(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -975,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_pages": _q_sitemap_pages,
         "dataset_stats": _q_dataset_stats,
         "token_informativeness": _q_token_informativeness,
+        "synonym_groups": _q_synonym_groups,
     }
 
 
@@ -1058,4 +1072,5 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_pages": _oracle.sitemap_pages_sql(),
         "dataset_stats": _oracle.dataset_stats_sql(),
         "token_informativeness": _oracle.token_informativeness_sql(),
+        "synonym_groups": _oracle.synonym_groups_sql(),
     }

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def same_entity_edges(gaz: DataFrame) -> DataFrame:
@@ -59,18 +60,24 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         undirected edge set with pointer doubling, driver loop with
         exact convergence check, localCheckpoint per round.
     """
+    # ids may be integral (entity ids) or strings (e.g. synonym
+    # surfaces) — min-label semantics work for any ordered type.
+    id_type = edges.schema.fields[0].dataType
+    out_schema = T.StructType([
+        T.StructField("entity_id", id_type, False),
+        T.StructField("canon_id", id_type, False)])
     n_edges = edges.limit(small_threshold + 1).count()
     if n_edges <= small_threshold:
-        parent: dict[int, int] = {}
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             while parent[x] != x:
                 parent[x] = parent[parent[x]]
                 x = parent[x]
             return x
 
         for r in edges.collect():
-            a, b = int(r[0]), int(r[1])
+            a, b = r[0], r[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -80,9 +87,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                 else:
                     parent[ra] = rb
         rows = [(x, find(x)) for x in sorted(parent)]
-        return edges.sparkSession.createDataFrame(
-            rows, "entity_id long, canon_id long")
-    return _cc_distributed(edges, max_iter)
+        return edges.sparkSession.createDataFrame(rows, out_schema)
+    return (_cc_distributed(edges, max_iter)
+            .select(F.col("entity_id").cast(id_type).alias("entity_id"),
+                    F.col("canon_id").cast(id_type).alias("canon_id")))
 
 
 def _cc_distributed(edges: DataFrame, max_iter: int = 25) -> DataFrame:

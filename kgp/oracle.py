@@ -1989,3 +1989,34 @@ SELECT token, CAST(count AS BIGINT) AS count,
        round(CASE WHEN highest IS NULL OR highest = 0 THEN frequency
                   ELSE frequency / highest END, 6) AS informativeness
 FROM freq, h ORDER BY token"""
+
+
+def synonym_groups_sql() -> str:
+    """Symbolic derivation of the synonym_groups gate query: the demo
+    thesaurus is code-defined (kgp.constants), so the expected
+    components are stated directly — org+alias pairs (the Acme group
+    chained transitively through the chain surface), per-city
+    "<city> city" variants, the first country's republic variant;
+    comment/lowercase/all-punctuation lines contribute nothing.
+    Canonical = lexicographic min of each group.  Never runs the
+    parser or the CC loop."""
+    from kgp import constants as C
+    groups: list[set] = []
+    acme: set = set()
+    for org, alias in zip(C.ORGS[:len(C.ORG_ALIASES)], C.ORG_ALIASES):
+        g = {org.lower(), alias.lower()}
+        if C.ORG_ALIASES[0].lower() in g:
+            acme = g
+        groups.append(g)
+    acme.add(C.ORG_CHAIN_NAME.lower())
+    for city in C.CITIES:
+        groups.append({city.lower(), city.lower() + " city"})
+    groups.append({C.COUNTRIES[0].lower(),
+                   C.COUNTRIES[0].lower() + " republic"})
+    rows = []
+    for g in groups:
+        canon = min(g)
+        rows.extend((w, canon) for w in sorted(g))
+    values = ", ".join(f"('{w}', '{c}')" for w, c in sorted(rows))
+    return ("SELECT col0 AS word, col1 AS canon_word "
+            f"FROM (VALUES {values}) ORDER BY word")
