@@ -933,6 +933,22 @@ def _q_synonym_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synonym_groups(pairs)
 
 
+def _q_heat_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heat-grid aggregation (kgp.heatgrid — HeatGridGenerator port:
+    [0,1] matrix normalization, Math.round palette buckets, the 16
+    reference colors) over events bucketed by (user_id%8,
+    event_id%12): ONE groupBy count, grid-sized normalization window,
+    palette lookup JVM-side."""
+    from kgp.heatgrid import heat_grid_stage
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    grid = heat_grid_stage(
+        events.select((F.col("user_id") % 8).alias("r"),
+                      (F.col("event_id") % 12).alias("c")), "r", "c")
+    return grid.select("row", "col", "n",
+                       F.round("intensity", 9).alias("intensity"),
+                       "bucket", "color_hex")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -989,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_stats": _q_dataset_stats,
         "token_informativeness": _q_token_informativeness,
         "synonym_groups": _q_synonym_groups,
+        "heat_grid": _q_heat_grid,
     }
 
 
@@ -1073,4 +1090,5 @@ def oracle_sql() -> dict[str, str]:
         "dataset_stats": _oracle.dataset_stats_sql(),
         "token_informativeness": _oracle.token_informativeness_sql(),
         "synonym_groups": _oracle.synonym_groups_sql(),
+        "heat_grid": _oracle.heat_grid_sql(),
     }

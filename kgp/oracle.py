@@ -2020,3 +2020,27 @@ def synonym_groups_sql() -> str:
     values = ", ".join(f"('{w}', '{c}')" for w, c in sorted(rows))
     return ("SELECT col0 AS word, col1 AS canon_word "
             f"FROM (VALUES {values}) ORDER BY word")
+
+
+def heat_grid_sql() -> str:
+    """DuckDB mirror of kgp.heatgrid.heat_grid_stage over events
+    bucketed by (user_id%8, event_id%12): count grid, intensity =
+    n/max(n), bucket = floor(i*15+0.5) (Math.round), color via a
+    VALUES join on the 16 reference palette constants."""
+    from kgp.heatgrid import PALETTE
+    values = ", ".join(
+        "(%d, '#%02x%02x%02x')" % ((i,) + rgb)
+        for i, rgb in enumerate(PALETTE))
+    return f"""
+WITH g AS (
+  SELECT user_id % 8 AS row, event_id % 12 AS col,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+i AS (
+  SELECT row, col, n,
+         round(n / max(n) OVER (), 9) AS intensity,
+         CAST(floor(n / max(n) OVER () * 15 + 0.5) AS INT) AS bucket
+  FROM g)
+SELECT i.row, i.col, i.n, i.intensity, i.bucket, p.color_hex
+FROM i JOIN (VALUES {values}) p(bucket, color_hex) USING (bucket)
+ORDER BY row, col"""
