@@ -1311,7 +1311,8 @@ m AS (
     CASE WHEN n_real > 0 THEN CAST(n_correct AS DOUBLE) / n_real
          ELSE 1.0 END AS rec
   FROM j)
-SELECT category, n_real, n_classified, n_correct,
+SELECT category, CAST(n_real AS BIGINT) AS n_real,
+  CAST(n_classified AS BIGINT) AS n_classified, n_correct,
   round(CAST(n_real AS DOUBLE) / t, 6) AS prior,
   round(prec, 6) AS precision,
   round(rec, 6) AS recall,
