@@ -949,6 +949,20 @@ def _q_heat_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "bucket", "color_hex")
 
 
+def _q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate scoring (kgp.imageops — ImageHandler
+    getSimilarity DIFFG + isDuplicate port) over REAL BMP decode of
+    (id, id+39) media pairs — equal widths (39%13==0), differing
+    heights (39%7!=0) so the min-height/black-fill path runs.  The
+    oracle recomputes the gray-difference from the closed-form pixel
+    pattern, never touching BMP bytes."""
+    from kgp.imageops import image_dup_stage
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    pairs = image_dup_stage(media, shift=39)
+    return pairs.select("id_a", "id_b",
+                        F.round("diffg", 9).alias("diffg"), "is_dup")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1006,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_informativeness": _q_token_informativeness,
         "synonym_groups": _q_synonym_groups,
         "heat_grid": _q_heat_grid,
+        "image_dup_pairs": _q_image_dup_pairs,
     }
 
 
@@ -1091,4 +1106,5 @@ def oracle_sql() -> dict[str, str]:
         "token_informativeness": _oracle.token_informativeness_sql(),
         "synonym_groups": _oracle.synonym_groups_sql(),
         "heat_grid": _oracle.heat_grid_sql(),
+        "image_dup_pairs": _oracle.image_dup_pairs_sql(),
     }

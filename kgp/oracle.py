@@ -2045,3 +2045,48 @@ i AS (
 SELECT i.row, i.col, i.n, i.intensity, i.bucket, p.color_hex
 FROM i JOIN (VALUES {values}) p(bucket, color_hex) USING (bucket)
 ORDER BY row, col"""
+
+
+def image_dup_pairs_sql(shift: int = 39) -> str:
+    """Symbolic DIFFG (ImageHandler gray-difference) between the
+    closed-form synth images of doc_id and doc_id+shift.  shift*7 mod
+    256 = 17, so each channel delta is 17 unless the +17 wraps past
+    256 (then 239); the gray is computed TWICE like the reference —
+    substractImages writes the weighted gray, getAverageGray re-greys
+    the (g,g,g) pixel, and 0.3g+0.59g+0.11g occasionally floors to
+    g-1 — with the same IEEE double sums (every operand CAST to DOUBLE —
+    DuckDB's bare 0.3 literal is an exact DECIMAL, which would
+    never reproduce the floor losses); the average divides by
+    w * h_a (rows beyond the shorter image are black).  Never decodes
+    BMP bytes."""
+    step = (shift * 7) % 256
+    wrap = 256 - step
+    return f"""
+WITH prs AS (
+  SELECT d1.doc_id AS id_a, d2.doc_id AS id_b,
+         d1.doc_id % 13 + 4 AS w,
+         d1.doc_id % 7 + 4 AS h_a, d2.doc_id % 7 + 4 AS h_b
+  FROM documents d1 JOIN documents d2
+    ON d2.doc_id = d1.doc_id + {shift}
+  WHERE d1.doc_id % 3 = 0),
+g1 AS (
+  SELECT id_a, id_b, w, h_a,
+    floor(
+      0.3 * CAST(CASE WHEN (id_a*7 + ri*5 + ci*3 + 0) % 256 >= {wrap}
+                  THEN {wrap} ELSE {step} END AS DOUBLE)
+    + 0.59 * CAST(CASE WHEN (id_a*7 + ri*5 + ci*3 + 11) % 256 >= {wrap}
+                   THEN {wrap} ELSE {step} END AS DOUBLE)
+    + 0.11 * CAST(CASE WHEN (id_a*7 + ri*5 + ci*3 + 22) % 256 >= {wrap}
+                   THEN {wrap} ELSE {step} END AS DOUBLE)) AS g
+  FROM prs, range(0, 20) t1(ri), range(0, 20) t2(ci)
+  WHERE ri < least(h_a, h_b) AND ci < w),
+g2 AS (
+  SELECT id_a, id_b, w, h_a,
+    CAST(floor(0.3 * CAST(g AS DOUBLE) + 0.59 * CAST(g AS DOUBLE) + 0.11 * CAST(g AS DOUBLE)) AS BIGINT) AS gray
+  FROM g1)
+SELECT id_a, id_b,
+  round(1 - (CAST(sum(gray) AS DOUBLE) / (any_value(w) * any_value(h_a)))
+            / 255.0, 9) AS diffg,
+  (1 - (CAST(sum(gray) AS DOUBLE) / (any_value(w) * any_value(h_a)))
+   / 255.0) > 0.82 AS is_dup
+FROM g2 GROUP BY id_a, id_b ORDER BY id_a"""
