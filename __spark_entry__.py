@@ -963,6 +963,27 @@ def _q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("diffg", 9).alias("diffg"), "is_dup")
 
 
+def _q_date_particles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date feature extraction (kgp.featuretransform —
+    DateParticleExtractor + DateDifferenceCalculator ports: US
+    week-of-year, java.time-style names, seasons, signed day / walked
+    week / business-day differences as closed forms) over the events
+    timestamps — pure column expressions, zero Python."""
+    from kgp.featuretransform import date_difference, date_particles
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = events.select(
+        "event_id", F.to_date("ts").alias("d"),
+        F.date_add(F.to_date("ts"),
+                   (F.col("event_id") % 21 - 10).cast("int")).alias("d2"))
+    out = date_particles(date_difference(base, "d", "d2"), "d")
+    return out.select(
+        "event_id", "d_year_num", "d_quarter", "d_month_nom",
+        F.col("`d_year-month`").alias("d_year_month"),
+        "d_week_num", "d_dayOfYear_num", "d_dayOfWeek_num",
+        "d_dayOfWeek_nom", "d_weekend",
+        "d_minus_d2_days", "d_minus_d2_weeks", "d_minus_d2_businessDays")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1021,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_groups": _q_synonym_groups,
         "heat_grid": _q_heat_grid,
         "image_dup_pairs": _q_image_dup_pairs,
+        "date_particles": _q_date_particles,
     }
 
 
@@ -1107,4 +1129,5 @@ def oracle_sql() -> dict[str, str]:
         "synonym_groups": _oracle.synonym_groups_sql(),
         "heat_grid": _oracle.heat_grid_sql(),
         "image_dup_pairs": _oracle.image_dup_pairs_sql(),
+        "date_particles": _oracle.date_particles_sql(),
     }

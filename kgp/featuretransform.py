@@ -1,0 +1,257 @@
+"""Dataset feature-vector transformers — ports of the reference's
+extraction/feature/ table-shaped members, all pure JVM column
+expressions (zero Python, zero shuffle):
+
+- NullValueReplacer (NullValueReplacer.java:32-40): null values
+  become integer -1; in the column world numeric columns get -1 and
+  string columns "-1" (the reference's heterogeneous vector stores
+  the IntegerValue whose toString is "-1").
+- BooleanToNumericValueTransformer (:12-22 apply): every
+  BooleanValue becomes 1 — TRUE OR FALSE (the reference never reads
+  the flag; kept bug-for-bug); nulls stay null.
+- ToNominalValueTransformer (:28-39): appends <name>_nominal =
+  value.toString().
+- FeatureCombiner (FeatureCombiner.java:18-24): appends
+  <f1>__<f2> = toString(f1) + "__" + toString(f2).
+- FeatureRenamer (FeatureRenamer.java:20-35): regex rename of
+  feature names (driver-side metadata op).
+- DomainValueReducer (DomainValueReducer.java:47-96): values whose
+  dataset rows all share ONE category are renamed
+  "reduced_<category>"; fit is one groupBy(feature) aggregation,
+  apply one broadcast join.
+- DateDifferenceCalculator (DateDifferenceCalculator.java:28-96):
+  <f1>_minus_<f2>_days SIGNED (ChronoUnit.DAYS), _weeks and
+  _businessDays ABSOLUTE (the reference swaps operands before
+  walking); weeks = 0 when both dates share the US week-of-year AND
+  year, else the +1-week walk count = ceil(|days|/7); businessDays
+  counts non-weekend days in the half-open walk — both re-expressed
+  as closed-form arithmetic (no per-day loop at 100 TB).
+- DateParticleExtractor (DateParticleExtractor.java:40-103): the
+  full particle set per precision (YEAR/MONTH/DAY) — numeric +
+  nominal year/month/week/day fields, WINTER/SPRING/SUMMER/AUTUMN
+  quarter, java.time-style names (JANUARY, MONDAY), ISO day-of-week
+  numbers, the unpadded year-month / year-quarter / year-week
+  concatenations, and WeekFields.of(Locale.US) week-of-year
+  (Sunday-start, minimalDaysInFirstWeek=1), reproduced as
+  floor((dayOfYear + dowSunday(jan1) - 2) / 7) + 1.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------ pure twins
+
+
+def us_week_of_year(d: _dt.date) -> int:
+    """WeekFields.of(Locale.US).weekOfYear() twin: weeks start Sunday,
+    week 1 begins Jan 1."""
+    jan1 = d.replace(month=1, day=1)
+    dow_sun = (jan1.weekday() + 1) % 7 + 1  # Sunday=1 .. Saturday=7
+    return (d.timetuple().tm_yday + dow_sun - 2) // 7 + 1
+
+
+def weeks_difference(d1: _dt.date, d2: _dt.date) -> int:
+    """weeksDifference twin (exact walk semantics)."""
+    if d1 < d2:
+        d1, d2 = d2, d1
+    if d1.year == d2.year and us_week_of_year(d1) == us_week_of_year(d2):
+        return 0
+    weeks = 0
+    while d2 < d1:
+        d2 = d2 + _dt.timedelta(weeks=1)
+        weeks += 1
+    return weeks
+
+
+def work_days_difference(d1: _dt.date, d2: _dt.date) -> int:
+    """workDaysDifference twin (exact walk semantics)."""
+    if d1 < d2:
+        d1, d2 = d2, d1
+    work = 0
+    while d2 < d1:
+        d2 = d2 + _dt.timedelta(days=1)
+        if d2.weekday() < 5:
+            work += 1
+    return work
+
+
+# ------------------------------------------------------------ Spark side
+
+
+def replace_nulls(df: DataFrame,
+                  columns: list[str] | None = None) -> DataFrame:
+    """NullValueReplacer: nulls → -1 (numeric) / '-1' (string)."""
+    out = df
+    for field in df.schema.fields:
+        if columns is not None and field.name not in columns:
+            continue
+        if isinstance(field.dataType, T.StringType):
+            out = out.fillna({field.name: "-1"})
+        elif isinstance(field.dataType, (T.ByteType, T.ShortType,
+                                         T.IntegerType, T.LongType,
+                                         T.FloatType, T.DoubleType)):
+            out = out.fillna({field.name: -1})
+    return out
+
+
+def booleans_to_numeric(df: DataFrame) -> DataFrame:
+    """BooleanToNumericValueTransformer: ANY non-null boolean → 1
+    (the reference sets the constant 1 without reading the flag —
+    kept bug-for-bug); nulls stay null."""
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.BooleanType):
+            out = out.withColumn(
+                field.name,
+                F.when(F.col(field.name).isNotNull(), F.lit(1))
+                .cast("int"))
+    return out
+
+
+def to_nominal(df: DataFrame, column: str) -> DataFrame:
+    """ToNominalValueTransformer: append <column>_nominal."""
+    return df.withColumn(column + "_nominal",
+                         F.col(column).cast("string"))
+
+
+def combine_features(df: DataFrame, f1: str, f2: str) -> DataFrame:
+    """FeatureCombiner: append <f1>__<f2> = str(f1) + '__' + str(f2)."""
+    return df.withColumn(
+        f"{f1}__{f2}",
+        F.concat(F.col(f1).cast("string"), F.lit("__"),
+                 F.col(f2).cast("string")))
+
+
+def rename_features(df: DataFrame, regex: str,
+                    replacement: str) -> DataFrame:
+    """FeatureRenamer(regex, replacement): String.replaceAll over
+    feature names (plan-time metadata, no data movement)."""
+    mapping = {c: re.sub(regex, replacement, c) for c in df.columns}
+    return df.select(*[F.col(c).alias(n) for c, n in mapping.items()])
+
+
+def fit_domain_reducer(df: DataFrame, feature: str,
+                       label: str) -> dict:
+    """DomainValueReducer fit: ONE groupBy(feature) aggregation; a
+    value whose rows all share one category maps to that category.
+    The mapping is vocabulary-sized (collected for broadcast)."""
+    rows = (df.groupBy(feature)
+            .agg(F.count_distinct(label).alias("n_cats"),
+                 F.min(label).alias("cat"))
+            .collect())
+    return {r[feature]: r["cat"] for r in rows if r["n_cats"] == 1}
+
+
+def apply_domain_reducer(df: DataFrame, mapping: dict, feature: str,
+                         keep_original: bool = False) -> DataFrame:
+    """DomainValueReducer apply: broadcast join of the vocabulary-
+    sized mapping; mapped values become 'reduced_<category>'."""
+    spark = df.sparkSession
+    null_cat = mapping.get(None)
+    items = [(k, "reduced_" + v) for k, v in mapping.items()
+             if k is not None]
+    ftype = df.schema[feature].dataType
+    map_df = spark.createDataFrame(
+        items, T.StructType([T.StructField("_dv_key", ftype),
+                             T.StructField("_dv_val", T.StringType())]))
+    joined = df.join(F.broadcast(map_df),
+                     df[feature] == map_df["_dv_key"], "left")
+    value = F.coalesce(
+        F.col("_dv_val"),
+        F.when(F.col(feature).isNull() & F.lit(null_cat is not None),
+               F.lit(("reduced_" + null_cat) if null_cat else None)),
+        F.col(feature).cast("string"))
+    target = feature + "_reduced" if keep_original else feature
+    return joined.withColumn(target, value).drop("_dv_key", "_dv_val")
+
+
+def us_week_col(d: Column) -> Column:
+    """WeekFields.of(Locale.US) week-of-year as a column: weeks start
+    Sunday, week 1 begins Jan 1 (dayofweek: Sunday=1)."""
+    jan1 = F.trunc(d, "year")
+    return F.floor((F.dayofyear(d) + F.dayofweek(jan1) - 2) / 7) + 1
+
+
+def date_difference(df: DataFrame, f1: str, f2: str) -> DataFrame:
+    """DateDifferenceCalculator: signed day difference, absolute
+    week-walk and business-day counts — closed forms, no per-day
+    loops (the reference walks day by day; at table scale that is
+    O(range) per row)."""
+    d1, d2 = F.col(f1), F.col(f2)
+    days = F.datediff(d1, d2)
+    prefix = f"{f1}_minus_{f2}"
+    # weeks: 0 when same US week + year, else ceil(|days| / 7)
+    same_week = (F.year(d1) == F.year(d2)) & \
+        (us_week_col(d1) == us_week_col(d2))
+    weeks = F.when(same_week, F.lit(0)).otherwise(
+        F.ceil(F.abs(days) / 7)).cast("int")
+    # businessDays: non-weekend days in the |days|-long walk after
+    # the earlier date: 5 per full week + the remainder-run count
+    lo = F.least(d1, d2)
+    n = F.abs(days)
+    rem = n % 7
+    start_dow = F.dayofweek(lo)  # Sunday=1 .. Saturday=7
+    extra = F.lit(0)
+    for i in range(1, 7):
+        dow_i = (start_dow - 1 + i) % 7 + 1
+        extra = extra + F.when((F.lit(i) <= rem)
+                               & ~dow_i.isin(1, 7), 1).otherwise(0)
+    business = ((n / 7).cast("long") * 5 + extra).cast("int")
+    return (df.withColumn(prefix + "_days", days.cast("int"))
+            .withColumn(prefix + "_weeks", weeks)
+            .withColumn(prefix + "_businessDays", business))
+
+
+def date_particles(df: DataFrame, column: str,
+                   precision: str = "day") -> DataFrame:
+    """DateParticleExtractor: append the particle columns for the
+    given precision; null dates append nothing (columns stay null,
+    the column-world image of the reference's early return)."""
+    d = F.col(column)
+    season = (F.when(F.month(d).isin(1, 2, 3), "WINTER")
+              .when(F.month(d).isin(4, 5, 6), "SPRING")
+              .when(F.month(d).isin(7, 8, 9), "SUMMER")
+              .when(F.month(d).isNotNull(), "AUTUMN"))
+    out = (df.withColumn(f"{column}_year_num", F.year(d))
+           .withColumn(f"{column}_year_nom",
+                       F.concat(F.lit("Y"), F.year(d).cast("string"))))
+    if precision in ("month", "day"):
+        out = (out.withColumn(f"{column}_quarter", season)
+               .withColumn(f"{column}_month_num", F.month(d))
+               .withColumn(f"{column}_month_nom",
+                           F.upper(F.date_format(d, "MMMM")))
+               .withColumn(f"{column}_year-quarter",
+                           F.concat(F.year(d).cast("string"),
+                                    F.lit("-"), season))
+               .withColumn(f"{column}_year-month",
+                           F.concat(F.year(d).cast("string"),
+                                    F.lit("-"),
+                                    F.month(d).cast("string"))))
+    if precision == "day":
+        week = us_week_col(d).cast("int")
+        iso_dow = F.weekday(d) + 1  # Monday=1 .. Sunday=7
+        out = (out.withColumn(f"{column}_week_num", week)
+               .withColumn(f"{column}_week_nom",
+                           F.concat(F.lit("cw_"), week.cast("string")))
+               .withColumn(f"{column}_dayOfYear_num", F.dayofyear(d))
+               .withColumn(f"{column}_dayOfYear_nom",
+                           F.concat(F.lit("d_"),
+                                    F.dayofyear(d).cast("string")))
+               .withColumn(f"{column}_dayOfMonth_num", F.dayofmonth(d))
+               .withColumn(f"{column}_dayOfMonth_nom",
+                           F.concat(F.lit("dm_"),
+                                    F.dayofmonth(d).cast("string")))
+               .withColumn(f"{column}_dayOfWeek_num", iso_dow)
+               .withColumn(f"{column}_dayOfWeek_nom",
+                           F.upper(F.date_format(d, "EEEE")))
+               .withColumn(f"{column}_weekend", iso_dow.isin(6, 7))
+               .withColumn(f"{column}_year-week",
+                           F.concat(F.year(d).cast("string"),
+                                    F.lit("-"), week.cast("string"))))
+    return out

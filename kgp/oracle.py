@@ -2090,3 +2090,46 @@ SELECT id_a, id_b,
   (1 - (CAST(sum(gray) AS DOUBLE) / (any_value(w) * any_value(h_a)))
    / 255.0) > 0.82 AS is_dup
 FROM g2 GROUP BY id_a, id_b ORDER BY id_a"""
+
+
+def date_particles_sql() -> str:
+    """DuckDB mirror of the date_particles gate query: US week =
+    floor((dayofyear + sundayDow(jan1) - 2)/7) + 1 (DuckDB dayofweek
+    is Sunday=0, hence the +1), java.time names via upper(strftime/
+    dayname), season CASE, signed day diff, the same-week-else-
+    ceil(|days|/7) week walk, and the 5-per-full-week + remainder-run
+    business-day closed form."""
+    usweek = ("(CAST(floor((dayofyear({d}) + dayofweek("
+              "date_trunc('year', {d})) + 1 - 2) / 7) AS INT) + 1)")
+    wa, wb = usweek.format(d="d"), usweek.format(d="d2")
+    extra = " + ".join(
+        f"CASE WHEN {i} <= n % 7 AND ((sdow - 1 + {i}) % 7) + 1 "
+        "NOT IN (1, 7) THEN 1 ELSE 0 END" for i in range(1, 7))
+    return f"""
+WITH b AS (
+  SELECT event_id, CAST(ts AS DATE) AS d,
+         CAST(ts AS DATE) + CAST(event_id % 21 - 10 AS INT) AS d2
+  FROM events),
+c AS (
+  SELECT *, date_diff('day', d2, d) AS days,
+         abs(date_diff('day', d2, d)) AS n,
+         dayofweek(least(d, d2)) + 1 AS sdow
+  FROM b)
+SELECT event_id,
+  CAST(year(d) AS INT) AS d_year_num,
+  CASE WHEN month(d) IN (1,2,3) THEN 'WINTER'
+       WHEN month(d) IN (4,5,6) THEN 'SPRING'
+       WHEN month(d) IN (7,8,9) THEN 'SUMMER'
+       ELSE 'AUTUMN' END AS d_quarter,
+  upper(monthname(d)) AS d_month_nom,
+  (year(d) || '-' || month(d)) AS d_year_month,
+  {wa} AS d_week_num,
+  CAST(dayofyear(d) AS INT) AS d_dayOfYear_num,
+  CAST(isodow(d) AS INT) AS d_dayOfWeek_num,
+  upper(dayname(d)) AS d_dayOfWeek_nom,
+  isodow(d) IN (6, 7) AS d_weekend,
+  CAST(days AS INT) AS d_minus_d2_days,
+  CAST(CASE WHEN year(d) = year(d2) AND {wa} = {wb} THEN 0
+            ELSE ceil(n / 7.0) END AS INT) AS d_minus_d2_weeks,
+  CAST((n // 7) * 5 + {extra} AS INT) AS d_minus_d2_businessDays
+FROM c ORDER BY event_id"""
