@@ -312,3 +312,43 @@ def predicate_variants(pred: str) -> list[str]:
             seen.add(name)
             out.append(name)
     return out
+
+
+# ------------------------------------------------- tense detection
+
+# EnglishTense.java values
+SIMPLE_PRESENT = "SIMPLE_PRESENT"
+SIMPLE_PAST = "SIMPLE_PAST"
+PRESENT_PERFECT = "PRESENT_PERFECT"
+PAST_PERFECT = "PAST_PERFECT"
+
+
+def get_tense(text: str, tags: list[str]) -> str:
+    """getTense port (WordTransformer.java:760-806): signal-word
+    checks (do/does -> present, did -> past) first, then the POS-tag
+    rules over the sentence's tag set — VBD without is/are -> past,
+    HVD+VBN/HVN -> past perfect, HV+VBN/HVN -> present perfect, VBN
+    without is/are -> present perfect, was/were fallback -> past.
+    Tags come from the Brown-tagged kgp.postag output."""
+    from kgp.rules import contains_word
+    if not text:
+        return SIMPLE_PRESENT
+    text = text.lower()
+    if contains_word(["do", "don't", "does", "doesn't"], text):
+        return SIMPLE_PRESENT
+    if contains_word(["did", "didn't"], text):
+        return SIMPLE_PAST
+    is_are = contains_word(["is", "are"], text)
+    was_were = contains_word(["was", "were"], text)
+    pos = set(tags)
+    if "VBD" in pos and not is_are:
+        return SIMPLE_PAST
+    if "HVD" in pos and ("VBN" in pos or "HVN" in pos):
+        return PAST_PERFECT
+    if "HV" in pos and ("VBN" in pos or "HVN" in pos):
+        return PRESENT_PERFECT
+    if "VBN" in pos and not is_are:
+        return PRESENT_PERFECT
+    if was_were:
+        return SIMPLE_PAST
+    return SIMPLE_PRESENT

@@ -114,3 +114,26 @@ def test_predicate_variants_feed_patterns():
         "work_for", "works_for", "worked_for"]
     v = predicate_variants("hold_stake_in")
     assert "holds_stake_in" in v and "held_stake_in" in v
+
+
+def test_get_tense_reference_goldens():
+    """The full WordTransformerTest.testGetTense golden set
+    (WordTransformerTest.java:266-333) with the test's own tag lists."""
+    from kgp.predicates import (PAST_PERFECT, PRESENT_PERFECT,
+                                SIMPLE_PAST, SIMPLE_PRESENT, get_tense)
+    assert get_tense("Do you like bugs?", ["VB"]) == SIMPLE_PRESENT
+    assert get_tense("He is said to be nice?",
+                     ["BEZ", "VBN", "BE"]) == SIMPLE_PRESENT
+    assert get_tense("The books are written?", ["VBN"]) == SIMPLE_PRESENT
+    assert get_tense("They wrote the books?", ["VBD"]) == SIMPLE_PAST
+    assert get_tense("I did not go there.", ["VB", "DOD"]) == SIMPLE_PAST
+    assert get_tense("Where was Woodstock?", ["BEDZ"]) == SIMPLE_PAST
+    assert get_tense("When is Easter this year?", ["BEZ"]) == \
+        SIMPLE_PRESENT
+    assert get_tense("I jump over a fence.", ["VB"]) == SIMPLE_PRESENT
+    assert get_tense("I jumped over a fence.", ["VBD"]) == SIMPLE_PAST
+    assert get_tense("Have you ever had pancakes?",
+                     ["HV", "HVN"]) == PRESENT_PERFECT
+    assert get_tense("No, I never had eaten pancakes before today?",
+                     ["HVD", "VBN"]) == PAST_PERFECT
+    assert get_tense("", []) == SIMPLE_PRESENT
