@@ -984,6 +984,58 @@ def _q_date_particles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_minus_d2_days", "d_minus_d2_weeks", "d_minus_d2_businessDays")
 
 
+def _feed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgp import feeds as _feeds
+    f = _feeds.synth_feeds(spark, sf_dir)
+    return _feeds.feed_post_statistics(f, _feeds.parse_feed_stage(f))
+
+
+def _q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed reading (kgp.feeds — RomeFeedParser-family port):
+    deterministic feed XML is rendered with pure column expressions,
+    round-trips through the REAL Arrow-batched parser (RFC-822 +
+    ISO-8601 dates, RSS guid/Atom id), and the link is session-
+    stripped (UrlHelper.removeSessionId); the oracle derives the same
+    rows symbolically from events, never touching XML."""
+    from kgp import feeds as _feeds
+    from kgp.webgraph import remove_session_id_col
+    items = _feeds.parse_feed_stage(_feeds.synth_feeds(spark, sf_dir))
+    return items.select(
+        "feed_url", "guid", "title",
+        remove_session_id_col("link").alias("link"),
+        F.unix_millis("published_ts").alias("pub_ms"))
+
+
+def _q_feed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeedPostStatistics + FeedClassifier rule cascade
+    (FeedPostStatistics.java:75-165, FeedClassifier.java:96-148):
+    per-feed sorted-timestamp gaps, FatStats median/sample-stddev with
+    exact DECIMAL moments, items/day, poll delay, and the 8-class
+    activity pattern — one shuffle, all-JVM column math."""
+    from kgp import feeds as _feeds
+    c = _feeds.classify_feeds(_feed_stats(spark, sf_dir))
+    return c.select(
+        "feed_url", "n_items", "median_gap_ms",
+        F.round("avg_gap_ms", 6).alias("avg_gap_ms"), "gap_stddev_ms",
+        "longest_gap_ms", F.round("items_per_day", 6).alias("items_per_day"),
+        "delay_ms", "valid", "pattern")
+
+
+def _q_feed_update_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-strategy intervals (MavUpdateStrategy.java:44-86,
+    FixLearnedUpdateStrategy.java:60-96): MAV min/max with the Java
+    long-division delay adjustment, fixLearnedW/P first-window
+    intervals, all clamped to [1, 10080] minutes."""
+    from kgp import feeds as _feeds
+    stats = _feed_stats(spark, sf_dir).persist()
+    mav = _feeds.mav_update_interval(stats, lowest=1, highest=10080)
+    fixw = _feeds.fix_learned_interval(stats, mode=0, lowest=1,
+                                       highest=10080, out_col="fixw")
+    fixp = _feeds.fix_learned_interval(stats, mode=1, lowest=1,
+                                       highest=10080, out_col="fixp")
+    return mav.join(fixw, "feed_url").join(fixp, "feed_url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1043,6 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heat_grid": _q_heat_grid,
         "image_dup_pairs": _q_image_dup_pairs,
         "date_particles": _q_date_particles,
+        "feed_items": _q_feed_items,
+        "feed_activity": _q_feed_activity,
+        "feed_update_intervals": _q_feed_update_intervals,
     }
 
 
@@ -1130,4 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "heat_grid": _oracle.heat_grid_sql(),
         "image_dup_pairs": _oracle.image_dup_pairs_sql(),
         "date_particles": _oracle.date_particles_sql(),
+        "feed_items": _oracle.feed_items_sql(),
+        "feed_activity": _oracle.feed_activity_sql(),
+        "feed_update_intervals": _oracle.feed_update_intervals_sql(),
     }

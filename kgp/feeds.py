@@ -1,0 +1,442 @@
+"""Feed-reading family: RSS/Atom parsing, post statistics, activity
+classification, and update-interval strategies.
+
+Reference semantics (all palladian-retrieval unless noted):
+
+- ``FeedPostStatistics`` (feeds/FeedPostStatistics.java:75-165): sort
+  item timestamps, intervals between neighbours, median via the
+  FatStats percentile rule (helper/math/FatStats.java:183-194 in
+  palladian-commons: ``n = p/100*size``; integer ``n`` averages the
+  n-th/n+1-th 1-indexed elements, else takes ``ceil(n)``-th), average
+  gap = time range / (n-1), SAMPLE standard deviation of the intervals
+  (FatStats.java:146-176, ``isSample()==true`` :305), longest gap =
+  max interval, ``avgItemsPerDay = n / max(1, (int)(range/1d))``
+  (:166,173-176), ``delayToNewestItem = lastPollTime - newest``
+  (:140-147).  ``medianPostInterval``/``postIntervalStandardDeviation``
+  are ``(long)`` casts (truncation toward zero), fields initialise to
+  -1 and ``validStatistics`` turns true only when >= 2 timestamps
+  (:149-161).  With exactly one interval the reference's Welford loop
+  yields ``sqrt(0/0) = NaN`` and ``(long)NaN == 0`` in Java, so m==1
+  maps to 0.
+- ``FeedClassifier.classify(Feed)`` (feeds/FeedClassifier.java:96-148):
+  the rule cascade EMPTY / SINGLE_ENTRY / ON_THE_FLY / CHUNKED /
+  ZOMBIE / SPONTANEOUS / CONSTANT / SLICED with the literal thresholds
+  5 s, 8x median & 8*7 days, stddev >= median/10 & median > 1 day,
+  longest < 12x median & < 2 h & >= 4 items/day.
+- ``MavUpdateStrategy.update`` (feeds/updates/MavUpdateStrategy.java:
+  44-85): moving-average check interval; the no-new-item branch
+  replaces the OLDEST interval by the delay using Java INTEGER
+  division (``intervals.get(0) / size`` on longs), minutes via
+  ``(int)(gap / 60000)`` truncation.
+- ``FixLearnedUpdateStrategy.update`` (feeds/updates/
+  FixLearnedUpdateStrategy.java:60-96): first-window learned fix
+  interval, ``intervalLength / ((n-1) * 60000)`` Java long division;
+  mode 1 uses the first poll time and divides by ``n``.
+- ``AbstractUpdateStrategy.getAllowedInterval`` (feeds/updates/
+  AbstractUpdateStrategy.java:26-36): clamp to [lowest, highest] where
+  -1 disables a bound; ``UpdateStrategy.DEFAULT_CHECK_TIME == 60``
+  minutes (feeds/updates/UpdateStrategy.java:9).
+- ``FeedItemHashGenerator.STRATEGY`` (feeds/FeedItemHashGenerator.java):
+  sha1 of title + removeSessionId(url) + removeSessionId(identifier)
+  where Java's StringBuilder renders null as the string "null"; null
+  result only when all three parts are null.
+
+Spark-first design: feed XML is synthesised with pure column
+expressions (JVM codegen, zero Python), the RSS/Atom parser is ONE
+Arrow-batched ``mapInPandas`` stage (the only Python in the family),
+and every statistic / classification / interval rule is a pure column
+expression over per-feed sorted-timestamp arrays — at 10^12-document
+scale the stats pipeline is one shuffle (groupBy feed) followed by
+map-side arithmetic.  Exact integer moments are carried as
+DECIMAL(38,0) so the sample variance is computed from exact sums on
+both the Spark and the DuckDB oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kgp.webgraph import remove_session_id_col
+
+# Far-future poll constant for feeds whose poll_kind is 0 (and the
+# fallback for empty feeds): ~4 months after the synthetic corpus'
+# newest event, which makes those feeds ZOMBIE-eligible (delay > 8
+# weeks, FeedClassifier.java:124-126).
+FAR_POLL = "2024-06-01 00:00:00"
+
+# 24-char word-char token: matches UrlHelper.SESSIONID_PATTERN's
+# 12-200 char class so removeSessionId strips it deterministically.
+_SESSION_TOKEN = "f00dbabe24681357acef9753"
+
+DEFAULT_CHECK_TIME = 60  # minutes, UpdateStrategy.java:9
+
+MS_PER_MIN = 60_000
+MS_PER_DAY = 86_400_000
+
+
+def _ldiv(a: Column, b: Column | int) -> Column:
+    """Exact Java-style long division for non-negative operands:
+    (a - a % b) / b is an exact integer in double space, so the result
+    never suffers the float-rounding-across-a-boundary hazard of
+    floor(a / b)."""
+    bb = F.lit(b) if isinstance(b, int) else b
+    return ((a - a % bb) / bb).cast("long")
+
+
+# --------------------------------------------------------- synthesis
+def synth_feeds(spark: SparkSession, sf_dir: str,
+                n_feeds: int = 40) -> DataFrame:
+    """Deterministic feed corpus derived from the events table.
+
+    Contract mirrored symbolically by the oracle (kgp.oracle.
+    _feed_items_cte), so every derivation must stay SQL-expressible:
+
+    - ``fid = event_id % n_feeds``; ``mode = fid % 4``:
+      mode 0 -> every event of the residue class, second-truncated ts;
+      mode 1 -> same membership, DAY-truncated ts (chunked bursts);
+      mode 2 -> sparse: only ``event_id % (10*n_feeds) == fid``;
+      mode 3 -> single item: ``event_id == fid``.
+      Plus two item-less feeds (fid n_feeds, n_feeds+1) -> EMPTY.
+    - ``poll_kind = (fid / 4) % 3`` (integer division): 0 -> constant
+      FAR_POLL, 1 -> newest item + 3 days, 2 -> newest item + 3 s.
+    - even fid -> RSS 2.0 (RFC-1123 pubDate), odd fid -> Atom
+      (ISO-8601 published).
+    - title 'Event <id> <type>'; guid 'urn:feed:<fid>:item:<id>';
+      link carries a ';jsessionid=' token the hash/clean path strips.
+
+    Returns (feed_url, feed_id, fmt, fetched_ts, xml binary).
+    """
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fid = (F.col("event_id") % n_feeds).alias("fid")
+    mode = F.col("fid") % 4
+    base = (events.select("event_id", "user_id", "event_type", "ts",
+                          fid)
+            .where((mode.isin(0, 1))
+                   | ((mode == 2)
+                      & (F.col("event_id") % (10 * n_feeds) == F.col("fid")))
+                   | ((mode == 3) & (F.col("event_id") == F.col("fid")))))
+    item_ts = F.when(mode == 1, F.date_trunc("DAY", F.col("ts"))) \
+        .otherwise(F.date_trunc("SECOND", F.col("ts")))
+    title = F.concat(F.lit("Event "), F.col("event_id"), F.lit(" "),
+                     F.col("event_type"))
+    link = F.concat(F.lit("https://u"), F.col("user_id"),
+                    F.lit(".feeds.example.org/items/"), F.col("event_id"),
+                    F.lit(";jsessionid=" + _SESSION_TOKEN + "?ref=rss"))
+    guid = F.concat(F.lit("urn:feed:"), F.col("fid"), F.lit(":item:"),
+                    F.col("event_id"))
+    rss_date = F.date_format(item_ts, "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
+    iso_date = F.date_format(item_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    is_rss = F.col("fid") % 2 == 0
+    snippet = F.when(is_rss, F.concat(
+        F.lit("<item><title>"), title, F.lit("</title><link>"), link,
+        F.lit("</link><guid>"), guid, F.lit("</guid><pubDate>"),
+        rss_date, F.lit("</pubDate></item>"))).otherwise(F.concat(
+            F.lit("<entry><title>"), title, F.lit('</title><link href="'),
+            link, F.lit('"/><id>'), guid, F.lit("</id><published>"),
+            iso_date, F.lit("</published></entry>")))
+    items = base.select(
+        "fid", F.unix_millis(item_ts).alias("pub_ms"),
+        "event_id", snippet.alias("snippet"))
+    per_feed = items.groupBy("fid").agg(
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("pub_ms", "event_id", "snippet"))),
+            lambda s: s["snippet"])).alias("body"),
+        F.max(F.col("pub_ms")).alias("newest_ms"))
+    shell = spark.range(n_feeds + 2).select(F.col("id").alias("fid"))
+    f = shell.join(per_feed, "fid", "left")
+    poll_kind = (F.col("fid") / F.lit(4)).cast("long") % 3
+    far = F.to_timestamp(F.lit(FAR_POLL))
+    newest_ts = F.timestamp_millis(F.col("newest_ms"))
+    fetched = F.coalesce(
+        F.when(poll_kind == 1, newest_ts + F.expr("INTERVAL 3 DAYS"))
+        .when(poll_kind == 2, newest_ts + F.expr("INTERVAL 3 SECONDS")),
+        far)
+    is_rss_f = F.col("fid") % 2 == 0
+    fmt = F.when(is_rss_f, F.lit("rss")).otherwise(F.lit("atom"))
+    feed_url = F.concat(F.lit("https://feed"), F.col("fid"),
+                        F.lit(".example.org/"), fmt, F.lit(".xml"))
+    body = F.coalesce(F.col("body"), F.lit(""))
+    xml = F.when(is_rss_f, F.concat(
+        F.lit('<?xml version="1.0"?>\n<rss version="2.0"><channel>'
+              "<title>Feed "), F.col("fid"), F.lit("</title>\n"),
+        body, F.lit("\n</channel></rss>"))).otherwise(F.concat(
+            F.lit('<?xml version="1.0"?>\n<feed xmlns='
+                  '"http://www.w3.org/2005/Atom"><title>Feed '),
+            F.col("fid"), F.lit("</title>\n"), body, F.lit("\n</feed>")))
+    return f.select(feed_url.alias("feed_url"), F.col("fid").alias("feed_id"),
+                    fmt.alias("fmt"), fetched.alias("fetched_ts"),
+                    F.encode(xml, "UTF-8").alias("xml"))
+
+
+# ----------------------------------------------------------- parsing
+_ITEM_SCHEMA = T.StructType([
+    T.StructField("feed_url", T.StringType()),
+    T.StructField("fetched_ts", T.TimestampType()),
+    T.StructField("guid", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("link", T.StringType()),
+    T.StructField("published_ts", T.TimestampType()),
+])
+
+_ATOM_NS = "{http://www.w3.org/2005/Atom}"
+
+
+def _parse_rfc822(s):
+    from email.utils import parsedate_to_datetime
+    try:
+        dt = parsedate_to_datetime(s)
+    except (TypeError, ValueError):
+        return None
+    if dt.tzinfo is not None:
+        import datetime as _dt
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def _parse_iso(s):
+    import datetime as _dt
+    if not s:
+        return None
+    try:
+        dt = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def _parse_feed_bytes(feed_url, fetched_ts, raw):
+    """One feed document -> item tuples. RSS 2.0 <channel><item> with
+    RFC-822 pubDate, Atom <feed><entry> with ISO-8601 published —
+    the two formats RomeFeedParser normalizes (feeds/rome/)."""
+    import xml.etree.ElementTree as ET
+    try:
+        root = ET.fromstring(bytes(raw))
+    except ET.ParseError:
+        return
+    if root.tag == "rss":
+        for item in root.iter("item"):
+            yield (feed_url, fetched_ts,
+                   item.findtext("guid"), item.findtext("title"),
+                   item.findtext("link"),
+                   _parse_rfc822(item.findtext("pubDate")))
+    elif root.tag == _ATOM_NS + "feed":
+        for entry in root.iter(_ATOM_NS + "entry"):
+            link_el = entry.find(_ATOM_NS + "link")
+            yield (feed_url, fetched_ts,
+                   entry.findtext(_ATOM_NS + "id"),
+                   entry.findtext(_ATOM_NS + "title"),
+                   link_el.get("href") if link_el is not None else None,
+                   _parse_iso(entry.findtext(_ATOM_NS + "published")))
+
+
+def parse_feed_stage(feeds: DataFrame) -> DataFrame:
+    """RSS/Atom XML -> item rows, one Arrow-batched mapInPandas pass
+    (the family's only Python stage). Column-pruned input: url, poll
+    time, bytes."""
+    src = feeds.select("feed_url", "fetched_ts", "xml")
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for feed_url, fetched_ts, raw in zip(
+                    pdf["feed_url"], pdf["fetched_ts"], pdf["xml"]):
+                rows.extend(_parse_feed_bytes(feed_url, fetched_ts, raw))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _ITEM_SCHEMA.fields])
+
+    return src.mapInPandas(run, _ITEM_SCHEMA)
+
+
+def item_hash_col(title: Column | str, link: Column | str,
+                  guid: Column | str) -> Column:
+    """FeedItemHashGenerator.STRATEGY: sha1 over title +
+    removeSessionId(url) + removeSessionId(identifier); Java's
+    StringBuilder renders null parts as 'null'; all-null -> null.
+    Pure JVM (regexp_replace chain + sha1)."""
+    t = F.col(title) if isinstance(title, str) else title
+    u = F.col(link) if isinstance(link, str) else link
+    g = F.col(guid) if isinstance(guid, str) else guid
+    payload = F.concat(
+        F.coalesce(t, F.lit("null")),
+        F.coalesce(remove_session_id_col(u), F.lit("null")),
+        F.coalesce(remove_session_id_col(g), F.lit("null")))
+    return F.when(t.isNotNull() | u.isNotNull() | g.isNotNull(),
+                  F.sha1(F.encode(payload, "UTF-8")))
+
+
+# -------------------------------------------------------- statistics
+def _median_ms(sg: Column, m: Column) -> Column:
+    """FatStats.getPercentile(50) over the sorted gaps array (1-indexed
+    element_at), then the reference's (long) truncation."""
+    even = (F.when(m % 2 == 0,
+                   0.5 * F.element_at(sg, (m / 2).cast("int"))
+                   + 0.5 * F.element_at(sg, (m / 2).cast("int") + 1))
+            .otherwise(F.element_at(sg, ((m + 1) / 2).cast("int"))
+                       .cast("double")))
+    return even
+
+
+def feed_post_statistics(feeds: DataFrame, items: DataFrame) -> DataFrame:
+    """FeedPostStatistics as ONE groupBy(feed) + pure column math.
+
+    Output columns (ms units, -1 sentinels per the reference's field
+    initialisers): n_items, time_oldest_ms, time_newest_ms,
+    median_gap_ms, avg_gap_ms, gap_stddev_ms, longest_gap_ms,
+    first_gap_ms (intervals.get(0), needed by MAV), items_per_day,
+    delay_ms, valid.
+    """
+    per = items.groupBy("feed_url").agg(
+        F.array_sort(F.collect_list(
+            F.unix_millis("published_ts"))).alias("ts_arr"),
+        F.count(F.lit(1)).alias("n_raw"))
+    f = (feeds.select("feed_url", "fetched_ts")
+         .join(per, "feed_url", "left"))
+    n = F.coalesce(F.col("n_raw"), F.lit(0)).cast("long")
+    ts = F.col("ts_arr")
+    m = (n - 1)
+    gaps = F.when(n > 1, F.zip_with(
+        F.slice(ts, 2, F.greatest(m.cast("int"), F.lit(0))),
+        F.slice(ts, 1, F.greatest(m.cast("int"), F.lit(0))),
+        lambda a, b: a - b))
+    sg = F.array_sort(gaps)
+    newest = F.element_at(ts, F.size(ts))
+    oldest = F.element_at(ts, 1)
+    # exact integer moments as DECIMAL(38,0) -> exact sample variance
+    dec = "decimal(38,0)"
+    sum_g = F.aggregate(gaps, F.lit(0).cast(dec),
+                        lambda acc, x: acc + x.cast(dec))
+    sum_sq = F.aggregate(gaps, F.lit(0).cast(dec),
+                         lambda acc, x: acc + x.cast(dec) * x.cast(dec))
+    var_num = (m.cast(dec) * sum_sq - sum_g * sum_g).cast("double")
+    stddev = F.sqrt(var_num / (m * (m - 1)).cast("double"))
+    out = f.select(
+        "feed_url",
+        n.alias("n_items"),
+        F.when(n > 0, oldest).otherwise(F.lit(-1)).alias("time_oldest_ms"),
+        F.when(n > 0, newest).otherwise(F.lit(-1)).alias("time_newest_ms"),
+        F.when(n > 1, _median_ms(sg, m)).otherwise(F.lit(-1.0))
+        .cast("long").alias("median_gap_ms"),
+        F.when(n > 1, (newest - oldest) / m.cast("double"))
+        .otherwise(F.lit(-1.0)).alias("avg_gap_ms"),
+        F.when(m > 1, stddev).when(m == 1, F.lit(0.0))
+        .otherwise(F.lit(-1.0)).cast("long").alias("gap_stddev_ms"),
+        F.when(n > 1, F.element_at(sg, m.cast("int")))
+        .otherwise(F.lit(-1)).alias("longest_gap_ms"),
+        F.when(n > 1, F.element_at(gaps, 1)).otherwise(F.lit(-1))
+        .alias("first_gap_ms"),
+        F.when(n > 0, n.cast("double") / F.greatest(
+            F.lit(1).cast("long"), _ldiv(newest - oldest, MS_PER_DAY))
+            .cast("double")).otherwise(F.lit(0.0)).alias("items_per_day"),
+        F.when(n > 0, F.unix_millis("fetched_ts") - newest)
+        .otherwise(F.lit(-1)).alias("delay_ms"),
+        (n > 1).alias("valid"),
+    )
+    return out
+
+
+# ----------------------------------------------------- classification
+def classify_feeds(stats: DataFrame) -> DataFrame:
+    """FeedClassifier.classify(Feed) rule cascade as one CASE chain
+    (FeedClassifier.java:96-148); pattern names are the
+    FeedActivityPattern enum constants minus the CLASS_ prefix."""
+    med = F.col("median_gap_ms")
+    delay = F.col("delay_ms")
+    pattern = (
+        F.when(F.col("n_items") == 0, "EMPTY")
+        .when(F.col("n_items") == 1, "SINGLE_ENTRY")
+        .when(~F.col("valid"), "UNKNOWN")
+        .when(med < 5000,
+              F.when(delay < 5000, F.lit("ON_THE_FLY"))
+              .otherwise(F.lit("CHUNKED")))
+        .when((delay >= 8 * med) & (delay > F.lit(8 * 7 * MS_PER_DAY)),
+              "ZOMBIE")
+        .when((F.col("gap_stddev_ms") >= med / 10.0)
+              & (med > F.lit(MS_PER_DAY)), "SPONTANEOUS")
+        .when((F.col("longest_gap_ms") < 12 * med)
+              & (F.col("longest_gap_ms") < F.lit(2 * 60 * MS_PER_MIN))
+              & (F.col("items_per_day") >= 4), "CONSTANT")
+        .otherwise("SLICED"))
+    return stats.withColumn("pattern", pattern)
+
+
+# ------------------------------------------------- update strategies
+def _allowed(interval: Column, lowest: int, highest: int) -> Column:
+    """AbstractUpdateStrategy.getAllowedInterval — clamp, -1 disables."""
+    c = interval
+    if highest != -1:
+        c = F.least(c, F.lit(highest))
+    if lowest != -1:
+        c = F.greatest(c, F.lit(lowest))
+    return c
+
+
+def mav_update_interval(stats: DataFrame, *, has_new_item: bool = False,
+                        current_interval: int = DEFAULT_CHECK_TIME,
+                        lowest: int = -1,
+                        highest: int = -1) -> DataFrame:
+    """MavUpdateStrategy.update for one poll snapshot: emits mav_min
+    (MIN_DELAY mode) and mav_max (MAX_COVERAGE mode) minute intervals.
+
+    The no-new-item branch replaces the oldest interval's weight with
+    the poll delay using Java LONG division (MavUpdateStrategy.java:
+    63-71), minutes via (int) truncation; <=1 entries fall back to
+    DEFAULT_CHECK_TIME/2 resp. DEFAULT_CHECK_TIME (:80-86)."""
+    n = F.col("n_items")
+    m = n - 1
+    avg = F.col("avg_gap_ms")
+    if has_new_item:
+        min_c = (avg / MS_PER_MIN).cast("long")
+        max_c = (n * avg / MS_PER_MIN).cast("long")
+    else:
+        # Java computes two separate long divisions; floor() on
+        # positive operands is identical, and first_gap/delay are >= 0
+        # whenever this branch is reached (delay_ms > 0 guard).
+        adj = F.when(F.col("delay_ms") > 0,
+                     avg - _ldiv(F.col("first_gap_ms"), m)
+                     + _ldiv(F.col("delay_ms"), m)).otherwise(avg)
+        min_c = (F.when(m > 0,
+                        F.when(avg == 0.0, F.lit(highest).cast("long"))
+                        .otherwise((adj / MS_PER_MIN).cast("long")))
+                 .otherwise(F.lit(current_interval).cast("long")))
+        max_c = (F.when((m > 0) & (avg != 0.0),
+                        (n * adj / MS_PER_MIN).cast("long"))
+                 .otherwise(F.lit(current_interval).cast("long")))
+    min_c = F.when(n <= 1, F.lit(DEFAULT_CHECK_TIME // 2).cast("long")) \
+        .otherwise(min_c)
+    max_c = F.when(n <= 1, F.lit(DEFAULT_CHECK_TIME).cast("long")) \
+        .otherwise(max_c)
+    return stats.select(
+        "feed_url",
+        _allowed(min_c, lowest, highest).alias("mav_min"),
+        _allowed(max_c, lowest, highest).alias("mav_max"))
+
+
+def fix_learned_interval(stats: DataFrame, *, mode: int = 0,
+                         lowest: int = -1, highest: int = -1,
+                         out_col: str = "fix_learned") -> DataFrame:
+    """FixLearnedUpdateStrategy first-poll learned interval. Mode 0
+    divides the first window's span by (n-1) minutes, mode 1 divides
+    (poll - oldest) by n — both Java long divisions; falls back to
+    DEFAULT_CHECK_TIME when not computable."""
+    n = F.col("n_items")
+    if mode == 0:
+        span = F.col("time_newest_ms") - F.col("time_oldest_ms")
+        raw = F.when((n >= 2) & (span > 0),
+                     _ldiv(span, (n - 1) * MS_PER_MIN)) \
+            .otherwise(F.lit(DEFAULT_CHECK_TIME).cast("long"))
+    elif mode == 1:
+        span = F.col("delay_ms") + (F.col("time_newest_ms")
+                                    - F.col("time_oldest_ms"))
+        raw = F.when((n >= 1) & (span > 0),
+                     _ldiv(span, n * MS_PER_MIN)) \
+            .otherwise(F.lit(DEFAULT_CHECK_TIME).cast("long"))
+    else:
+        raise ValueError(f"unsupported fixLearnedMode {mode}")
+    return stats.select(
+        "feed_url", _allowed(raw, lowest, highest).alias(out_col))

@@ -2133,3 +2133,162 @@ SELECT event_id,
             ELSE ceil(n / 7.0) END AS INT) AS d_minus_d2_weeks,
   CAST((n // 7) * 5 + {extra} AS INT) AS d_minus_d2_businessDays
 FROM c ORDER BY event_id"""
+
+
+# ------------------------------------------------------------- feeds
+def _feed_items_cte(n_feeds: int = 40) -> str:
+    """Symbolic mirror of kgp.feeds.synth_feeds' item derivation (the
+    Spark side renders real RSS/Atom XML and parses it back; this
+    never touches XML): membership by event_id residue classes, DAY-
+    truncated timestamps for the chunked mode, second truncation
+    elsewhere, and the already-session-stripped link."""
+    big = 10 * n_feeds
+    return f"""
+feed_items AS (
+  SELECT (event_id % {n_feeds}) AS fid,
+    CASE WHEN (event_id % {n_feeds}) % 4 = 1
+         THEN epoch_ms(date_trunc('day', ts))
+         ELSE epoch_ms(date_trunc('second', ts)) END AS pub_ms,
+    ('Event ' || event_id || ' ' || event_type) AS title,
+    ('https://u' || user_id || '.feeds.example.org/items/' || event_id
+     || '?ref=rss') AS link,
+    ('urn:feed:' || (event_id % {n_feeds}) || ':item:' || event_id)
+      AS guid
+  FROM events
+  WHERE ((event_id % {n_feeds}) % 4) IN (0, 1)
+     OR (((event_id % {n_feeds}) % 4) = 2
+         AND event_id % {big} = event_id % {n_feeds})
+     OR (((event_id % {n_feeds}) % 4) = 3
+         AND event_id = event_id % {n_feeds}))"""
+
+
+def _feed_url_sql(fid: str = "fid") -> str:
+    return (f"('https://feed' || {fid} || '.example.org/' || "
+            f"CASE WHEN {fid} % 2 = 0 THEN 'rss' ELSE 'atom' END "
+            "|| '.xml')")
+
+
+def feed_items_sql(n_feeds: int = 40) -> str:
+    """Oracle for the feed_items gate query."""
+    return (f"WITH {_feed_items_cte(n_feeds)} "
+            f"SELECT {_feed_url_sql()} AS feed_url, guid, title, link, "
+            "pub_ms FROM feed_items ORDER BY feed_url, guid")
+
+
+def _feed_stats_cte(n_feeds: int = 40) -> str:
+    """Per-feed FeedPostStatistics mirror: sorted-timestamp list,
+    neighbour gaps via a 1-indexed list lambda, FatStats median rule,
+    exact HUGEINT moments -> sample stddev (the Spark twin carries
+    DECIMAL(38,0)), Java truncating casts via trunc(), long division
+    via //."""
+    far = "epoch_ms(TIMESTAMP '2024-06-01 00:00:00')"
+    return f"""
+{_feed_items_cte(n_feeds)},
+feed_shell AS (SELECT range AS fid FROM range(0, {n_feeds + 2})),
+feed_per AS (
+  SELECT fid, count(*) AS n, list_sort(list(pub_ms)) AS ts,
+         min(pub_ms) AS oldest, max(pub_ms) AS newest
+  FROM feed_items GROUP BY fid),
+feed_base AS (
+  SELECT s.fid, coalesce(p.n, 0) AS n, p.ts, p.oldest, p.newest,
+    CASE WHEN (s.fid // 4) % 3 = 1 AND p.newest IS NOT NULL
+           THEN p.newest + 259200000
+         WHEN (s.fid // 4) % 3 = 2 AND p.newest IS NOT NULL
+           THEN p.newest + 3000
+         ELSE {far} END AS poll_ms,
+    CASE WHEN coalesce(p.n, 0) > 1 THEN
+      list_transform(range(2, p.n + 1), i -> p.ts[i] - p.ts[i - 1])
+    END AS gaps
+  FROM feed_shell s LEFT JOIN feed_per p USING (fid)),
+feed_stat AS (
+  SELECT fid, n, n - 1 AS m, poll_ms, gaps, list_sort(gaps) AS sg,
+    CASE WHEN n > 0 THEN oldest ELSE -1 END AS time_oldest_ms,
+    CASE WHEN n > 0 THEN newest ELSE -1 END AS time_newest_ms,
+    CASE WHEN n > 1 THEN CAST(trunc(
+        CASE WHEN (n - 1) % 2 = 0
+             THEN 0.5 * list_sort(gaps)[CAST((n - 1) // 2 AS INT)]
+                + 0.5 * list_sort(gaps)[CAST((n - 1) // 2 AS INT) + 1]
+             ELSE CAST(list_sort(gaps)[CAST(n // 2 AS INT)] AS DOUBLE)
+        END) AS BIGINT) ELSE -1 END AS median_gap_ms,
+    CASE WHEN n > 1 THEN (newest - oldest) / CAST(n - 1 AS DOUBLE)
+         ELSE -1.0 END AS avg_gap_ms,
+    CASE WHEN n - 1 > 1 THEN CAST(trunc(sqrt(
+        CAST((n - 1)
+             * list_aggregate(list_transform(gaps, x -> x * x), 'sum')
+             - list_aggregate(gaps, 'sum')
+               * list_aggregate(gaps, 'sum') AS DOUBLE)
+        / CAST((n - 1) * (n - 2) AS DOUBLE))) AS BIGINT)
+         WHEN n - 1 = 1 THEN 0 ELSE -1 END AS gap_stddev_ms,
+    CASE WHEN n > 1 THEN list_sort(gaps)[CAST(n - 1 AS INT)]
+         ELSE -1 END AS longest_gap_ms,
+    CASE WHEN n > 1 THEN gaps[1] ELSE -1 END AS first_gap_ms,
+    CASE WHEN n > 0 THEN CAST(n AS DOUBLE)
+           / CAST(greatest(1, (newest - oldest) // 86400000) AS DOUBLE)
+         ELSE 0.0 END AS items_per_day,
+    CASE WHEN n > 0 THEN poll_ms - newest ELSE -1 END AS delay_ms,
+    n > 1 AS valid
+  FROM feed_base)"""
+
+
+def feed_activity_sql(n_feeds: int = 40) -> str:
+    """Oracle for the feed_activity gate query: stats + the
+    FeedClassifier.java:96-148 CASE cascade."""
+    day = 86_400_000
+    return f"""
+WITH {_feed_stats_cte(n_feeds)}
+SELECT {_feed_url_sql()} AS feed_url, n AS n_items, median_gap_ms,
+  round(avg_gap_ms, 6) AS avg_gap_ms, gap_stddev_ms, longest_gap_ms,
+  round(items_per_day, 6) AS items_per_day, delay_ms, valid,
+  CASE WHEN n = 0 THEN 'EMPTY'
+       WHEN n = 1 THEN 'SINGLE_ENTRY'
+       WHEN NOT valid THEN 'UNKNOWN'
+       WHEN median_gap_ms < 5000 THEN
+         CASE WHEN delay_ms < 5000 THEN 'ON_THE_FLY' ELSE 'CHUNKED' END
+       WHEN delay_ms >= 8 * median_gap_ms
+            AND delay_ms > {8 * 7 * day} THEN 'ZOMBIE'
+       WHEN gap_stddev_ms >= median_gap_ms / 10.0
+            AND median_gap_ms > {day} THEN 'SPONTANEOUS'
+       WHEN longest_gap_ms < 12 * median_gap_ms
+            AND longest_gap_ms < 7200000
+            AND items_per_day >= 4 THEN 'CONSTANT'
+       ELSE 'SLICED' END AS pattern
+FROM feed_stat ORDER BY feed_url"""
+
+
+def feed_update_intervals_sql(n_feeds: int = 40, lowest: int = 1,
+                              highest: int = 10080) -> str:
+    """Oracle for feed_update_intervals: MAV (no-new-item branch,
+    MavUpdateStrategy.java:63-86) + fixLearnedW/P
+    (FixLearnedUpdateStrategy.java:70-90), clamped to
+    [lowest, highest]."""
+    clamp = "greatest({lo}, least({hi}, {x}))"
+
+    def c(x):
+        return clamp.format(lo=lowest, hi=highest, x=x)
+
+    mav_min = ("CASE WHEN n <= 1 THEN 30 WHEN n - 1 > 0 THEN "
+               "CASE WHEN avg_gap_ms = 0 THEN " + str(highest) +
+               " ELSE CAST(trunc(adj / 60000.0) AS BIGINT) END "
+               "ELSE 60 END")
+    mav_max = ("CASE WHEN n <= 1 THEN 60 "
+               "WHEN n - 1 > 0 AND avg_gap_ms <> 0 "
+               "THEN CAST(trunc(n * adj / 60000.0) AS BIGINT) "
+               "ELSE 60 END")
+    fixw = ("CASE WHEN n >= 2 AND time_newest_ms - time_oldest_ms > 0 "
+            "THEN (time_newest_ms - time_oldest_ms) // ((n - 1) * 60000) "
+            "ELSE 60 END")
+    fixp = ("CASE WHEN n >= 1 "
+            "AND delay_ms + time_newest_ms - time_oldest_ms > 0 "
+            "THEN (delay_ms + time_newest_ms - time_oldest_ms) "
+            "// (n * 60000) ELSE 60 END")
+    return f"""
+WITH {_feed_stats_cte(n_feeds)},
+feed_adj AS (
+  SELECT *, CASE WHEN delay_ms > 0 AND n > 1
+      THEN avg_gap_ms - first_gap_ms // (n - 1) + delay_ms // (n - 1)
+      ELSE avg_gap_ms END AS adj
+  FROM feed_stat)
+SELECT {_feed_url_sql()} AS feed_url,
+  {c(mav_min)} AS mav_min, {c(mav_max)} AS mav_max,
+  {c(fixw)} AS fixw, {c(fixp)} AS fixp
+FROM feed_adj ORDER BY feed_url"""

@@ -1,0 +1,240 @@
+"""Feed family tests: RSS/Atom round-trip, FeedPostStatistics parity
+with a straight Python port of the Java math, the FeedClassifier rule
+cascade hitting every class, item hashing, and update strategies."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgp import feeds
+from tests.conftest import SF_TEST
+
+UTC0 = dt.datetime(2024, 1, 1)
+
+
+def _mk_feeds(spark, rows):
+    """rows: (feed_url, fetched_ts, xml-bytes)."""
+    return spark.createDataFrame(
+        rows, "feed_url string, fetched_ts timestamp, xml binary")
+
+
+def _mk_items(spark, feed_url, stamps, poll):
+    """Item table + matching feed table straight from timestamps."""
+    f = spark.createDataFrame([(feed_url, poll)],
+                              "feed_url string, fetched_ts timestamp")
+    it = spark.createDataFrame(
+        [(feed_url, poll, f"g{i}", f"t{i}", None, ts)
+         for i, ts in enumerate(stamps)],
+        "feed_url string, fetched_ts timestamp, guid string, "
+        "title string, link string, published_ts timestamp")
+    return f, it
+
+
+# ------------------------------------------------------- XML parsing
+RSS = b"""<?xml version="1.0"?>
+<rss version="2.0"><channel><title>Feed</title>
+<item><title>A</title><link>http://x/a</link><guid>g1</guid>
+<pubDate>Mon, 01 Jan 2024 06:30:05 GMT</pubDate></item>
+<item><title>B</title><link>http://x/b</link><guid>g2</guid>
+<pubDate>Tue, 02 Jan 2024 07:00:00 GMT</pubDate></item>
+</channel></rss>"""
+
+ATOM = b"""<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>
+<entry><title>C</title><link href="http://y/c"/><id>i1</id>
+<published>2024-01-03T08:15:00Z</published></entry>
+</feed>"""
+
+
+def test_parse_rss_and_atom(spark):
+    src = _mk_feeds(spark, [
+        ("http://x/rss.xml", UTC0, bytearray(RSS)),
+        ("http://y/atom.xml", UTC0, bytearray(ATOM)),
+        ("http://z/bad.xml", UTC0, bytearray(b"<not xml")),
+        ("http://w/other.xml", UTC0, bytearray(b"<html></html>")),
+    ])
+    rows = sorted(feeds.parse_feed_stage(src).collect(),
+                  key=lambda r: r["guid"])
+    assert [r["guid"] for r in rows] == ["g1", "g2", "i1"]
+    assert rows[0]["title"] == "A"
+    assert rows[0]["published_ts"] == dt.datetime(2024, 1, 1, 6, 30, 5)
+    assert rows[2]["link"] == "http://y/c"
+    assert rows[2]["published_ts"] == dt.datetime(2024, 1, 3, 8, 15)
+
+
+def test_parse_handles_missing_fields(spark):
+    xml = (b'<?xml version="1.0"?><rss version="2.0"><channel>'
+           b"<item><title>only-title</title></item></channel></rss>")
+    rows = feeds.parse_feed_stage(
+        _mk_feeds(spark, [("u", UTC0, bytearray(xml))])).collect()
+    assert len(rows) == 1
+    assert rows[0]["title"] == "only-title"
+    assert rows[0]["guid"] is None and rows[0]["published_ts"] is None
+
+
+# ------------------------------------------------- statistics parity
+def _java_stats(stamps_ms, poll_ms):
+    """Straight port of FeedPostStatistics.calculateStatistics
+    (FeedPostStatistics.java:75-165) + FatStats median/sample-stddev
+    (FatStats.java:146-194, Welford, isSample=true)."""
+    out = dict(median=-1, avg=-1.0, std=-1, longest=-1, per_day=0.0,
+               delay=-1, valid=False)
+    ts = sorted(stamps_ms)
+    if not ts:
+        return out
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    newest, oldest = ts[-1], ts[0]
+    out["delay"] = poll_ms - newest
+    if len(ts) > 1:
+        sg = sorted(gaps)
+        n = 0.5 * len(sg)
+        if n == int(n):
+            med = 0.5 * sg[int(n) - 1] + 0.5 * sg[int(n)]
+        else:
+            med = float(sg[math.ceil(n) - 1])
+        out["median"] = int(med)
+        out["avg"] = (newest - oldest) / (len(ts) - 1)
+        m = s = 0.0
+        for k, v in enumerate(gaps, start=1):
+            tmp = m
+            m += (v - tmp) / k
+            s += (v - tmp) * (v - m)
+        std = math.sqrt(s / (len(gaps) - 1)) if len(gaps) > 1 else \
+            float("nan")
+        out["std"] = 0 if math.isnan(std) else int(std)
+        out["longest"] = sg[-1]
+        out["valid"] = True
+    out["per_day"] = len(ts) / max(1, (newest - oldest) // 86_400_000)
+    return out
+
+
+@pytest.mark.parametrize("stamps", [
+    [0, 60_000, 180_000, 240_000, 600_000],          # odd gap count
+    [0, 10_000, 30_000, 100_000],                    # even gap count
+    [0, 5_000],                                      # single gap
+    [0],                                             # single item
+    [],                                              # empty feed
+    [0, 0, 0, 86_400_000, 86_400_000],               # duplicate stamps
+])
+def test_stats_match_java_port(spark, stamps):
+    poll = dt.datetime(2024, 1, 10)
+    poll_ms = int(poll.timestamp() * 1000)
+    f, it = _mk_items(
+        spark, "u",
+        [dt.datetime.fromtimestamp(s / 1000, dt.timezone.utc)
+         .replace(tzinfo=None) for s in stamps], poll)
+    got = feeds.feed_post_statistics(f, it).collect()[0]
+    want = _java_stats(stamps, poll_ms)
+    assert got["n_items"] == len(stamps)
+    assert got["median_gap_ms"] == want["median"]
+    assert got["avg_gap_ms"] == pytest.approx(want["avg"])
+    assert got["gap_stddev_ms"] == want["std"]
+    assert got["longest_gap_ms"] == want["longest"]
+    assert got["items_per_day"] == pytest.approx(want["per_day"])
+    assert (got["delay_ms"] == want["delay"]) or not stamps
+    assert got["valid"] == want["valid"]
+
+
+# ----------------------------------------------- classifier cascade
+MIN, HOUR, DAY = 60_000, 3_600_000, 86_400_000
+
+
+def _classify(spark, stamps_ms, poll_ms):
+    base = dt.datetime(2024, 1, 1)
+    f, it = _mk_items(
+        spark, "u",
+        [base + dt.timedelta(milliseconds=s) for s in stamps_ms],
+        base + dt.timedelta(milliseconds=poll_ms))
+    out = feeds.classify_feeds(feeds.feed_post_statistics(f, it))
+    return out.collect()[0]["pattern"]
+
+
+@pytest.mark.parametrize("stamps,poll,want", [
+    ([], 0, "EMPTY"),
+    ([0], HOUR, "SINGLE_ENTRY"),
+    # median gap < 5 s, delay < 5 s -> on the fly
+    ([0, 1000, 2000, 3000], 4000, "ON_THE_FLY"),
+    # median gap < 5 s, stale poll -> chunked burst
+    ([0, 1000, 2000, 3000], 10 * DAY, "CHUNKED"),
+    # dead for > 8 weeks and >= 8x median -> zombie
+    ([0, DAY, 2 * DAY, 3 * DAY], 3 * DAY + 60 * DAY, "ZOMBIE"),
+    # median > 1 day with jittery gaps -> spontaneous
+    ([0, DAY, 3 * DAY, 8 * DAY], 9 * DAY, "SPONTANEOUS"),
+    # tight sub-2h gaps, >= 4/day, low spread -> constant
+    ([i * 30 * MIN for i in range(49)], 48 * 30 * MIN + MIN,
+     "CONSTANT"),
+    # > 2 h longest gap, median < 1 day -> sliced
+    ([0, 3 * HOUR, 6 * HOUR, 12 * HOUR], 13 * HOUR, "SLICED"),
+])
+def test_classifier_cascade(spark, stamps, poll, want):
+    assert _classify(spark, stamps, poll) == want
+
+
+# ----------------------------------------------------------- hashing
+def test_item_hash_matches_reference_recipe(spark):
+    df = spark.createDataFrame(
+        [("T", "http://x/a;jsessionid=f00dbabe24681357acef9753?r=1",
+          "id-1"),
+         (None, None, "id-2"),
+         (None, None, None)],
+        "title string, link string, guid string")
+    got = df.select(feeds.item_hash_col(
+        "title", "link", "guid").alias("h")).collect()
+    want0 = hashlib.sha1(b"Thttp://x/a?r=1id-1").hexdigest()
+    want1 = hashlib.sha1(b"nullnullid-2").hexdigest()
+    assert got[0]["h"] == want0
+    assert got[1]["h"] == want1
+    assert got[2]["h"] is None
+
+
+# ------------------------------------------------- update strategies
+def test_mav_and_fix_learned_golden(spark):
+    # 5 items, gaps [10, 20, 30, 40] min; poll 25 min after newest.
+    base = dt.datetime(2024, 1, 1)
+    offs = [0, 10, 30, 60, 100]
+    f, it = _mk_items(
+        spark, "u", [base + dt.timedelta(minutes=o) for o in offs],
+        base + dt.timedelta(minutes=125))
+    stats = feeds.feed_post_statistics(f, it)
+    mav = feeds.mav_update_interval(stats).collect()[0]
+    # Java: avg = 100min/4 = 25 min; delay 25 min > 0:
+    # adj = avg - first_gap//4 + delay//4 = 1500000 - 150000 + 375000
+    assert mav["mav_min"] == (1_500_000 - 150_000 + 375_000) // 60_000
+    assert mav["mav_max"] == 5 * (1_500_000 - 150_000 + 375_000) // 60_000
+    fixw = feeds.fix_learned_interval(stats, mode=0).collect()[0]
+    assert fixw["fix_learned"] == 100 // 4          # span/( (n-1)*1min )
+    fixp = feeds.fix_learned_interval(stats, mode=1).collect()[0]
+    assert fixp["fix_learned"] == 125 // 5          # poll-oldest / n
+    clamped = feeds.mav_update_interval(
+        stats, lowest=40, highest=42).collect()[0]
+    assert clamped["mav_min"] == 40 and clamped["mav_max"] == 42
+
+
+def test_mav_single_item_defaults(spark):
+    f, it = _mk_items(spark, "u", [dt.datetime(2024, 1, 1)],
+                      dt.datetime(2024, 1, 2))
+    mav = feeds.mav_update_interval(
+        feeds.feed_post_statistics(f, it)).collect()[0]
+    assert mav["mav_min"] == 30 and mav["mav_max"] == 60
+
+
+# --------------------------------------------------------- round trip
+def test_synth_corpus_round_trip(spark):
+    src = feeds.synth_feeds(spark, SF_TEST)
+    assert src.count() == 42
+    items = feeds.parse_feed_stage(src)
+    pats = (feeds.classify_feeds(
+        feeds.feed_post_statistics(src, items))
+        .groupBy("pattern").count().collect())
+    by = {r["pattern"]: r["count"] for r in pats}
+    assert by.get("EMPTY") == 2
+    assert by.get("SINGLE_ENTRY") == 10
+    assert len(by) >= 4  # variety: zombies/chunked/on-the-fly/...
+    # every parsed date round-tripped exactly (no timezone drift)
+    n_bad = items.where(F.col("published_ts").isNull()).count()
+    assert n_bad == 0
