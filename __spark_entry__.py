@@ -1036,6 +1036,18 @@ def _q_feed_update_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mav.join(fixw, "feed_url").join(fixp, "feed_url")
 
 
+def _q_intent_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-intent parsing (kgp.intents — SearchIntentParser port):
+    the four-pass trigger cascade (MATCH > PHRASE_MATCH > CONTAINS >
+    REGEX, restart-on-activation, redirect short-circuit) runs as one
+    Arrow stage against the broadcast DEFAULT_INTENTS bank over
+    deterministic event-derived queries; the oracle states each
+    variant's expected activated action as a closed form."""
+    from kgp import intents as _int
+    q = _int.synth_queries(spark, sf_dir)
+    return _int.intent_stage(q, _int.DEFAULT_INTENTS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1098,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items": _q_feed_items,
         "feed_activity": _q_feed_activity,
         "feed_update_intervals": _q_feed_update_intervals,
+        "intent_actions": _q_intent_actions,
     }
 
 
@@ -1188,4 +1201,5 @@ def oracle_sql() -> dict[str, str]:
         "feed_items": _oracle.feed_items_sql(),
         "feed_activity": _oracle.feed_activity_sql(),
         "feed_update_intervals": _oracle.feed_update_intervals_sql(),
+        "intent_actions": _oracle.intent_actions_sql(),
     }

@@ -2292,3 +2292,46 @@ SELECT {_feed_url_sql()} AS feed_url,
   {c(mav_min)} AS mav_min, {c(mav_max)} AS mav_max,
   {c(fixw)} AS fixw, {c(fixp)} AS fixp
 FROM feed_adj ORDER BY feed_url"""
+
+
+def intent_actions_sql() -> str:
+    """Symbolic mirror of the intent_actions gate: kgp.intents.
+    synth_queries builds one query per event (variant = event_id % 5),
+    each exercising exactly one DEFAULT_INTENTS rule; the expected
+    activated action per variant is a closed form (the Spark side runs
+    the real four-pass cascade)."""
+    return """
+WITH q AS (
+  SELECT event_id AS qid, event_id % 5 AS v, event_type AS et,
+         CAST(trunc(value * 10) AS INT) AS amount
+  FROM events)
+SELECT qid,
+  CASE WHEN v = 0 THEN 'cheap ' || et
+       WHEN v = 1 THEN 'under ' || amount || ' dollars ' || et
+       WHEN v = 2 THEN 'best laptop'
+       WHEN v = 3 THEN 'goto ' || et || ' page'
+       ELSE et || ' deals today' END AS query,
+  0 AS action_idx,
+  CASE WHEN v IN (0, 1, 4) THEN 'DEFINITION'
+       WHEN v = 2 THEN 'REWRITE' ELSE 'REDIRECT' END AS action_type,
+  CASE WHEN v = 0 THEN 'CONTAINS' WHEN v IN (1, 3) THEN 'REGEX'
+       WHEN v = 2 THEN 'MATCH' ELSE 'PHRASE_MATCH' END AS trigger_type,
+  CASE WHEN v = 0 THEN 'cheap' WHEN v = 1 THEN 'under (\\d+) dollars'
+       WHEN v = 2 THEN 'best laptop' WHEN v = 3 THEN 'goto (\\w+) page'
+       ELSE 'deals' END AS trigger_text,
+  CASE WHEN v IN (0, 1) THEN et
+       WHEN v = 2 THEN 'laptop premium'
+       WHEN v = 3 THEN 'goto ' || et || ' page'
+       ELSE et || '  today' END AS modified_query,
+  CASE WHEN v = 2 THEN 'laptop premium' END AS rewrite,
+  CASE WHEN v = 3 THEN 'https://shop.example.com/' || et
+  END AS redirect,
+  CASE WHEN v IN (0, 1) THEN 'cost.PRICE' END AS filter_key,
+  CASE WHEN v IN (0, 1) THEN 0.0 END AS filter_min,
+  CASE WHEN v = 0 THEN 233.0
+       WHEN v = 1 THEN CAST(amount AS DOUBLE) END AS filter_max,
+  CASE WHEN v IN (0, 1) THEN CAST([] AS VARCHAR[]) END AS filter_values,
+  CASE WHEN v = 0 THEN 'cost.PRICE'
+       WHEN v = 4 THEN 'popularity' END AS sort_key,
+  CASE WHEN v = 0 THEN 'ASC' WHEN v = 4 THEN 'DESC' END AS sort_dir
+FROM q ORDER BY qid"""
