@@ -1036,6 +1036,17 @@ def _q_feed_update_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mav.join(fixw, "feed_url").join(fixp, "feed_url")
 
 
+def _q_discovered_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed autodiscovery (FeedDiscovery.java FEED_XPATH port): the
+    deterministic head-markup corpus round-trips through the REAL
+    HTML parser and the rel~alternate/type-exact link scan with
+    feed:// normalization and base-aware absolutization; the oracle
+    states each variant's expected links symbolically."""
+    from kgp import feeds as _feeds
+    pages = _feeds.synth_feed_pages(spark, sf_dir)
+    return _feeds.discover_feeds_stage(pages)
+
+
 def _q_intent_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-intent parsing (kgp.intents — SearchIntentParser port):
     the four-pass trigger cascade (MATCH > PHRASE_MATCH > CONTAINS >
@@ -1111,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_activity": _q_feed_activity,
         "feed_update_intervals": _q_feed_update_intervals,
         "intent_actions": _q_intent_actions,
+        "discovered_feeds": _q_discovered_feeds,
     }
 
 
@@ -1202,4 +1214,5 @@ def oracle_sql() -> dict[str, str]:
         "feed_activity": _oracle.feed_activity_sql(),
         "feed_update_intervals": _oracle.feed_update_intervals_sql(),
         "intent_actions": _oracle.intent_actions_sql(),
+        "discovered_feeds": _oracle.discovered_feeds_sql(),
     }

@@ -440,3 +440,114 @@ def fix_learned_interval(stats: DataFrame, *, mode: int = 0,
         raise ValueError(f"unsupported fixLearnedMode {mode}")
     return stats.select(
         "feed_url", _allowed(raw, lowest, highest).alias(out_col))
+
+
+# ----------------------------------------------------- feed discovery
+def discover_feeds(root, page_url: str | None) -> list[dict]:
+    """FeedDiscovery.discoverFeeds(Document)
+    (palladian-retrieval/.../feeds/discovery/FeedDiscovery.java:
+    FEED_XPATH + :discoverFeeds): <link> elements whose rel CONTAINS
+    'alternate' (case-folded) and whose type, case-folded, is exactly
+    application/atom+xml or application/rss+xml; href required
+    non-empty; feed:// -> http:// then a bare 'feed:' prefix stripped;
+    absolutized via makeFullUrl against the page url + <base href>;
+    feed type by substring ('atom' -> ATOM, 'rss' -> RSS); optional
+    title attribute carried through."""
+    from kgp.webgraph import _base_href, make_full_url
+    out: list[dict] = []
+    if root is None:
+        return out
+    base_url = _base_href(root)
+    for node in root.iter():
+        if node.tag != "link":
+            continue
+        rel = node.attrs.get("rel")
+        typ = node.attrs.get("type")
+        if rel is None or typ is None:
+            continue
+        typ_lc = typ.lower()
+        if "alternate" not in rel.lower() or typ_lc not in (
+                "application/atom+xml", "application/rss+xml"):
+            continue
+        href = node.attrs.get("href")
+        if not href:
+            continue
+        href = href.replace("feed://", "http://").replace("feed:", "")
+        feed_url = make_full_url(page_url, base_url, href)
+        feed_type = ("ATOM" if "atom" in typ_lc
+                     else "RSS" if "rss" in typ_lc else None)
+        out.append({"feed_type": feed_type, "feed_url": feed_url,
+                    "title": node.attrs.get("title"),
+                    "page_url": page_url})
+    return out
+
+
+DISCOVERY_SCHEMA = ("page_url string, feed_url string, "
+                    "feed_type string, title string")
+
+
+def discover_feeds_stage(pages: DataFrame) -> DataFrame:
+    """pages(url, html binary) -> discovered feed links. One
+    column-pruned Arrow pass over the real HTML parser, no shuffle."""
+    from kgp.html_text import parse_html, sniff_decode
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                try:
+                    root = parse_html(sniff_decode(bytes(h)))
+                except Exception:
+                    continue
+                rows.extend((d["page_url"], d["feed_url"],
+                             d["feed_type"], d["title"])
+                            for d in discover_feeds(root, u))
+            yield pd.DataFrame(rows, columns=[
+                "page_url", "feed_url", "feed_type", "title"])
+
+    return pages.select("url", "html").mapInPandas(
+        gen, DISCOVERY_SCHEMA)
+
+
+def synth_feed_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic discovery corpus from documents (kept separate
+    from the byte-identity pages table): variant = doc_id % 6 selects
+    the head markup — absolute RSS link, relative Atom href,
+    upper-cased attribute values, feed:// scheme, a non-feed link
+    (yields nothing), and a two-feed page with a title."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.col("doc_id") % 6
+    url = F.concat(F.lit("https://site"), (F.col("doc_id") % 7),
+                   F.lit(".example.org/p/"), F.col("doc_id"))
+    head = (
+        F.when(v == 0, F.concat(
+            F.lit('<link rel="alternate" type="application/rss+xml" '
+                  'href="https://feeds.example.org/r'),
+            F.col("doc_id"), F.lit('.xml">')))
+        .when(v == 1, F.lit('<link rel="alternate" '
+                            'type="application/atom+xml" '
+                            'href="/feeds/atom.xml">'))
+        .when(v == 2, F.concat(
+            F.lit('<LINK REL="ALTERNATE" TYPE="APPLICATION/RSS+XML" '
+                  'HREF="https://feeds.example.org/R'),
+            F.col("doc_id"), F.lit('.XML">')))
+        .when(v == 3, F.concat(
+            F.lit('<link rel="alternate" type="application/rss+xml" '
+                  'href="feed://feeds.example.org/f'),
+            F.col("doc_id"), F.lit('.xml">')))
+        .when(v == 4, F.lit('<link rel="stylesheet" type="text/css" '
+                            'href="/style.css">'
+                            '<link rel="alternate" type="text/html" '
+                            'href="/mobile">'))
+        .otherwise(F.concat(
+            F.lit('<link rel="alternate" type="application/rss+xml" '
+                  'title="Site RSS" href="/rss.xml">'
+                  '<link rel="alternate" '
+                  'type="application/atom+xml" title="Site Atom" '
+                  'href="https://feeds.example.org/a'),
+            F.col("doc_id"), F.lit('.xml">'))))
+    html = F.concat(F.lit("<html><head>"), head,
+                    F.lit("</head><body><p>x</p></body></html>"))
+    return docs.select(url.alias("url"),
+                       F.encode(html, "UTF-8").alias("html"))

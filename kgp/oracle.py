@@ -2335,3 +2335,39 @@ SELECT qid,
        WHEN v = 4 THEN 'popularity' END AS sort_key,
   CASE WHEN v = 0 THEN 'ASC' WHEN v = 4 THEN 'DESC' END AS sort_dir
 FROM q ORDER BY qid"""
+
+
+def discovered_feeds_sql() -> str:
+    """Symbolic mirror of kgp.feeds.synth_feed_pages + discover_feeds
+    (the Spark side parses the real HTML): variant = doc_id % 6 ->
+    expected (page_url, feed_url, feed_type, title) rows; variant 4's
+    stylesheet/text-html links yield nothing."""
+    page = "'https://site' || (doc_id % 7) || '.example.org/p/' || doc_id"
+    site = "'https://site' || (doc_id % 7) || '.example.org'"
+    return f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS v, {page} AS page_url FROM documents)
+SELECT page_url, feed_url, feed_type, title FROM (
+  SELECT page_url,
+         'https://feeds.example.org/r' || doc_id || '.xml' AS feed_url,
+         'RSS' AS feed_type, CAST(NULL AS VARCHAR) AS title
+  FROM d WHERE v = 0
+  UNION ALL
+  SELECT page_url, {site} || '/feeds/atom.xml', 'ATOM', NULL
+  FROM d WHERE v = 1
+  UNION ALL
+  SELECT page_url, 'https://feeds.example.org/R' || doc_id || '.XML',
+         'RSS', NULL
+  FROM d WHERE v = 2
+  UNION ALL
+  SELECT page_url, 'http://feeds.example.org/f' || doc_id || '.xml',
+         'RSS', NULL
+  FROM d WHERE v = 3
+  UNION ALL
+  SELECT page_url, {site} || '/rss.xml', 'RSS', 'Site RSS'
+  FROM d WHERE v = 5
+  UNION ALL
+  SELECT page_url, 'https://feeds.example.org/a' || doc_id || '.xml',
+         'ATOM', 'Site Atom'
+  FROM d WHERE v = 5)
+ORDER BY page_url, feed_url"""

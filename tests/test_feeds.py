@@ -238,3 +238,57 @@ def test_synth_corpus_round_trip(spark):
     # every parsed date round-tripped exactly (no timezone drift)
     n_bad = items.where(F.col("published_ts").isNull()).count()
     assert n_bad == 0
+
+
+# ----------------------------------------------------- feed discovery
+def _discover(html):
+    from kgp.html_text import parse_html
+    return feeds.discover_feeds(parse_html(html),
+                                "https://ex.org/sub/page.html")
+
+
+def test_discover_basic_and_case_insensitive():
+    got = _discover(
+        '<html><head>'
+        '<link rel="alternate" type="application/rss+xml" href="/r.xml">'
+        '<LINK REL="ALTERNATE" TYPE="APPLICATION/ATOM+XML" '
+        'HREF="https://f.example/a.xml" TITLE="T">'
+        '<link rel="stylesheet" type="text/css" href="/s.css">'
+        '<link rel="alternate" type="text/html" href="/mobile">'
+        '</head><body></body></html>')
+    assert [(d["feed_type"], d["feed_url"], d["title"]) for d in got] == [
+        ("RSS", "https://ex.org/r.xml", None),
+        ("ATOM", "https://f.example/a.xml", "T")]
+
+
+def test_discover_feed_scheme_and_base_href():
+    got = _discover(
+        '<html><head><base href="https://cdn.ex.org/x/">'
+        '<link rel="alternate" type="application/rss+xml" '
+        'href="feed://h.example/f.xml">'
+        '<link rel="alternate" type="application/atom+xml" '
+        'href="rel.xml"></head></html>')
+    assert got[0]["feed_url"] == "http://h.example/f.xml"
+    # relative href resolves against the <base href>
+    assert got[1]["feed_url"] == "https://cdn.ex.org/x/rel.xml"
+
+
+def test_discover_requires_href_and_exact_type():
+    got = _discover(
+        '<html><head>'
+        '<link rel="alternate" type="application/rss+xml">'
+        '<link rel="alternate" type="application/rss+xml" href="">'
+        '<link rel="alternate" type="application/rss+xml2" href="/x">'
+        '</head></html>')
+    assert got == []
+
+
+def test_discover_stage_roundtrip(spark):
+    pages = feeds.synth_feed_pages(spark, SF_TEST)
+    out = feeds.discover_feeds_stage(pages)
+    by_type = {r["feed_type"]: r["count"]
+               for r in out.groupBy("feed_type").count().collect()}
+    assert set(by_type) == {"RSS", "ATOM"}
+    # variant 4 pages yield nothing; variant 5 pages yield two rows
+    n_docs = pages.count()
+    assert out.count() < 2 * n_docs
