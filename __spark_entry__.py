@@ -1036,6 +1036,27 @@ def _q_feed_update_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mav.join(fixw, "feed_url").join(fixp, "feed_url")
 
 
+def _q_unit_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit detection + normalization (kgp.units — UnitNormalizer /
+    UnitType port, tables transcribed, goldens pinned to the
+    reference's NormalizationTest.java): detect_unit_col runs ONE JVM
+    regexp over the longest-first 454-name alternation with bank-
+    priority tie-breaking, normalize_amount_cols multiplies through a
+    map literal — zero Python per row."""
+    from kgp import units as _units
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    slot = F.col("event_id") % len(_units.GATE_UNITS)
+    unit = slot.cast("int")
+    unit_col = F.element_at(
+        F.array(*[F.lit(u) for u in _units.GATE_UNITS]), unit + 1)
+    text = F.concat(F.lit("about 7 "), unit_col, F.lit(" total"))
+    return events.select(
+        "event_id", unit_col.alias("unit"),
+        _units.detect_unit_col(text).alias("detected"),
+        _units.normalize_amount_cols("value", unit_col)
+        .alias("base_value"))
+
+
 def _q_discovered_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feed autodiscovery (FeedDiscovery.java FEED_XPATH port): the
     deterministic head-markup corpus round-trips through the REAL
@@ -1123,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_update_intervals": _q_feed_update_intervals,
         "intent_actions": _q_intent_actions,
         "discovered_feeds": _q_discovered_feeds,
+        "unit_amounts": _q_unit_amounts,
     }
 
 
@@ -1215,4 +1237,5 @@ def oracle_sql() -> dict[str, str]:
         "feed_update_intervals": _oracle.feed_update_intervals_sql(),
         "intent_actions": _oracle.intent_actions_sql(),
         "discovered_feeds": _oracle.discovered_feeds_sql(),
+        "unit_amounts": _oracle.unit_amounts_sql(),
     }

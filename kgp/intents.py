@@ -141,6 +141,20 @@ def _process_match(qmt: str, intent: dict, query: str, match,
                         margin = filt.get("margin")
                         if margin is None:
                             margin = 0.05
+                        unit = filt.get("unit")
+                        if unit is not None and "$" in unit:
+                            # SearchIntentParser.java:315-325: unit
+                            # group -> UnitTranslator.translate ->
+                            # UnitNormalizer.getNormalizedNumber
+                            from kgp.units import (get_normalized_number,
+                                                   translate_unit)
+                            upos = int(unit.replace("$", ""))
+                            ugroup = match.group(upos)
+                            if ugroup is not None:
+                                translated = translate_unit(
+                                    ugroup, trigger.get("language", "en"))
+                                num = get_normalized_number(
+                                    num, translated)
                         filled["min"] = num - num * margin
                         filled["max"] = num + num * margin
                     else:

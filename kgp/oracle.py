@@ -2371,3 +2371,34 @@ SELECT page_url, feed_url, feed_type, title FROM (
          'ATOM', 'Site Atom'
   FROM d WHERE v = 5)
 ORDER BY page_url, feed_url"""
+
+
+def unit_amounts_sql() -> str:
+    """Mirror of the unit_amounts gate: the expected detected-unit
+    name and base-unit multiplier per event_id%12 slot are computed
+    HERE from kgp.units' reference-golden-pinned twins (detect_unit /
+    unit_lookup, themselves pinned to NormalizationTest.java goldens),
+    so the SQL stays symbolic while the Spark side runs the JVM
+    regexp + map-literal path."""
+    from kgp.units import GATE_UNITS, detect_unit, unit_lookup
+    det = []
+    mult = []
+    for i, u in enumerate(GATE_UNITS):
+        d = detect_unit(f"about 7 {u} total")
+        det.append(f"WHEN {i} THEN '{d}'" if d is not None
+                   else f"WHEN {i} THEN CAST(NULL AS VARCHAR)")
+        m = unit_lookup(u)
+        mult.append(f"WHEN {i} THEN value * {m!r}"
+                    if m != -1.0 else f"WHEN {i} THEN value")
+    units_case = " ".join(
+        f"WHEN {i} THEN '{u}'" for i, u in enumerate(GATE_UNITS))
+    return f"""
+WITH e AS (
+  SELECT event_id, value, event_id % {len(GATE_UNITS)} AS slot
+  FROM events)
+SELECT event_id,
+  CASE slot {units_case} END AS unit,
+  CASE slot {" ".join(det)} END AS detected,
+  floor((CASE slot {" ".join(mult)} END) * 1000.0 + 0.5) / 1000.0
+    AS base_value
+FROM e ORDER BY event_id"""

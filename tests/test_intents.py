@@ -131,3 +131,26 @@ def test_stage_rows(spark):
     assert by[1]["filter_max"] == 233.0
     assert by[2]["action_type"] == "REWRITE"
     assert 3 not in by and len(rows) == 2
+
+
+def test_unit_filter_normalization():
+    bank = [{"triggers": [{"type": "REGEX",
+                           "text": r"(\d+) (kg|kilogramm)"}],
+             "action": {"type": "DEFINITION",
+                        "filters": [{"key": "weight",
+                                     "values": ["$1"], "unit": "$2"}]}}]
+    f = run("parcel 5 kg heavy", bank)[0]["filters"][0]
+    assert f["min"] == pytest.approx(5000 * 0.95)
+    assert f["max"] == pytest.approx(5000 * 1.05)
+
+
+def test_unit_filter_german_translation():
+    bank = [{"triggers": [{"type": "REGEX", "language": "de",
+                           "text": r"(\d+) (kilogramm|pfund)"}],
+             "action": {"type": "DEFINITION",
+                        "filters": [{"key": "weight",
+                                     "values": ["$1"], "unit": "$2"}]}}]
+    f = run("paket 5 kilogramm schwer", bank)[0]["filters"][0]
+    # kilogramm -> kg -> 5000 g, +-5% margin
+    assert f["min"] == pytest.approx(4750.0)
+    assert f["max"] == pytest.approx(5250.0)
