@@ -339,6 +339,25 @@ def transform(unit_to: str, value: float) -> float:
     return value / divider if divider != -1 else value
 
 
+def smart_transform(normalized_value: float,
+                    unit_type: str) -> tuple[float, list[str]]:
+    """UnitNormalizer.smartTransform:719-734 — pick the unit whose
+    transformed value reads best (the reference's exact greedy rule,
+    quirks included)."""
+    smallest = normalized_value
+    best: list[str] | None = None
+    for names, mult in _TYPE_UNITS[unit_type]:
+        if mult is None:
+            continue
+        transformed = normalized_value / mult
+        if ((transformed < smallest and transformed > 1)
+                or (transformed > smallest and smallest < 1)
+                or best is None):
+            best = names
+            smallest = transformed
+    return smallest, list(best or [])
+
+
 # Units exercised by the unit_amounts gate query — one per common
 # type, all linear multipliers.
 GATE_UNITS = ["kg", "mph", "GB", "miles", "GHz", "volt", "psi",

@@ -173,3 +173,12 @@ def test_normalize_amount_cols(spark):
     assert got[1] == pytest.approx(U.java_round(30 * U.unit_lookup("mph"), 3))
     assert got[2] == 2.0 * U.unit_lookup("GB")
     assert got[3] == 7.0   # unknown unit leaves the number unchanged
+
+
+def test_smart_transform():
+    def shortest(names):
+        return sorted(names, key=U._length_cmp_key)[-1]
+    v, names = U.smart_transform(0.5, "LENGTH")
+    assert (v, shortest(names)) == (5.0, "mm")
+    v, names = U.smart_transform(5000000.0, "WEIGHT")
+    assert (v, shortest(names)) == (5.0, "t")
