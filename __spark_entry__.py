@@ -1036,6 +1036,26 @@ def _q_feed_update_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mav.join(fixw, "feed_url").join(fixp, "feed_url")
 
 
+def _q_dt_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree scoring (kgp.dtree — quickdt/TreeBuilder +
+    QuickDtClassifier port, goldens pinned to QuickDtTest): the
+    deterministic gate tree compiles into nested CASE WHEN column
+    expressions, so classification is whole-stage-codegen JVM work
+    with the model inlined into the plan; the oracle renders the SAME
+    tree as SQL."""
+    from kgp import dtree as _dt
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    feats = events.select(
+        "event_id",
+        F.col("value").cast("double").alias("x"),
+        (F.col("user_id") % 10).cast("double").alias("y"),
+        F.element_at(F.array(F.lit("red"), F.lit("green"),
+                             F.lit("blue")),
+                     (F.col("event_id") % 3).cast("int") + 1)
+        .alias("color"))
+    return _dt.classify_stage(feats, _dt.gate_model())
+
+
 def _q_unit_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit detection + normalization (kgp.units — UnitNormalizer /
     UnitType port, tables transcribed, goldens pinned to the
@@ -1145,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intent_actions": _q_intent_actions,
         "discovered_feeds": _q_discovered_feeds,
         "unit_amounts": _q_unit_amounts,
+        "dt_predictions": _q_dt_predictions,
     }
 
 
@@ -1238,4 +1259,5 @@ def oracle_sql() -> dict[str, str]:
         "intent_actions": _oracle.intent_actions_sql(),
         "discovered_feeds": _oracle.discovered_feeds_sql(),
         "unit_amounts": _oracle.unit_amounts_sql(),
+        "dt_predictions": _oracle.dt_predictions_sql(),
     }

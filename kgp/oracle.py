@@ -2402,3 +2402,26 @@ SELECT event_id,
   floor((CASE slot {" ".join(mult)} END) * 1000.0 + 0.5) / 1000.0
     AS base_value
 FROM e ORDER BY event_id"""
+
+
+def dt_predictions_sql() -> str:
+    """Mirror of the dt_predictions gate: the SAME deterministic tree
+    (kgp.dtree.gate_model — trained on closed-form synthetic data, no
+    RNG) rendered as nested SQL CASE by tree_sql; features derived
+    from events identically on both sides."""
+    from kgp.dtree import gate_model, tree_sql
+    model = gate_model()
+    p_pos = tree_sql(model, "pos")
+    p_neg = tree_sql(model, "neg")
+    return f"""
+WITH f AS (
+  SELECT event_id,
+    CAST(value AS DOUBLE) AS x,
+    CAST(user_id % 10 AS DOUBLE) AS y,
+    CASE event_id % 3 WHEN 0 THEN 'red' WHEN 1 THEN 'green'
+         ELSE 'blue' END AS color
+  FROM events)
+SELECT event_id, x, y, color,
+  {p_neg} AS p_neg, {p_pos} AS p_pos,
+  CASE WHEN {p_pos} > {p_neg} THEN 'pos' ELSE 'neg' END AS predicted
+FROM f ORDER BY event_id"""
