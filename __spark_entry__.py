@@ -191,6 +191,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "sum_rgb", "out_width", "out_height")
 
 
+def _q_image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full HistogramStats/Symmetry extractor family (palladian-image-
+    processing features/) over the REAL decoded BMP corpus — the
+    DuckDB oracle rederives every moment (mean/min/max/sum/median/
+    stddev/skewness, luminosity mean, flip symmetries) from the
+    closed-form pixel pattern (kgp/imagefeatures.py)."""
+    from kgp import imagefeatures as _imf
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    return _imf.image_features_stage(media)
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN with the DETERMINISTIC 'seed' coarse quantizer
     (centroids = the nlist smallest vec_ids) — the DuckDB oracle
@@ -1116,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "image_feature_stats": _q_image_feature_stats,
         "line_dedup": _q_line_dedup,
         "c4_filter": _q_c4_filter,
         "gopher_quality": _q_gopher_quality,
@@ -1209,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _oracle.embedding_near_dups_sql(),
         "media_stats": _oracle.media_stats_sql(),
         "media_features": _oracle.media_features_sql(),
+        "image_feature_stats": _oracle.image_features_sql(),
         "minhash_pairs": _oracle.minhash_pairs_sql(),
         "near_dup_groups": _oracle.near_dup_groups_sql(),
         "simhash_pairs": _oracle.simhash_pairs_sql(),

@@ -2425,3 +2425,58 @@ SELECT event_id, x, y, color,
   {p_neg} AS p_neg, {p_pos} AS p_pos,
   CASE WHEN {p_pos} > {p_neg} THEN 'pos' ELSE 'neg' END AS predicted
 FROM f ORDER BY event_id"""
+
+
+def image_features_sql() -> str:
+    """Mirror of the image_features gate: the BMP corpus pixels are
+    the closed form (7*id + 5r + 3c + 11*ch) % 256 (kgp.multimodal.
+    synth_pixel_array), so every HistogramStats/Symmetry feature is
+    derivable from exact integer moments; floats that traverse
+    different accumulation orders are rounded to 9 on both sides."""
+    return """
+WITH img AS (
+  SELECT doc_id AS media_id, doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+pr AS (SELECT media_id, w, h, unnest(range(0, h)) AS r FROM img),
+px AS (SELECT media_id, w, h, r, unnest(range(0, w)) AS c FROM pr),
+v AS (
+  SELECT media_id, w, h, r, c,
+    (7*media_id + 5*r + 3*c) % 256 AS red,
+    (7*media_id + 5*r + 3*c + 11) % 256 AS grn,
+    (7*media_id + 5*r + 3*c + 22) % 256 AS blu
+  FROM px),
+agg AS (
+  SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+    count(*) AS n, sum(red) AS s1, sum(red*red) AS s2,
+    sum(red*red*red) AS s3, min(red) AS mn, max(red) AS mx,
+    list_sort(list(red)) AS sr,
+    sum(CAST(trunc(0.21*red + 0.72*grn + 0.07*blu) AS BIGINT))
+      AS lsum,
+    sum(pow(abs(red - ((7*media_id + 5*(h-1-r) + 3*c) % 256))
+            / 255.0, 2)) AS dh,
+    sum(pow(abs(red - ((7*media_id + 5*r + 3*(w-1-c)) % 256))
+            / 255.0, 2)) AS dv
+  FROM v GROUP BY media_id),
+st AS (
+  SELECT *, CAST(s1 AS DOUBLE) / n AS mean,
+    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n AS m2,
+    (CAST(s3 AS DOUBLE)
+     - 3.0 * (CAST(s1 AS DOUBLE) / n) * s2
+     + 3.0 * pow(CAST(s1 AS DOUBLE) / n, 2) * s1
+     - n * pow(CAST(s1 AS DOUBLE) / n, 3)) / n AS m3
+  FROM agg)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(h AS DOUBLE) / w AS ratio,
+  mean AS red_mean, CAST(mn AS DOUBLE) AS red_min,
+  CAST(mx AS DOUBLE) AS red_max, CAST(s1 AS DOUBLE) AS red_sum,
+  CASE WHEN n % 2 = 0
+       THEN 0.5 * sr[CAST(n // 2 AS INT)]
+            + 0.5 * sr[CAST(n // 2 AS INT) + 1]
+       ELSE CAST(sr[CAST((n + 1) // 2 AS INT)] AS DOUBLE)
+  END AS red_p50,
+  round(sqrt(m2), 9) AS red_stddev,
+  round(m3 / pow(m2, 1.5), 9) AS red_skewness,
+  round(CAST(lsum AS DOUBLE) / n, 9) AS lum_mean,
+  round(1 - sqrt(dh / n), 9) AS sym_h_red,
+  round(1 - sqrt(dv / n), 9) AS sym_v_red
+FROM st ORDER BY media_id"""

@@ -1,0 +1,170 @@
+"""Image feature extractors (palladian-image-processing features/):
+RGBtoHSB port, HistogramStats moments/percentiles, bounds, symmetry,
+and the gate-stage DuckDB parity."""
+
+from __future__ import annotations
+
+import colorsys
+
+import duckdb
+import numpy as np
+import pytest
+
+from kgp.imagefeatures import (EXTRACTORS, HistStats, bounds_features,
+                               extract_values, image_features_stage,
+                               rgb_to_hsb, statistics_features,
+                               symmetry_features)
+from kgp.multimodal import synth_media, synth_pixel_array
+
+SF_TEST = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ RGBtoHSB
+
+def test_rgb_to_hsb_matches_colorsys():
+    """java.awt.Color.RGBtoHSB is rgb_to_hsv on [0,1]-scaled floats;
+    check the vectorized port against colorsys over a value sweep."""
+    rng = np.random.RandomState(7)
+    r = rng.randint(0, 256, 500)
+    g = rng.randint(0, 256, 500)
+    b = rng.randint(0, 256, 500)
+    hue, sat, bri = rgb_to_hsb(r, g, b)
+    for i in range(500):
+        eh, es, ev = colorsys.rgb_to_hsv(r[i] / 255, g[i] / 255,
+                                         b[i] / 255)
+        assert hue[i] == pytest.approx(eh, abs=1e-9)
+        assert sat[i] == pytest.approx(es, abs=1e-9)
+        assert bri[i] == pytest.approx(ev, abs=1e-9)
+
+
+def test_rgb_to_hsb_achromatic():
+    hue, sat, bri = rgb_to_hsb(np.array([0, 128, 255]),
+                               np.array([0, 128, 255]),
+                               np.array([0, 128, 255]))
+    assert (hue == 0).all() and (sat == 0).all()
+    assert bri == pytest.approx([0, 128 / 255, 1.0])
+
+
+def test_extract_values_luminosity_truncates():
+    img = np.array([[[100, 200, 50]]], dtype=np.uint8)
+    # (int)(0.21*100 + 0.72*200 + 0.07*50) = (int)168.5 = 168
+    assert extract_values(img, "luminosity")[0] == 168
+
+
+# ------------------------------------------------------ HistogramStats
+
+def test_histstats_population_moments():
+    """POPULATION (isSample=false) moments — cross-check the
+    histogram-space computation against direct numpy formulas."""
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 256, 10_000)
+    s = HistStats(vals)
+    v = vals.astype(np.float64)
+    m = v.mean()
+    m2 = ((v - m) ** 2).mean()
+    m3 = ((v - m) ** 3).mean()
+    m4 = ((v - m) ** 4).mean()
+    assert s.count == 10_000
+    assert s.sum() == v.sum()
+    assert s.mean() == pytest.approx(m)
+    assert s.min() == v.min() and s.max() == v.max()
+    assert s.range() == v.max() - v.min()
+    assert s.stddev() == pytest.approx(np.sqrt(m2))
+    assert s.rel_stddev() == pytest.approx(np.sqrt(m2) / m)
+    assert s.skewness() == pytest.approx(m3 / m2 ** 1.5)
+    assert s.kurtosis() == pytest.approx(m4 / m2 ** 2 - 3)
+
+
+def test_histstats_constant_input():
+    # HistogramStats.java:199-225 returns 0 (not NaN/-3) at variance 0
+    s = HistStats(np.full(50, 42))
+    assert s.stddev() == 0 and s.skewness() == 0 and s.kurtosis() == 0
+    assert s.percentile(50) == 42
+
+
+def test_histstats_percentile_fatstats_rule():
+    """FatStats percentile over the cumulated histogram: with n*p/100
+    integral, average of the two straddling values; else the
+    ceil(n*p/100)-th value (1-based)."""
+    s = HistStats(np.array([1, 2, 3, 4]))
+    # p=50 -> n=2.0 integral -> (value#2 + value#3)/2 = (2+3)/2
+    assert s.percentile(50) == 2.5
+    # p=30 -> n=1.2 -> ceil=2 -> 2nd value = 2
+    assert s.percentile(30) == 2.0
+    s5 = HistStats(np.array([10, 20, 30, 40, 50]))
+    # p=50 -> n=2.5 -> ceil=3 -> 3rd value = 30
+    assert s5.percentile(50) == 30.0
+    # p=40 -> n=2.0 integral -> (20+30)/2
+    assert s5.percentile(40) == 25.0
+
+
+# --------------------------------------------------- feature families
+
+def test_bounds_features():
+    img = np.zeros((3, 5, 3), dtype=np.uint8)
+    f = bounds_features(img)
+    assert f == {"width": 5, "height": 3, "ratio": 3 / 5}
+
+
+def test_statistics_features_shape_and_values():
+    img = synth_pixel_array(6)
+    f = statistics_features(img)
+    # 7 extractors x (10 scalars + 9 percentiles)
+    assert len(f) == len(EXTRACTORS) * 19
+    red = img[:, :, 0].astype(np.float64).ravel()
+    assert f["red_mean"] == pytest.approx(red.mean())
+    assert f["red_sum"] == red.sum()
+    assert f["red_count"] == red.size
+    assert f["red_min"] == red.min() and f["red_max"] == red.max()
+
+
+def test_symmetry_perfectly_symmetric_image():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:, :, 0] = 77
+    f = symmetry_features(img, extractors=("red",))
+    assert f["symmetry-horizontal-red"] == 1.0
+    assert f["symmetry-vertical-red"] == 1.0
+    assert f["symmetry-both-red"] == 1.0
+    assert f["symmetry-180-rotated-red"] == f["symmetry-both-red"]
+
+
+def test_symmetry_known_value():
+    """2x1 red image [0, 255]: vertical flip swaps them ->
+    similarity = 1 - sqrt(mean((255/255)^2)) = 0."""
+    img = np.zeros((1, 2, 3), dtype=np.uint8)
+    img[0, 1, 0] = 255
+    f = symmetry_features(img, extractors=("red",))
+    assert f["symmetry-vertical-red"] == pytest.approx(0.0)
+    assert f["symmetry-horizontal-red"] == 1.0  # one row, flip = id
+
+
+# ------------------------------------------------------- gate parity
+
+def test_image_features_stage_duckdb_parity(spark):
+    from kgp.oracle import image_features_sql
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    media = synth_media(spark, docs)
+    got = {r["media_id"]: r.asDict()
+           for r in image_features_stage(media).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_TEST}/documents.parquet'")
+    cols = [d[0] for d in con.execute(image_features_sql()).description]
+    want = con.execute(image_features_sql()).fetchall()
+    assert len(got) == len(want) > 0
+    for row in want:
+        w = dict(zip(cols, row))
+        g = got[w["media_id"]]
+        for c in cols:
+            assert g[c] == pytest.approx(w[c], abs=1e-9), \
+                (w["media_id"], c, g[c], w[c])
+
+
+def test_image_features_stage_plan_single_arrow_pass(spark):
+    """Column pruning must reach the scan (content+media_id only) and
+    the stage is ONE Arrow eval over the filtered scan — no shuffle."""
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    media = synth_media(spark, docs)
+    plan = image_features_stage(media) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
