@@ -202,6 +202,27 @@ def _q_image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _imf.image_features_stage(media)
 
 
+def _q_image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes (AverageHash + GradientHash ports with
+    the documented integer area-mean resize) over the REAL decoded
+    BMP corpus; the oracle rebuilds both hex hashes bit-for-bit from
+    the closed-form pixel pattern (kgp/imagehash.py)."""
+    from kgp import imagehash as _ih
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    return _ih.image_hash_stage(media).select("media_id", "ahash",
+                                              "ghash")
+
+
+def _q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image pairs by AverageHash Hamming <= 3 via the 4x16
+    pigeonhole band join (never all-pairs); oracle recomputes exact
+    Hamming over the rebuilt bits."""
+    from kgp import imagehash as _ih
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    hashes = _ih.image_hash_stage(media)
+    return _ih.phash_dup_pairs(hashes, max_hamming=3)
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN with the DETERMINISTIC 'seed' coarse quantizer
     (centroids = the nlist smallest vec_ids) — the DuckDB oracle
@@ -1128,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "image_feature_stats": _q_image_feature_stats,
+        "image_hashes": _q_image_hashes,
+        "phash_dup_pairs": _q_phash_dup_pairs,
         "line_dedup": _q_line_dedup,
         "c4_filter": _q_c4_filter,
         "gopher_quality": _q_gopher_quality,
@@ -1222,6 +1245,8 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": _oracle.media_stats_sql(),
         "media_features": _oracle.media_features_sql(),
         "image_feature_stats": _oracle.image_features_sql(),
+        "image_hashes": _oracle.image_hashes_sql(),
+        "phash_dup_pairs": _oracle.phash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oracle.minhash_pairs_sql(),
         "near_dup_groups": _oracle.near_dup_groups_sql(),
         "simhash_pairs": _oracle.simhash_pairs_sql(),

@@ -2480,3 +2480,95 @@ SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
   round(1 - sqrt(dh / n), 9) AS sym_h_red,
   round(1 - sqrt(dv / n), 9) AS sym_v_red
 FROM st ORDER BY media_id"""
+
+
+_IMAGE_LUM_PX = """
+img AS (
+  SELECT doc_id AS media_id, doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+pr AS (SELECT media_id, w, h, unnest(range(0, h)) AS r FROM img),
+px AS (SELECT media_id, w, h, r, unnest(range(0, w)) AS c FROM pr),
+lum AS (
+  SELECT media_id, w, h, r, c,
+    CAST(trunc(0.21 * ((7*media_id + 5*r + 3*c) % 256)
+             + 0.72 * ((7*media_id + 5*r + 3*c + 11) % 256)
+             + 0.07 * ((7*media_id + 5*r + 3*c + 22) % 256))
+         AS BIGINT) AS v
+  FROM px)"""
+
+
+def _hash_bits_ctes() -> str:
+    """Shared CTE chain deriving the AverageHash and GradientHash bit
+    tables from the closed-form BMP pixels (kgp.imagehash: integer
+    area-mean cells, bit = 64*cell > total / cell < right-neighbor)."""
+    return f"""
+WITH {_IMAGE_LUM_PX},
+c8 AS (
+  SELECT media_id, oy, ox, SUM(v * wx * wy) AS cell
+  FROM (
+    SELECT l.media_id, l.v, oyt.oy, oxt.ox,
+      greatest(0, least(8*(l.c+1), (oxt.ox+1)*l.w)
+                  - greatest(8*l.c, oxt.ox*l.w)) AS wx,
+      greatest(0, least(8*(l.r+1), (oyt.oy+1)*l.h)
+                  - greatest(8*l.r, oyt.oy*l.h)) AS wy
+    FROM lum l, range(0, 8) oxt(ox), range(0, 8) oyt(oy))
+  WHERE wx > 0 AND wy > 0 GROUP BY media_id, oy, ox),
+tot AS (SELECT media_id, SUM(cell) AS total FROM c8 GROUP BY media_id),
+abits AS (
+  SELECT c8.media_id, oy * 8 + ox AS idx,
+         CASE WHEN 64 * cell > total THEN 1 ELSE 0 END AS b
+  FROM c8 JOIN tot ON c8.media_id = tot.media_id),
+c9 AS (
+  SELECT media_id, oy, ox, SUM(v * wx * wy) AS cell
+  FROM (
+    SELECT l.media_id, l.v, oyt.oy, oxt.ox,
+      greatest(0, least(9*(l.c+1), (oxt.ox+1)*l.w)
+                  - greatest(9*l.c, oxt.ox*l.w)) AS wx,
+      greatest(0, least(8*(l.r+1), (oyt.oy+1)*l.h)
+                  - greatest(8*l.r, oyt.oy*l.h)) AS wy
+    FROM lum l, range(0, 9) oxt(ox), range(0, 8) oyt(oy))
+  WHERE wx > 0 AND wy > 0 GROUP BY media_id, oy, ox),
+gbits AS (
+  SELECT a.media_id, a.ox * 8 + a.oy AS idx,
+         CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END AS b
+  FROM c9 a JOIN c9 b
+    ON a.media_id = b.media_id AND a.oy = b.oy AND b.ox = a.ox + 1
+  WHERE a.ox < 8)"""
+
+
+def image_hashes_sql() -> str:
+    """Mirror of the image_hashes gate: AverageHash + GradientHash hex
+    strings rebuilt nibble-by-nibble from the bit tables (bit 0 is the
+    MSB, HashUtil.toHex zero-padded 16-char hex)."""
+    return _hash_bits_ctes() + """,
+ahex AS (
+  SELECT media_id, idx // 4 AS nib,
+         SUM(b << (3 - idx % 4)) AS val
+  FROM abits GROUP BY media_id, nib),
+ghex AS (
+  SELECT media_id, idx // 4 AS nib,
+         SUM(b << (3 - idx % 4)) AS val
+  FROM gbits GROUP BY media_id, nib),
+a AS (SELECT media_id,
+        string_agg(printf('%x', CAST(val AS INT)), '' ORDER BY nib) AS ahash
+      FROM ahex GROUP BY media_id),
+g AS (SELECT media_id,
+        string_agg(printf('%x', CAST(val AS INT)), '' ORDER BY nib) AS ghash
+      FROM ghex GROUP BY media_id)
+SELECT a.media_id, a.ahash, g.ghash
+FROM a JOIN g ON a.media_id = g.media_id ORDER BY a.media_id"""
+
+
+def phash_pairs_sql(max_hamming: int = 3) -> str:
+    """Mirror of the phash_dup_pairs gate: exact Hamming over the
+    recomputed AverageHash bits (all-pairs is fine oracle-side; the
+    Spark path uses the 4x16 pigeonhole band join)."""
+    return _hash_bits_ctes() + f""",
+pairs AS (
+  SELECT x.media_id AS a, y.media_id AS b,
+         SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS hamming
+  FROM abits x JOIN abits y
+    ON x.idx = y.idx AND x.media_id < y.media_id
+  GROUP BY x.media_id, y.media_id)
+SELECT a, b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming} ORDER BY a, b"""
