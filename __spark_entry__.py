@@ -202,6 +202,16 @@ def _q_image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _imf.image_features_stage(media)
 
 
+def _q_grid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridSimilarityExtractor (d=2) FatStats over cell-pair
+    luminosity similarities; the oracle recomputes every pair
+    positionally from the closed-form pixels, with an exact integer
+    sample-variance formula shared by both engines."""
+    from kgp import imagefeatures as _imf
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    return _imf.grid_similarity_stage(media, divisions=2)
+
+
 def _q_image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image hashes (AverageHash + GradientHash ports with
     the documented integer area-mean resize) over the REAL decoded
@@ -1149,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "image_feature_stats": _q_image_feature_stats,
+        "grid_similarity": _q_grid_similarity,
         "image_hashes": _q_image_hashes,
         "phash_dup_pairs": _q_phash_dup_pairs,
         "line_dedup": _q_line_dedup,
@@ -1245,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": _oracle.media_stats_sql(),
         "media_features": _oracle.media_features_sql(),
         "image_feature_stats": _oracle.image_features_sql(),
+        "grid_similarity": _oracle.grid_similarity_sql(),
         "image_hashes": _oracle.image_hashes_sql(),
         "phash_dup_pairs": _oracle.phash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

@@ -2572,3 +2572,59 @@ pairs AS (
   GROUP BY x.media_id, y.media_id)
 SELECT a, b, CAST(hamming AS INT) AS hamming
 FROM pairs WHERE hamming <= {max_hamming} ORDER BY a, b"""
+
+
+def grid_similarity_sql() -> str:
+    """Mirror of the grid_similarity gate (GridSimilarityExtractor
+    d=2): cell-pair luminosity similarities recomputed positionally
+    from the closed-form pixels; sims rounded to 9 before the
+    FatStats aggregates (and aggregates re-rounded to 9) so numpy and
+    SQL accumulation orders agree. The mean is excluded: the average
+    of six 9-decimal values lands exactly on a .5 at the 9th decimal
+    for ~10%% of images (banker's vs half-away rounding divergence);
+    the sum carries the identical information and is decimal-exact."""
+
+    def lum(row: str, col: str) -> str:
+        return (f"CAST(trunc(0.21 * ((7*media_id + 5*({row}) + 3*({col})) % 256)"
+                f" + 0.72 * ((7*media_id + 5*({row}) + 3*({col}) + 11) % 256)"
+                f" + 0.07 * ((7*media_id + 5*({row}) + 3*({col}) + 22) % 256))"
+                f" AS BIGINT)")
+
+    la = lum("ay * ch + rr", "ax * cw + cc")
+    lb = lum("by_ * ch + rr", "bx * cw + cc")
+    return f"""
+WITH img AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 13 + 4) // 2 AS cw, (doc_id % 7 + 4) // 2 AS ch
+  FROM documents WHERE doc_id % 3 = 0),
+pairdef(pi, ax, ay, bx, by_) AS (VALUES
+  (0, 0, 0, 0, 1), (1, 0, 0, 1, 0), (2, 0, 0, 1, 1),
+  (3, 0, 1, 1, 0), (4, 0, 1, 1, 1), (5, 1, 0, 1, 1)),
+pr2 AS (
+  SELECT media_id, cw, ch, unnest(range(0, ch)) AS rr FROM img),
+rel AS (
+  SELECT media_id, cw, ch, rr, unnest(range(0, cw)) AS cc FROM pr2),
+pp AS (
+  SELECT media_id, pi,
+         pow(abs({la} - {lb}) / 255.0, 2) AS d2
+  FROM rel, pairdef),
+sims AS (
+  SELECT media_id, pi,
+         round(1 - sqrt(SUM(d2) / COUNT(*)), 9) AS sim
+  FROM pp GROUP BY media_id, pi),
+iv AS (
+  SELECT media_id, sim, CAST(round(sim * 1e9) AS BIGINT) AS v
+  FROM sims),
+agg AS (
+  SELECT media_id, min(sim) AS sim_min, max(sim) AS sim_max,
+         sqrt(CAST(COUNT(*) * CAST(SUM(CAST(v AS HUGEINT) * v)
+                                   AS HUGEINT)
+                   - CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT) AS DOUBLE)
+              / (COUNT(*) * (COUNT(*) - 1)) / 1e18) AS sim_stddev,
+         round(sum(sim), 9) AS sim_sum,
+         list_sort(list(sim)) AS sr
+  FROM iv GROUP BY media_id)
+SELECT media_id, sim_min, sim_max, sim_stddev, sim_sum,
+       sr[2] AS sim_p30, 0.5 * sr[3] + 0.5 * sr[4] AS sim_p50,
+       sr[5] AS sim_p80
+FROM agg ORDER BY media_id"""

@@ -168,3 +168,137 @@ def test_image_features_stage_plan_single_arrow_pass(spark):
     plan = image_features_stage(media) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------- round-3 extractor families
+
+def test_fatstats_twin_goldens():
+    from kgp.imagefeatures import FatStatsF
+    s = FatStatsF([2.0, 1.0, 3.0, 4.0])
+    assert s.mean() == 2.5 and s.sum() == 10 and s.range() == 3
+    # sample stddev of 1..4 = sqrt(5/3)
+    assert s.stddev() == pytest.approx(np.sqrt(5 / 3))
+    # FatStats percentile: p50 over n=4 -> integral 2 -> (v2+v3)/2
+    assert s.percentile(50) == 2.5 and s.median() == 2.5
+    assert s.percentile(30) == 2.0  # 1.2 -> ceil 2 -> 2nd value
+    one = FatStatsF([7.0])
+    assert one.stddev() == 0.0
+    empty = FatStatsF()
+    assert np.isnan(empty.mean()) and np.isnan(empty.percentile(50))
+
+
+def test_detect_frequencies_flat_and_checker():
+    from kgp.imagefeatures import detect_frequencies
+    flat = np.full((5, 5, 3), 100, dtype=np.uint8)
+    s = detect_frequencies(flat)
+    assert s.count() == 9 and s.mean() == 0.0
+    # checkerboard: every interior pixel's distinct neighbor set is
+    # {opposite, same}; sampled 7 cells = 4 opposite + 3 same (or
+    # 3/4) -> v = |delta|/255 * (1/2 per distinct value)
+    chk = np.zeros((5, 5, 3), dtype=np.uint8)
+    chk[::2, ::2] = 255
+    chk[1::2, 1::2] = 255
+    s2 = detect_frequencies(chk)
+    assert s2.mean() > 0.4  # high-frequency image scores high
+
+
+def test_frequency_features_dct_is_the_as_written_noop():
+    """The reference's DCT call is commented out -> toDct reduces to
+    min(blue+128, 255); a flat blue>=127 image becomes flat 255 ->
+    dct-mean 0."""
+    from kgp.imagefeatures import frequency_features
+    img = np.zeros((6, 6, 3), dtype=np.uint8)
+    img[:, :, 2] = 200
+    f = frequency_features(img)
+    assert f["frequency-dct-mean"] == 0.0
+    assert f["frequency-mean"] == 0.0
+
+
+def test_grid_similarity_features():
+    from kgp.imagefeatures import grid_similarity_features
+    # four identical quadrants -> all 6 pair sims are 1.0
+    img = np.tile(np.arange(16, dtype=np.uint8).reshape(4, 4)[..., None],
+                  (2, 2, 3))
+    f = grid_similarity_features(img, divisions=2)
+    assert f["2x2-similarity_min"] == 1.0
+    assert f["2x2-similarity_sum"] == 6.0
+    assert f["2x2-similarity_stdDev"] == 0.0
+    assert f["2x2-similarity_50-percentile"] == 1.0
+    with pytest.raises(ValueError):
+        grid_similarity_features(img, divisions=1)
+
+
+def test_grid_similarity_leftover_pixels_dropped():
+    from kgp.imagefeatures import grid_similarity_features
+    # 5x5 with d=2 -> 2x2 cells; row/col 4 never read (set to noise)
+    img = np.zeros((5, 5, 3), dtype=np.uint8)
+    base = grid_similarity_features(img, divisions=2)
+    noisy = img.copy()
+    noisy[4, :, :] = 200
+    noisy[:, 4, :] = 133
+    assert grid_similarity_features(noisy, divisions=2) == base
+
+
+def test_detect_edges_flat_image_is_zero():
+    from kgp.imagefeatures import detect_edges
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert (detect_edges(flat) == 0).all()
+
+
+def test_detect_edges_vertical_step_found():
+    from kgp.imagefeatures import detect_edges, edginess_features
+    img = np.zeros((12, 12, 3), dtype=np.uint8)
+    img[:, 6:, :] = 250
+    edges = detect_edges(img)
+    # erosion pushes the bright region right; a gradient ridge exists
+    assert edges.max() == 255
+    feats = edginess_features(img)
+    assert feats["edginess-max"] == 255.0
+    flat_feats = edginess_features(np.zeros((12, 12, 3), np.uint8))
+    assert flat_feats["edginess-mean"] == 0.0
+    assert feats["edginess-mean"] > flat_feats["edginess-mean"]
+
+
+def test_color_features_booleans():
+    from kgp.imagefeatures import color_features
+    img = np.zeros((6, 6, 3), dtype=np.uint8)
+    img[:, :, 0] = 230  # strong red (not near-white/near-black)
+    f = color_features(img)
+    assert f["main_color-Red"] is True
+    assert f["main_color-Blue"] is False
+    assert all(isinstance(v, bool) for v in f.values())
+
+
+def test_local_features_grid_rename():
+    from kgp.imagefeatures import bounds_features, local_features
+    img = np.zeros((8, 12, 3), dtype=np.uint8)
+    f = local_features(img, 2, bounds_features)
+    # 4 cells x 3 bounds features, cell dims 6x4
+    assert len(f) == 12
+    assert f["local-0-width"] == 6 and f["local-0-height"] == 4
+    assert f["local-3-ratio"] == 4 / 6
+    with pytest.raises(ValueError):
+        local_features(img, 1, bounds_features)
+
+
+def test_grid_similarity_stage_duckdb_parity(spark):
+    import duckdb
+
+    from kgp.imagefeatures import grid_similarity_stage
+    from kgp.oracle import grid_similarity_sql
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    media = synth_media(spark, docs)
+    got = {r["media_id"]: r.asDict()
+           for r in grid_similarity_stage(media).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_TEST}/documents.parquet'")
+    cur = con.execute(grid_similarity_sql())
+    cols = [d[0] for d in cur.description]
+    want = cur.fetchall()
+    assert len(want) == len(got) > 0
+    for row in want:
+        w = dict(zip(cols, row))
+        g = got[w["media_id"]]
+        for c in cols:
+            assert g[c] == w[c], (w["media_id"], c, g[c], w[c])
