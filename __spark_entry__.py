@@ -202,6 +202,19 @@ def _q_image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _imf.image_features_stage(media)
 
 
+def _q_block_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockCodeExtractor image->words codifier (GREY_SCALE_5 palette,
+    pixelation 2, 2x2 blocks/sections); the oracle rebuilds the Lab
+    nearest-gray quantization and the whole word grammar in SQL from
+    the closed-form pixels (kgp/blockcode.py)."""
+    from kgp import blockcode as _bc
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    return _bc.block_code_stage(media, number_of_colors="GREY_SCALE_5",
+                                pixelation_size=2,
+                                block_size="TWO_BY_TWO",
+                                image_sections="TWO_BY_TWO")
+
+
 def _q_grid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GridSimilarityExtractor (d=2) FatStats over cell-pair
     luminosity similarities; the oracle recomputes every pair
@@ -1160,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "image_feature_stats": _q_image_feature_stats,
         "grid_similarity": _q_grid_similarity,
+        "block_codes": _q_block_codes,
         "image_hashes": _q_image_hashes,
         "phash_dup_pairs": _q_phash_dup_pairs,
         "line_dedup": _q_line_dedup,
@@ -1257,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _oracle.media_features_sql(),
         "image_feature_stats": _oracle.image_features_sql(),
         "grid_similarity": _oracle.grid_similarity_sql(),
+        "block_codes": _oracle.block_codes_sql(),
         "image_hashes": _oracle.image_hashes_sql(),
         "phash_dup_pairs": _oracle.phash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

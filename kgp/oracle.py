@@ -2628,3 +2628,108 @@ SELECT media_id, sim_min, sim_max, sim_stddev, sim_sum,
        sr[2] AS sim_p30, 0.5 * sr[3] + 0.5 * sr[4] AS sim_p50,
        sr[5] AS sim_p80
 FROM agg ORDER BY media_id"""
+
+
+def block_codes_sql() -> str:
+    """Mirror of the block_codes gate (BlockCodeExtractor with the
+    GREY_SCALE_5 palette, pixelation 2, 2x2 blocks, 2x2 sections):
+    corner pixels are closed-form, quantized to the nearest palette
+    gray by full CIE76 Lab distance (palette Lab values inlined as
+    exact literals; first-strictly-smaller == lowest-index tie rule),
+    then the word grammar (main color by first-appearance mode, shape
+    code, the asymmetric +1-on-x section quirk, '!' suffix) is
+    rebuilt in SQL."""
+    from kgp.multimodal import rgb_to_lab
+    grays = [(0, 0, 0), (255, 255, 255), (192, 192, 192),
+             (128, 128, 128), (64, 64, 64)]
+    labs = [rgb_to_lab(*c) for c in grays]
+
+    def chan(off: int) -> str:
+        return f"((7*media_id + 5*y + 3*x + {off}) % 256)"
+
+    def lin(expr: str) -> str:
+        return (f"(CASE WHEN {expr} / 255.0 <= 0.04045 "
+                f"THEN {expr} / 255.0 / 12.92 "
+                f"ELSE pow(({expr} / 255.0 + 0.055) / 1.055, 2.4) "
+                f"END) * 100")
+
+    # exact _SRGB_M / D65 constants (kgp.multimodal.rgb_to_lab)
+    xyz = [
+        f"(rl * 0.4124 + gl * 0.3576 + bl * 0.1805) / 95.047",
+        f"(rl * 0.2126 + gl * 0.7152 + bl * 0.0722) / 100.0",
+        f"(rl * 0.0193 + gl * 0.1192 + bl * 0.9505) / 108.883",
+    ]
+
+    def fl(expr: str) -> str:
+        return (f"CASE WHEN {expr} > 0.008856 THEN pow({expr}, "
+                f"1.0/3) ELSE 7.787 * {expr} + 16.0/116.0 END")
+
+    dists = " , ".join(
+        f"(lab_l - {labs[k][0]!r})^2 + (lab_a - {labs[k][1]!r})^2 "
+        f"+ (lab_b - {labs[k][2]!r})^2 AS d{k}" for k in range(5))
+    argmin = ("CASE WHEN d0 <= least(d1, d2, d3, d4) THEN 0 "
+              "WHEN d1 <= least(d2, d3, d4) THEN 1 "
+              "WHEN d2 <= least(d3, d4) THEN 2 "
+              "WHEN d3 <= d4 THEN 3 ELSE 4 END")
+    counts = " , ".join(
+        "(" + " + ".join(f"CASE WHEN v{j} = v{k} THEN 1 ELSE 0 END"
+                         for j in range(4)) + f") AS c{k}"
+        for k in range(4))
+    return f"""
+WITH img AS (
+  SELECT doc_id AS media_id, doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+bj AS (SELECT media_id, w, h, unnest(range(0, h // 4)) AS j FROM img),
+bi AS (SELECT media_id, w, h, j, unnest(range(0, w // 4)) AS i
+       FROM bj),
+corners AS (
+  SELECT media_id, w, h, j, i, k.k,
+         4 * i + (k.k % 2) * 2 AS x, 4 * j + (k.k // 2) * 2 AS y
+  FROM bi, range(0, 4) k(k)),
+lin AS (
+  SELECT media_id, w, h, j, i, k,
+         {lin(chan(0))} AS rl, {lin(chan(11))} AS gl,
+         {lin(chan(22))} AS bl
+  FROM corners),
+lab AS (
+  SELECT media_id, w, h, j, i, k,
+         116.0 * {fl(xyz[1])} - 16.0 AS lab_l,
+         500.0 * ({fl(xyz[0])} - {fl(xyz[1])}) AS lab_a,
+         200.0 * ({fl(xyz[1])} - {fl(xyz[2])}) AS lab_b
+  FROM lin),
+q AS (
+  SELECT media_id, w, h, j, i, k, {argmin} AS v
+  FROM (SELECT media_id, w, h, j, i, k, {dists} FROM lab)),
+blocks AS (
+  SELECT media_id, any_value(w) AS w, any_value(h) AS h, j, i,
+         MAX(CASE WHEN k = 0 THEN v END) AS v0,
+         MAX(CASE WHEN k = 1 THEN v END) AS v1,
+         MAX(CASE WHEN k = 2 THEN v END) AS v2,
+         MAX(CASE WHEN k = 3 THEN v END) AS v3
+  FROM q GROUP BY media_id, j, i),
+coded AS (
+  SELECT media_id, j, i,
+         (4 * i) // (w // 2) + 1 AS sx, (4 * j) // (h // 2) AS sy,
+         {counts},
+         (CASE WHEN v0 = v1 THEN 0 ELSE 1 END
+          + CASE WHEN v2 IN (v0, v1) THEN 0 ELSE 1 END
+          + CASE WHEN v3 IN (v0, v1, v2) THEN 0 ELSE 1 END + 1)
+           AS n_colors,
+         v0, v1, v2, v3
+  FROM blocks),
+words AS (
+  SELECT media_id, j, i,
+         chr(CAST(97 + CASE
+           WHEN c0 = greatest(c0, c1, c2, c3) THEN v0
+           WHEN c1 = greatest(c1, c2, c3) THEN v1
+           WHEN c2 = greatest(c2, c3) THEN v2 ELSE v3 END AS INT))
+         || CAST(CASE
+              WHEN n_colors = 1 THEN 1
+              WHEN v0 = v2 AND v1 = v3 THEN 2
+              WHEN v0 = v1 AND v2 = v3 THEN 3
+              WHEN v0 = v3 AND v1 = v2 THEN 4 ELSE 0 END AS VARCHAR)
+         || chr(CAST(96 + sy * 2 + sx AS INT)) || '!' AS word
+  FROM coded)
+SELECT media_id,
+       string_agg(word, ' ' ORDER BY j, i) AS text
+FROM words GROUP BY media_id ORDER BY media_id"""
