@@ -202,6 +202,23 @@ def _q_image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _imf.image_features_stage(media)
 
 
+def _q_utm_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM forward conversion (UtmConverter port) rendered entirely as
+    JVM column expressions over closed-form synthetic coordinates; the
+    oracle reruns the identical Transverse-Mercator series in SQL
+    (kgp/utm.py)."""
+    from kgp.utm import utm_cols
+    docs = _docs_table(spark, sf_dir).select("doc_id")
+    lat = ((F.col("doc_id") * 37) % 16400) / 100.0 - 80.0
+    lon = ((F.col("doc_id") * 73) % 36000) / 100.0 - 180.0
+    e, n, zone, band = utm_cols(lat, lon)
+    return docs.select(
+        "doc_id", F.round(lat, 6).alias("lat"),
+        F.round(lon, 6).alias("lon"), zone, band,
+        F.round(e, 4).alias("easting"),
+        F.round(n, 4).alias("northing"))
+
+
 def _q_block_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BlockCodeExtractor image->words codifier (GREY_SCALE_5 palette,
     pixelation 2, 2x2 blocks/sections); the oracle rebuilds the Lab
@@ -1174,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_feature_stats": _q_image_feature_stats,
         "grid_similarity": _q_grid_similarity,
         "block_codes": _q_block_codes,
+        "utm_coords": _q_utm_coords,
         "image_hashes": _q_image_hashes,
         "phash_dup_pairs": _q_phash_dup_pairs,
         "line_dedup": _q_line_dedup,
@@ -1272,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "image_feature_stats": _oracle.image_features_sql(),
         "grid_similarity": _oracle.grid_similarity_sql(),
         "block_codes": _oracle.block_codes_sql(),
+        "utm_coords": _oracle.utm_coords_sql(),
         "image_hashes": _oracle.image_hashes_sql(),
         "phash_dup_pairs": _oracle.phash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

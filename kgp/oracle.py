@@ -2733,3 +2733,87 @@ words AS (
 SELECT media_id,
        string_agg(word, ' ' ORDER BY j, i) AS text
 FROM words GROUP BY media_id ORDER BY media_id"""
+
+
+def utm_coords_sql() -> str:
+    """Mirror of the utm_coords gate: the full Transverse-Mercator
+    forward series (UtmConverter.mapLatLonToXY + toUtm) over the
+    closed-form synthetic coordinates, with the precomputed WGS84
+    series constants inlined as exact literals; easting/northing
+    rounded to 4 decimals on both engines (trig libm differences sit
+    around 1e-9 m)."""
+    from kgp import utm as U
+    n = (U.SM_A - U.SM_B) / (U.SM_A + U.SM_B)
+    alpha = ((U.SM_A + U.SM_B) / 2.0) * (1.0 + n ** 2 / 4.0
+                                         + n ** 4 / 64.0)
+    beta = -3.0 * n / 2.0 + 9.0 * n ** 3 / 16.0 - 3.0 * n ** 5 / 32.0
+    gamma = 15.0 * n ** 2 / 16.0 - 15.0 * n ** 4 / 32.0
+    delta = -35.0 * n ** 3 / 48.0 + 105.0 * n ** 5 / 256.0
+    epsilon = 315.0 * n ** 4 / 512.0
+    ep2 = (U.SM_A ** 2 - U.SM_B ** 2) / U.SM_B ** 2
+    na2 = U.SM_A ** 2
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 16400) / 100.0 - 80.0 AS lat,
+         ((doc_id * 73) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents),
+z AS (
+  SELECT *, CASE
+    WHEN lat >= 72.0 AND lat < 84.0 THEN CASE
+      WHEN lon >= 0.0 AND lon < 9.0 THEN 31
+      WHEN lon >= 9.0 AND lon < 21.0 THEN 33
+      WHEN lon >= 21.0 AND lon < 33.0 THEN 35
+      WHEN lon >= 33.0 AND lon < 42.0 THEN 37
+      WHEN lat >= 56.0 AND lat < 64.0 AND lon >= 3.0 AND lon < 12.0
+        THEN 32
+      ELSE CAST(floor((lon + 180.0) / 6) AS INT) + 1 END
+    WHEN lat >= 56.0 AND lat < 64.0 AND lon >= 3.0 AND lon < 12.0
+      THEN 32
+    ELSE CAST(floor((lon + 180.0) / 6) AS INT) + 1 END AS zone
+  FROM base),
+p AS (
+  SELECT *, radians(lat) AS phi, radians(lon) AS lam,
+         radians(-183.0 + zone * 6.0) AS lambda0
+  FROM z),
+q AS (
+  SELECT *, cos(phi) AS cp, tan(phi) AS t,
+         {ep2!r} * cos(phi) * cos(phi) AS nu2
+  FROM p),
+r AS (
+  SELECT *, {na2!r} / ({U.SM_B!r} * sqrt(nu2 + 1)) AS big_n,
+         t * t AS t2, lam - lambda0 AS ln
+  FROM q),
+s AS (
+  SELECT *,
+    {alpha!r} * (phi + {beta!r} * sin(2 * phi)
+                 + {gamma!r} * sin(4 * phi)
+                 + {delta!r} * sin(6 * phi)
+                 + {epsilon!r} * sin(8 * phi)) AS arc,
+    1.0 - t2 + nu2 AS l3,
+    5.0 - t2 + 9 * nu2 + 4.0 * nu2 * nu2 AS l4,
+    5.0 - 18.0 * t2 + t2 * t2 + 14.0 * nu2 - 58.0 * t2 * nu2 AS l5,
+    61.0 - 58.0 * t2 + t2 * t2 + 270.0 * nu2 - 330.0 * t2 * nu2 AS l6,
+    61.0 - 479.0 * t2 + 179.0 * t2 * t2 - t2 * t2 * t2 AS l7,
+    1385.0 - 3111.0 * t2 + 543.0 * t2 * t2 - t2 * t2 * t2 AS l8
+  FROM r),
+xy AS (
+  SELECT doc_id, lat, lon, zone,
+    (big_n * cp * ln
+     + big_n / 6.0 * pow(cp, 3.0) * l3 * pow(ln, 3.0)
+     + big_n / 120.0 * pow(cp, 5.0) * l5 * pow(ln, 5.0)
+     + big_n / 5040.0 * pow(cp, 7.0) * l7 * pow(ln, 7.0))
+      * {U.UTM_SCALE!r} + 500000.0 AS easting,
+    (arc + t / 2.0 * big_n * cp * cp * ln * ln
+     + t / 24.0 * big_n * pow(cp, 4.0) * l4 * pow(ln, 4.0)
+     + t / 720.0 * big_n * pow(cp, 6.0) * l6 * pow(ln, 6.0)
+     + t / 40320.0 * big_n * pow(cp, 8.0) * l8 * pow(ln, 8.0))
+      * {U.UTM_SCALE!r} AS northing_raw
+  FROM s)
+SELECT doc_id, round(lat, 6) AS lat, round(lon, 6) AS lon, zone,
+  substring('{U.UTM_BAND_CHARS}',
+            CAST(trunc(lat + 80) AS INT) // 8 + 1, 1) AS band,
+  round(easting, 4) AS easting,
+  round(CASE WHEN northing_raw < 0.0 THEN northing_raw + 10000000.0
+        ELSE northing_raw END, 4) AS northing
+FROM xy ORDER BY doc_id"""
