@@ -246,3 +246,63 @@ def image_dup_stage(media: DataFrame, shift: int = 39,
                                               "is_dup"])
 
     return pairs.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------- gaussian blur
+# palladian-experimental extraction/multimedia/GaussianBlur.java:29-103:
+# separable gaussian with sigma = width/3 (float32 kernel, normalized
+# by its own float32 total), applied over a replicate-extended image
+# (edges AND corners filled from the nearest border pixel), horizontal
+# then vertical ConvolveOp, cropped back to the original frame. The
+# crop exactly excludes ConvolveOp's zero-filled borders, so the net
+# semantics are a replicate-padded separable blur. ConvolveOp's native
+# per-pass quantization is kept: each pass rounds (int)(x + 0.5f) and
+# clamps to [0, 255] before the next runs.
+
+
+def gaussian_kernel(width: int) -> np.ndarray:
+    """createGaussianKernel (:29-46) in float32."""
+    if width < 1:
+        raise ValueError("width must be greater/equal one")
+    f32 = np.float32
+    sigma = f32(width) / f32(3)
+    norm = f32(1.0 / (math.sqrt(2 * math.pi) * float(sigma)))
+    coeff = f32(2) * sigma * sigma
+    xs = np.arange(-width, width + 1, dtype=np.float64)
+    g = (norm * np.exp((-xs * xs / coeff).astype(np.float64))) \
+        .astype(np.float32)
+    total = f32(0)
+    for v in g:                     # Java's sequential float32 total
+        total = f32(total + v)
+    return (g / total).astype(np.float32)
+
+
+def _convolve_axis(ext: np.ndarray, kern: np.ndarray,
+                   axis: int) -> np.ndarray:
+    """One ConvolveOp pass over the extended uint8 image: float32
+    accumulation, (int)(x+0.5) rounding, EDGE_ZERO_FILL borders."""
+    width = (len(kern) - 1) // 2
+    acc = np.zeros(ext.shape, dtype=np.float32)
+    for k, w in enumerate(kern):
+        shift = k - width
+        sl = np.roll(ext.astype(np.float32), -shift, axis=axis)
+        acc += w * sl
+    out = np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
+    # zero-fill the border where the kernel does not fit
+    sl = [slice(None)] * ext.ndim
+    sl[axis] = slice(0, width)
+    out[tuple(sl)] = 0
+    sl[axis] = slice(ext.shape[axis] - width, ext.shape[axis])
+    out[tuple(sl)] = 0
+    return out
+
+
+def gaussian_blur(img: np.ndarray, width: int) -> np.ndarray:
+    """GaussianBlur.apply (:48-55)."""
+    kern = gaussian_kernel(width)
+    h, w = img.shape[:2]
+    ext = np.pad(img[:, :, :3], ((width, width), (width, width),
+                                 (0, 0)), mode="edge")
+    ext = _convolve_axis(ext, kern, axis=1)   # horizontal first
+    ext = _convolve_axis(ext, kern, axis=0)   # then vertical
+    return ext[width:width + h, width:width + w]

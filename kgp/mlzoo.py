@@ -420,3 +420,31 @@ def zeror_predict(df: DataFrame, model: list[tuple[str, float]],
                      F.lit(category).alias("predicted"),
                      F.round(F.lit(float(probability)), 6)
                      .alias("probability"))
+
+
+# ------------------------------------------- class-distribution resample
+# palladian-experimental classification/utils/
+# ClassDistributionResampler.java:31-117: keep each instance with
+# probability minClassProbability / P(class) * weight(class) so class
+# counts come out roughly equal (or follow the given weights). The
+# reference draws java.util.Random doubles (nondeterministic); the
+# repo's standard md5 sample key substitutes — same expected counts,
+# reproducible under re-partitioning and re-runs.
+
+def resample_class_distribution(df: DataFrame, id_col: str,
+                                label_col: str = "category",
+                                weights: dict[str, float] | None = None,
+                                ) -> DataFrame:
+    """One groupBy fits the ZeroR class distribution; the keep rule is
+    a broadcast map-literal filter over the scan (no second shuffle).
+    Unknown weights default to 1.0 like the reference's LazyMap."""
+    weights = weights or {}
+    probs = dict((c, p) for c, p in zeror_train(df, label_col))
+    min_p = min(probs.values())
+    keep = {c: min_p / p * weights.get(c, 1.0)
+            for c, p in probs.items()}
+    keep_col = F.coalesce(*(
+        [F.when(F.col(label_col) == c, F.lit(v)) for c, v in
+         sorted(keep.items())] + [F.lit(0.0)]))
+    from kgp.curation import sample_key
+    return df.where(sample_key(F.col(id_col)) / 10000.0 <= keep_col)

@@ -131,3 +131,47 @@ def test_image_dup_stage_matches_twin(spark):
         want = get_similarity(i1, i2, "diffg")
         assert diffg == pytest.approx(want)
         assert dup == (want > 0.82)
+
+
+# --------------------------------------------------------- gaussian blur
+
+def test_gaussian_kernel_reference_shape():
+    from kgp.imageops import gaussian_kernel
+    k = gaussian_kernel(3)
+    assert len(k) == 7
+    assert k.sum() == pytest.approx(1.0, abs=1e-6)
+    assert k[3] == k.max()                    # centered
+    assert np.allclose(k, k[::-1])            # symmetric
+    with pytest.raises(ValueError):
+        gaussian_kernel(0)
+
+
+def test_gaussian_blur_uniform_invariant():
+    from kgp.imageops import gaussian_blur
+    flat = np.full((9, 14, 3), 77, dtype=np.uint8)
+    out = gaussian_blur(flat, 4)
+    assert out.shape == flat.shape
+    # replicate padding keeps a uniform image exactly uniform,
+    # including the corners (the extend fills corners too)
+    assert (out == 77).all()
+
+
+def test_gaussian_blur_smooths_and_conserves_roughly():
+    from kgp.imageops import gaussian_blur
+    img = np.zeros((11, 11, 3), dtype=np.uint8)
+    img[5, 5] = 255
+    out = gaussian_blur(img, 2)
+    assert out[5, 5, 0] == out.max()
+    assert out[5, 4, 0] > 0 and out[0, 0, 0] == 0
+    # variance strictly drops
+    assert out[:, :, 0].astype(float).var() < \
+        img[:, :, 0].astype(float).var()
+
+
+def test_gaussian_blur_edge_vs_interior():
+    from kgp.imageops import gaussian_blur
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    out1 = gaussian_blur(img, 3)
+    out2 = gaussian_blur(img, 3)
+    assert (out1 == out2).all()  # deterministic

@@ -294,3 +294,34 @@ def test_zeror_majority_baseline(spark):
     tie = spark.createDataFrame([(1, "z"), (2, "y")],
                                 "doc_id long, category string")
     assert zeror_train(tie)[0][0] == "y"
+
+
+# ------------------------------------------- class-distribution resample
+
+def test_resample_class_distribution_balances(spark):
+    from kgp.mlzoo import resample_class_distribution
+    rows = [(i, "big" if i % 10 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, category string")
+    out = resample_class_distribution(df, "id").groupBy("category") \
+        .count().collect()
+    counts = {r["category"]: r["count"] for r in out}
+    # small class (500) kept fully-ish; big class (4500) cut to ~500
+    assert counts["small"] > 400
+    assert abs(counts["big"] - counts["small"]) < 0.35 * counts["small"]
+
+
+def test_resample_class_distribution_weights_and_determinism(spark):
+    from kgp.mlzoo import resample_class_distribution
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, category string")
+    first = set(r["id"] for r in
+                resample_class_distribution(df, "id").collect())
+    second = set(r["id"] for r in
+                 resample_class_distribution(df, "id").collect())
+    assert first == second  # md5 key, not Random
+    # weight 0.5 on 'a' halves its kept share
+    weighted = resample_class_distribution(
+        df, "id", weights={"a": 0.5}).groupBy("category") \
+        .count().collect()
+    counts = {r["category"]: r["count"] for r in weighted}
+    assert counts["a"] < 0.7 * counts["b"]
