@@ -202,6 +202,31 @@ def _q_image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _imf.image_features_stage(media)
 
 
+def _q_time_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeIntervalParser as pure JVM regexp columns over interval
+    phrases synthesized from event_id closed forms; the oracle derives
+    the expected seconds symbolically (kgp/intervals.py)."""
+    from kgp.intervals import time_interval_col
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id",
+                (F.col("event_id") % 4).alias("d"),
+                (F.col("event_id") % 24).alias("h"),
+                (F.col("event_id") % 60).alias("m"),
+                (F.col("event_id") % 5).alias("v"))
+    text = (F.when(F.col("v") == 0, F.concat(
+                "d", F.lit(" days "), "h", F.lit(" hours "), "m",
+                F.lit(" minutes")))
+            .when(F.col("v") == 1, F.concat(
+                F.lit("the movie lasted "), "h", F.lit(" hours and "),
+                "m", F.lit(" minutes")))
+            .when(F.col("v") == 2, F.concat("h", F.lit("h"), "m",
+                                            F.lit("m")))
+            .when(F.col("v") == 3, F.concat("m", F.lit(" min read")))
+            .otherwise(F.lit("no interval mentioned here")))
+    return ev.select("event_id", text.alias("text"),
+                     time_interval_col(text).alias("seconds"))
+
+
 def _q_utm_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM forward conversion (UtmConverter port) rendered entirely as
     JVM column expressions over closed-form synthetic coordinates; the
@@ -1192,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_similarity": _q_grid_similarity,
         "block_codes": _q_block_codes,
         "utm_coords": _q_utm_coords,
+        "time_intervals": _q_time_intervals,
         "image_hashes": _q_image_hashes,
         "phash_dup_pairs": _q_phash_dup_pairs,
         "line_dedup": _q_line_dedup,
@@ -1291,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_similarity": _oracle.grid_similarity_sql(),
         "block_codes": _oracle.block_codes_sql(),
         "utm_coords": _oracle.utm_coords_sql(),
+        "time_intervals": _oracle.time_intervals_sql(),
         "image_hashes": _oracle.image_hashes_sql(),
         "phash_dup_pairs": _oracle.phash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

@@ -2817,3 +2817,37 @@ SELECT doc_id, round(lat, 6) AS lat, round(lon, 6) AS lon, zone,
   round(CASE WHEN northing_raw < 0.0 THEN northing_raw + 10000000.0
         ELSE northing_raw END, 4) AS northing
 FROM xy ORDER BY doc_id"""
+
+
+def time_intervals_sql() -> str:
+    """Mirror of the time_intervals gate: interval phrases synthesized
+    from event_id closed forms; expected seconds derived SYMBOLICALLY
+    (RE2 has no lookahead, so the oracle never runs the parser's
+    regexes). Variant 3 with minutes=0 pins the reference's
+    parsed-but-zero -> 0 (not null) quirk; variant 2 with an all-zero
+    compact total pins the > 0 -> null rule."""
+    return """
+WITH e AS (
+  SELECT event_id, event_id % 4 AS d, event_id % 24 AS h,
+         event_id % 60 AS m, event_id % 5 AS v
+  FROM events),
+t AS (
+  SELECT event_id,
+    CASE v
+      WHEN 0 THEN d || ' days ' || h || ' hours ' || m || ' minutes'
+      WHEN 1 THEN 'the movie lasted ' || h || ' hours and ' || m
+                  || ' minutes'
+      WHEN 2 THEN h || 'h' || m || 'm'
+      WHEN 3 THEN m || ' min read'
+      ELSE 'no interval mentioned here'
+    END AS text,
+    CASE v
+      WHEN 0 THEN 86400 * d + 3600 * h + 60 * m
+      WHEN 1 THEN 3600 * h + 60 * m
+      WHEN 2 THEN CASE WHEN 3600 * h + 60 * m > 0
+                       THEN 3600 * h + 60 * m END
+      WHEN 3 THEN 60 * m
+    END AS seconds
+  FROM e)
+SELECT event_id, text, CAST(seconds AS BIGINT) AS seconds
+FROM t ORDER BY event_id"""
