@@ -227,6 +227,44 @@ def _q_time_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                      time_interval_col(text).alias("seconds"))
 
 
+def _q_multilabel_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultilabelEvaluator example-based metrics (pure array columns)
+    over closed-form label sets; symbolic oracle (kgp/ensemble.py)."""
+    from kgp.ensemble import multilabel_rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    true_arr = F.concat(*[
+        F.when((F.col("event_id") + k) % (k + 2) == 0,
+               F.array(F.lit(f"l{k}"))).otherwise(F.array())
+        for k in range(6)])
+    asg_arr = F.concat(*[
+        F.when((F.col("event_id") * 3 + k) % (k + 2) == 0,
+               F.array(F.lit(f"l{k}"))).otherwise(F.array())
+        for k in range(6)])
+    base = ev.select("event_id", true_arr.alias("true_labels"),
+                     asg_arr.alias("assigned_labels"))
+    return multilabel_rows(base).select(
+        "event_id", "n_true", "n_assigned", "n_common",
+        "precision", "recall")
+
+
+def _q_ensemble_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority vote aggregation over closed-form per-classifier
+    probabilities; the oracle recomputes votes/n in SQL."""
+    from kgp.ensemble import aggregate_majority
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    votes = ev.select(
+        (F.col("event_id") / 3).cast("long").alias("item_id"),
+        (F.col("event_id") % 3).alias("classifier_id"),
+        F.explode(F.array(*[F.lit(f"l{k}") for k in range(4)]))
+        .alias("label")) \
+        .withColumn("k", F.substring("label", 2, 1).cast("int")) \
+        .withColumn("prob", ((F.col("item_id") * 3
+                              + F.col("classifier_id")) * 7
+                             + F.col("k") * 13) % 100 / 100.0) \
+        .drop("k")
+    return aggregate_majority(votes, threshold=0.5)
+
+
 def _q_utm_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM forward conversion (UtmConverter port) rendered entirely as
     JVM column expressions over closed-form synthetic coordinates; the
@@ -1218,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_codes": _q_block_codes,
         "utm_coords": _q_utm_coords,
         "time_intervals": _q_time_intervals,
+        "multilabel_eval": _q_multilabel_eval,
+        "ensemble_votes": _q_ensemble_votes,
         "image_hashes": _q_image_hashes,
         "phash_dup_pairs": _q_phash_dup_pairs,
         "line_dedup": _q_line_dedup,
@@ -1318,6 +1358,8 @@ def oracle_sql() -> dict[str, str]:
         "block_codes": _oracle.block_codes_sql(),
         "utm_coords": _oracle.utm_coords_sql(),
         "time_intervals": _oracle.time_intervals_sql(),
+        "multilabel_eval": _oracle.multilabel_eval_sql(),
+        "ensemble_votes": _oracle.ensemble_votes_sql(threshold=0.5),
         "image_hashes": _oracle.image_hashes_sql(),
         "phash_dup_pairs": _oracle.phash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

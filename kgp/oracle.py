@@ -2851,3 +2851,56 @@ t AS (
   FROM e)
 SELECT event_id, text, CAST(seconds AS BIGINT) AS seconds
 FROM t ORDER BY event_id"""
+
+
+def multilabel_eval_sql() -> str:
+    """Mirror of the multilabel_eval gate: example-based multi-label
+    counts/precision/recall derived symbolically from the closed-form
+    label membership rules (label l_k true iff (event_id + k) %
+    (k + 2) == 0; assigned iff (event_id * 3 + k) % (k + 2) == 0)."""
+    t = [f"CASE WHEN (event_id + {k}) % {k + 2} = 0 THEN 1 ELSE 0 END"
+         for k in range(6)]
+    a = [f"CASE WHEN (event_id * 3 + {k}) % {k + 2} = 0 "
+         f"THEN 1 ELSE 0 END" for k in range(6)]
+    both = [f"CASE WHEN (event_id + {k}) % {k + 2} = 0 AND "
+            f"(event_id * 3 + {k}) % {k + 2} = 0 THEN 1 ELSE 0 END"
+            for k in range(6)]
+    return f"""
+WITH c AS (
+  SELECT event_id,
+         {' + '.join(t)} AS n_true,
+         {' + '.join(a)} AS n_assigned,
+         {' + '.join(both)} AS n_common
+  FROM events)
+SELECT event_id, CAST(n_true AS INT) AS n_true,
+       CAST(n_assigned AS INT) AS n_assigned,
+       CAST(n_common AS INT) AS n_common,
+       CASE WHEN n_assigned <> 0
+            THEN CAST(n_common AS DOUBLE) / n_assigned
+            ELSE 1.0 END AS precision,
+       CASE WHEN n_true <> 0
+            THEN CAST(n_common AS DOUBLE) / n_true
+            ELSE 1.0 END AS recall
+FROM c ORDER BY event_id"""
+
+
+def ensemble_votes_sql(threshold: float = 0.5) -> str:
+    """Mirror of the ensemble_votes gate: majority vote aggregation
+    recomputed from the closed-form per-classifier probabilities
+    (item = event_id // 3, classifier = event_id % 3, prob(l_k) =
+    ((event_id * 7 + k * 13) %% 100) / 100)."""
+    return f"""
+WITH votes AS (
+  SELECT event_id // 3 AS item_id, event_id % 3 AS classifier_id,
+         'l' || k AS label,
+         ((event_id * 7 + k * 13) % 100) / 100.0 AS prob
+  FROM events, range(0, 4) t(k)),
+n AS (SELECT item_id, COUNT(DISTINCT classifier_id) AS n
+      FROM votes GROUP BY item_id),
+v AS (SELECT item_id, label, COUNT(*) AS v
+      FROM votes WHERE prob > {threshold}
+      GROUP BY item_id, label)
+SELECT v.item_id, v.label,
+       CAST(v.v AS DOUBLE) / n.n AS score
+FROM v JOIN n ON v.item_id = n.item_id
+ORDER BY v.item_id, v.label"""
