@@ -255,3 +255,86 @@ def date_particles(df: DataFrame, column: str,
                            F.concat(F.year(d).cast("string"),
                                     F.lit("-"), week.cast("string"))))
     return out
+
+
+# ------------------------- image-processing dataset utils (utils/*.java)
+
+def binarize_values(df: DataFrame, columns: list[str]) -> DataFrame:
+    """InstanceValueBinarizer.java:18-35: selected numeric columns
+    become value > 0 booleans; a non-numeric selected column raises
+    like the reference's IllegalArgumentException."""
+    numeric = {"int", "bigint", "double", "float", "smallint",
+               "tinyint", "decimal"}
+    types = dict(df.dtypes)
+    out = df
+    for c in columns:
+        base = types[c].split("(")[0]
+        if base not in numeric:
+            raise ValueError(
+                f"Value {c} is not numeric ({types[c]}), cannot "
+                f"binarize.")
+        out = out.withColumn(c, F.col(c) > 0)
+    return out
+
+
+def relativize_values(df: DataFrame, columns: list[str]) -> DataFrame:
+    """InstanceValueRelativizer.java:57-82: each selected value
+    divided by the row's sum over the selected columns — accumulated
+    into a Java INT, truncating after EVERY addition (`int bowSum +=
+    double`); sum <= 0 -> frequency 0. Pure column expressions."""
+    numeric = {"int", "bigint", "double", "float", "smallint",
+               "tinyint", "decimal"}
+    types = dict(df.dtypes)
+    for c in columns:
+        if types[c].split("(")[0] not in numeric:
+            raise ValueError(
+                f"Value {c} is not numeric ({types[c]}), cannot "
+                f"relativize.")
+    s = F.lit(0).cast("long")
+    for c in columns:
+        s = (s + F.col(c)).cast("long")   # per-addition truncation
+    out = df.withColumn("_bow_sum", s)
+    for c in columns:
+        out = out.withColumn(
+            c, F.when(F.col("_bow_sum") > 0,
+                      F.col(c) / F.col("_bow_sum")).otherwise(0.0))
+    return out.drop("_bow_sum")
+
+
+def modulo_filter(df: DataFrame, order_col: str, mod: int,
+                  remainder: int) -> DataFrame:
+    """ModuloFilter.java:14-31: keep the rows whose 1-based position
+    (in `order_col` order — the stateful ++count needs an explicit
+    order relationally) satisfies position %% mod == remainder."""
+    from pyspark.sql import Window
+    w = Window.orderBy(order_col)
+    return df.withColumn("_rn", F.row_number().over(w)) \
+        .where(F.col("_rn") % mod == remainder).drop("_rn")
+
+
+def drop_nan_infinite(df: DataFrame,
+                      columns: list[str] | None = None) -> DataFrame:
+    """NaNInfiniteInstanceFilter: drop rows where ANY double column is
+    NaN or infinite."""
+    cols = columns or [c for c, t in df.dtypes
+                       if t in ("double", "float")]
+    keep = F.lit(True)
+    for c in cols:
+        keep = keep & ~F.isnan(F.col(c)) & \
+            (F.abs(F.col(c)) != float("inf"))
+    return df.where(keep)
+
+
+def zero_nan_infinite(df: DataFrame,
+                      columns: list[str] | None = None) -> DataFrame:
+    """NaNInfiniteInstanceTransformer: NaN/Infinity in double columns
+    become 0."""
+    cols = columns or [c for c, t in df.dtypes
+                       if t in ("double", "float")]
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.when(F.isnan(F.col(c))
+                      | (F.abs(F.col(c)) == float("inf")),
+                      0.0).otherwise(F.col(c)))
+    return out

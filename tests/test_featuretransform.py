@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kgp.featuretransform import (apply_domain_reducer,
@@ -156,3 +158,48 @@ def test_plan_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------- image-processing dataset utils
+
+def test_binarize_values(spark):
+    from kgp.featuretransform import binarize_values
+    df = spark.createDataFrame([(1.5, "x"), (0.0, "y"), (-2.0, "z")],
+                               "v double, s string")
+    rows = binarize_values(df, ["v"]).collect()
+    assert [r["v"] for r in rows] == [True, False, False]
+    with pytest.raises(ValueError):
+        binarize_values(df, ["s"])
+
+
+def test_relativize_values_int_truncation_quirk(spark):
+    from kgp.featuretransform import relativize_values
+    # Java: int bowSum += 1.7 -> 1; += 2.7 -> (int)(1+2.7)=3
+    df = spark.createDataFrame([(1.7, 2.7)], "a double, b double")
+    r = relativize_values(df, ["a", "b"]).collect()[0]
+    assert r["a"] == pytest.approx(1.7 / 3)
+    assert r["b"] == pytest.approx(2.7 / 3)
+    # non-positive sum -> 0
+    z = spark.createDataFrame([(0.0, 0.0)], "a double, b double")
+    rz = relativize_values(z, ["a", "b"]).collect()[0]
+    assert rz["a"] == 0.0 and rz["b"] == 0.0
+
+
+def test_modulo_filter(spark):
+    from kgp.featuretransform import modulo_filter
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    kept = sorted(r["id"] for r in
+                  modulo_filter(df, "id", 3, 1).collect())
+    # 1-based positions 1,4,7,10 -> ids 0,3,6,9
+    assert kept == [0, 3, 6, 9]
+
+
+def test_nan_infinite_filter_and_transformer(spark):
+    from kgp.featuretransform import drop_nan_infinite, zero_nan_infinite
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (float("nan"), 1.0), (1.0, float("inf")),
+         (float("-inf"), 0.0)], "a double, b double")
+    assert drop_nan_infinite(df).count() == 1
+    rows = zero_nan_infinite(df).collect()
+    vals = sorted((r["a"], r["b"]) for r in rows)
+    assert vals == [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 2.0)]
