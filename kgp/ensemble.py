@@ -131,3 +131,83 @@ def multilabel_result(df: DataFrame, true_col: str = "true_labels",
     p, r = rows["p"], rows["r"]
     f1 = 2 * p * r / (p + r) if (p + r) != 0 else float("nan")
     return p, r, f1
+
+
+# ------------------------------------------------- label dependencies
+
+def dependency_matrix(df: DataFrame, labels_col: str = "labels",
+                      header_in_total: bool = True
+                      ) -> tuple[dict, dict]:
+    """DependencyMatrixBuilder.buildMatrix
+    (utils/DependencyMatrixBuilder.java:21-64): label priors
+    count(i)/#lines and conditional dependencies dep(i, j) =
+    co_count(i, j) / count(j) rounded to 4. The reference divides the
+    priors by the CSV line count INCLUDING the header row —
+    header_in_total=True keeps that off-by-one (documented).
+    Distributed: one explode for counts, one pair explode for
+    co-counts. Returns (priors, deps[(i, j)])."""
+    n_rows = df.count() + (1 if header_in_total else 0)
+    counts = {r["l"]: r["c"] for r in
+              df.select(F.explode(labels_col).alias("l"))
+              .groupBy("l").agg(F.count("*").alias("c")).collect()}
+    pairs = df.select(F.explode(labels_col).alias("i"),
+                      F.col(labels_col).alias("ls")) \
+        .select("i", F.explode("ls").alias("j")) \
+        .where(F.col("i") != F.col("j")) \
+        .groupBy("i", "j").agg(F.count("*").alias("c")).collect()
+    priors = {lb: c / n_rows for lb, c in counts.items()}
+    deps = {(r["i"], r["j"]): round(r["c"] / counts[r["j"]], 4)
+            for r in pairs}
+    return priors, deps
+
+
+def aggregate_dependency(df: DataFrame, priors: dict, deps: dict,
+                         labels: list[str]) -> DataFrame:
+    """DependencyConsultationAggregationStrategy.aggregate (:24-63):
+    per classifier map, score(label) = prior*prob + sum over OTHER
+    labels of prior(other) * dep(other -> label) * prob(other);
+    summed over classifiers, normalized by max(1, max accumulated
+    score) * #classifiers. Relational: a per-(item, classifier)
+    self-join plus two hash aggregations; priors/deps ride along as
+    broadcast map literals."""
+    def lit_map(d: dict):
+        items = []
+        for k, v in sorted(d.items()):
+            items += [F.lit(k if isinstance(k, str) else "|".join(k)),
+                      F.lit(float(v))]
+        return F.create_map(*items) if items else \
+            F.create_map(F.lit("_"), F.lit(0.0))
+
+    pri = lit_map(priors)
+    dep = lit_map({(f"{i}|{j}"): v for (i, j), v in deps.items()})
+    le, r = df.alias("l"), df.alias("r")
+    joined = le.join(
+        r, (F.col("l.item_id") == F.col("r.item_id"))
+        & (F.col("l.classifier_id") == F.col("r.classifier_id"))
+        & (F.col("l.label") != F.col("r.label")))
+    others = joined.groupBy(
+        F.col("l.item_id").alias("item_id"),
+        F.col("l.classifier_id").alias("classifier_id"),
+        F.col("l.label").alias("label")).agg(
+        F.sum(F.coalesce(pri[F.col("r.label")], F.lit(0.0))
+              * F.coalesce(dep[F.concat_ws("|", F.col("r.label"),
+                                           F.col("l.label"))],
+                           F.lit(0.0))
+              * F.col("r.prob")).alias("other"))
+    per_vote = df.join(others, ["item_id", "classifier_id", "label"],
+                       "left").select(
+        "item_id", "label",
+        (F.coalesce(pri[F.col("label")], F.lit(0.0)) * F.col("prob")
+         + F.coalesce(F.col("other"), F.lit(0.0))).alias("score"))
+    sums = per_vote.groupBy("item_id", "label").agg(
+        F.sum("score").alias("s"))
+    stats = df.groupBy("item_id").agg(
+        F.countDistinct("classifier_id").alias("n"))
+    maxes = sums.groupBy("item_id").agg(
+        F.greatest(F.lit(1.0), F.max("s")).alias("mx"))
+    return _universe(df, labels).drop("n") \
+        .join(sums, ["item_id", "label"], "left") \
+        .join(stats, "item_id").join(maxes, "item_id") \
+        .select("item_id", "label",
+                (F.coalesce(F.col("s"), F.lit(0.0))
+                 / (F.col("mx") * F.col("n"))).alias("score"))

@@ -93,3 +93,54 @@ def test_multilabel_result_empty_raises(spark):
         [], "true_labels array<string>, assigned_labels array<string>")
     with pytest.raises(ValueError):
         multilabel_result(df)
+
+
+# ------------------------------------------------- label dependencies
+
+def test_dependency_matrix(spark):
+    from kgp.ensemble import dependency_matrix
+    df = spark.createDataFrame(
+        [(["a", "b"],), (["a"],), (["b", "c"],)],
+        "labels array<string>")
+    priors, deps = dependency_matrix(df, header_in_total=False)
+    assert priors["a"] == pytest.approx(2 / 3)
+    assert priors["c"] == pytest.approx(1 / 3)
+    # dep(a -> b): co(a,b)=1 / count(b)=2
+    assert deps[("a", "b")] == 0.5
+    assert deps[("b", "a")] == 0.5
+    assert deps[("c", "b")] == 0.5
+    # header quirk: divisor + 1
+    p2, _ = dependency_matrix(df, header_in_total=True)
+    assert p2["a"] == pytest.approx(2 / 4)
+
+
+def test_aggregate_dependency_hand_golden(spark):
+    from kgp.ensemble import aggregate_dependency
+    # one item, ONE classifier with two labels
+    df = spark.createDataFrame(
+        [(1, "c1", "a", 0.8), (1, "c1", "b", 0.5)],
+        "item_id long, classifier_id string, label string, prob double")
+    priors = {"a": 0.6, "b": 0.4}
+    deps = {("a", "b"): 0.5, ("b", "a"): 0.25}
+    got = {(r["item_id"], r["label"]): r["score"]
+           for r in aggregate_dependency(df, priors, deps,
+                                         ["a", "b", "z"]).collect()}
+    # score(a) = 0.6*0.8 + 0.4*dep(b->a)*0.5 = 0.48 + 0.4*0.25*0.5 = 0.53
+    # score(b) = 0.4*0.5 + 0.6*dep(a->b)*0.8 = 0.2 + 0.24 = 0.44
+    # maxScore = max(1, .53) = 1; n = 1
+    assert got[(1, "a")] == pytest.approx(0.53)
+    assert got[(1, "b")] == pytest.approx(0.44)
+    assert got[(1, "z")] == 0.0
+
+
+def test_aggregate_dependency_normalizes_by_max(spark):
+    from kgp.ensemble import aggregate_dependency
+    df = spark.createDataFrame(
+        [(1, "c1", "a", 1.0), (1, "c2", "a", 1.0)],
+        "item_id long, classifier_id string, label string, prob double")
+    priors = {"a": 1.0}
+    got = {r["label"]: r["score"]
+           for r in aggregate_dependency(df, priors, {},
+                                         ["a"]).collect()}
+    # per-classifier score 1.0, sum 2.0 > 1 -> maxScore 2; n=2 -> 0.5
+    assert got["a"] == pytest.approx(0.5)
