@@ -265,6 +265,18 @@ def _q_ensemble_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_majority(votes, threshold=0.5)
 
 
+def _q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (calibration curve) over closed-form
+    predictions; the reference's dropped-top-bin quirk reproduced on
+    both engines (kgp/evaluate.py)."""
+    from kgp.evaluate import reliability_bins
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (((F.col("event_id") * 13) % 101) / 100.0).alias("prob"),
+        F.when(F.col("event_id") % 3 == 0, "pos")
+        .otherwise("neg").alias("actual"))
+    return reliability_bins(ev, true_class="pos", num_bins=10)
+
+
 def _q_utm_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM forward conversion (UtmConverter port) rendered entirely as
     JVM column expressions over closed-form synthetic coordinates; the
@@ -1258,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_intervals": _q_time_intervals,
         "multilabel_eval": _q_multilabel_eval,
         "ensemble_votes": _q_ensemble_votes,
+        "reliability_bins": _q_reliability_bins,
         "image_hashes": _q_image_hashes,
         "phash_dup_pairs": _q_phash_dup_pairs,
         "line_dedup": _q_line_dedup,
@@ -1360,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "time_intervals": _oracle.time_intervals_sql(),
         "multilabel_eval": _oracle.multilabel_eval_sql(),
         "ensemble_votes": _oracle.ensemble_votes_sql(threshold=0.5),
+        "reliability_bins": _oracle.reliability_bins_sql(num_bins=10),
         "image_hashes": _oracle.image_hashes_sql(),
         "phash_dup_pairs": _oracle.phash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

@@ -240,3 +240,16 @@ def gopher_quality_filter(min_words: int = 50, max_words: int = 100_000,
                <= max_ellipsis_frac)
             & (F.col("alpha_word_frac") >= min_alpha_frac)
             & (F.col("n_stop_words") >= min_stop_words))
+
+
+def reservoir_sample(df: DataFrame, k: int,
+                     id_col: str = "doc_id") -> DataFrame:
+    """ReservoirSampler's role (com.uprizer...ReservoirSampler.java:
+    20-62 — keep a uniform k-subset of a stream) with the repo's
+    deterministic substitution for its java.util.Random: rank rows by
+    the md5 sample key (then id) and keep the first k. Same uniform-
+    subset semantics, reproducible across runs/engines/partitionings;
+    physically a partial+global top-k (TakeOrderedAndProject), never
+    a full sort."""
+    keyed = df.withColumn("_sk", sample_key(F.col(id_col)))
+    return keyed.orderBy("_sk", id_col).limit(k).drop("_sk")

@@ -288,3 +288,50 @@ def threshold_analysis(results: DataFrame, label_col: str = "label",
                     F.round((F.col("rel_at") + F.col("irr_below"))
                             / F.col("n_tot"), 6).alias("accuracy"))
             .orderBy("threshold"))
+
+
+# ------------------------------------------------- reliability diagram
+
+def reliability_bins(results: DataFrame, true_class: str,
+                     num_bins: int = 10,
+                     actual_col: str = "actual",
+                     prob_col: str = "prob") -> DataFrame:
+    """ReliabilityDiagramEvaluator.evaluate (reliability/
+    ReliabilityDiagramEvaluator.java:62-100): bin = Math.round(
+    numBins * prediction) (floor(x + 0.5), matched exactly on both
+    engines), per bin the mean prediction (rounded to 9 for
+    cross-engine identity), item count, positive count and the
+    positive fraction. The reference's output loop runs 0..numBins-1,
+    so the TOP bin (prediction == 1 rounds to numBins) is silently
+    DROPPED — kept bug-for-bug. Empty bins are skipped. ONE hash
+    aggregation over <= numBins+1 keys."""
+    bin_col = F.floor(num_bins * F.col(prob_col) + 0.5).cast("int")
+    pos = (F.col(actual_col) == true_class).cast("int")
+    return (results
+            .select(bin_col.alias("bin"), F.col(prob_col).alias("p"),
+                    pos.alias("pos"))
+            .where(F.col("bin") < num_bins)   # the dropped top bin
+            .groupBy("bin")
+            .agg(F.round(F.avg("p"), 9).alias("mean_prediction"),
+                 F.count("*").alias("num_items"),
+                 F.sum("pos").alias("num_positive"))
+            .withColumn("positive_fraction",
+                        F.col("num_positive") / F.col("num_items"))
+            .orderBy("bin"))
+
+
+def reliability_diagram(results: DataFrame, true_class: str,
+                        num_bins: int = 10,
+                        actual_col: str = "actual",
+                        prob_col: str = "prob"):
+    """(bins DataFrame, mean log loss) — the full evaluator output;
+    log loss via the ported LogLossEvaluator (incl. its dropped
+    (1-y) term quirk)."""
+    bins = reliability_bins(results, true_class, num_bins,
+                            actual_col, prob_col)
+    ll = log_loss(
+        results.select(
+            (F.col(actual_col) == true_class).alias("label"),
+            F.col(prob_col).alias("prob")),
+        label_col="label", prob_col="prob")
+    return bins, ll

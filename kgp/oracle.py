@@ -2904,3 +2904,23 @@ SELECT v.item_id, v.label,
        CAST(v.v AS DOUBLE) / n.n AS score
 FROM v JOIN n ON v.item_id = n.item_id
 ORDER BY v.item_id, v.label"""
+
+
+def reliability_bins_sql(num_bins: int = 10) -> str:
+    """Mirror of the reliability_bins gate: bins over closed-form
+    predictions p = ((event_id * 13) % 101) / 100, positives
+    event_id % 3 = 0; Math.round == floor(x + 0.5) on both engines;
+    the reference's dropped top bin reproduced."""
+    return f"""
+WITH r AS (
+  SELECT ((event_id * 13) % 101) / 100.0 AS p,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS pos
+  FROM events),
+b AS (
+  SELECT CAST(floor({num_bins} * p + 0.5) AS INT) AS bin, p, pos
+  FROM r)
+SELECT bin, round(avg(p), 9) AS mean_prediction,
+       COUNT(*) AS num_items, CAST(SUM(pos) AS BIGINT) AS num_positive,
+       CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS positive_fraction
+FROM b WHERE bin < {num_bins}
+GROUP BY bin ORDER BY bin"""

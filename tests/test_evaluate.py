@@ -243,3 +243,46 @@ def test_threshold_analysis_fills_empty_bins(spark):
         [(True, 0.0), (False, 1.0)], "label boolean, score double")
     got = threshold_analysis(df).collect()
     assert len(got) == 6          # bins 0..5 inclusive
+
+
+# ------------------------------------------------- reliability diagram
+
+def test_reliability_bins_hand_golden(spark):
+    from kgp.evaluate import reliability_bins
+    rows = [("pos", 0.9), ("neg", 0.9), ("pos", 0.88),   # bin 9
+            ("pos", 0.12), ("neg", 0.08),                # bin 1
+            ("neg", 0.52),                               # bin 5
+            ("pos", 1.0)]                                # bin 10 -> DROPPED
+    df = spark.createDataFrame(rows, "actual string, prob double")
+    out = {r["bin"]: r.asDict()
+           for r in reliability_bins(df, "pos", 10).collect()}
+    assert set(out) == {1, 5, 9}          # top bin dropped, empties skipped
+    assert out[9]["num_items"] == 3 and out[9]["num_positive"] == 2
+    assert out[9]["positive_fraction"] == pytest.approx(2 / 3)
+    assert out[9]["mean_prediction"] == pytest.approx(
+        round((0.9 + 0.9 + 0.88) / 3, 9))
+    assert out[1]["num_items"] == 2 and out[1]["num_positive"] == 1
+    assert out[5]["num_positive"] == 0
+
+
+def test_reliability_diagram_log_loss(spark):
+    import math
+
+    from kgp.evaluate import reliability_diagram
+    df = spark.createDataFrame(
+        [("pos", 0.8), ("neg", 0.4)], "actual string, prob double")
+    bins, ll = reliability_diagram(df, "pos", 10)
+    # reference quirk: only positives charged -> (-ln 0.8 + 0) / 2
+    assert ll == pytest.approx(-math.log(0.8) / 2)
+
+
+def test_reservoir_sample_deterministic(spark):
+    from kgp.curation import reservoir_sample
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = sorted(r["doc_id"] for r in reservoir_sample(df, 20).collect())
+    b = sorted(r["doc_id"] for r in
+               reservoir_sample(df.repartition(7), 20).collect())
+    assert len(a) == 20 and a == b   # partition-independent
+    plan = reservoir_sample(df, 20)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan   # top-k, not a full sort
