@@ -214,3 +214,11 @@ def test_block_codes_duckdb_parity(spark):
     assert len(want) == len(got) > 0
     for mid, text in want:
         assert got[mid] == text, mid
+
+
+def test_block_code_stage_plan_no_shuffle(spark):
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    media = synth_media(spark, docs)
+    plan = block_code_stage(media) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -211,3 +211,12 @@ def test_image_hashes_duckdb_parity(spark):
     assert len(want) == len(got) > 0
     for mid, ah, gh in want:
         assert got[mid] == (ah, gh), mid
+
+
+def test_image_hash_stage_plan_no_shuffle(spark):
+    from kgp.imagehash import image_hash_stage
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    media = synth_media(spark, docs)
+    plan = image_hash_stage(media) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one Arrow pass over the scan
