@@ -277,6 +277,16 @@ def _q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reliability_bins(ev, true_class="pos", num_bins=10)
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated spans (ExactSubstr-style shingle
+    hashing, Lee et al. 2022) — pure-JVM shingling + one aggregation;
+    the oracle recomputes the identical md5 shingle hashes
+    (kgp/spandedup.py)."""
+    from kgp.spandedup import duplicated_spans
+    docs = _docs_table(spark, sf_dir)
+    return duplicated_spans(docs, span_len=40, stride=10)
+
+
 def _q_utm_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM forward conversion (UtmConverter port) rendered entirely as
     JVM column expressions over closed-form synthetic coordinates; the
@@ -1271,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilabel_eval": _q_multilabel_eval,
         "ensemble_votes": _q_ensemble_votes,
         "reliability_bins": _q_reliability_bins,
+        "dup_spans": _q_dup_spans,
         "image_hashes": _q_image_hashes,
         "phash_dup_pairs": _q_phash_dup_pairs,
         "line_dedup": _q_line_dedup,
@@ -1374,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "multilabel_eval": _oracle.multilabel_eval_sql(),
         "ensemble_votes": _oracle.ensemble_votes_sql(threshold=0.5),
         "reliability_bins": _oracle.reliability_bins_sql(num_bins=10),
+        "dup_spans": _oracle.dup_spans_sql(span_len=40, stride=10),
         "image_hashes": _oracle.image_hashes_sql(),
         "phash_dup_pairs": _oracle.phash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

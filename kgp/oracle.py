@@ -2924,3 +2924,23 @@ SELECT bin, round(avg(p), 9) AS mean_prediction,
        CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS positive_fraction
 FROM b WHERE bin < {num_bins}
 GROUP BY bin ORDER BY bin"""
+
+
+def dup_spans_sql(span_len: int = 40, stride: int = 10) -> str:
+    """Mirror of the dup_spans gate: shingle hashes recomputed with
+    the identical md5 prefix over the identical substring positions."""
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(
+           (length(text) - {span_len}) // {stride} + 1, 0))) AS i
+  FROM documents WHERE length(text) >= {span_len}),
+sh AS (
+  SELECT doc_id, CAST(i * {stride} AS BIGINT) AS p,
+         substr(md5(substring(text, CAST(i * {stride} + 1 AS INT),
+                              {span_len})), 1, 16) AS span_hash
+  FROM pos)
+SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM sh GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY span_hash"""
