@@ -287,6 +287,18 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, span_len=40, stride=10)
 
 
+def _q_er_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SparkER-style token blocking + CBS meta-blocking over part
+    names; the oracle recomputes blocks, purging, weights and the
+    pruning threshold (kgp/metablocking.py)."""
+    from kgp.metablocking import er_candidates
+    part = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .select(F.col("p_partkey").alias("entity_id"),
+                F.col("p_name").alias("name"))
+    return er_candidates(part, scheme="CBS", threshold=2.0,
+                         max_block_size=1000)
+
+
 def _q_utm_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM forward conversion (UtmConverter port) rendered entirely as
     JVM column expressions over closed-form synthetic coordinates; the
@@ -1282,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_votes": _q_ensemble_votes,
         "reliability_bins": _q_reliability_bins,
         "dup_spans": _q_dup_spans,
+        "er_candidates": _q_er_candidates,
         "image_hashes": _q_image_hashes,
         "phash_dup_pairs": _q_phash_dup_pairs,
         "line_dedup": _q_line_dedup,
@@ -1386,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "ensemble_votes": _oracle.ensemble_votes_sql(threshold=0.5),
         "reliability_bins": _oracle.reliability_bins_sql(num_bins=10),
         "dup_spans": _oracle.dup_spans_sql(span_len=40, stride=10),
+        "er_candidates": _oracle.er_candidates_sql(threshold=2, max_block_size=1000),
         "image_hashes": _oracle.image_hashes_sql(),
         "phash_dup_pairs": _oracle.phash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

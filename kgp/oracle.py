@@ -2944,3 +2944,27 @@ SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs,
        COUNT(*) AS n_occurrences
 FROM sh GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) > 1
 ORDER BY span_hash"""
+
+
+def er_candidates_sql(threshold: int = 2,
+                      max_block_size: int = 1000) -> str:
+    """Mirror of the er_candidates gate: token blocking over part
+    names (lowercased whitespace tokens, distinct per entity, blocks
+    above the cap purged), CBS weights, weight-threshold pruning."""
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT p_partkey AS entity_id,
+         unnest(string_split(lower(p_name), ' ')) AS block
+  FROM part),
+t AS (SELECT * FROM toks WHERE block <> ''),
+keep AS (
+  SELECT block FROM t GROUP BY block
+  HAVING COUNT(*) <= {max_block_size}),
+b AS (SELECT t.* FROM t JOIN keep USING (block)),
+pairs AS (
+  SELECT x.entity_id AS a, y.entity_id AS b, COUNT(*) AS weight
+  FROM b x JOIN b y
+    ON x.block = y.block AND x.entity_id < y.entity_id
+  GROUP BY x.entity_id, y.entity_id)
+SELECT a, b, CAST(weight AS BIGINT) AS weight
+FROM pairs WHERE weight >= {threshold} ORDER BY a, b"""
