@@ -22,6 +22,9 @@ Spark shapes:
 
 from __future__ import annotations
 
+import math
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -300,3 +303,195 @@ def fat_percentiles(df: DataFrame, col: str,
         else:
             out[p] = vals[spec[1]]
     return out
+
+
+# -------------------------- MathHelper scalar twins (the number side)
+# palladian-commons helper/math/MathHelper.java; pure driver-side
+# utilities rounding out the number-parsing/formatting family.
+
+_FRACTION_MAP = [
+    (0.5, "1/2"), (0.3333, "1/3"), (0.6667, "2/3"), (0.25, "1/4"),
+    (0.75, "3/4"), (0.2, "1/5"), (0.4, "2/5"), (0.6, "3/5"),
+    (0.8, "4/5"), (0.1667, "1/6"), (0.8333, "5/6"), (0.1429, "1/7"),
+    (0.2857, "2/7"), (0.4286, "3/7"), (0.5714, "4/7"),
+    (0.7143, "5/7"), (0.8571, "6/7"), (0.125, "1/8"), (0.375, "3/8"),
+    (0.625, "5/8"), (0.875, "7/8"), (0.1111, "1/9"), (0.2222, "2/9"),
+    (0.4444, "4/9"), (0.5556, "5/9"), (0.7778, "7/9"),
+    (0.8889, "8/9"), (0.1, "1/10"), (0.3, "3/10"), (0.7, "7/10"),
+    (0.9, "9/10"),
+]
+
+# MathHelper.java:101-110 (LOC_Z_MAPPING) — incl. the reference's odd
+# 0.85 -> 1.139 (SMALLER than 0.75's 1.151); transcribed verbatim.
+Z_MAPPING = {0.75: 1.151, 0.85: 1.139, 0.90: 1.645, 0.95: 1.96,
+             0.975: 2.243, 0.985: 2.43, 0.99: 2.577, 0.999: 3.3}
+
+_UNI_FRACTIONS = [
+    ("¼", 1 / 4), ("½", 1 / 2), ("¾", 3 / 4), ("⅓", 1 / 3),
+    ("⅔", 2 / 3), ("⅕", 1 / 5), ("⅖", 2 / 5), ("⅗", 3 / 5),
+    ("⅘", 4 / 5), ("⅙", 1 / 6), ("⅚", 5 / 6), ("⅛", 1 / 8),
+    ("⅜", 3 / 8), ("⅝", 5 / 8), ("⅞", 7 / 8),
+]
+
+_FRACTION_PAT = re.compile(r"(\d+)/(\d+)")
+_EX_PAT = re.compile(r"\d+\.\d+e\d+")
+_CLEAN1 = re.compile(r"^[^0-9]+?(?=-?\d|$)")
+_CLEAN1_AFTER = re.compile(r"(?<=\d)[^0-9., ]*( .*)?")
+_CLEAN2 = re.compile(r"\.(?!\d)")
+_CLEAN3 = re.compile(r"(?<!\d)\.")
+_CLEAN4 = re.compile(r"(?<=\d),(?=\d\d?($|\s))")
+
+
+def parse_string_number(s: str, default: float | None = None
+                        ) -> float | None:
+    """MathHelper.parseStringNumber (:912-1085): unicode fraction
+    chars summed in, 'n/m' fractions resolved, '4.4353e3'
+    scientific shortcut, then the CLEAN_PATTERN ladder (leading
+    non-digits dropped, unit tails cut, decimal commas normalized,
+    stray dots removed) feeding Double.parseDouble."""
+    s = s.lower()
+    value = default
+    for ch, v in _UNI_FRACTIONS:
+        if ch in s:
+            value = (value or 0.0) + v
+            s = s.replace(ch, "")
+    m = _FRACTION_PAT.search(s)
+    if m:
+        value = (value or 0.0) + int(m.group(1)) / int(m.group(2))
+        s = s.replace(m.group(), "")
+    ex = _EX_PAT.search(s)
+    if ex:
+        try:
+            return (value or 0.0) + float(ex.group(0))
+        except ValueError:
+            pass
+    s = " " + s
+    s = _CLEAN1.sub("", s)
+    s = _CLEAN1_AFTER.sub("", s)
+    s = _CLEAN4.sub(".", s)
+    s = s.replace(",", "")
+    s = _CLEAN2.sub("", s)
+    s = _CLEAN3.sub("", s)
+    s = s.strip()
+    if s:
+        try:
+            value = (value or 0.0) + float(s)
+        except ValueError:
+            pass
+    return value
+
+
+def number_to_fraction(number: float) -> str:
+    """MathHelper.numberToFraction (:789-827): nearest fraction from
+    the 31-entry table over the fractional part (<0.05 -> '0',
+    >0.95 -> '1'), whole part prefixed; out-of-range fractional parts
+    fall back to str(). Ties between equal margins break by table
+    order (deterministic substitute for the HashMap walk)."""
+    sign = "" if number >= 0 else "-"
+    number = abs(number)
+    full = int(math.floor(number))
+    number = number - full
+    fraction = ""
+    min_margin = 1.0
+    for key, name in _FRACTION_MAP:
+        margin = abs(key - number)
+        if margin < min_margin:
+            fraction, min_margin = name, margin
+    if 0 <= number < 0.05:
+        fraction = "0"
+    elif 0.95 < number <= 1:
+        fraction = "1"
+    if not fraction or number > 1 or number < 0:
+        fraction = str(number)
+    elif full > 0:
+        fraction = f"{full} {fraction}" if fraction != "0" \
+            else str(full)
+    return sign + fraction
+
+
+def confidence_interval(samples: int, confidence_level: float,
+                        mean: float) -> float:
+    """MathHelper.computeConfidenceInterval (:229-238): z *
+    sqrt(mean(1-mean)/n) over the fixed z table; unknown levels
+    raise."""
+    if samples <= 0:
+        raise ValueError("samples must be greater zero")
+    if not 0 <= mean <= 1:
+        raise ValueError("mean must be in range [0,1]")
+    z = Z_MAPPING.get(confidence_level)
+    if z is None:
+        raise ValueError(
+            f"confidence level must be one of "
+            f"{sorted(Z_MAPPING)}, but was {confidence_level}")
+    return z * math.sqrt(mean * (1 - mean) / samples)
+
+
+def jround(number: float, digits: int) -> float:
+    """MathHelper.round (:240-246): Math.round(f*x)/f — half-UP
+    (floor(x+0.5)), NaN passthrough."""
+    if math.isnan(number):
+        return float("nan")
+    f = 10.0 ** digits
+    return math.floor(f * number + 0.5) / f
+
+
+def cantorize(a: int, b: int) -> int:
+    """MathHelper.cantorize (:1099-1101): the Cantor pairing."""
+    return (a + b) * (a + b + 1) // 2 + b
+
+
+def cross_total(s: int) -> int:
+    """MathHelper.crossTotal (:735-740): recursive digit sum."""
+    if s < 10:
+        return s
+    return cross_total(s // 10) + s % 10
+
+
+def order_of_magnitude(number: float) -> int:
+    """MathHelper.getOrderOfMagnitude (:1112-1119); 0 -> 0."""
+    if number == 0:
+        return 0
+    return int(math.floor(math.log10(number)))
+
+
+def faculty(number: int) -> int:
+    """MathHelper.faculty (:311-318) with Java's silent 32-bit
+    overflow wrap kept."""
+    out = number
+    while number > 1:
+        number -= 1
+        out = (out * number) & 0xFFFFFFFF
+        if out >= 0x80000000:
+            out -= 0x100000000
+    return out
+
+
+def ip_to_number(ip: str) -> int:
+    """MathHelper.ipToNumber (:450-459) — octets taken % 256."""
+    num = 0
+    parts = ip.split(".")
+    for i, part in enumerate(parts):
+        num += int(part) % 256 * 256 ** (3 - i)
+    return num
+
+
+def number_to_ip(number: int) -> str:
+    """MathHelper.numberToIp (:469-471)."""
+    return (f"{(number >> 24) & 0xFF}.{(number >> 16) & 0xFF}."
+            f"{(number >> 8) & 0xFF}.{number & 0xFF}")
+
+
+def is_within_correctness_margin(questioned: float, correct: float,
+                                 margin: float) -> bool:
+    """MathHelper.isWithinCorrectnessMargin (:303-309): STRICT
+    inequalities (the exact value's own bounds exclude it when
+    margin is 0)."""
+    num_min = correct - margin * correct
+    num_max = correct + margin * correct
+    return num_min < questioned < num_max
+
+
+def intervals_overlap(start1: int, end1: int, start2: int,
+                      end2: int) -> bool:
+    """MathHelper.overlap (:331-333): strict half-open overlap."""
+    return max(start1, start2) < min(end1, end2)

@@ -155,3 +155,66 @@ def test_exact_ranks_partition_independent(spark):
     got = exact_ranks(df, "v", [1, 250, 500, 999, 1000])
     assert got == {1: 1.0, 250: 250.0, 500: 500.0, 999: 999.0,
                    1000: 1000.0}
+
+
+# -------------------------- MathHelper number twins (pure python)
+
+def test_parse_string_number():
+    from kgp.mathstats import parse_string_number as p
+    assert p("1 1/2 cups") == pytest.approx(1.5)
+    assert p("about 3.5kg") == pytest.approx(3.5)
+    assert p("¾ liter") == pytest.approx(0.75)
+    assert p("½") == pytest.approx(0.5)
+    assert p("4.4353e3") == pytest.approx(4435.3)
+    assert p("1,234.5 things") == pytest.approx(1234.5)
+    assert p("1,25 m") == pytest.approx(1.25)   # decimal comma
+    assert p("no numbers") is None
+    assert p("no numbers", 7.0) == 7.0
+
+
+def test_number_to_fraction():
+    from kgp.mathstats import number_to_fraction as f
+    assert f(0.5) == "1/2"
+    assert f(0.33) == "1/3"
+    assert f(1.25) == "1 1/4"
+    assert f(-0.33) == "-1/3"
+    assert f(0.02) == "0"
+    # the reference's >0.95 branch yields 'full 1', kept bug-for-bug
+    assert f(2.97) == "2 1"
+    assert f(3.0) == "3"
+
+
+def test_confidence_interval():
+    from kgp.mathstats import confidence_interval as ci
+    import math
+    assert ci(100, 0.95, 0.5) == pytest.approx(
+        1.96 * math.sqrt(0.25 / 100))
+    # the reference's odd 0.85 z (1.139 < 0.75's 1.151) transcribed
+    assert ci(100, 0.85, 0.5) < ci(100, 0.75, 0.5)
+    with pytest.raises(ValueError):
+        ci(100, 0.8, 0.5)
+    with pytest.raises(ValueError):
+        ci(0, 0.95, 0.5)
+
+
+def test_misc_number_helpers():
+    from kgp.mathstats import (cantorize, cross_total, faculty,
+                               intervals_overlap, ip_to_number,
+                               is_within_correctness_margin, jround,
+                               number_to_ip, order_of_magnitude)
+    assert jround(2.5, 0) == 3.0            # half-UP like Math.round
+    assert jround(2.345, 2) == pytest.approx(2.35)
+    assert cantorize(65535, 65535) == 8589803520  # the javadoc value
+    assert cantorize(0, 0) == 0 and cantorize(1, 0) != cantorize(0, 1)
+    assert cross_total(987) == 24 and cross_total(7) == 7
+    assert order_of_magnitude(100) == 2
+    assert order_of_magnitude(0) == 0
+    assert order_of_magnitude(0.01) == -2
+    assert faculty(5) == 120
+    assert faculty(13) != 6227020800        # 32-bit overflow wrap kept
+    assert ip_to_number("192.168.0.1") == 3232235521
+    assert number_to_ip(3232235521) == "192.168.0.1"
+    assert is_within_correctness_margin(105, 100, 0.1)
+    assert not is_within_correctness_margin(100, 100, 0.0)  # strict
+    assert intervals_overlap(0, 5, 4, 9)
+    assert not intervals_overlap(0, 5, 5, 9)  # strict half-open
