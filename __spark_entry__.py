@@ -299,6 +299,75 @@ def _q_er_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_block_size=1000)
 
 
+def _q_wiktionary_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WiktionaryParser over REAL synthesized German wikitext pages;
+    the oracle derives every field symbolically from the closed forms
+    (kgp/wiktionary.py)."""
+    from kgp.wiktionary import wiktionary_words_stage
+    docs = _docs_table(spark, sf_dir).select("doc_id")
+    wortart = F.when(F.col("doc_id") % 2 == 0, "Substantiv") \
+        .otherwise("Verb")
+    sprache = F.when(F.col("doc_id") % 7 == 0, "") \
+        .otherwise(" ({{Sprache|Deutsch}})")
+    sil = F.when(F.col("doc_id") % 2 == 0, F.concat(
+        F.lit("{{Silbentrennung}}\nWort"), F.col("doc_id"),
+        F.lit(", {{Pl.}} Wort·"), F.col("doc_id"),
+        F.lit("·en\n"))).otherwise(F.lit(""))
+    ober = F.when(F.col("doc_id") % 3 == 0, F.concat(
+        F.lit("{{Oberbegriffe}}\n:[1] [[Ober"), F.col("doc_id"),
+        F.lit("]]\n}}\n"))).otherwise(F.lit(""))
+    unter = F.when(F.col("doc_id") % 5 == 0, F.concat(
+        F.lit("{{Unterbegriffe}}\n:[1] [[U"), F.col("doc_id"),
+        F.lit("a]], [[U"), F.col("doc_id"),
+        F.lit("b]]\n}}\n"))).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit("== Wort"), F.col("doc_id"), sprache, F.lit(" ==\n"),
+        F.lit("=== {{Wortart|"), wortart,
+        F.lit("|Deutsch}} ===\n"), sil,
+        F.lit("{{Synonyme}}\n:[1] [[Syn"), F.col("doc_id"),
+        F.lit("]], [[Alt"), F.col("doc_id"), F.lit("]]\n}}\n"),
+        ober, unter)
+    pages = docs.select(
+        F.col("doc_id").alias("ord"),
+        F.concat(F.lit("Wort"), F.col("doc_id")).alias("title"),
+        text.alias("text"))
+    return wiktionary_words_stage(pages, "de", order_col="ord")
+
+
+def _q_wiki_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WikipediaLocationImporter over REAL synthesized infobox pages
+    (namespace + blacklist + title-clean paths exercised); symbolic
+    oracle (kgp/wikilocations.py)."""
+    from kgp.wikilocations import wikipedia_locations_stage
+    docs = _docs_table(spark, sf_dir).select("doc_id")
+    bold = "'" * 3
+    title = F.when(F.col("doc_id") % 17 == 0, F.concat(
+        F.lit("Geography of Ort"), F.col("doc_id"))) \
+        .when(F.col("doc_id") % 11 == 0, F.concat(
+            F.lit("Ort"), F.col("doc_id"), F.lit(" (Region)"))) \
+        .otherwise(F.concat(F.lit("Ort"), F.col("doc_id")))
+    box = F.when(F.col("doc_id") % 2 == 0, "settlement") \
+        .otherwise("mountain")
+    lat = (F.col("doc_id") % 160 - 80) + 0.5
+    lng = (F.col("doc_id") % 340 - 170) + 0.25
+    text = F.concat(
+        F.lit(bold + "Ort"), F.col("doc_id"),
+        F.lit(bold + ", also " + bold + "Alt"), F.col("doc_id"),
+        F.lit(bold + ", is a place.\n{{Infobox "), box,
+        F.lit("\n| latitude = "), lat.cast("string"),
+        F.lit("\n| longitude = "), lng.cast("string"),
+        F.when(F.col("doc_id") % 3 != 0,
+               F.lit("\n| coordinates_display = title"))
+        .otherwise(F.lit("")),
+        F.lit("\n}}\n== History ==\nText.\n"))
+    pages = docs.select(
+        F.col("doc_id").alias("page_id"),
+        F.when(F.col("doc_id") % 13 == 0, 2).otherwise(0)
+        .alias("namespace"),
+        title.alias("title"), text.alias("text"))
+    return wikipedia_locations_stage(pages)
+
+
 def _q_utm_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM forward conversion (UtmConverter port) rendered entirely as
     JVM column expressions over closed-form synthetic coordinates; the
@@ -1295,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_bins": _q_reliability_bins,
         "dup_spans": _q_dup_spans,
         "er_candidates": _q_er_candidates,
+        "wiktionary_words": _q_wiktionary_words,
+        "wiki_locations": _q_wiki_locations,
         "image_hashes": _q_image_hashes,
         "phash_dup_pairs": _q_phash_dup_pairs,
         "line_dedup": _q_line_dedup,
@@ -1400,6 +1471,8 @@ def oracle_sql() -> dict[str, str]:
         "reliability_bins": _oracle.reliability_bins_sql(num_bins=10),
         "dup_spans": _oracle.dup_spans_sql(span_len=40, stride=10),
         "er_candidates": _oracle.er_candidates_sql(threshold=2, max_block_size=1000),
+        "wiktionary_words": _oracle.wiktionary_words_sql(),
+        "wiki_locations": _oracle.wiki_locations_sql(),
         "image_hashes": _oracle.image_hashes_sql(),
         "phash_dup_pairs": _oracle.phash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oracle.minhash_pairs_sql(),

@@ -2968,3 +2968,49 @@ pairs AS (
   GROUP BY x.entity_id, y.entity_id)
 SELECT a, b, CAST(weight AS BIGINT) AS weight
 FROM pairs WHERE weight >= {threshold} ORDER BY a, b"""
+
+
+def wiktionary_words_sql() -> str:
+    """Mirror of the wiktionary_words gate: the dump pages are
+    synthesized closed-form, so every extracted field is derived
+    SYMBOLICALLY — the oracle never parses wikitext. Substantiv pages
+    (doc_id %% 2 = 0) carry the Silbentrennung plural; %% 7 = 0 pages
+    omit the Sprache template (language '')."""
+    return """
+SELECT 'Wort' || doc_id AS word,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'Wort' || doc_id || 'en' ELSE '' END AS plural,
+       CASE WHEN doc_id % 2 = 0 THEN 'Substantiv'
+            ELSE 'Verb' END AS word_type,
+       CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'Deutsch' END
+         AS language,
+       ['Alt' || doc_id, 'Syn' || doc_id] AS synonyms,
+       CASE WHEN doc_id % 3 = 0 THEN ['Ober' || doc_id]
+            ELSE [] END AS hypernyms,
+       CASE WHEN doc_id % 5 = 0
+            THEN ['U' || doc_id || 'a', 'U' || doc_id || 'b']
+            ELSE [] END AS hyponyms
+FROM documents ORDER BY word"""
+
+
+def wiki_locations_sql() -> str:
+    """Mirror of the wiki_locations gate: pages synthesized
+    closed-form (namespace 2 on %%13, 'Geography of' blacklist on
+    %%17 — both dropped; ' (Region)' title suffix on %%11 cleaned
+    away); type CITY/LANDMARK by infobox parity, coordinates from the
+    closed-form lat/lng, alternative name Alt<doc_id> from the bold
+    first line."""
+    return """
+SELECT doc_id AS location_id,
+       CASE WHEN doc_id % 11 = 0 THEN 'Ort' || doc_id || ' (Region)'
+            ELSE 'Ort' || doc_id END AS title,
+       'Ort' || doc_id AS name,
+       CASE WHEN doc_id % 2 = 0 THEN 'CITY' ELSE 'LANDMARK' END
+         AS type,
+       (doc_id % 160 - 80) + 0.5 AS lat,
+       (doc_id % 340 - 170) + 0.25 AS lng,
+       CAST(NULL AS BIGINT) AS population,
+       ['Alt' || doc_id] AS alt_names
+FROM documents
+WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0
+ORDER BY location_id"""
