@@ -299,6 +299,25 @@ def _q_er_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_block_size=1000)
 
 
+def _q_image_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detectFrequencies (neighbor-quirk mean brightness delta) over
+    the decoded BMP corpus; oracle rebuilds per-pixel distinct-
+    neighbor sums from the closed-form grays (kgp/imagefeatures.py)."""
+    from kgp.imagefeatures import frequency_stage
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    return frequency_stage(media)
+
+
+def _q_class_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClassDistributionResampler (deterministic md5-key substitute)
+    over event types; the oracle refits the ZeroR distribution and
+    recomputes the identical keep rule (kgp/mlzoo.py)."""
+    from kgp.mlzoo import resample_class_distribution
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", F.col("event_type").alias("category"))
+    return resample_class_distribution(ev, "event_id")
+
+
 def _q_wiktionary_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WiktionaryParser over REAL synthesized German wikitext pages;
     the oracle derives every field symbolically from the closed forms
@@ -1364,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_bins": _q_reliability_bins,
         "dup_spans": _q_dup_spans,
         "er_candidates": _q_er_candidates,
+        "image_frequency": _q_image_frequency,
+        "class_resample": _q_class_resample,
         "wiktionary_words": _q_wiktionary_words,
         "wiki_locations": _q_wiki_locations,
         "image_hashes": _q_image_hashes,
@@ -1471,6 +1492,8 @@ def oracle_sql() -> dict[str, str]:
         "reliability_bins": _oracle.reliability_bins_sql(num_bins=10),
         "dup_spans": _oracle.dup_spans_sql(span_len=40, stride=10),
         "er_candidates": _oracle.er_candidates_sql(threshold=2, max_block_size=1000),
+        "image_frequency": _oracle.image_frequency_sql(),
+        "class_resample": _oracle.class_resample_sql(),
         "wiktionary_words": _oracle.wiktionary_words_sql(),
         "wiki_locations": _oracle.wiki_locations_sql(),
         "image_hashes": _oracle.image_hashes_sql(),

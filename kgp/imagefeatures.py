@@ -452,6 +452,31 @@ def image_features_stage(media: DataFrame) -> DataFrame:
     return src.mapInPandas(run, GATE_SCHEMA)
 
 
+def frequency_stage(media: DataFrame) -> DataFrame:
+    """detectFrequencies gate subset: (media_id, freq_count,
+    freq_mean, freq_median) over the BMP corpus — per-pixel values
+    are exact rational sums in the SAME sorted-neighbor order on both
+    engines; the cross-pixel mean rounds to 9 (accumulation order),
+    the median is a selection (FatStats rule) on identical floats."""
+    src = media.where("kind = 'image'").select("media_id", "content")
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_bmp(bytes(content))
+                s = detect_frequencies(img)
+                rows.append((int(mid), s.count(),
+                             round(s.mean(), 9), s.median()))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "freq_count", "freq_mean", "freq_median"])
+
+    return src.mapInPandas(
+        run, "media_id long, freq_count int, freq_mean double, "
+             "freq_median double")
+
+
 GRID_GATE_SCHEMA = ("media_id long, sim_min double, sim_max double, "
                     "sim_stddev double, sim_sum double, "
                     "sim_p30 double, sim_p50 double, sim_p80 double")

@@ -3014,3 +3014,72 @@ SELECT doc_id AS location_id,
 FROM documents
 WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0
 ORDER BY location_id"""
+
+
+def class_resample_sql() -> str:
+    """Mirror of the class_resample gate: ZeroR class probabilities
+    from one aggregation, keep rule sample_key(event_id)/10000 <=
+    minP / P(class) (the md5 sample key recomputed identically)."""
+    return """
+WITH lbl AS (
+  SELECT event_id, event_type AS category FROM events),
+p AS (
+  SELECT category, COUNT(*) * 1.0
+         / (SELECT COUNT(*) FROM lbl) AS prob
+  FROM lbl GROUP BY category),
+minp AS (SELECT MIN(prob) AS mp FROM p),
+keyed AS (
+  SELECT l.event_id, l.category,
+    CAST(('0x' || substr(md5(CAST(l.event_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 10000 AS sk,
+    (SELECT mp FROM minp) / p.prob AS keep
+  FROM lbl l JOIN p ON l.category = p.category)
+SELECT event_id, category
+FROM keyed WHERE sk / 10000.0 <= keep
+ORDER BY event_id"""
+
+
+def image_frequency_sql() -> str:
+    """Mirror of the image_frequency gate: detectFrequencies'
+    interior-pixel mean-|brightness-delta| over the DISTINCT sampled
+    neighbors (the reference's 7-cell neighborhood with its missing
+    corner), rebuilt from the closed-form gray values; per-pixel sums
+    run in the SAME sorted order as the python twin, the cross-pixel
+    mean rounds to 9, the median uses the FatStats rule."""
+    def gray(dr: int, dc: int) -> str:
+        base = f"(7*media_id + 5*(r{'%+d' % dr if dr else ''}) " \
+               f"+ 3*(c{'%+d' % dc if dc else ''}))"
+        return (f"CAST(trunc(0.3 * ({base} % 256)"
+                f" + 0.59 * (({base} + 11) % 256)"
+                f" + 0.11 * (({base} + 22) % 256)) AS BIGINT)")
+
+    neigh = [gray(-1, -1), gray(-1, 0), gray(1, 0), gray(0, -1),
+             gray(0, 1), gray(1, -1), gray(1, 1)]
+    return f"""
+WITH img AS (
+  SELECT doc_id AS media_id, doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+pr AS (SELECT media_id, w, h, unnest(range(1, h - 1)) AS r FROM img),
+px AS (SELECT media_id, w, h, r, unnest(range(1, w - 1)) AS c
+       FROM pr),
+vals AS (
+  SELECT media_id,
+    {gray(0, 0)} AS v0,
+    list_sort(list_distinct([{', '.join(neigh)}])) AS ns
+  FROM px),
+perpix AS (
+  SELECT media_id,
+    list_sum(list_transform(ns,
+      x -> abs(x / 255.0 - v0 / 255.0))) / len(ns) AS v
+  FROM vals),
+agg AS (
+  SELECT media_id, COUNT(*) AS n, round(AVG(v), 9) AS freq_mean,
+         list_sort(list(v)) AS sv
+  FROM perpix GROUP BY media_id)
+SELECT media_id, CAST(n AS INT) AS freq_count, freq_mean,
+  CASE WHEN n % 2 = 0
+       THEN 0.5 * sv[CAST(n // 2 AS INT)]
+            + 0.5 * sv[CAST(n // 2 AS INT) + 1]
+       ELSE sv[CAST((n + 1) // 2 AS INT)]
+  END AS freq_median
+FROM agg ORDER BY media_id"""

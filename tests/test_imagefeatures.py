@@ -302,3 +302,16 @@ def test_grid_similarity_stage_duckdb_parity(spark):
         g = got[w["media_id"]]
         for c in cols:
             assert g[c] == w[c], (w["media_id"], c, g[c], w[c])
+
+
+def test_frequency_stage_matches_twin(spark):
+    from kgp.imagefeatures import detect_frequencies, frequency_stage
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    media = synth_media(spark, docs)
+    rows = frequency_stage(media).collect()
+    assert len(rows) > 0
+    for r in rows[:10]:
+        s = detect_frequencies(synth_pixel_array(r["media_id"]))
+        assert r["freq_count"] == s.count()
+        assert r["freq_mean"] == round(s.mean(), 9)
+        assert r["freq_median"] == s.median()

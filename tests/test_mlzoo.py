@@ -325,3 +325,11 @@ def test_resample_class_distribution_weights_and_determinism(spark):
         .count().collect()
     counts = {r["category"]: r["count"] for r in weighted}
     assert counts["a"] < 0.7 * counts["b"]
+
+
+def test_class_resample_gate_shape(spark):
+    import __spark_entry__ as entry
+    out = entry.queries()["class_resample"](
+        spark, "/root/testdata/sf0.001")
+    rows = out.groupBy("category").count().collect()
+    assert len(rows) > 1  # several classes survive proportionally
