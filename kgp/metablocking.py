@@ -109,3 +109,28 @@ def er_candidates(entities: DataFrame, name_col: str = "name",
     blocks = token_blocks(entities, name_col, id_col, max_block_size)
     pairs = cbs_pairs(blocks) if scheme == "CBS" else js_pairs(blocks)
     return prune_wep(pairs, threshold)
+
+
+def arcs_pairs(blocks: DataFrame) -> DataFrame:
+    """(a, b, weight): ARCS (aggregate reciprocal comparisons scheme)
+    — each shared block contributes 1 / ||b|| where ||b|| is the
+    block's comparison count n(n-1)/2, discounting stop-word-like
+    blocks; one size aggregation + the block self-join."""
+    sizes = blocks.groupBy("block").agg(F.count("*").alias("nb")) \
+        .where(F.col("nb") > 1) \
+        .withColumn("w", 2.0 / (F.col("nb") * (F.col("nb") - 1)))
+    b = blocks.join(sizes, "block")
+    le, r = b.alias("l"), b.alias("r")
+    return (le.join(r, (F.col("l.block") == F.col("r.block"))
+                    & (F.col("l.entity_id") < F.col("r.entity_id")))
+            .groupBy(F.col("l.entity_id").alias("a"),
+                     F.col("r.entity_id").alias("b"))
+            .agg(F.sum(F.col("l.w")).alias("weight")))
+
+
+def progressive_pairs(pairs: DataFrame) -> DataFrame:
+    """Progressive ER (Schema-Agnostic Progressive Entity Resolution,
+    ICDE 2018): emit candidates best-first so a budgeted verifier
+    resolves the likeliest matches early — a weight-descending sort
+    with deterministic (a, b) ties."""
+    return pairs.orderBy(F.desc("weight"), "a", "b")

@@ -90,3 +90,25 @@ def test_er_candidates_duckdb_parity(spark):
     assert len(want) == len(got) > 0
     for a, b, w in want:
         assert got[(a, b)] == w
+
+
+def test_arcs_weights(spark):
+    from kgp.metablocking import arcs_pairs
+    pairs = {(r["a"], r["b"]): r["weight"]
+             for r in arcs_pairs(token_blocks(_entities(spark)))
+             .collect()}
+    # 'acme' block has 2 entities -> ||b||=1 -> contributes 1.0;
+    # 'rocket' has 3 -> ||b||=3 -> contributes 1/3
+    assert pairs[(1, 2)] == pytest.approx(1.0 + 1 / 3)
+    assert pairs[(1, 3)] == pytest.approx(1 / 3)
+    # singleton blocks contribute nothing -> (x, 4) pairs absent
+    assert not any(4 in k for k in pairs)
+
+
+def test_progressive_pairs_order(spark):
+    from kgp.metablocking import cbs_pairs, progressive_pairs
+    rows = progressive_pairs(
+        cbs_pairs(token_blocks(_entities(spark)))).collect()
+    weights = [r["weight"] for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    assert rows[0]["a"] == 1 and rows[0]["b"] == 2
