@@ -2,11 +2,15 @@
 
 Runs every ``__spark_entry__.queries()`` entry at a given sf dir and
 compares it against ``oracle_sql()`` via DuckDB: row count, column-name
-set, and an order-insensitive value hash (columns sorted by name, rows
-sorted, values canonicalized to strings). Not byte-identical to the
-driver's hasher, but any mismatch here means a driver mismatch.
+set, and an order-insensitive value hash. The DEFAULT mode mimics the
+DRIVER's canonicalizer: pandas ``sort_values`` over name-sorted columns
+(so a list/array cell raises TypeError exactly like the driver's gate
+does) and sign-preserving float formatting (``-0.0`` != ``0.0``). Any
+failure mode the driver can hit should reproduce here first. Pass
+``--loose`` for the older forgiving hasher (list-recursive,
+zero-sign-folding).
 
-Usage: python bench/verify_queries.py [sf_dir] [query ...]
+Usage: python bench/verify_queries.py [--loose] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -22,8 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+STRICT = True
 
-def _canon(v) -> str:
+
+def _canon_loose(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -35,19 +41,67 @@ def _canon(v) -> str:
             return str(int(v))
         return f"{v:.6g}"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
+        return "[" + ",".join(_canon_loose(x) for x in v) + "]"
     return str(v)
 
 
+def _canon_strict(v) -> str:
+    """Driver-style scalar canonicalization: signed zero is preserved
+    (the r3 ``image_feature_stats`` hash-fail was a ``-0.0``), Decimal
+    is NOT folded to int (the r3 ``intent_actions`` mismatch was a
+    DuckDB DECIMAL literal), lists are rejected upstream by the pandas
+    sort."""
+    import decimal
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_strict(x) for x in v) + "]"
+    return str(v)
+
+
+def _hash_strict(rows, cols) -> str:
+    """Driver-shaped hash: pandas frame, columns sorted by name,
+    ``sort_values`` over ALL columns — raises TypeError on list cells,
+    exactly like the r3 driver err on wiktionary_words/wiki_locations."""
+    import pandas as pd
+    order = sorted(cols)
+    pdf = pd.DataFrame(list(rows), columns=list(cols))[order]
+    if len(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+    canon = ["\x1f".join(_canon_strict(v) for v in row)
+             for row in pdf.itertuples(index=False, name=None)]
+    canon.sort()
+    return hashlib.md5("\x1e".join(canon).encode()).hexdigest()
+
+
 def _hash(rows, cols) -> str:
+    if STRICT:
+        return _hash_strict(rows, cols)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted("\x1f".join(_canon(r[i]) for i in order) for r in rows)
+    canon = sorted("\x1f".join(_canon_loose(r[i]) for i in order)
+                   for r in rows)
     return hashlib.md5("\x1e".join(canon).encode()).hexdigest()
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT
+    argv = [a for a in sys.argv[1:] if a != "--loose"]
+    if len(argv) != len(sys.argv) - 1:
+        STRICT = False
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -68,22 +122,27 @@ def main() -> None:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        df = fn(spark, sf_dir)
-        s_cols = df.columns
-        s_rows = [tuple(r) for r in df.collect()]
-        rec = {"spark_rows": len(s_rows)}
-        if name in oracles:
-            res = con.execute(oracles[name])
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
-            rec.update(
-                oracle_rows=len(o_rows),
-                rows_match=len(s_rows) == len(o_rows),
-                schema_match=sorted(s_cols) == sorted(o_cols),
-                hash_match=_hash(s_rows, s_cols) == _hash(o_rows, o_cols),
-            )
-        else:
-            rec["err"] = "no_oracle"
+        try:
+            df = fn(spark, sf_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            rec = {"spark_rows": len(s_rows)}
+            if name in oracles:
+                res = con.execute(oracles[name])
+                o_cols = [d[0] for d in res.description]
+                o_rows = res.fetchall()
+                rec.update(
+                    oracle_rows=len(o_rows),
+                    rows_match=len(s_rows) == len(o_rows),
+                    schema_match=sorted(s_cols) == sorted(o_cols),
+                    hash_match=(_hash(s_rows, s_cols)
+                                == _hash(o_rows, o_cols)),
+                )
+            else:
+                rec["err"] = "no_oracle"
+        except Exception as exc:  # driver records err: <traceback>
+            rec = {"err": f"{type(exc).__name__}: {exc}",
+                   "rows_match": False}
         report[name] = rec
         flag = ("OK" if rec.get("hash_match")
                 else ("rows-only" if "err" in rec else "MISMATCH"))

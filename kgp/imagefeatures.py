@@ -439,10 +439,11 @@ def image_features_stage(media: DataFrame) -> DataFrame:
                     int(mid), w, h, h / w,
                     red.mean(), red.min(), red.max(), red.sum(),
                     red.percentile(50),
-                    round(red.stddev(), 9), round(red.skewness(), 9),
-                    round(lum.mean(), 9),
-                    round(sym["symmetry-horizontal-red"], 9),
-                    round(sym["symmetry-vertical-red"], 9)))
+                    round(red.stddev(), 9) + 0.0,
+                    round(red.skewness(), 9) + 0.0,
+                    round(lum.mean(), 9) + 0.0,
+                    round(sym["symmetry-horizontal-red"], 9) + 0.0,
+                    round(sym["symmetry-vertical-red"], 9) + 0.0))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "ratio", "red_mean",
                 "red_min", "red_max", "red_sum", "red_p50",
@@ -468,7 +469,8 @@ def frequency_stage(media: DataFrame) -> DataFrame:
                 img = decode_bmp(bytes(content))
                 s = detect_frequencies(img)
                 rows.append((int(mid), s.count(),
-                             round(s.mean(), 9), s.median()))
+                             round(s.mean(), 9) + 0.0,
+                             s.median() + 0.0))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "freq_count", "freq_mean", "freq_median"])
 
@@ -522,9 +524,12 @@ def grid_similarity_stage(media: DataFrame,
                 stddev = float(np.sqrt(
                     float(var_num) / (n * (n - 1)) / 1e18))
                 rows.append((
-                    int(mid), stats.min(), stats.max(), stddev,
-                    round(stats.sum(), 9), stats.percentile(30),
-                    stats.percentile(50), stats.percentile(80)))
+                    int(mid), stats.min() + 0.0, stats.max() + 0.0,
+                    stddev + 0.0,
+                    round(stats.sum(), 9) + 0.0,
+                    stats.percentile(30) + 0.0,
+                    stats.percentile(50) + 0.0,
+                    stats.percentile(80) + 0.0))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "sim_min", "sim_max",
                 "sim_stddev", "sim_sum", "sim_p30", "sim_p50",

@@ -2327,10 +2327,10 @@ SELECT qid,
   CASE WHEN v = 3 THEN 'https://shop.example.com/' || et
   END AS redirect,
   CASE WHEN v IN (0, 1) THEN 'cost.PRICE' END AS filter_key,
-  CASE WHEN v IN (0, 1) THEN 0.0 END AS filter_min,
+  CASE WHEN v IN (0, 1) THEN CAST(0.0 AS DOUBLE) END AS filter_min,
   CASE WHEN v = 0 THEN 233.0
        WHEN v = 1 THEN CAST(amount AS DOUBLE) END AS filter_max,
-  CASE WHEN v IN (0, 1) THEN CAST([] AS VARCHAR[]) END AS filter_values,
+  CASE WHEN v IN (0, 1) THEN '' END AS filter_values,
   CASE WHEN v = 0 THEN 'cost.PRICE'
        WHEN v = 4 THEN 'popularity' END AS sort_key,
   CASE WHEN v = 0 THEN 'ASC' WHEN v = 4 THEN 'DESC' END AS sort_dir
@@ -2984,12 +2984,12 @@ SELECT 'Wort' || doc_id AS word,
             ELSE 'Verb' END AS word_type,
        CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'Deutsch' END
          AS language,
-       ['Alt' || doc_id, 'Syn' || doc_id] AS synonyms,
-       CASE WHEN doc_id % 3 = 0 THEN ['Ober' || doc_id]
-            ELSE [] END AS hypernyms,
+       'Alt' || doc_id || '|' || 'Syn' || doc_id AS synonyms,
+       CASE WHEN doc_id % 3 = 0 THEN 'Ober' || doc_id
+            ELSE '' END AS hypernyms,
        CASE WHEN doc_id % 5 = 0
-            THEN ['U' || doc_id || 'a', 'U' || doc_id || 'b']
-            ELSE [] END AS hyponyms
+            THEN 'U' || doc_id || 'a' || '|' || 'U' || doc_id || 'b'
+            ELSE '' END AS hyponyms
 FROM documents ORDER BY word"""
 
 
@@ -3010,7 +3010,7 @@ SELECT doc_id AS location_id,
        (doc_id % 160 - 80) + 0.5 AS lat,
        (doc_id % 340 - 170) + 0.25 AS lng,
        CAST(NULL AS BIGINT) AS population,
-       ['Alt' || doc_id] AS alt_names
+       'Alt' || doc_id AS alt_names
 FROM documents
 WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0
 ORDER BY location_id"""
