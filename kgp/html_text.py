@@ -113,7 +113,15 @@ _BLOCK_END = {"address", "article", "aside", "blockquote", "button",
 # "has an element in scope" stops at these (the spec's particular
 # scope list)
 _SCOPE_BARRIERS = {"html", "table", "td", "th", "caption", "object",
-                   "marquee", "template"}
+                   "marquee", "template", "applet"}
+# elements whose start tag pushes a MARKER onto the active-formatting
+# list and whose end tag clears the list back to it (WHATWG 13.2.4.3)
+_AFE_MARKER_TAGS = {"applet", "caption", "marquee", "object", "td",
+                    "th", "template"}
+# special-category start tags that still reconstruct the active
+# formatting elements ("in body": area/br/embed/img/wbr/input rules)
+_RECON_VOIDS = {"area", "br", "embed", "img", "wbr", "input"}
+_MARKER = object()  # active-formatting-elements scope marker
 _SPECIAL = {"address", "applet", "area", "article", "aside", "base",
             "basefont", "bgsound", "blockquote", "body", "br", "button",
             "caption", "center", "col", "colgroup", "dd", "details",
@@ -134,9 +142,28 @@ class _DomParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
         self.stack = [self.root]
+        # WHATWG list of active formatting elements (Node | _MARKER)
+        self.afe: list = []
+        # parent pointers (Node has no parent slot; the adoption
+        # agency needs to detach/re-parent subtrees)
+        self._parents: dict[int, Node] = {}
 
     def _open_tags(self) -> list[str]:
         return [n.tag for n in self.stack]
+
+    def _append(self, parent: Node, node: Node) -> None:
+        parent.children.append(node)
+        self._parents[id(node)] = parent
+
+    def _detach(self, node: Node) -> None:
+        parent = self._parents.get(id(node))
+        if parent is None:
+            return
+        for i, c in enumerate(parent.children):
+            if c is node:
+                del parent.children[i]
+                break
+        del self._parents[id(node)]
 
     def _needs_foster(self, tag: str) -> bool:
         top = self.stack[-1].tag
@@ -157,8 +184,165 @@ class _DomParser(HTMLParser):
                 except ValueError:
                     at = len(parent.children)
                 parent.children.insert(at, node)
+                self._parents[id(node)] = parent
                 return
-        self.root.children.append(node)
+        self._append(self.root, node)
+
+    # ---------------- active formatting elements (WHATWG 13.2.4.3)
+
+    def _afe_push(self, node: Node) -> None:
+        """Push with the Noah's Ark clause: at most 3 entries with the
+        same tag+attributes since the last marker."""
+        same = []
+        for e in reversed(self.afe):
+            if e is _MARKER:
+                break
+            if e.tag == node.tag and e.attrs == node.attrs:
+                same.append(e)
+        if len(same) >= 3:
+            self.afe.remove(same[-1])  # the EARLIEST matching entry
+        self.afe.append(node)
+
+    def _afe_clear_to_marker(self) -> None:
+        while self.afe:
+            if self.afe.pop() is _MARKER:
+                return
+
+    def _reconstruct_afe(self) -> None:
+        """Re-open formatting elements that were implicitly closed
+        (e.g. a </div> popping through an unclosed <b>): clone each
+        list entry not on the open stack, in list order."""
+        if not self.afe:
+            return
+        last = self.afe[-1]
+        if last is _MARKER or any(last is n for n in self.stack):
+            return
+        i = len(self.afe) - 1
+        while i > 0:
+            e = self.afe[i - 1]
+            if e is _MARKER or any(e is n for n in self.stack):
+                break
+            i -= 1
+        for j in range(i, len(self.afe)):
+            e = self.afe[j]
+            clone = Node(e.tag, dict(e.attrs))
+            self._append(self.stack[-1], clone)
+            self.stack.append(clone)
+            self.afe[j] = clone
+
+    def _in_scope(self, node: Node) -> bool:
+        """'has NODE in scope' — no particular-scope barrier between
+        the node and the top of the open stack."""
+        for n in reversed(self.stack):
+            if n is node:
+                return True
+            if n.tag in _SCOPE_BARRIERS:
+                return False
+        return False
+
+    def _adoption_agency(self, tag: str) -> None:
+        """The WHATWG adoption agency algorithm (13.2.6.4.7 'in
+        body' any-other-end-tag for formatting elements): misnested
+        formatting (<b><p>x</b>y</p>, <a> reopen) re-parents the
+        furthest block's content into a clone of the formatting
+        element so text after the end tag leaves the formatting.
+        Reference behavior: ValidatorNuParser.java:32-46 delegates to
+        validator.nu's full tree builder."""
+        # fast path: current node matches and is not in the list
+        cur = self.stack[-1]
+        if cur.tag == tag and len(self.stack) > 1 \
+                and not any(cur is e for e in self.afe):
+            self.stack.pop()
+            return
+        for _outer in range(8):
+            # locate the formatting element (after the last marker)
+            fe = None
+            fe_afe = -1
+            for idx in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[idx]
+                if e is _MARKER:
+                    break
+                if e.tag == tag:
+                    fe, fe_afe = e, idx
+                    break
+            if fe is None:
+                self._any_other_end_tag(tag)
+                return
+            si = next((i for i, n in enumerate(self.stack)
+                       if n is fe), -1)
+            if si < 0:  # in the list but no longer open: drop entry
+                del self.afe[fe_afe]
+                return
+            if not self._in_scope(fe):
+                return
+            # furthest block: the EARLIEST special element above fe
+            fb_i = next((i for i in range(si + 1, len(self.stack))
+                         if self.stack[i].tag in _SPECIAL), -1)
+            if fb_i < 0:
+                # no block in the way: pop through fe, drop its entry
+                del self.stack[si:]
+                del self.afe[fe_afe]
+                return
+            fb = self.stack[fb_i]
+            common_ancestor = self.stack[si - 1]
+            bookmark = fe_afe
+            node_i, last_node = fb_i, fb
+            for _inner in range(1, 1000):
+                node_i -= 1
+                node = self.stack[node_i]
+                if node is fe:
+                    break
+                in_afe = next((k for k, e in enumerate(self.afe)
+                               if e is node), -1)
+                if _inner > 3 and in_afe >= 0:
+                    del self.afe[in_afe]
+                    in_afe = -1
+                if in_afe < 0:
+                    del self.stack[node_i]
+                    continue
+                clone = Node(node.tag, dict(node.attrs))
+                self.afe[in_afe] = clone
+                self.stack[node_i] = clone
+                node = clone
+                if last_node is fb:
+                    bookmark = in_afe + 1
+                self._detach(last_node)
+                self._append(node, last_node)
+                last_node = node
+            self._detach(last_node)
+            if common_ancestor.tag in _TABLE_CTX:
+                self._foster_insert(last_node)
+            else:
+                self._append(common_ancestor, last_node)
+            # wrap the furthest block's content in a clone of fe
+            clone = Node(fe.tag, dict(fe.attrs))
+            for ch in fb.children:
+                clone.children.append(ch)
+                self._parents[id(ch)] = clone
+            fb.children = []
+            self._append(fb, clone)
+            # list: remove fe, insert the clone at the bookmark
+            fe_afe = next(k for k, e in enumerate(self.afe) if e is fe)
+            if fe_afe < bookmark:
+                bookmark -= 1
+            del self.afe[fe_afe]
+            self.afe.insert(bookmark, clone)
+            # stack: remove fe, insert clone right above fb
+            si = next(i for i, n in enumerate(self.stack) if n is fe)
+            del self.stack[si]
+            fb_i = next(i for i, n in enumerate(self.stack) if n is fb)
+            self.stack.insert(fb_i + 1, clone)
+
+    def _any_other_end_tag(self, tag: str) -> None:
+        """WHATWG 'any other end tag' in body: pop through a matching
+        open element (implied ends above it); a special element in
+        the way means the token is ignored."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+            if self.stack[i].tag in _SPECIAL:
+                return
 
     def handle_starttag(self, tag, attrs):
         if tag == "table" and self.stack[-1].tag in _TABLE_CTX:
@@ -177,20 +361,43 @@ class _DomParser(HTMLParser):
         implied = _SELF_CLOSERS.get(tag)
         if implied and self.stack[-1].tag in implied:
             self.stack.pop()
+        if tag == "a":
+            # WHATWG: an <a> while an <a> is still in the formatting
+            # list is the misnesting case — adopt the old one first
+            old = next((e for e in reversed(self.afe)
+                        if e is _MARKER or e.tag == "a"), None)
+            if old is not None and old is not _MARKER:
+                self._adoption_agency("a")
+                if any(old is e for e in self.afe):
+                    self.afe.remove(old)
+                si = next((i for i, n in enumerate(self.stack)
+                           if n is old), -1)
+                if si > 0:
+                    del self.stack[si]
+        fostering = self._needs_foster(tag)
+        if not fostering and (tag not in _SPECIAL
+                              or tag in _RECON_VOIDS):
+            # formatting + phrasing start tags re-open implicitly
+            # closed formatting elements before inserting
+            self._reconstruct_afe()
         node = Node(tag, dict(attrs))
-        if self._needs_foster(tag):
+        if fostering:
             self._foster_insert(node)
         else:
-            self.stack[-1].children.append(node)
+            self._append(self.stack[-1], node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
+        if tag in _FORMATTING:
+            self._afe_push(node)
+        elif tag in _AFE_MARKER_TAGS:
+            self.afe.append(_MARKER)
 
     def handle_startendtag(self, tag, attrs):
         node = Node(tag, dict(attrs))
         if self._needs_foster(tag):
             self._foster_insert(node)
         else:
-            self.stack[-1].children.append(node)
+            self._append(self.stack[-1], node)
 
     def handle_endtag(self, tag):
         if tag == "br":
@@ -199,6 +406,12 @@ class _DomParser(HTMLParser):
             return
         if tag in VOID_ELEMENTS:
             return
+        if tag in _FORMATTING:
+            self._adoption_agency(tag)
+            return
+        if tag in _AFE_MARKER_TAGS:
+            # closing a formatting scope clears its list section
+            self._afe_clear_to_marker()
         if self.stack[-1].tag == tag and len(self.stack) > 1:
             # fast path: a well-nested end tag (the overwhelmingly
             # common case) — every rule family agrees it just pops
@@ -223,28 +436,9 @@ class _DomParser(HTMLParser):
                 if t in barriers:
                     return
             return
-        # WHATWG "any other end tag" in body: walk the open stack from
-        # the top; a matching node pops through (implied ends for the
-        # elements above it), but a SPECIAL (block/structural) node in
-        # the way means the end tag is misnested. For formatting
-        # elements that is the adoption-agency case: the formatting
-        # entry is removed from the open stack WITHOUT popping the
-        # blocks above it (the algorithm's subtree cloning only
-        # re-wraps inline formatting, which never changes
-        # documentToText output — the text-relevant effect is that the
-        # block stays open). For any other tag the token is ignored,
-        # as the spec does.
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
-                return
-            if self.stack[i].tag in _SPECIAL:
-                if tag in _FORMATTING:
-                    for j in range(i - 1, 0, -1):
-                        if self.stack[j].tag == tag:
-                            del self.stack[j]
-                            break
-                return
+        # formatting end tags were already routed to the adoption
+        # agency above; everything else takes the spec's fallback
+        self._any_other_end_tag(tag)
 
     def _pop_to(self, tag: str) -> None:
         if tag not in self._open_tags():
@@ -268,10 +462,14 @@ class _DomParser(HTMLParser):
             # foster-parented (WHATWG "in table text" mode)
             self._foster_insert(node)
         else:
-            self.stack[-1].children.append(node)
+            if data.strip():
+                # character tokens re-open implicitly closed
+                # formatting elements (<div><b>x</div>y -> y is bold)
+                self._reconstruct_afe()
+            self._append(self.stack[-1], node)
 
     def handle_comment(self, data):
-        self.stack[-1].children.append(Node("#comment", data=data))
+        self._append(self.stack[-1], Node("#comment", data=data))
 
 
 _META_CHARSET_RE = regex.compile(
@@ -299,7 +497,13 @@ def sniff_decode(raw: bytes) -> str:
         return raw[2:].decode("utf-16-le", errors="replace")
     if raw.startswith(b"\xfe\xff"):
         return raw[2:].decode("utf-16-be", errors="replace")
-    m = _META_CHARSET_RE.search(raw[:1024])
+    # XHTML served as text/html: validator.nu honors the XML
+    # declaration's encoding pseudo-attribute (reference fixture
+    # pageContentExtractor/test5.html declares MacRoman this way)
+    xm = regex.match(
+        rb"\s*<\?xml[^>]*?encoding\s*=\s*[\"']([A-Za-z0-9_.:-]+)",
+        raw[:1024])
+    m = xm or _META_CHARSET_RE.search(raw[:1024])
     if m:
         label = m.group(1).decode("ascii", errors="ignore").lower()
         enc = _ENCODING_ALIASES.get(label, label)

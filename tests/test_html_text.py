@@ -586,3 +586,129 @@ def test_content_images_parent_climb():
     images = get_content_images(root, main)
     assert [i["url"] for i in images] == ["http://x.com/up.jpg"]
     assert get_content_images(root, None) == []
+
+
+# ---------------- adoption agency (WHATWG 13.2.6.4.7)
+
+def _tree(html):
+    from kgp.html_text import parse_html
+
+    def dump(n):
+        if n.tag == "#text":
+            return repr(n.data)
+        kids = ",".join(dump(c) for c in n.children)
+        return f"{n.tag}({kids})" if kids else n.tag
+    root = parse_html(html)
+    return ",".join(dump(c) for c in root.children)
+
+
+def test_aaa_b_p_misnest():
+    # <b> spans a <p> boundary: reconstruction re-opens it in the new
+    # paragraph, </b> closes the clone (browser-verified shape)
+    assert _tree("<p>1<b>2<p>3</b>4") == \
+        "p('1',b('2')),p(b('3'),'4')"
+
+
+def test_aaa_classic_bi():
+    assert _tree("<p><b><i>bi</b>i-only</i>plain</p>") == \
+        "p(b(i('bi')),i('i-only'),'plain')"
+
+
+def test_aaa_a_reopen():
+    # WHATWG: a second <a> adopts the first out of the way
+    assert _tree("<a>one<a>two</a>") == "a('one'),a('two')"
+
+
+def test_aaa_furthest_block_rewrap():
+    # text after </b> inside the still-open block is NOT bold; the
+    # block's earlier content is re-wrapped in a clone of <b>
+    assert _tree("<b>bold<div>still bold</b>not bold</div>") == \
+        "b('bold'),div(b('still bold'),'not bold')"
+
+
+def test_aaa_reconstruct_after_block_close():
+    assert _tree("<div><b>x</div>y") == "div(b('x')),b('y')"
+
+
+def test_aaa_noahs_ark():
+    # the active-formatting LIST keeps at most 3 identical entries,
+    # so the reconstructed run inside the div is capped at 3 (the 5
+    # original sibling <b>s stay in the DOM untouched)
+    out = _tree("<p>" + "<b>" * 5 + "x<div>y")
+    assert out == "p(b(b(b(b(b('x')))))),div(b(b(b('y'))))"
+
+
+def test_aaa_ignores_unopened_formatting_end():
+    assert _tree("<p>x</b>y</p>") == "p('x','y')"
+
+
+def test_aaa_text_output_stable():
+    # document_to_text must see identical text regardless of the
+    # inline re-wrapping the algorithm performs
+    from kgp.html_text import document_to_text, parse_html
+    t = document_to_text(parse_html(
+        "<p>1<b>2<p>3</b>4<div><i>5</div>6"))
+    for ch in "123456":
+        assert ch in t
+
+
+# ---------------- full reference fixture sweep (all ~30 pages)
+
+# every remaining pageContentExtractor page: the parse must complete,
+# the known article/page phrase must be present, and where the page
+# has chrome the extraction must be a strict subset of the full text
+FIXTURES_SWEEP = [
+    ("test016.html", "Eine gebannte Menschenmenge", True),
+    ("test017.html", "Apple unveils iPad tablet computer", True),
+    ("test101.html", "UPBH-5004", False),           # chrome-free page
+    ("test201.html", "Sin and Punishment", True),
+    ("test202.html", "Was nun, Frau Kraft?", True),
+    ("test203.html", "Zotac GeForce GTX 470", True),
+    ("test204.html", "Klose oder Cacau?", True),
+    ("test205.html", "Red Dead Redemption", True),
+    ("test206.html", "Collier County Sheriff", True),
+    ("test207.html", "Twittley Karma", True),
+    ("test5.html", "längerer Absatz", False),       # MacRoman XML decl
+    ("test6.html", "längerer Absatz", False),
+    ("test7.html", "without specified encoding", False),
+    ("test8.html", "ISO-8859-1", False),
+]
+
+
+@pytest.mark.parametrize("name,phrase,has_chrome", FIXTURES_SWEEP)
+def test_parse_document_fixture_sweep(name, phrase, has_chrome):
+    from kgp.html_text import parse_document
+    path = os.path.join(FIXDIR, name)
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not available")
+    r = parse_document(open(path, "rb").read())
+    assert phrase in r["full_text"], name
+    assert r["text"].strip(), name
+    if has_chrome:
+        assert len(r["text"]) < len(r["full_text"]), name
+
+
+def test_parse_document_fixture_readability_208():
+    # Readability-era page (that extractor is superseded in the
+    # reference); we only pin robustness + full-text fidelity
+    from kgp.html_text import parse_document
+    path = os.path.join(FIXDIR, "test208.html")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not available")
+    r = parse_document(open(path, "rb").read())
+    assert "Business Insider" in r["full_text"]
+    assert len(r["text"]) < len(r["full_text"])
+
+
+def test_get_links_fixture_base_href():
+    # PageAnalyzerTest.java:208-217: getLinks resolves against the
+    # <base> tag (test9) and the document URL (test10)
+    from kgp.html_text import parse_html, sniff_decode
+    from kgp.webgraph import get_links
+    for name in ("test9.html", "test10.html"):
+        path = os.path.join(FIXDIR, name)
+        if not os.path.exists(path):
+            pytest.skip("reference fixtures not available")
+        root = parse_html(sniff_decode(open(path, "rb").read()))
+        links = get_links(root, "http://www.example.com/", True, True)
+        assert links[0]["url"] == "http://www.example.com/test.html", name
