@@ -1326,6 +1326,63 @@ def _q_dt_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dt.classify_stage(feats, _dt.gate_model())
 
 
+def _q_content_date_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContentDateRater + RatedDateComparator as a FULL oracle
+    (kgp.contentdates): the quickdt forest rater — mirroring the
+    reference's bundled dates_pub QuickDt model,
+    ContentDateRater.java:60-105 — compiles into nested CASE WHEN
+    columns (tree_column), the publish+inUrl override stays exact, and
+    the per-url winner comes from the RatedDateComparator window
+    (rate desc, position asc, newest first). Candidate features are
+    synthesized closed-form from doc_id so the DuckDB oracle rebuilds
+    features, forest and comparator symbolically (tree_sql)."""
+    from kgp import contentdates as _cd
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ci = F.col("ci")
+    cands = docs.select(
+        d.cast("string").alias("url"), "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("ci")
+    ).withColumn("ci", F.col("ci").cast("long"))
+    exact = (d + ci * 2) % 7
+    feats = cands.select(
+        "url", "doc_id", "ci",
+        F.element_at(F.array(F.lit(0.0), F.lit(1.0), F.lit(3.0)),
+                     ((d + ci) % 3).cast("int") + 1).alias("key_class"),
+        ((d * 3 + ci) % 3).cast("double").alias("key_loc"),
+        F.when((d * 3 + ci) % 3 == 2,
+               ((d * 7 + ci) % 31).cast("double") / 30.0)
+        .otherwise(F.lit(0.0)).alias("key_diff"),
+        (((d * 13 + ci * 37) % 100).cast("double") / 100.0)
+        .alias("rel_doc_pos"),
+        ((ci + 1).cast("double") / 3.0).alias("ord_doc_pos"),
+        (((d + 2 * ci) % 3 + 1).cast("double") / 3.0)
+        .alias("ord_age_pos"),
+        (((d * 5 + ci) % 3 + 1).cast("double") / 3.0)
+        .alias("rel_cnt_same"),
+        (F.lit(1.0) / 3.0).alias("rel_size"),
+        exact.cast("double").alias("exactness"),
+        F.when(exact >= 4, 1.0).otherwise(0.0).alias("hour_set"),
+        F.when(d % 5 == ci, 1.0).otherwise(0.0).alias("in_meta_d"),
+        F.when((d + ci) % 9 == 0, 1.0).otherwise(0.0).alias("h_tag_d"),
+        F.when((d + ci) % 4 == 1, 1.0).otherwise(0.0).alias("struct_d"),
+        F.when((d % 11 == 0) & (ci == 0), 1.0).otherwise(0.0)
+        .alias("in_url_d"),
+        (ci * 120 + d % 50).cast("long").alias("abs_pos"),
+        (2015 + (d + ci) % 10).cast("long").alias("year"),
+        ((d + 2 * ci) % 12 + 1).cast("long").alias("month"),
+        ((d * 3 + ci) % 28 + 1).cast("long").alias("day"),
+        F.when(exact >= 4, (d + ci) % 24).otherwise(-1)
+        .cast("long").alias("hour"))
+    feats = feats.withColumn(
+        "value", F.format_string("%04d-%02d-%02d", "year", "month",
+                                 "day"))
+    rated = _cd.rate_with_forest(feats)
+    best = _cd.best_content_dates(rated)
+    return best.select("url", "doc_id", "value", "year", "month",
+                       "day", "hour", "abs_pos", "rate")
+
+
 def _q_unit_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit detection + normalization (kgp.units — UnitNormalizer /
     UnitType port, tables transcribed, goldens pinned to the
@@ -1383,6 +1440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail (every tail query has a green CORRECTNESS_r03 row, so each
     name retains at-least-once driver evidence)."""
     return {
+        # -- NEW this round (r4) ------------------------------------
+        "content_date_rates": _q_content_date_rates,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1577,4 +1636,5 @@ def oracle_sql() -> dict[str, str]:
         "discovered_feeds": _oracle.discovered_feeds_sql(),
         "unit_amounts": _oracle.unit_amounts_sql(),
         "dt_predictions": _oracle.dt_predictions_sql(),
+        "content_date_rates": _oracle.content_date_rates_sql(),
     }

@@ -592,6 +592,88 @@ def train_content_date_rater(cands: DataFrame, label_col: str = "label",
     return Pipeline(stages=[asm, rf]).fit(df), feats
 
 
+RATER_FEATURES = [
+    "key_class", "key_loc", "key_diff", "rel_doc_pos", "ord_doc_pos",
+    "ord_age_pos", "rel_cnt_same", "rel_size", "exactness", "hour_set",
+    "in_meta_d", "h_tag_d", "struct_d",
+]
+
+
+def synth_rater_training(n: int = 600) -> list[tuple[dict, str]]:
+    """Deterministic labeled candidate vectors over the
+    DateInstanceFactory feature set (DateInstanceFactory.java:26-92)
+    — closed-form arithmetic (no RNG) so the gate oracle regenerates
+    the exact same forest. The label rule mirrors what the
+    reference's bundled dates_pub model rewards: PUBLISH-class
+    keywords found structurally, early document position, same-day
+    agreement and meta confirmation."""
+    rows: list[tuple[dict, str]] = []
+    for i in range(n):
+        key_class = float((0, 1, 3)[i % 3])
+        key_loc = float((i // 3) % 3)
+        key_diff = ((i * 11) % 31) / 30.0 if key_loc == 2 else 0.0
+        rel_doc_pos = ((i * 17) % 100) / 100.0
+        ord_doc_pos = ((i * 19) % 100) / 100.0
+        ord_age_pos = ((i * 23) % 100) / 100.0
+        rel_cnt_same = (((i * 29) % 10) + 1) / 10.0
+        rel_size = 1.0 / (1 + i % 8)
+        exactness = float((i * 13) % 7)
+        hour_set = 1.0 if exactness >= 4 else 0.0
+        in_meta = 1.0 if i % 5 == 0 else 0.0
+        h_tag = 1.0 if i % 9 == 0 else 0.0
+        struct = 1.0 if i % 4 == 1 else 0.0
+        score = ((2.0 if key_class == 1 else 0.5 if key_class == 3
+                  else 0.0)
+                 + (1.0 if key_loc == 1 else key_diff
+                    if key_loc == 2 else 0.0)
+                 + 0.8 * rel_cnt_same - rel_doc_pos + 0.6 * in_meta
+                 + 0.3 * struct - 0.4 * h_tag + 0.1 * exactness)
+        rows.append(({"key_class": key_class, "key_loc": key_loc,
+                      "key_diff": key_diff, "rel_doc_pos": rel_doc_pos,
+                      "ord_doc_pos": ord_doc_pos,
+                      "ord_age_pos": ord_age_pos,
+                      "rel_cnt_same": rel_cnt_same,
+                      "rel_size": rel_size, "exactness": exactness,
+                      "hour_set": hour_set, "in_meta_d": in_meta,
+                      "h_tag_d": h_tag, "struct_d": struct},
+                     "pos" if score > 1.6 else "neg"))
+    return rows
+
+
+_GATE_FOREST = None
+
+
+def gate_rater_forest():
+    """The fixed ContentDateRater forest the gate scores with —
+    kgp.dtree.train_forest (the quickdt port) over the deterministic
+    training set; this mirrors the reference's bundled QuickDt forest
+    (ContentDateRater.java:60-68 loads dates_pub_model.gz, a
+    serialized quickdt RandomForest) more faithfully than the
+    pyspark.ml substitute. Cached per process; fully deterministic."""
+    global _GATE_FOREST
+    if _GATE_FOREST is None:
+        from kgp.dtree import train_forest
+        _GATE_FOREST = train_forest(synth_rater_training(),
+                                    num_trees=10, seed=13)
+    return _GATE_FOREST
+
+
+def rate_with_forest(cands: DataFrame, forest=None) -> DataFrame:
+    """ContentDateRater.rate with a quickdt forest: rate = P(pos)
+    compiled into one nested CASE WHEN column (whole-stage-codegen,
+    model inlined into the plan — no broadcast, no Python); the
+    publish+inUrl override stays exact (ContentDateRater.java:90-91).
+    Expects the RATER_FEATURES columns (derive the _d flags from the
+    boolean candidate columns first when rating content_dates_stage
+    output)."""
+    from kgp.dtree import tree_column
+    forest = forest or gate_rater_forest()
+    p_pos = tree_column(forest, "pos")
+    rate = (F.when(F.col("in_url_d") > 0, F.lit(1.0))
+            .otherwise(F.round(p_pos, 9) + F.lit(0.0)))
+    return cands.withColumn("rate", rate)
+
+
 def apply_trained_rater(cands: DataFrame, model) -> DataFrame:
     """Score candidates with a trained forest: rate = P(1); the
     publish+inUrl override stays exact like the reference."""

@@ -2404,6 +2404,72 @@ SELECT event_id,
 FROM e ORDER BY event_id"""
 
 
+def content_date_rates_sql() -> str:
+    """Mirror of the content_date_rates gate: the SAME deterministic
+    quickdt forest (kgp.contentdates.gate_rater_forest — trained on
+    closed-form synthetic DateInstanceFactory vectors, no RNG)
+    rendered as SQL by tree_sql; the candidate features, the
+    publish+inUrl override (ContentDateRater.java:90-91) and the
+    RatedDateComparator window (RatedDateComparator.java:39-75) are
+    all recomputed symbolically."""
+    from kgp.contentdates import gate_rater_forest
+    from kgp.dtree import tree_sql
+    p_pos = tree_sql(gate_rater_forest(), "pos")
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, doc_id, CAST(ci AS BIGINT) AS ci
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS ci) cand
+), f AS (
+  SELECT url, doc_id, ci,
+    CAST(CASE (doc_id + ci) % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 3 END
+         AS DOUBLE) AS key_class,
+    CAST((doc_id * 3 + ci) % 3 AS DOUBLE) AS key_loc,
+    CASE WHEN (doc_id * 3 + ci) % 3 = 2
+         THEN CAST((doc_id * 7 + ci) % 31 AS DOUBLE) / 30.0
+         ELSE CAST(0 AS DOUBLE) END AS key_diff,
+    CAST((doc_id * 13 + ci * 37) % 100 AS DOUBLE) / 100.0
+      AS rel_doc_pos,
+    CAST(ci + 1 AS DOUBLE) / 3.0 AS ord_doc_pos,
+    CAST((doc_id + 2 * ci) % 3 + 1 AS DOUBLE) / 3.0 AS ord_age_pos,
+    CAST((doc_id * 5 + ci) % 3 + 1 AS DOUBLE) / 3.0 AS rel_cnt_same,
+    CAST(1 AS DOUBLE) / 3.0 AS rel_size,
+    CAST((doc_id + ci * 2) % 7 AS DOUBLE) AS exactness,
+    CASE WHEN (doc_id + ci * 2) % 7 >= 4 THEN CAST(1 AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS hour_set,
+    CASE WHEN doc_id % 5 = ci THEN CAST(1 AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS in_meta_d,
+    CASE WHEN (doc_id + ci) % 9 = 0 THEN CAST(1 AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS h_tag_d,
+    CASE WHEN (doc_id + ci) % 4 = 1 THEN CAST(1 AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS struct_d,
+    CASE WHEN doc_id % 11 = 0 AND ci = 0 THEN CAST(1 AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS in_url_d,
+    CAST(ci * 120 + doc_id % 50 AS BIGINT) AS abs_pos,
+    CAST(2015 + (doc_id + ci) % 10 AS BIGINT) AS year,
+    CAST((doc_id + 2 * ci) % 12 + 1 AS BIGINT) AS month,
+    CAST((doc_id * 3 + ci) % 28 + 1 AS BIGINT) AS day,
+    CAST(CASE WHEN (doc_id + ci * 2) % 7 >= 4 THEN (doc_id + ci) % 24
+              ELSE -1 END AS BIGINT) AS hour
+  FROM base
+), v AS (
+  SELECT *, printf('%04d-%02d-%02d', year, month, day) AS value
+  FROM f
+), rated AS (
+  SELECT *,
+    CASE WHEN in_url_d > 0 THEN CAST(1 AS DOUBLE)
+         ELSE round({p_pos}, 9) + CAST(0 AS DOUBLE) END AS rate
+  FROM v
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY url
+    ORDER BY rate DESC, abs_pos ASC, year DESC, month DESC, day DESC,
+             hour DESC, value ASC) AS rn
+  FROM rated
+)
+SELECT url, doc_id, value, year, month, day, hour, abs_pos, rate
+FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+
+
 def dt_predictions_sql() -> str:
     """Mirror of the dt_predictions gate: the SAME deterministic tree
     (kgp.dtree.gate_model — trained on closed-form synthetic data, no

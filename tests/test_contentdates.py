@@ -124,3 +124,39 @@ def test_contentdates_hostile_inputs(spark):
     # rating and best-date never crash on whatever survived
     best = cd.best_content_dates(cd.rate_content_dates(cands))
     assert best.count() <= 4
+
+
+def test_forest_rater_matches_scalar_twin(spark):
+    """tree_column scoring of the gate forest == the scalar
+    ForestModel.probability on every synthetic training vector, and
+    the publish+inUrl override wins (ContentDateRater.java:90-91)."""
+    from kgp.contentdates import (RATER_FEATURES, gate_rater_forest,
+                                  rate_with_forest,
+                                  synth_rater_training)
+
+    forest = gate_rater_forest()
+    rows = synth_rater_training(120)
+    df = spark.createDataFrame(
+        [(i, *[feats[f] for f in RATER_FEATURES],
+          1.0 if i % 11 == 0 else 0.0)
+         for i, (feats, _label) in enumerate(rows)],
+        ["i", *RATER_FEATURES, "in_url_d"])
+    got = {r["i"]: r["rate"]
+           for r in rate_with_forest(df).collect()}
+    for i, (feats, _label) in enumerate(rows):
+        if i % 11 == 0:
+            assert got[i] == 1.0
+        else:
+            exp = round(forest.probability(feats, "pos"), 9)
+            assert abs(got[i] - exp) < 1e-12, (i, got[i], exp)
+
+
+def test_forest_rater_deterministic():
+    """Two processes training gate_rater_forest must agree — assert
+    the SQL rendering is stable across retrains in-process."""
+    from kgp import contentdates as cd
+    from kgp.dtree import train_forest, tree_sql
+    a = tree_sql(cd.gate_rater_forest(), "pos")
+    b = tree_sql(train_forest(cd.synth_rater_training(),
+                              num_trees=10, seed=13), "pos")
+    assert a == b
