@@ -1383,6 +1383,56 @@ def _q_content_date_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "day", "hour", "abs_pos", "rate")
 
 
+def _q_ml_disambig_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureBasedDisambiguation as a FULL oracle (kgp.disambig_ml):
+    candidate generation (broadcast expanded gazetteer), ALL 15
+    ConfigurableFeatureExtractor features as column expressions
+    (windows over url / mention key, haversine 50 km counts), and the
+    quickdt forest — the reference's actual model family,
+    FeatureBasedDisambiguation.java:31 — compiled to CASE WHEN
+    columns; the DuckDB oracle recomputes candidates, every feature,
+    the forest (tree_sql), the argmax window and the probability
+    threshold symbolically. Mentions are synthesized closed-form from
+    doc_id against the gate gazetteer (corpus gazetteer + geo/acronym/
+    ambiguity probes)."""
+    from kgp import constants as C
+    from kgp import disambig_ml as _dml
+    from kgp.corpus import GAZETTEER_SCHEMA
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    d = F.col("doc_id")
+
+    def pick(vals: list[str], idx) -> F.Column:
+        return F.element_at(F.array(*[F.lit(v) for v in vals]),
+                            idx.cast("int") + 1)
+
+    def mrow(df, sent: int, start: int, surface, tag: str,
+             score: float):
+        return df.select(
+            d.cast("string").alias("url"),
+            F.lit(sent).cast("long").alias("sent_idx"),
+            F.lit(start).cast("long").alias("start"),
+            surface.alias("surface"), F.lit(tag).alias("tag"),
+            F.lit(score).alias("score"))
+
+    mentions = (
+        mrow(docs, 0, 5, pick(C.CITIES, d % 11), "CITY", 0.9)
+        .union(mrow(docs, 1, 40, pick(C.COUNTRIES, d % 7),
+                    "COUNTRY", 0.7))
+        .union(mrow(docs, 2, 80, pick(C.ORGS, d % 13), "ORG", 0.5))
+        .union(mrow(docs.where(d % 4 == 1), 3, 120,
+                    F.lit("Rivertown Port"), "POI", 0.6))
+        .union(mrow(docs.where(d % 6 == 2), 4, 160, F.lit("ACME"),
+                    "ORG", 0.4))
+        .union(mrow(docs.where(d % 9 == 3), 5, 200,
+                    F.lit("Zanzitown"), "CITY", 0.3))
+    ).withColumn("end",
+                 (F.col("start") + F.length("surface")).cast("long"))
+    gaz = spark.createDataFrame(_dml.gate_gazetteer_rows(),
+                                GAZETTEER_SCHEMA)
+    return _dml.link_mentions_forest(mentions, gaz)
+
+
 def _q_unit_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit detection + normalization (kgp.units — UnitNormalizer /
     UnitType port, tables transcribed, goldens pinned to the
@@ -1442,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW this round (r4) ------------------------------------
         "content_date_rates": _q_content_date_rates,
+        "ml_disambig_links": _q_ml_disambig_links,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1637,4 +1688,5 @@ def oracle_sql() -> dict[str, str]:
         "unit_amounts": _oracle.unit_amounts_sql(),
         "dt_predictions": _oracle.dt_predictions_sql(),
         "content_date_rates": _oracle.content_date_rates_sql(),
+        "ml_disambig_links": _oracle.ml_disambig_links_sql(),
     }

@@ -237,6 +237,161 @@ def link_mentions_ml(mentions: DataFrame, gaz: DataFrame, model,
     )
 
 
-__all__ = ["PROBABILITY_THRESHOLD", "FEATURE_COLS", "candidate_rows",
+# ------------------------------------------------ quickdt forest path
+#
+# The reference's FeatureBasedDisambiguation actually ships a QuickDt
+# random forest (FeatureBasedDisambiguation.java:31 `QuickDtModel`,
+# FeatureBasedDisambiguationLearner.java:58 `QuickDtLearner.randomForest`)
+# — the kgp.dtree port is therefore the faithful model family; the
+# pyspark.ml path above stays as the distributed-training variant.
+# tree_column compiles the forest into nested CASE WHEN columns, so
+# scoring 10^12 candidate rows is whole-stage-codegen JVM work, and
+# tree_sql renders the SAME forest for the DuckDB gate oracle.
+
+# f_log_population is excluded from SPLIT features: ln() may differ by
+# an ULP across engines, which could flip a `> threshold` comparison;
+# f_population carries the same signal with exact integer arithmetic.
+FOREST_SPLIT_FEATURES = [c for c in FEATURE_COLS
+                         if c != "f_log_population"]
+
+
+def synth_disambig_training(n: int = 800) -> list[tuple[dict, str]]:
+    """Deterministic labeled candidate vectors spanning the value
+    ranges candidate_features emits (closed-form, no RNG — the gate
+    oracle regenerates the identical forest). The label rule rewards
+    what HeuristicDisambiguation rewards: population, hierarchy
+    agreement with the document, primary names, low ambiguity."""
+    rows: list[tuple[dict, str]] = []
+    pops = [-1.0, 0.0, 900.0, 30000.0, 50000.0, 70000.0, 120000.0,
+            2000000.0]
+    for i in range(n):
+        pop = pops[i % 8]
+        ambiguity = (1.0, 0.5, 1.0 / 3.0)[i % 3]
+        diversity = (1.0, 0.5)[i % 2]
+        primary = float(i % 4 != 0)
+        type_code = (-1.0, 0.0, 1.0, 5.0)[i % 4]
+        anc_in_doc = float(i % 5 < 2)
+        desc_in_doc = float(i % 7 == 0)
+        n50 = float((0, 0, 0, 1, 2)[i % 5])
+        bigpop = float(i % 3 != 1)
+        acr = float(i % 10 == 0)
+        mscore = (0.3, 0.4, 0.5, 0.6, 0.7, 0.9)[i % 6]
+        feats = {
+            "f_num_chars": float(4 + (i * 3) % 12),
+            "f_num_tokens": float(1 + i % 2),
+            "f_acronym": acr,
+            "f_population": pop,
+            "f_hierarchy_depth": float(i % 3),
+            "f_name_ambiguity": ambiguity,
+            "f_name_diversity": diversity,
+            "f_primary_name": primary,
+            "f_type_code": type_code,
+            "f_has_ancestor_in_doc": anc_in_doc,
+            "f_has_descendant_in_doc": desc_in_doc,
+            "f_num_loc_in_50": n50,
+            "f_big_pop_in_doc": bigpop,
+            "f_mention_score": mscore,
+        }
+        score = (2.0 * (pop >= 100000) + 1.5 * anc_in_doc + primary
+                 + ambiguity + 0.5 * mscore + 0.3 * (n50 > 0)
+                 - 0.5 * acr + 0.2 * desc_in_doc)
+        rows.append((feats, "pos" if score > 2.4 else "neg"))
+    return rows
+
+
+_GATE_FOREST = None
+
+
+def gate_disambig_forest():
+    """Fixed gate forest (quickdt port, deterministic training set;
+    cached per process)."""
+    global _GATE_FOREST
+    if _GATE_FOREST is None:
+        from kgp.dtree import train_forest
+        _GATE_FOREST = train_forest(synth_disambig_training(),
+                                    num_trees=10, seed=29)
+    return _GATE_FOREST
+
+
+def gate_gazetteer_rows() -> list[dict]:
+    """The corpus gazetteer plus rows that exercise the geo features:
+    a POI within 50 km of a city (f_num_loc_in_50 > 0), a second
+    big-population Rivertown (real cross-doc ambiguity), and an
+    acronym org surface (f_acronym). Coordinates are chosen so no
+    candidate pair sits near the 50 km haversine boundary (cross-
+    engine trig is ULP-identical only away from thresholds)."""
+    from kgp.constants import CITY_ID, COUNTRY_ID
+    from kgp.corpus import gazetteer_rows
+    rows = list(gazetteer_rows())
+    rows.append(dict(id=5000, name="Rivertown Port", alt_names=[],
+                     type="POI", population=50,
+                     ancestor_ids=[CITY_ID + 1], lat=11.1, lon=-3.0))
+    rows.append(dict(id=5001, name="ACME", alt_names=["Acme Corp"],
+                     type="ORG", population=None, ancestor_ids=[],
+                     lat=None, lon=None))
+    rows.append(dict(id=5002, name="Rivertown", alt_names=[],
+                     type="CITY", population=120_000,
+                     ancestor_ids=[COUNTRY_ID + 1], lat=45.0, lon=20.0))
+    return rows
+
+
+def train_disambiguator_forest(mentions: DataFrame, gaz: DataFrame,
+                               gold: DataFrame, num_trees: int = 10,
+                               seed: int = 29):
+    """FeatureBasedDisambiguationLearner with the quickdt family:
+    label every candidate against gold, bounded-collect the instances
+    (the reference API is an in-memory instance list) and train the
+    forest driver-side. Splits exclude f_log_population (exact-
+    arithmetic twin f_population carries the signal)."""
+    from kgp.dtree import collect_instances, train_forest
+    cand = candidate_features(candidate_rows(mentions, gaz)) \
+        .where(F.col("entity_id").isNotNull())
+    g = gold.select("url", "start", "end",
+                    F.col("entity_id").alias("gold_id"))
+    labeled = (cand.join(g, ["url", "start", "end"], "inner")
+               .withColumn("_lbl",
+                           F.when(F.col("entity_id") == F.col("gold_id"),
+                                  "pos").otherwise("neg")))
+    inst = collect_instances(labeled, "_lbl", FOREST_SPLIT_FEATURES)
+    return train_forest(inst, num_trees=num_trees, seed=seed)
+
+
+def link_mentions_forest(mentions: DataFrame, gaz: DataFrame,
+                         forest=None,
+                         threshold: float = PROBABILITY_THRESHOLD
+                         ) -> DataFrame:
+    """FeatureBasedDisambiguation.disambiguate with the compiled
+    forest: p_true = P(pos) as one nested CASE WHEN column, argmax
+    per mention, NIL below the probability threshold (:79-99).
+    mentions: (url, sent_idx, start, end, surface, tag, score)."""
+    from kgp.dtree import tree_column
+    forest = forest or gate_disambig_forest()
+    cand = candidate_features(candidate_rows(mentions, gaz))
+    scored = cand.withColumn(
+        "p_true", F.round(tree_column(forest, "pos"), 9) + F.lit(0.0))
+    mention_key = ["url", "sent_idx", "start", "end"]
+    pick_w = Window.partitionBy(*mention_key).orderBy(
+        F.desc("p_true"), F.asc("entity_id"))
+    out = (scored
+           .withColumn("_rn", F.row_number().over(pick_w))
+           .where(F.col("_rn") == 1)
+           .withColumn("_keep",
+                       F.col("entity_id").isNotNull()
+                       & (F.col("p_true") >= threshold)))
+    return out.select(
+        "url", "sent_idx", "start", "end", "surface", "tag",
+        F.when(F.col("_keep"), F.col("entity_id")).alias("entity_id"),
+        F.when(F.col("_keep"), F.col("canon_name"))
+        .otherwise(F.col("surface")).alias("canon_name"),
+        F.when(F.col("_keep"), F.col("p_true"))
+        .otherwise(F.lit(0.0)).alias("link_score"),
+    )
+
+
+__all__ = ["PROBABILITY_THRESHOLD", "FEATURE_COLS",
+           "FOREST_SPLIT_FEATURES", "candidate_rows",
            "candidate_features", "train_disambiguator",
-           "link_mentions_ml", "LINK_COLUMNS"]
+           "link_mentions_ml", "LINK_COLUMNS",
+           "synth_disambig_training", "gate_disambig_forest",
+           "gate_gazetteer_rows", "train_disambiguator_forest",
+           "link_mentions_forest"]

@@ -2470,6 +2470,146 @@ SELECT url, doc_id, value, year, month, day, hour, abs_pos, rate
 FROM ranked WHERE rn = 1 ORDER BY doc_id"""
 
 
+def ml_disambig_links_sql() -> str:
+    """Mirror of the ml_disambig_links gate: the expanded gate
+    gazetteer inlined as VALUES, every ConfigurableFeatureExtractor
+    feature recomputed in SQL (window ambiguity counts, doc-level
+    entity/ancestor sets, haversine 50 km pair counts), the SAME
+    deterministic quickdt forest rendered by tree_sql, then the argmax
+    window + probability threshold (FeatureBasedDisambiguation.java:
+    36,79-99)."""
+    from kgp.disambig_ml import (PROBABILITY_THRESHOLD,
+                                 gate_disambig_forest,
+                                 gate_gazetteer_rows)
+    from kgp.dtree import tree_sql
+    p_pos = tree_sql(gate_disambig_forest(), "pos")
+
+    gaz_vals = []
+    for r in gate_gazetteer_rows():
+        uniq = list(dict.fromkeys([r["name"], *r["alt_names"]]))
+        pop = r["population"] if r["population"] is not None else -1
+        anc = "CAST([" + ", ".join(str(a) for a in r["ancestor_ids"]) \
+            + "] AS BIGINT[])"
+        lat = "CAST(NULL AS DOUBLE)" if r["lat"] is None \
+            else f"CAST({r['lat']!r} AS DOUBLE)"
+        lon = "CAST(NULL AS DOUBLE)" if r["lon"] is None \
+            else f"CAST({r['lon']!r} AS DOUBLE)"
+        for form in uniq:
+            gaz_vals.append(
+                f"(CAST({r['id']} AS BIGINT), {_lit(r['name'])}, "
+                f"{_lit(form.lower())}, {_lit(r['type'])}, "
+                f"CAST({pop} AS BIGINT), {anc}, {lat}, {lon}, "
+                f"CAST({len(uniq)} AS BIGINT))")
+
+    hav = ("2 * 6371.0 * asin(sqrt(pow(sin(radians(c.lat - o.lat) / 2)"
+           ", 2) + cos(radians(o.lat)) * cos(radians(c.lat)) * "
+           "pow(sin(radians(c.lon - o.lon) / 2), 2)))")
+    mention_selects = f"""
+  SELECT CAST(doc_id AS VARCHAR) AS url, CAST(0 AS BIGINT) AS sent_idx,
+         CAST(5 AS BIGINT) AS "start",
+         {_pick(C.CITIES, 'doc_id % 11')} AS surface, 'CITY' AS tag,
+         CAST(0.9 AS DOUBLE) AS score FROM documents
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 40,
+         {_pick(C.COUNTRIES, 'doc_id % 7')}, 'COUNTRY',
+         CAST(0.7 AS DOUBLE) FROM documents
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 2, 80,
+         {_pick(C.ORGS, 'doc_id % 13')}, 'ORG',
+         CAST(0.5 AS DOUBLE) FROM documents
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 3, 120, 'Rivertown Port',
+         'POI', CAST(0.6 AS DOUBLE) FROM documents WHERE doc_id % 4 = 1
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 4, 160, 'ACME', 'ORG',
+         CAST(0.4 AS DOUBLE) FROM documents WHERE doc_id % 6 = 2
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 5, 200, 'Zanzitown',
+         'CITY', CAST(0.3 AS DOUBLE) FROM documents
+         WHERE doc_id % 9 = 3"""
+    d0 = "CAST(0 AS DOUBLE)"
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT *, CAST("start" + length(surface) AS BIGINT) AS "end"
+  FROM ({mention_selects})
+), gaz(entity_id, canon_name, norm, etype, population, anc, lat, lon,
+       n_forms) AS (
+  VALUES {", ".join(gaz_vals)}
+), cand AS MATERIALIZED (
+  SELECT m.url, m.sent_idx, m."start", m."end", m.surface, m.tag,
+         m.score, g.entity_id, g.canon_name, g.etype, g.population,
+         g.anc, g.lat, g.lon, g.n_forms
+  FROM m LEFT JOIN gaz g ON g.norm = lower(m.surface)
+), docagg AS MATERIALIZED (
+  SELECT url,
+    list_distinct(list(entity_id)
+      FILTER (WHERE entity_id IS NOT NULL)) AS doc_ids,
+    list_distinct(flatten(list(anc)
+      FILTER (WHERE entity_id IS NOT NULL))) AS doc_anc,
+    max(CASE WHEN entity_id IS NOT NULL AND lat IS NOT NULL
+             AND population >= 100000 THEN 1 ELSE 0 END) AS bigpop
+  FROM cand GROUP BY url
+), geo AS MATERIALIZED (
+  SELECT url, entity_id AS eid, lat, lon FROM cand
+  WHERE entity_id IS NOT NULL AND lat IS NOT NULL
+), n50 AS MATERIALIZED (
+  SELECT c.url, c.entity_id, count(*) AS cnt
+  FROM (SELECT DISTINCT url, eid AS entity_id, lat, lon FROM geo) c
+  JOIN geo o ON o.url = c.url AND o.eid <> c.entity_id
+            AND {hav} < 50
+  GROUP BY c.url, c.entity_id
+), feat AS MATERIALIZED (
+  SELECT c.url, c.sent_idx, c."start", c."end", c.surface, c.tag,
+    c.entity_id, c.canon_name,
+    COALESCE(CAST(length(c.surface) AS DOUBLE), {d0}) AS f_num_chars,
+    COALESCE(CAST(len(string_split(c.surface, ' ')) AS DOUBLE), {d0})
+      AS f_num_tokens,
+    CASE WHEN regexp_matches(c.surface, '^([A-Z]+|([A-Z]\\.)+)$')
+         THEN CAST(1 AS DOUBLE) ELSE {d0} END AS f_acronym,
+    COALESCE(CAST(c.population AS DOUBLE), {d0}) AS f_population,
+    COALESCE(CAST(CASE WHEN c.entity_id IS NOT NULL THEN len(c.anc)
+                       ELSE 0 END AS DOUBLE), {d0})
+      AS f_hierarchy_depth,
+    CAST(1 AS DOUBLE) / GREATEST(COUNT(c.entity_id) OVER (
+      PARTITION BY c.url, c.sent_idx, c."start", c."end"), 1)
+      AS f_name_ambiguity,
+    CAST(1 AS DOUBLE) / GREATEST(COALESCE(c.n_forms, 1), 1)
+      AS f_name_diversity,
+    CASE WHEN lower(c.surface) = lower(c.canon_name)
+         THEN CAST(1 AS DOUBLE) ELSE {d0} END AS f_primary_name,
+    COALESCE(CAST(CASE c.etype WHEN 'CITY' THEN 0 WHEN 'COUNTRY' THEN 1
+      WHEN 'UNIT' THEN 2 WHEN 'CONTINENT' THEN 3 WHEN 'REGION' THEN 4
+      WHEN 'POI' THEN 5 WHEN 'LANDMARK' THEN 6 WHEN 'UNDETERMINED'
+      THEN 7 ELSE -1 END AS DOUBLE), {d0}) AS f_type_code,
+    CASE WHEN list_has_any(COALESCE(c.anc, CAST([] AS BIGINT[])),
+                           COALESCE(a.doc_ids, CAST([] AS BIGINT[])))
+         THEN CAST(1 AS DOUBLE) ELSE {d0} END AS f_has_ancestor_in_doc,
+    CASE WHEN c.entity_id IS NOT NULL AND list_contains(
+           COALESCE(a.doc_anc, CAST([] AS BIGINT[])), c.entity_id)
+         THEN CAST(1 AS DOUBLE) ELSE {d0} END
+      AS f_has_descendant_in_doc,
+    CASE WHEN c.entity_id IS NULL OR c.lat IS NULL THEN {d0}
+         ELSE COALESCE(CAST(n.cnt AS DOUBLE), {d0}) END
+      AS f_num_loc_in_50,
+    COALESCE(CAST(a.bigpop AS DOUBLE), {d0}) AS f_big_pop_in_doc,
+    COALESCE(CAST(c.score AS DOUBLE), {d0}) AS f_mention_score
+  FROM cand c
+  LEFT JOIN docagg a ON a.url = c.url
+  LEFT JOIN n50 n ON n.url = c.url AND n.entity_id = c.entity_id
+), scored AS MATERIALIZED (
+  SELECT *, round({p_pos}, 9) + {d0} AS p_true FROM feat
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY url, sent_idx, "start", "end"
+    ORDER BY p_true DESC, entity_id ASC) AS rn
+  FROM scored
+), best AS (
+  SELECT *, (entity_id IS NOT NULL
+             AND p_true >= {PROBABILITY_THRESHOLD!r}) AS keep
+  FROM ranked WHERE rn = 1
+)
+SELECT url, sent_idx, "start", "end", surface, tag,
+  CASE WHEN keep THEN entity_id END AS entity_id,
+  CASE WHEN keep THEN canon_name ELSE surface END AS canon_name,
+  CASE WHEN keep THEN p_true ELSE {d0} END AS link_score
+FROM best ORDER BY url, sent_idx"""
+
+
 def dt_predictions_sql() -> str:
     """Mirror of the dt_predictions gate: the SAME deterministic tree
     (kgp.dtree.gate_model — trained on closed-form synthetic data, no
