@@ -42,3 +42,81 @@ def test_hot_keys_and_spread(spark):
     hot = hot_keys(df, "host", 50).collect()
     assert [r.host for r in hot] == ["a"]
     assert spread(df, ["rid"], 8).rdd.getNumPartitions() == 8
+
+
+def test_metablocking_hot_block_purge_caps_pairs(spark):
+    """Corpus-scale skew knob (VERDICT r3 #7): one stop-word-like
+    token shared by 100x more entities than the median block must be
+    purged BEFORE pairing, so the candidate-pair count is bounded by
+    the small blocks' quadratic sum — never by the hot block's."""
+    from kgp.metablocking import cbs_pairs, token_blocks
+
+    # 400 entities share the hot token "corp"; small 4-entity blocks
+    # share distinct tokens g0..g24; median block size = 4.
+    rows = [(i, f"corp g{i % 25}") for i in range(100)]
+    rows += [(100 + i, "corp") for i in range(300)]
+    ents = spark.createDataFrame(rows, "entity_id long, name string")
+
+    blocks = token_blocks(ents, max_block_size=50)
+    kept = {r["block"] for r in blocks.select("block")
+            .distinct().collect()}
+    assert "corp" not in kept            # hot block purged
+    assert kept == {f"g{i}" for i in range(25)}
+
+    pairs = cbs_pairs(blocks)
+    n_pairs = pairs.count()
+    bound = 25 * (4 * 3 // 2)            # 25 blocks x C(4,2)
+    assert n_pairs == bound, (n_pairs, bound)
+    # without the purge every pair co-occurs in the hot block:
+    # C(400,2) = 79800 distinct candidate pairs, 532x the bound
+    unbounded = cbs_pairs(token_blocks(ents, max_block_size=None))
+    assert unbounded.count() == (400 * 399) // 2
+
+    # plan: the purge is a pre-join aggregation+filter on the BLOCK
+    # side — the executed self-join must be a SortMergeJoin/shuffle
+    # hash join on block, never a cartesian product
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spandedup_viral_span_shuffles_linear_rows(spark):
+    """One viral span in 100x the median document count: the
+    join-back must shuffle only matched shingles (rows linear in
+    occurrences, never pairwise), the scrub keeps exactly one owner
+    copy, and the plan contains no pairwise join."""
+    from kgp.spandedup import (duplicated_spans, scrub_duplicated_spans,
+                               span_shingles)
+
+    viral = "V" * 40
+    rows = [(i, viral + f" tail of document {i:04d} " + "x" * 40)
+            for i in range(100)]                       # viral span
+    rows += [(100 + i, f"unique text {i:04d} " + "y" * 60)
+             for i in range(5)]                        # clean docs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dup = duplicated_spans(docs, span_len=40, stride=40)
+    viral_rows = [r for r in dup.collect() if r["n_docs"] == 100]
+    assert len(viral_rows) == 1                        # one hot group
+
+    # shuffle volume of the join-back is matched-shingle rows only:
+    # == total occurrences of duplicated hashes, not C(100,2) pairs
+    sh = span_shingles(docs, span_len=40, stride=40)
+    dup_keys = dup.select("span_hash")
+    matched = sh.join(dup_keys, "span_hash").count()
+    assert matched <= sh.count()
+    assert matched < 100 * 99            # never pairwise in the hot key
+
+    scrubbed = {r["doc_id"]: r["text"] for r in
+                scrub_duplicated_spans(docs, span_len=40,
+                                       stride=40).collect()}
+    owners = [d for d, t in scrubbed.items() if viral in t]
+    assert owners == [0]                 # min-doc_id owner keeps it
+    assert all(viral not in scrubbed[i] for i in range(1, 100))
+    for i in range(5):                   # clean docs byte-identical
+        assert scrubbed[100 + i] == rows[100 + i][1]
+
+    plan = scrub_duplicated_spans(docs, span_len=40, stride=40) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
