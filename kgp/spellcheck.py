@@ -25,10 +25,14 @@ Semantics kept exactly:
   upperCaseFirstLetter (:338-346, countUppercaseLetters is ASCII-only
   per StringHelper.java:55).
 
-German compound support (germanCompoundSupport=true) is NOT ported:
-it requires WordTransformer.splitGermanCompoundWords' bundled German
-word database, a shipped data file outside this repo's scope; the
-flag raises to keep the gap loud.
+German compound support (germanCompoundSupport=true, :402-426) is
+ported via kgp.germancompound: when no edit-1 candidate clears
+germanCompoundStopCount (default 50), a word whose compound parts all
+sit in the dictionary (directly or via the German singular transform)
+is declared correct and passes through unchanged. The reference's
+germanWords.txt lexicon is not shipped upstream, so the noun DB is
+injected (demo_db default, load_noun_db_tsv for the reference's own
+germanSingularPluralNouns.tsv format).
 
 Spark shape: the dictionary fit is ONE explode + two aggregations
 (unigram counts, adjacent-pair counts) with map-side combine — the
@@ -103,11 +107,16 @@ class SpellChecker:
                  contexts: dict[str, int] | None = None,
                  min_word_length: int = 2, max_word_length: int = 20,
                  max_word_length_distance_two: int = 10,
-                 german_compound_support: bool = False):
+                 german_compound_support: bool = False,
+                 german_noun_db=None,
+                 german_compound_stop_count: int = 50):
+        self.german_compound_support = german_compound_support
+        self.german_compound_stop_count = german_compound_stop_count
         if german_compound_support:
-            raise NotImplementedError(
-                "splitGermanCompoundWords needs the reference's bundled "
-                "German word database (see module docstring)")
+            from kgp.germancompound import demo_db
+            self.german_noun_db = german_noun_db or demo_db()
+        else:
+            self.german_noun_db = german_noun_db
         self.words = dict(words or {})
         self.contexts = dict(contexts or {})
         self.word_mappings: dict[str, str] = {}
@@ -181,7 +190,31 @@ class SpellChecker:
                     s + "_" + right_context, 0)
             candidates[count] = s
 
-        if not candidates:
+        # German compound handling (PalladianSpellChecker.java:402-426):
+        # when no candidate clears germanCompoundStopCount, a word whose
+        # compound parts (>= 2 chars each) are all in the dictionary —
+        # directly or via wordToSingularGermanCaseSensitive — is
+        # declared correct and returned unchanged.
+        compound_correct = False
+        if self.german_compound_support:
+            if not candidates or max(candidates) \
+                    < self.german_compound_stop_count:
+                from kgp.germancompound import (
+                    split_german_compound_words, word_to_singular_german)
+                compound_correct = True
+                for part in split_german_compound_words(
+                        word, self.german_noun_db):
+                    if len(part) < 2:
+                        compound_correct = False
+                        break
+                    if self.words.get(part) is None:
+                        key = word_to_singular_german(
+                            part, self.german_noun_db)
+                        if self.words.get(key) is None:
+                            compound_correct = False
+                            break
+
+        if not candidates and not compound_correct:
             # edit distance 2: first character pinned, no context boost
             for s in variations:
                 if len(s) > self.max_word_length_distance_two:
@@ -193,7 +226,7 @@ class SpellChecker:
                         candidates[count] = w
 
         corrected = word
-        if candidates:
+        if candidates and not compound_correct:
             corrected = candidates[max(candidates)]
         return _upper_first(corrected) if uppercase else corrected
 

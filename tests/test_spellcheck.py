@@ -108,9 +108,10 @@ def test_candidate_tie_last_in_edits_order_wins():
     assert sc.correct_word("bet") == "bit"
 
 
-def test_german_compound_flag_is_loud():
-    with pytest.raises(NotImplementedError):
-        SpellChecker(german_compound_support=True)
+def test_german_compound_flag_enables_db():
+    sc = SpellChecker(german_compound_support=True)
+    assert sc.german_noun_db is not None
+    assert sc.german_compound_stop_count == 50
 
 
 def test_fit_and_stage(spark):
