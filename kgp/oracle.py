@@ -2470,6 +2470,35 @@ SELECT url, doc_id, value, year, month, day, hour, abs_pos, rate
 FROM ranked WHERE rn = 1 ORDER BY doc_id"""
 
 
+def png_pixel_stats_sql() -> str:
+    """Mirror of the png_pixel_stats gate: the pixels fed through the
+    PNG encode→decode loop are the closed form (7*id + 5r + 3c +
+    11*ch) % 256 (kgp.multimodal.synth_pixel_array), so every channel
+    sum and corner value is integer-exact SQL."""
+    return """
+WITH img AS (
+  SELECT doc_id AS media_id, doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+pr AS (SELECT media_id, w, h, unnest(range(0, h)) AS r FROM img),
+px AS (SELECT media_id, w, h, r, unnest(range(0, w)) AS c FROM pr),
+v AS (
+  SELECT media_id, w, h, r, c,
+    (7 * media_id + 5 * r + 3 * c) % 256 AS red,
+    (7 * media_id + 5 * r + 3 * c + 11) % 256 AS grn,
+    (7 * media_id + 5 * r + 3 * c + 22) % 256 AS blu
+  FROM px)
+SELECT media_id,
+  CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+  CAST(SUM(red) AS BIGINT) AS sum_red,
+  CAST(SUM(grn) AS BIGINT) AS sum_grn,
+  CAST(SUM(blu) AS BIGINT) AS sum_blu,
+  CAST(MIN(CASE WHEN r = 0 AND c = 0 THEN red END) AS BIGINT)
+    AS first_red,
+  CAST(MIN(CASE WHEN r = h - 1 AND c = w - 1 THEN blu END) AS BIGINT)
+    AS last_blu
+FROM v GROUP BY media_id ORDER BY media_id"""
+
+
 def ml_disambig_links_sql() -> str:
     """Mirror of the ml_disambig_links gate: the expanded gate
     gazetteer inlined as VALUES, every ConfigurableFeatureExtractor
