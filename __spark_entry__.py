@@ -1394,6 +1394,17 @@ def _q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_roundtrip_stage(docs)
 
 
+def _q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG codec gate (kgp.jpegcodec — Annex K tables,
+    Huffman entropy coding, DCT, pure numpy): tile-constant grayscale
+    with the all-ones quant table round-trips EXACTLY, so the decoded
+    stats equal the DuckDB closed-form recompute — a green row proves
+    the Huffman/DCT encode->decode loop bit-exact."""
+    from kgp.multimodal import jpeg_roundtrip_stage
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jpeg_roundtrip_stage(docs)
+
+
 def _q_ml_disambig_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureBasedDisambiguation as a FULL oracle (kgp.disambig_ml):
     candidate generation (broadcast expanded gazetteer), ALL 15
@@ -1505,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_date_rates": _q_content_date_rates,
         "ml_disambig_links": _q_ml_disambig_links,
         "png_pixel_stats": _q_png_pixel_stats,
+        "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1702,4 +1714,5 @@ def oracle_sql() -> dict[str, str]:
         "content_date_rates": _oracle.content_date_rates_sql(),
         "ml_disambig_links": _oracle.ml_disambig_links_sql(),
         "png_pixel_stats": _oracle.png_pixel_stats_sql(),
+        "jpeg_pixel_stats": _oracle.jpeg_pixel_stats_sql(),
     }

@@ -364,24 +364,78 @@ def png_roundtrip_stage(docs: DataFrame,
     return imgs.mapInPandas(gen, PNG_STATS_SCHEMA)
 
 
+def jpeg_roundtrip_stage(docs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Image docs (id % 3 == 0) → JPEG-encode a tile-constant
+    grayscale image (tile v(tr,tc) = (7*id + 31*tr + 17*tc) % 256,
+    (id%5+1) x (id%4+1) tiles) with the all-ones quantization table,
+    decode it back with the pure-numpy baseline decoder, and emit
+    integer-exact stats. Per the kgp.jpegcodec exactness contract the
+    decode equals the input bit-for-bit, so the DuckDB oracle
+    recomputes every stat from the tile formula — a green gate proves
+    the full Huffman/DCT encode→decode loop."""
+    from kgp.jpegcodec import decode_jpeg, encode_jpeg
+    imgs = docs.where(F.col(id_col) % 3 == 0).select(
+        F.col(id_col).alias("media_id"))
+    ones = np.ones(64, dtype=np.int32)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                th, tw = mid % 5 + 1, mid % 4 + 1
+                tr = np.arange(th)[:, None] * 31
+                tc = np.arange(tw)[None, :] * 17
+                tiles = ((7 * mid + tr + tc) % 256).astype(np.uint8)
+                img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                px = decode_jpeg(encode_jpeg(img, qt_override=ones))
+                gray = px[:, :, 0]
+                if not (gray == img).all():      # contract violation
+                    raise AssertionError(
+                        f"JPEG round trip not exact for id {mid}")
+                rows.append({
+                    "media_id": mid,
+                    "width": gray.shape[1], "height": gray.shape[0],
+                    "sum_gray": int(gray.astype(np.int64).sum()),
+                    "first_gray": int(gray[0, 0]),
+                    "last_gray": int(gray[-1, -1]),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "sum_gray",
+                "first_gray", "last_gray"])
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_gray", T.LongType()),
+        T.StructField("first_gray", T.LongType()),
+        T.StructField("last_gray", T.LongType()),
+    ])
+    return imgs.mapInPandas(gen, schema)
+
+
 def _content_seed(content: bytes) -> int:
     return int.from_bytes(blake2b(bytes(content or b""),
                                   digest_size=4).digest(), "big")
 
 
 def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
-    """→ HxWx3 uint8. BMP and PNG payloads decode for REAL (pure
-    zlib+numpy); JPEG would need PIL/opencv (absent in this
-    container) — it raises unless fake=True selects the deterministic
-    stub."""
+    """→ HxWx3 uint8. BMP, PNG and baseline JPEG payloads decode for
+    REAL (pure zlib/numpy — kgp.jpegcodec for JFIF); other formats
+    raise unless fake=True selects the deterministic stub."""
     if content is not None and bytes(content)[:2] == b"BM":
         return decode_bmp(content)
     if content is not None and bytes(content)[:8] == PNG_MAGIC:
         return decode_png(content)
+    if content is not None and bytes(content)[:2] == b"\xff\xd8":
+        from kgp.jpegcodec import decode_jpeg
+        return decode_jpeg(content)
     if not fake:
         raise NotImplementedError(
-            "only BMP/PNG decode without PIL/opencv; pass fake=True "
-            "for the deterministic test stub")
+            "only BMP/PNG/baseline-JPEG decode without PIL/opencv; "
+            "pass fake=True for the deterministic test stub")
     rng = np.random.RandomState(_content_seed(content))
     return rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
 

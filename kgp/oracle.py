@@ -2499,6 +2499,33 @@ SELECT media_id,
 FROM v GROUP BY media_id ORDER BY media_id"""
 
 
+def jpeg_pixel_stats_sql() -> str:
+    """Mirror of the jpeg_pixel_stats gate: tile-constant grayscale
+    round-trips the baseline JPEG codec EXACTLY with the all-ones
+    quant table (kgp.jpegcodec exactness contract), so every stat is
+    the closed tile form (7*id + 31*tr + 17*tc) % 256 scaled by the
+    64 pixels per tile."""
+    return """
+WITH img AS (
+  SELECT doc_id AS media_id, doc_id % 5 + 1 AS th, doc_id % 4 + 1 AS tw
+  FROM documents WHERE doc_id % 3 = 0),
+tr AS (SELECT media_id, th, tw, unnest(range(0, th)) AS r FROM img),
+tc AS (SELECT media_id, th, tw, r, unnest(range(0, tw)) AS c FROM tr),
+v AS (
+  SELECT media_id, th, tw, r, c,
+    (7 * media_id + 31 * r + 17 * c) % 256 AS val
+  FROM tc)
+SELECT media_id,
+  CAST(MIN(tw) * 8 AS BIGINT) AS width,
+  CAST(MIN(th) * 8 AS BIGINT) AS height,
+  CAST(SUM(val) * 64 AS BIGINT) AS sum_gray,
+  CAST(MIN(CASE WHEN r = 0 AND c = 0 THEN val END) AS BIGINT)
+    AS first_gray,
+  CAST(MIN(CASE WHEN r = th - 1 AND c = tw - 1 THEN val END)
+       AS BIGINT) AS last_gray
+FROM v GROUP BY media_id ORDER BY media_id"""
+
+
 def ml_disambig_links_sql() -> str:
     """Mirror of the ml_disambig_links gate: the expanded gate
     gazetteer inlined as VALUES, every ConfigurableFeatureExtractor
