@@ -1405,6 +1405,16 @@ def _q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_roundtrip_stage(docs)
 
 
+def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
+    kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
+    via the stsz/stco/stts sample tables and decode bit-exactly; the
+    DuckDB oracle recomputes every frame stat from the closed form."""
+    from kgp.multimodal import video_frame_stage
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return video_frame_stage(docs)
+
+
 def _q_ml_disambig_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureBasedDisambiguation as a FULL oracle (kgp.disambig_ml):
     candidate generation (broadcast expanded gazetteer), ALL 15
@@ -1517,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_disambig_links": _q_ml_disambig_links,
         "png_pixel_stats": _q_png_pixel_stats,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
+        "video_frame_stats": _q_video_frame_stats,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1715,4 +1726,5 @@ def oracle_sql() -> dict[str, str]:
         "ml_disambig_links": _oracle.ml_disambig_links_sql(),
         "png_pixel_stats": _oracle.png_pixel_stats_sql(),
         "jpeg_pixel_stats": _oracle.jpeg_pixel_stats_sql(),
+        "video_frame_stats": _oracle.video_frame_stats_sql(),
     }

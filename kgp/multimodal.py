@@ -416,6 +416,67 @@ def jpeg_roundtrip_stage(docs: DataFrame,
     return imgs.mapInPandas(gen, schema)
 
 
+def video_frame_stage(docs: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Video docs (id % 3 == 2) → mux a REAL MP4/MJPEG clip of
+    tile-constant grayscale frames (frame f tile v = (7*id + 13*f +
+    31*tr + 17*tc) % 256, id%4+2 frames, all-ones quant), demux it
+    with the ISO BMFF parser, decode every sampled frame and emit
+    integer-exact stats — the DuckDB oracle recomputes all of it from
+    the closed form, proving the mux→demux→decode loop bit-exact."""
+    from kgp.jpegcodec import decode_jpeg
+    from kgp.mp4 import encode_mp4_mjpeg, parse_mp4
+    vids = docs.where(F.col(id_col) % 3 == 2).select(
+        F.col(id_col).alias("media_id"))
+    ones = np.ones(64, dtype=np.int32)
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_gray", T.LongType()),
+        T.StructField("first_gray", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                th, tw = mid % 3 + 1, mid % 4 + 1
+                n_frames = mid % 4 + 2
+                frames = []
+                for f in range(n_frames):
+                    tr = np.arange(th)[:, None] * 31
+                    tc = np.arange(tw)[None, :] * 17
+                    tiles = ((7 * mid + 13 * f + tr + tc) % 256) \
+                        .astype(np.uint8)
+                    frames.append(np.repeat(np.repeat(tiles, 8, 0),
+                                            8, 1))
+                clip = encode_mp4_mjpeg(frames, fps=10,
+                                        qt_override=ones)
+                data = bytes(clip)
+                info = parse_mp4(data)
+                for i, (off, size, ts) in enumerate(info["samples"]):
+                    gray = decode_jpeg(data[off:off + size])[:, :, 0]
+                    if not (gray == frames[i]).all():
+                        raise AssertionError(
+                            f"MJPEG frame not exact: {mid}/{i}")
+                    rows.append({
+                        "media_id": mid, "frame_idx": i,
+                        "ts_ms": int(ts),
+                        "width": gray.shape[1],
+                        "height": gray.shape[0],
+                        "sum_gray": int(gray.astype(np.int64).sum()),
+                        "first_gray": int(gray[0, 0]),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              schema.fields])
+
+    return vids.mapInPandas(gen, schema)
+
+
 def _content_seed(content: bytes) -> int:
     return int.from_bytes(blake2b(bytes(content or b""),
                                   digest_size=4).digest(), "big")
@@ -511,15 +572,36 @@ def sample_frames(media: DataFrame, every_ms: int = 10_000,
                   fake: bool = True) -> DataFrame:
     """Video → frame rows (one input row explodes to many output rows —
     the mapInPandas shape where input and output cardinality differ).
-    Frame payloads are deterministic stubs of the decoder output."""
+    MP4 payloads (ftyp sniff) demux for REAL via kgp.mp4 — frame
+    payloads are the track's JPEG samples at >= every_ms spacing;
+    other containers yield deterministic stubs when fake=True and
+    raise otherwise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kgp.mp4 import parse_mp4
         for pdf in batches:
             rows = []
             for mid, content, dur in zip(pdf["media_id"], pdf["content"],
                                          pdf["duration_ms"]):
+                raw = bytes(content or b"")
+                if raw[4:8] == b"ftyp":
+                    info = parse_mp4(raw)
+                    next_ts = 0
+                    k = 0
+                    for off, size, ts in info["samples"]:
+                        if ts < next_ts:
+                            continue
+                        rows.append({
+                            "media_id": int(mid), "frame_idx": k,
+                            "ts_ms": int(ts),
+                            "frame": raw[off:off + size],
+                        })
+                        k += 1
+                        next_ts = ts + every_ms
+                    continue
                 if not fake:
-                    raise NotImplementedError("video decoding stubbed")
+                    raise NotImplementedError(
+                        "only MP4/MJPEG demuxes without native libs")
                 rng = np.random.RandomState(_content_seed(content))
                 for i, ts in enumerate(range(0, int(dur), every_ms)):
                     rows.append({

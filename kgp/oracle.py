@@ -2526,6 +2526,35 @@ SELECT media_id,
 FROM v GROUP BY media_id ORDER BY media_id"""
 
 
+def video_frame_stats_sql() -> str:
+    """Mirror of the video_frame_stats gate: MJPEG-in-MP4 frames are
+    tile-constant grayscale under the all-ones quant table (exact per
+    the kgp.jpegcodec contract) at 100 ms spacing, so every stat is
+    the closed tile form (7*id + 13*f + 31*tr + 17*tc) % 256."""
+    return """
+WITH vid AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS th, doc_id % 4 + 1 AS tw,
+         doc_id % 4 + 2 AS nf
+  FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT media_id, th, tw, unnest(range(0, nf)) AS f FROM vid),
+tr AS (SELECT media_id, th, tw, f, unnest(range(0, th)) AS r FROM fr),
+tc AS (SELECT media_id, th, tw, f, r, unnest(range(0, tw)) AS c
+       FROM tr),
+v AS (
+  SELECT media_id, th, tw, f, r, c,
+    (7 * media_id + 13 * f + 31 * r + 17 * c) % 256 AS val
+  FROM tc)
+SELECT media_id,
+  CAST(f AS BIGINT) AS frame_idx,
+  CAST(f * 100 AS BIGINT) AS ts_ms,
+  CAST(MIN(tw) * 8 AS BIGINT) AS width,
+  CAST(MIN(th) * 8 AS BIGINT) AS height,
+  CAST(SUM(val) * 64 AS BIGINT) AS sum_gray,
+  CAST(MIN(CASE WHEN r = 0 AND c = 0 THEN val END) AS BIGINT)
+    AS first_gray
+FROM v GROUP BY media_id, f ORDER BY media_id, f"""
+
+
 def ml_disambig_links_sql() -> str:
     """Mirror of the ml_disambig_links gate: the expanded gate
     gazetteer inlined as VALUES, every ConfigurableFeatureExtractor
