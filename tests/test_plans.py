@@ -159,3 +159,55 @@ def test_sentiment_and_pagetype_zero_shuffle(spark):
     pages = spark.createDataFrame([("u", b"<html></html>")],
                                   "url string, html binary")
     assert "Exchange" not in plan_of(content_type_stage(pages))
+
+
+def test_forest_scoring_is_pure_jvm(spark):
+    """The quickdt forest paths compile to CASE WHEN columns: the
+    content-date rater plan must contain no Python eval at all, and
+    the ml-disambig candidate+feature+forest plan must stay
+    Python-free with the gazetteer broadcast."""
+    from pyspark.sql import functions as F
+
+    from kgp import constants as C
+    from kgp import disambig_ml as dml
+    from kgp.contentdates import RATER_FEATURES, rate_with_forest
+    from kgp.corpus import GAZETTEER_SCHEMA
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        *[(F.col("id") % (i + 7)).cast("double").alias(c)
+          for i, c in enumerate(RATER_FEATURES)],
+        (F.col("id") % 11 == 0).cast("double").alias("in_url_d"))
+    plan = plan_of(rate_with_forest(base))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan            # pure projection
+
+    mentions = spark.range(0, 50).select(
+        F.col("id").cast("string").alias("url"),
+        F.lit(0).cast("long").alias("sent_idx"),
+        F.lit(5).cast("long").alias("start"),
+        F.lit(14).cast("long").alias("end"),
+        F.element_at(F.array(*[F.lit(c) for c in C.CITIES]),
+                     (F.col("id") % 11).cast("int") + 1)
+        .alias("surface"),
+        F.lit("CITY").alias("tag"), F.lit(0.9).alias("score"))
+    gaz = spark.createDataFrame(dml.gate_gazetteer_rows(),
+                                GAZETTEER_SCHEMA)
+    out = dml.link_mentions_forest(mentions, gaz)
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan       # gazetteer broadcast
+
+
+def test_codec_stages_prune_columns(spark, sf_dir):
+    """png/jpeg/video gate stages must scan ONLY doc_id from the
+    documents parquet — text/lang never reach the Python worker."""
+    from kgp.multimodal import (jpeg_roundtrip_stage,
+                                png_roundtrip_stage, video_frame_stage)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for stage in (png_roundtrip_stage, jpeg_roundtrip_stage,
+                  video_frame_stage):
+        plan = plan_of(stage(docs))
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
