@@ -96,6 +96,18 @@ def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _products(spark, sf_dir)["docs"].select("url", "text")
 
 
+def _q_readability_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc90 Readability extractor (kgp.readability, full port of
+    ReadabilityContentExtractor.java — 13/13 of the reference's own
+    active test pages byte-exact). FULL oracle: the scorer's outcome
+    on the template corpus is closed-form (article div always wins,
+    h1 removed, comments/related/footer excluded), so DuckDB rebuilds
+    title+text symbolically (kgp.oracle.readability_text_sql)."""
+    from kgp.readability import readability_stage
+    pages = _corpus.synth_pages(spark, sf_dir)
+    return readability_stage(pages)
+
+
 def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_products(spark, sf_dir)["mentions"]
             .select("url", "surface", "tag").distinct())
@@ -1523,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     name retains at-least-once driver evidence)."""
     return {
         # -- NEW this round (r4) ------------------------------------
+        "readability_text": _q_readability_text,
         "content_date_rates": _q_content_date_rates,
         "ml_disambig_links": _q_ml_disambig_links,
         "png_pixel_stats": _q_png_pixel_stats,
@@ -1620,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples": _oracle.triples_sql(),
         "extract_text": _oracle.extract_text_sql(),
+        "readability_text": _oracle.readability_text_sql(),
         "mentions_distinct": _oracle.mentions_sql(),
         "canon_mapping": _oracle.canon_sql(),
         # support per pred: every doc contributes its S-sentence

@@ -520,6 +520,11 @@ def sniff_decode(raw: bytes) -> str:
 def parse_html(html: str | bytes) -> Node:
     if isinstance(html, (bytes, bytearray)):
         html = sniff_decode(bytes(html))
+    # HTML5 input-stream preprocessing: normalize CRLF / lone CR to LF
+    # (the reference's ValidatorNuParser does this per spec; without it
+    # \r reaches text nodes and breaks the line-cleanup regexes)
+    if "\r" in html:
+        html = html.replace("\r\n", "\n").replace("\r", "\n")
     p = _DomParser()
     p.feed(html)
     p.close()
@@ -867,7 +872,12 @@ def document_to_readable_text(node: Node) -> str:
         while stack:
             cur, ign, closing = stack.pop()
             if closing:
-                if cur.tag in BLOCK_ELEMENTS:
+                # the reference's SAX endElement returns BEFORE the
+                # block-newline append for IGNORE_INSIDE tags
+                # (HtmlHelper.java:336-339), so </script> / </style>
+                # emit nothing even though script is in BLOCK_ELEMENTS
+                if cur.tag in BLOCK_ELEMENTS and cur.tag not in (
+                        "script", "style"):
                     parts.append("\n")
                 continue
             if cur.tag == "#text":

@@ -106,6 +106,63 @@ def extract_text_sql() -> str:
             "FROM documents ORDER BY url")
 
 
+def readability_text_sql() -> str:
+    """Closed-form Arc90 Readability output over the synth corpus
+    (kgp.readability; ReadabilityContentExtractor.java:229-693).
+
+    Derivation, traced through the ported algorithm:
+
+    * normal pages: the comments div is stripped as an unlikely
+      candidate, the article div wins top-candidate (only scored
+      container), prepArticle removes the <h1>, and the readable-text
+      cleanup turns the surviving <p> children into
+      '\\n\\n'-separated paragraphs — so text == the paragraph texts
+      joined by blank lines, WITHOUT the headline.
+    * adversarial pages (doc_id % 17 == 13): no scored candidates, so
+      the body itself becomes the article; prepArticle deletes the
+      EMPTY <p> separator pairs, merging the bare text nodes — h1/s1
+      and the p2/p3/s7/s8/p4 tail concatenate with NO separator, and
+      the space runs around the empty <span> collapse to one space.
+    * title: every org name is <= 2 words, so getArticleTitle's
+      '<= 4 words -> keep original' rule (:333-335) always returns the
+      full '<h1> | Example News' title.
+
+    The retry-flag cascade (:249-273) is output-invariant on this
+    corpus (comment paragraphs are < 25 chars and never scored), so
+    the SQL needs no result-length branch.
+    """
+    sl = slots()
+    h1 = _tfmt_sql(C.H1, sl)
+    s = {k: _tfmt_sql(getattr(C, k.upper()), sl)
+         for k in ("s1", "s2", "s3", "s4", "s5", "s6", "s9")}
+    p1 = f"({s['s1']} || ' ' || {s['s2']} || ' ' || {s['s3']})"
+    p2 = ("concat_ws(' ', "
+          f"CASE WHEN doc_id % 3 = 0 THEN {s['s4']} END, "
+          f"CASE WHEN doc_id % 4 = 1 THEN {s['s5']} END, "
+          f"CASE WHEN doc_id % 5 = 2 THEN {s['s6']} END, "
+          f"CASE WHEN doc_id % {C.S9_MOD} = {C.S9_VAL} THEN {s['s9']} "
+          "END)")
+    p3 = "(text || '.')"
+    p4 = _lit(C.D1)
+    s7 = _tfmt_sql(C.S7, sl)
+    s7_cond = f"doc_id % {C.HOLDOUT_MOD} = {C.HOLDOUT_VAL}"
+    s8 = _tfmt_sql(C.S8, sl)
+    s8_cond = f"doc_id % {C.S8_MOD} = {C.S8_VAL}"
+    normal = ("concat_ws('\n\n', "
+              f"{p1}, nullif({p2}, ''), {p3}, "
+              f"CASE WHEN {s7_cond} THEN {s7} END, "
+              f"CASE WHEN {s8_cond} THEN {s8} END, {p4})")
+    adv = (f"({h1} || {s['s1']} || ' ' || {s['s2']} || ' ' || "
+           f"{s['s3']} || ' ' || "
+           f"CASE WHEN {p2} <> '' THEN {p2} ELSE '' END || {p3} || "
+           f"CASE WHEN {s7_cond} THEN {s7} ELSE '' END || "
+           f"CASE WHEN {s8_cond} THEN {s8} ELSE '' END || {p4})")
+    return (f"SELECT {url_sql()} AS url, "
+            f"({h1} || ' | Example News') AS title, "
+            f"CASE WHEN doc_id % 17 = 13 THEN {adv} ELSE {normal} END "
+            "AS text FROM documents ORDER BY url")
+
+
 def triples_sql() -> str:
     """Golden (subj, pred, obj) — mirrors kgp.golden.golden_triples."""
     sl = slots()

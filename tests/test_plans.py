@@ -201,6 +201,17 @@ def test_forest_scoring_is_pure_jvm(spark):
     assert "BroadcastHashJoin" in plan       # gazetteer broadcast
 
 
+def test_readability_stage_shape(spark):
+    """readability_stage is one document-local Arrow pass: no shuffle,
+    and only (url, html) reach the scan."""
+    from kgp.corpus import synth_pages
+    from kgp.readability import readability_stage
+    pages = synth_pages(spark, "/root/testdata/sf0.001")
+    plan = plan_of(readability_stage(pages))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_codec_stages_prune_columns(spark, sf_dir):
     """png/jpeg/video gate stages must scan ONLY doc_id from the
     documents parquet — text/lang never reach the Python worker."""
