@@ -9,15 +9,17 @@ Design for a 100 TB multimodal corpus:
     `mapInPandas` stages: batch-in/batch-out, so a heavyweight decoder
     amortizes per-batch setup and the output schema can differ from
     the input (frames explode one video row into many frame rows);
-  * two codecs are REAL, pure-numpy implementations (no external
-    libs): 24-bit uncompressed BMP and 16-bit PCM RIFF/WAV —
-    `decode_image`/`decode_audio` sniff the magic bytes and decode
-    them for real; formats that genuinely need native libraries
-    (PNG/JPEG, MP4) still raise NotImplementedError unless `fake=True`
-    selects the deterministic test stub. `synth_media` emits REAL BMP
-    and WAV payloads whose pixels/samples are closed-form functions of
-    the media_id, so a DuckDB oracle can verify the decoded features
-    end-to-end (media_features).
+  * the codecs are REAL, pure-numpy implementations (no external
+    libs): 24-bit uncompressed BMP, full-baseline-spec PNG (all color
+    types/depths, Adam7), baseline JPEG (kgp.jpegcodec), MP4/MJPEG
+    demux (kgp.mp4) and 16-bit PCM RIFF/WAV — `decode_image`/
+    `decode_audio` sniff the magic bytes and decode them for real;
+    formats that genuinely need native libraries (progressive JPEG,
+    compressed video codecs) raise NotImplementedError unless
+    `fake=True` selects the deterministic test stub. `synth_media`
+    emits REAL BMP and WAV payloads whose pixels/samples are
+    closed-form functions of the media_id, so a DuckDB oracle can
+    verify the decoded features end-to-end (media_features).
 """
 
 from __future__ import annotations
@@ -149,38 +151,17 @@ def encode_png(img: np.ndarray, level: int = 6) -> bytes:
             + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
 
 
-def decode_png(content: bytes) -> np.ndarray:
-    """PNG → HxWx3 uint8 RGB. Pure zlib+numpy. Supports 8-bit
-    truecolor (2), truecolor+alpha (6, alpha dropped) and grayscale
-    (0), non-interlaced — the shapes a synthetic or well-formed web
-    corpus emits; palette/interlace raise (honest limit)."""
-    import zlib
-    content = bytes(content)
-    if content[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, w = 8, None
-    idat = b""
-    while pos + 8 <= len(content):
-        length, ctype = struct.unpack_from(">I4s", content, pos)
-        body = content[pos + 8:pos + 8 + length]
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = \
-                struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color not in (0, 2, 6) or interlace:
-                raise NotImplementedError(
-                    "only 8-bit gray/RGB/RGBA non-interlaced PNG")
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if w is None:
-        raise ValueError("missing IHDR")
-    bpp = {0: 1, 2: 3, 6: 4}[color]
-    stride = w * bpp
-    data = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    if data.size != h * (stride + 1):
-        raise ValueError("IDAT size mismatch")
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass layout (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(data: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering for one (sub)image: `data` is the
+    h x (stride+1) filtered bytes, `bpp` the filter byte distance
+    (bytes per complete pixel, rounded up to one — spec §9.2)."""
     data = data.reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int32)
@@ -207,9 +188,111 @@ def decode_png(content: bytes) -> np.ndarray:
                     raise ValueError(f"bad filter {ftype}")
         out[r] = rec.astype(np.uint8)
         prior = rec
-    px = out.reshape(h, w, bpp)
-    if color == 0:
-        return np.repeat(px, 3, axis=2)
+    return out
+
+
+def _png_samples(raw: np.ndarray, h: int, w: int, depth: int,
+                 channels: int) -> np.ndarray:
+    """h x stride unfiltered bytes → h x w x channels samples at the
+    ORIGINAL depth (uint8 for <=8, uint16 for 16). Sub-byte depths
+    unpack big-endian within each byte; row padding bits dropped."""
+    if depth == 8:
+        return raw.reshape(h, w, channels)
+    if depth == 16:
+        u16 = raw.reshape(h, -1).astype(np.uint16)
+        vals = (u16[:, 0::2] << 8) | u16[:, 1::2]
+        return vals.reshape(h, w, channels)
+    bits = np.unpackbits(raw, axis=1)
+    bits = bits.reshape(h, -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :w * channels].reshape(h, w, channels)
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG → HxWx3 uint8 RGB. Pure zlib+numpy, FULL baseline spec:
+    every color type (gray 0, RGB 2, palette 3, gray+alpha 4, RGBA 6),
+    every legal bit depth (1/2/4/8/16), non-interlaced AND Adam7
+    interlaced, the complete scanline filter set, tRNS tolerated
+    (alpha dropped like the alpha channels). 16-bit samples narrow via
+    round(v/257) — the exact inverse of the spec's v*257 widening;
+    sub-8-bit grays widen by the spec's 255/(2^d - 1) factor."""
+    import zlib
+    content = bytes(content)
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat, plte = b"", None
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if comp or filt or interlace > 1:
+                raise ValueError("bad IHDR method fields")
+            legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+            if color not in legal or depth not in legal[color]:
+                raise ValueError(f"illegal depth/color {depth}/{color}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8)
+            plte = plte.reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette image missing PLTE")
+    if not idat:
+        raise ValueError("missing IDAT")
+    channels = _PNG_CHANNELS[color]
+    bits_pp = depth * channels
+    bpp_f = max(1, bits_pp // 8)
+    data = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+
+    def stride_of(width: int) -> int:
+        return (width * bits_pp + 7) // 8
+
+    if interlace == 0:
+        stride = stride_of(w)
+        if data.size != h * (stride + 1):
+            raise ValueError("IDAT size mismatch")
+        raw = _png_unfilter(data, h, stride, bpp_f)
+        px = _png_samples(raw, h, w, depth, channels)
+    else:
+        px = np.zeros((h, w, channels),
+                      dtype=np.uint16 if depth == 16 else np.uint8)
+        off = 0
+        for sx, sy, dx, dy in _ADAM7:
+            pw = (w - sx + dx - 1) // dx if w > sx else 0
+            ph = (h - sy + dy - 1) // dy if h > sy else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = stride_of(pw)
+            n = ph * (stride + 1)
+            raw = _png_unfilter(data[off:off + n], ph, stride, bpp_f)
+            off += n
+            px[sy::dy, sx::dx] = _png_samples(raw, ph, pw, depth,
+                                              channels)
+        if off != data.size:
+            raise ValueError("IDAT size mismatch")
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette image missing PLTE")
+        idx = px[:, :, 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    if depth == 16:
+        px = ((px.astype(np.uint32) + 128) // 257).astype(np.uint8)
+    elif depth < 8:
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if color in (0, 4):
+        return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3].copy()
 
 
