@@ -66,8 +66,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     out_schema = T.StructType([
         T.StructField("entity_id", id_type, False),
         T.StructField("canon_id", id_type, False)])
-    n_edges = edges.limit(small_threshold + 1).count()
-    if n_edges <= small_threshold:
+    # ONE evaluation decides the regime AND feeds the small path: a
+    # limit(k+1) collect. The input is often an expensive unpersisted
+    # DAG (e.g. the minhash near-dup pair pipeline) — a separate
+    # count() would re-run all of it just to pick the branch.
+    probe = edges.limit(small_threshold + 1).collect()
+    if len(probe) <= small_threshold:
         parent: dict = {}
 
         def find(x):
@@ -76,7 +80,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                 x = parent[x]
             return x
 
-        for r in edges.collect():
+        for r in probe:
             a, b = r[0], r[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)

@@ -143,7 +143,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
                         max_bucket: int = 1000,
-                        num_perm: int = MINHASH_PERMS) -> DataFrame:
+                        num_perm: int = MINHASH_PERMS,
+                        min_band_matches: int = 1) -> DataFrame:
     """Band the signatures; docs sharing any (band, band-hash) bucket
     become a candidate pair. Pure DataFrame: explode bands →
     self-equijoin on the bucket hash. Emits each pair once (a < b).
@@ -158,7 +159,18 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
     num_perm MUST be the signature length minhash_signatures was called
     with and must divide evenly into bands — otherwise band slices past
     the array end would silently produce identical empty-slice buckets
-    (every doc colliding), so both are validated up front."""
+    (every doc colliding), so both are validated up front.
+
+    min_band_matches > 1 keeps only pairs colliding on at least that
+    many bands. The band-match count is FREE — the pair emission
+    already shuffles on (a, b) to dedup multi-band collisions, and
+    counting is the same aggregation — and it is a binomial similarity
+    screen: a pair at jaccard J matches ~Binomial(bands, J^rows)
+    bands. At 32 bands of 4 rows, min_band_matches=3 passes a true
+    J=0.8 pair with p ≈ 1-1e-5 while letting only ~14% of the J≈0.45
+    template-similarity flood through — the first, cheapest tier of
+    the near-dup funnel. Default 1 = classic LSH (any collision),
+    which entity-linking candidate generation relies on."""
     if num_perm % bands != 0:
         raise ValueError(f"num_perm={num_perm} not divisible by "
                          f"bands={bands}")
@@ -175,11 +187,14 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
     buckets = (buckets.join(sizes.where(F.col("count") <= max_bucket)
                             .select("bucket"), "bucket"))
     lft, rgt = buckets.alias("l"), buckets.alias("r")
-    return (lft.join(rgt, (F.col("l.bucket") == F.col("r.bucket")) &
-                     (F.col("l.doc_id") < F.col("r.doc_id")))
-            .select(F.col("l.doc_id").alias("a"),
-                    F.col("r.doc_id").alias("b"))
-            .distinct())
+    pairs = (lft.join(rgt, (F.col("l.bucket") == F.col("r.bucket")) &
+                      (F.col("l.doc_id") < F.col("r.doc_id")))
+             .select(F.col("l.doc_id").alias("a"),
+                     F.col("r.doc_id").alias("b"))
+             .groupBy("a", "b").count())
+    if min_band_matches > 1:
+        pairs = pairs.where(F.col("count") >= min_band_matches)
+    return pairs.select("a", "b")
 
 
 def minhash_near_dups(docs: DataFrame, text_col: str = "text",
@@ -187,7 +202,8 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
                       threshold: float = 0.8,
                       bands: int = 32,
                       num_perm: int = MINHASH_PERMS,
-                      prefilter_margin: float = 0.15) -> DataFrame:
+                      prefilter_margin: float = 0.15,
+                      min_band_matches: int = 3) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates →
     JVM-side signature-estimated-Jaccard prefilter → exact k-shingle
     Jaccard verification ≥ threshold. Returns (a, b, jaccard).
@@ -210,7 +226,11 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     pure JVM `zip_with`+`aggregate` over two already-shuffled 128-long
     arrays, no Python, no text movement. Pairs below
     threshold - prefilter_margin are dropped before texts are ever
-    joined. With 128 perms the estimate's std is
+    joined. Before even that, min_band_matches=3 screens the pair set
+    inside the banding aggregation itself (see lsh_candidate_pairs) —
+    a three-tier funnel: band count (free, in-shuffle) → signature
+    estimate (JVM, 1 KB/doc moves) → exact Jaccard (Python, only
+    near-threshold survivors). With 128 perms the estimate's std is
     sqrt(J(1-J)/128) ≤ 0.044, so the default margin 0.15 is ≥3.4σ:
     a TRUE pair at exactly jaccard=threshold is lost with p ≤ 3e-4,
     and the miss probability decays to ~1e-15 by jaccard=threshold+0.1
@@ -218,7 +238,8 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     (near-threshold by construction) still get the EXACT verify, so no
     false pair can ever pass."""
     sigs = minhash_signatures(docs, text_col, id_col, k, num_perm)
-    cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm)
+    cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm,
+                                min_band_matches=min_band_matches)
     est = (cands
            .join(sigs.select(F.col("doc_id").alias("a"),
                              F.col("sig").alias("sig_a")), "a")
@@ -336,8 +357,11 @@ def near_dup_groups(docs: DataFrame, text_col: str = "text",
     primitive of training-data dedup at corpus scale."""
     from kgp.canonicalize import connected_components
     pairs = minhash_near_dups(docs, text_col, id_col, k, threshold)
+    # the pair pipeline (signatures -> banding -> estimate -> exact
+    # verify) is the expensive part; persist so the CC regime probe
+    # and any distributed-CC iteration read it once, not per job
     edges = pairs.select(F.col("a").alias("src"),
-                         F.col("b").alias("dst"))
+                         F.col("b").alias("dst")).persist()
     mapping = connected_components(edges)
     out = (docs.select(F.col(id_col).alias("doc_id"))
            .join(mapping.withColumnRenamed("entity_id", "doc_id"),
