@@ -1,13 +1,18 @@
-"""Baseline JPEG codec — pure numpy, no external libraries.
+"""JPEG codec — pure numpy, no external libraries.
 
-A REAL sequential-DCT baseline JFIF implementation (ITU-T T.81):
+A REAL Huffman JFIF implementation (ITU-T T.81), baseline sequential
+AND progressive:
 
-- encoder: grayscale or RGB (4:4:4, BT.601 YCbCr), Annex K
+- encoder: grayscale or RGB (4:4:4 or 4:2:0, BT.601 YCbCr), Annex K
   quantization tables with IJG quality scaling, Annex K standard
-  Huffman tables, byte stuffing, deterministic output;
-- decoder: baseline Huffman streams — grayscale, 4:4:4 and 2x1/1x2/
-  2x2-subsampled color, DRI/RSTn restart markers; progressive or
-  arithmetic coding raises NotImplementedError (honest limit).
+  Huffman tables, byte stuffing, deterministic output; SOF0 baseline
+  or SOF2 progressive with the IJG default scan script (spectral
+  selection + successive approximation, EOB runs);
+- decoder: baseline (SOF0/SOF1) and progressive (SOF2) streams —
+  grayscale, 4:4:4 and 2x1/1x2/2x2-subsampled color, DRI/RSTn restart
+  markers, multi-scan coefficient accumulation with DC/AC first and
+  refinement passes; arithmetic coding and hierarchical/lossless SOFs
+  raise NotImplementedError (honest limit).
 
 Exactness contract used by the png/jpeg driver gates: an image whose
 every 8x8 tile is CONSTANT has all AC energy exactly zero up to float
@@ -95,6 +100,15 @@ HT_AC_CHROMA = (
      0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
      0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
      0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# Progressive AC scans need EOBn symbols (0x10..0xE0) that the Annex
+# K sequential tables do not contain — libjpeg solves this with
+# per-scan optimized Huffman tables; we use one FLAT table instead:
+# all 255 symbols at 8 bits (canonical codes 0..254; the all-ones
+# 8-bit code stays unused per T.81 C.2). ~Kraft 255/256, legal
+# everywhere, ~1.5x the optimized size — correctness over compression.
+HT_AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0],
+              list(range(255)))
 
 # orthonormal 8-point DCT-II matrix: F = _DCT @ block @ _DCT.T
 _k = np.arange(8)
@@ -210,6 +224,128 @@ def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
 
+# ----------------------------------------- progressive scan encoders
+# T.81 Annex G / the public libjpeg jcphuff.c algorithms. The scan
+# script below is the IJG default (jcparam.c jpeg_simple_progression):
+# DC first at Al=1, luma AC split 1-5/6-63 at Al=2, chroma AC at Al=1,
+# then the successive-approximation refinement scans, DC refine last
+# among the firsts. Each tuple: (component indices, Ss, Se, Ah, Al).
+
+
+def _prog_script(ncomp: int) -> list[tuple]:
+    if ncomp == 1:
+        return [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0)]
+
+
+class _AcProgState:
+    """EOB-run + buffered-correction-bit state shared across the
+    blocks of one AC scan (the run and its correction bits span
+    blocks and flush together)."""
+
+    def __init__(self, bw: _BitWriter, ac_codes: dict):
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        """Emit the pending EOBn symbol, then the correction bits the
+        run carried (jcphuff.c emit_eobrun: a no-op when no run is
+        pending — buffered bits then wait for the next symbol)."""
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for b in self.bits:
+                self.bw.write(b, 1)
+            self.bits = []
+
+
+def _encode_ac_first(st: _AcProgState, zz: np.ndarray, ss: int,
+                     se: int, al: int) -> None:
+    bw, ac = st.bw, st.ac
+    run = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        v = (-((-t) >> al)) if t < 0 else (t >> al)   # toward zero
+        if v == 0:
+            run += 1
+            continue
+        st.flush_eobrun()
+        while run > 15:
+            code, ln = ac[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac[run * 16 + s]
+        bw.write(code, ln)
+        bw.write(_mag_bits(v, s), s)
+        run = 0
+    if run > 0:                 # block ends in zeros: join the EOB run
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _encode_ac_refine(st: _AcProgState, zz: np.ndarray, ss: int,
+                      se: int, al: int) -> None:
+    """jcphuff.c encode_mcu_AC_refine ordering: each emitted symbol is
+    followed first by its sign/extra bits, THEN by the correction bits
+    buffered since the previous symbol; correction bits at a block's
+    tail travel with the EOB run and flush after the EOBn symbol."""
+    bw, ac = st.bw, st.ac
+    absv = []
+    eob = ss - 1                          # last NEW nonzero (absv == 1)
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        a = (-t if t < 0 else t) >> al
+        absv.append(a)
+        if a == 1:
+            eob = k
+    run = 0
+    pending: list[int] = []               # correction bits this block
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            st.flush_eobrun()
+            code, ln = ac[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:                         # history coef: correction bit
+            pending.append(t & 1)
+            continue
+        st.flush_eobrun()
+        code, ln = ac[run * 16 + 1]
+        bw.write(code, ln)
+        bw.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        st.eobrun += 1
+        st.bits.extend(pending)           # carried with the EOB run
+        if st.eobrun == 0x7FFF or len(st.bits) > 900:
+            st.flush_eobrun()
+
+
 def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     r, g, b = (img[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -248,16 +384,42 @@ def _block_grid(plane: np.ndarray, rows: int, cols: int,
     return zz.reshape(rows, cols, 64)
 
 
+def _scan_block_order(comps_idx: list[int], samp: list[tuple],
+                      mcux: int, mcuy: int, ndims: list[tuple]):
+    """Yield (ci, row, col) in scan order: interleaved MCU traversal
+    over the padded grid for multi-component scans, the component's
+    own (non-MCU-padded) grid for single-component scans — T.81 A.2."""
+    if len(comps_idx) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in comps_idx:
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, my * vs + by, mx * hs + bx
+    else:
+        ci = comps_idx[0]
+        nr, nc = ndims[ci]
+        for r in range(nr):
+            for c in range(nc):
+                yield ci, r, c
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 75,
                 qt_override: np.ndarray | None = None,
                 subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """HxW uint8 grayscale or HxWx3 uint8 RGB -> baseline JFIF bytes.
     subsample: '444' (default) or '420' (2x2 box-averaged chroma);
-    restart_interval emits DRI + RSTn markers every k MCUs;
-    qt_override forces ONE table for every component (the all-ones
-    table makes tile-constant grayscale exactly losslessly
-    round-trippable — see module docstring)."""
+    restart_interval emits DRI + RSTn markers every k MCUs (baseline
+    only); qt_override forces ONE table for every component (the
+    all-ones table makes tile-constant grayscale exactly losslessly
+    round-trippable — see module docstring). progressive=True emits
+    SOF2 with the IJG default scan script (spectral selection +
+    successive approximation); the quantized coefficients are
+    IDENTICAL to the baseline encoding, so both decode to the same
+    pixels — the exactness contract the tests pin."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -307,20 +469,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, samp[ci][0] * 16 + samp[ci][1], tq[ci]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof  # SOF0
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     out += _dht_segment(0x00, *HT_DC_LUMA)
     out += _dht_segment(0x10, *HT_AC_LUMA)
     if not gray:
         out += _dht_segment(0x01, *HT_DC_CHROMA)
         out += _dht_segment(0x11, *HT_AC_CHROMA)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        d, a = td_ta[ci]
-        sos += bytes([ci + 1, d * 16 + a])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos   # SOS
 
     dc_tabs = [_build_codes(*HT_DC_LUMA), _build_codes(*HT_DC_CHROMA)]
     ac_tabs = [_build_codes(*HT_AC_LUMA), _build_codes(*HT_AC_CHROMA)]
@@ -330,6 +485,68 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
         rows, cols = mcuy * vs, mcux * hs
         plane = _pad_to(planes[ci], rows * 8, cols * 8)
         grids.append(_block_grid(plane, rows, cols, qts[ci]))
+
+    if progressive:
+        # redefine the AC tables with the flat EOBn-capable table
+        # (DHT redefinition mid-stream is standard; DC stays Annex K)
+        out += _dht_segment(0x10, *HT_AC_FLAT)
+        if not gray:
+            out += _dht_segment(0x11, *HT_AC_FLAT)
+        flat = _build_codes(*HT_AC_FLAT)
+        ac_tabs = [flat, flat]
+        ndims = []
+        for ci in range(ncomp):
+            hs, vs = samp[ci]
+            cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
+            ndims.append((-(-ch // 8), -(-cw // 8)))
+        for comps_idx, ss, se, ah, al in _prog_script(ncomp):
+            sos = bytes([len(comps_idx)])
+            for ci in comps_idx:
+                d, a = td_ta[ci]
+                sos += bytes([ci + 1, d * 16 + a])
+            sos += bytes([ss, se, ah * 16 + al])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            bw = _BitWriter()
+            if ss == 0 and ah == 0:                       # DC first
+                preds = {ci: 0 for ci in comps_idx}
+                for ci, r, c in _scan_block_order(
+                        comps_idx, samp, mcux, mcuy, ndims):
+                    dc = int(grids[ci][r, c][0]) >> al
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    s = _category(diff)
+                    code, ln = dc_tabs[td_ta[ci][0]][s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(_mag_bits(diff, s), s)
+            elif ss == 0:                                 # DC refine
+                for ci, r, c in _scan_block_order(
+                        comps_idx, samp, mcux, mcuy, ndims):
+                    bw.write((int(grids[ci][r, c][0]) >> al) & 1, 1)
+            else:                                         # AC scan
+                ci = comps_idx[0]
+                st = _AcProgState(bw, ac_tabs[td_ta[ci][1]])
+                for _, r, c in _scan_block_order(
+                        [ci], samp, mcux, mcuy, ndims):
+                    if ah == 0:
+                        _encode_ac_first(st, grids[ci][r, c], ss, se,
+                                         al)
+                    else:
+                        _encode_ac_refine(st, grids[ci][r, c], ss, se,
+                                          al)
+                st.flush_eobrun()
+            out += bw.flush()
+        out += b"\xff\xd9"                                # EOI
+        return bytes(out)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        d, a = td_ta[ci]
+        sos += bytes([ci + 1, d * 16 + a])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos   # SOS
     bw = _BitWriter()
     preds = [0] * ncomp
     n_mcu = 0
@@ -412,8 +629,117 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _restart_sync(br: _BitReader, preds: dict, state: dict) -> None:
+    """Byte-align, consume the RSTn marker, reset DC predictors and
+    the EOB run (T.81 E.2.4 / G.2.1)."""
+    br.acc = 0
+    br.n = 0
+    while br.pos + 1 < len(br.data):
+        if br.data[br.pos] == 0xFF and br.data[br.pos + 1] != 0x00:
+            if 0xD0 <= br.data[br.pos + 1] <= 0xD7:
+                br.pos += 2
+            break
+        br.pos += 1
+    for cid in preds:
+        preds[cid] = 0
+    state["eobrun"] = 0
+
+
+def _dec_block_seq(br: _BitReader, blk: np.ndarray, dc_tab: dict,
+                   ac_tab: dict, preds: dict, cid: int) -> None:
+    s = br.huff(dc_tab)
+    diff = _extend(br.read(s), s) if s else 0
+    preds[cid] += diff
+    blk[0] = preds[cid]
+    i = 1
+    while i < 64:
+        rs = br.huff(ac_tab)
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            i += 16
+            continue
+        i += rs >> 4
+        sz = rs & 0xF
+        if i > 63:
+            raise ValueError("AC index overflow")
+        blk[i] = _extend(br.read(sz), sz)
+        i += 1
+
+
+def _dec_ac_first(br: _BitReader, blk: np.ndarray, ac_tab: dict,
+                  ss: int, se: int, al: int, state: dict) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.huff(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:                       # ZRL: 16 zeros
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1    # run includes this block
+            if r:
+                state["eobrun"] += br.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+
+
+def _dec_ac_refine(br: _BitReader, blk: np.ndarray, ac_tab: dict,
+                   ss: int, se: int, al: int, state: dict) -> None:
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = br.huff(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += br.read(r)
+                    break
+                val = 0                       # ZRL: skip 16 zero-history
+            else:                             # s == 1 by spec
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:                    # history: correction bit
+                    if br.read(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and val:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:                        # EOB-run correction bits
+            c = int(blk[k])
+            if c != 0:
+                if br.read(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline JFIF -> HxWx3 uint8 RGB (grayscale stacked)."""
+    """JFIF -> HxWx3 uint8 RGB (grayscale stacked). Baseline
+    sequential (SOF0/SOF1) AND progressive (SOF2) Huffman streams —
+    spectral selection, successive approximation, EOB runs, interleaved
+    and non-interleaved scans, DRI/RSTn. All scans accumulate into
+    per-component coefficient grids; dequantize+IDCT run once,
+    vectorized, at the end (so baseline and progressive encodings of
+    the same coefficients decode bit-identically). Arithmetic coding
+    and hierarchical/lossless SOFs raise (honest limit)."""
     data = bytes(content)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -421,19 +747,73 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
-    comps = []           # (cid, hs, vs, tq)
+    comps: list[tuple] = []          # (cid, hs, vs, tq)
+    comp_by_id: dict[int, tuple] = {}
+    coefs: dict[int, np.ndarray] = {}
+    ndims: dict[int, tuple] = {}     # non-interleaved block dims
     h = w = None
-    scan_comps = []
+    hmax = vmax = mcux = mcuy = 0
     restart = 0
-    while pos + 4 <= len(data):
+    progressive = False
+    saw_scan = False
+
+    def _run_scan(br: _BitReader, scan_comps: list[tuple], ss: int,
+                  se: int, ah: int, al: int) -> None:
+        preds = {cid: 0 for cid, _, _ in scan_comps}
+        state = {"eobrun": 0}
+
+        def block(cid: int, td: int, ta: int, r: int, c: int) -> None:
+            blk = coefs[cid][r, c]
+            if not progressive:
+                _dec_block_seq(br, blk, dc_tabs[td], ac_tabs[ta],
+                               preds, cid)
+            elif ss == 0 and ah == 0:            # DC first
+                s = br.huff(dc_tabs[td])
+                diff = _extend(br.read(s), s) if s else 0
+                preds[cid] += diff
+                blk[0] = preds[cid] << al
+            elif ss == 0:                        # DC refine
+                if br.read(1):
+                    blk[0] |= (1 << al)
+            elif ah == 0:
+                _dec_ac_first(br, blk, ac_tabs[ta], ss, se, al, state)
+            else:
+                _dec_ac_refine(br, blk, ac_tabs[ta], ss, se, al, state)
+
+        n_unit = 0
+        if len(scan_comps) > 1:                  # interleaved: MCU units
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and n_unit and n_unit % restart == 0:
+                        _restart_sync(br, preds, state)
+                    n_unit += 1
+                    for cid, td, ta in scan_comps:
+                        _, hs, vs, _tq = comp_by_id[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                block(cid, td, ta, my * vs + by,
+                                      mx * hs + bx)
+        else:                                    # one block per unit
+            cid, td, ta = scan_comps[0]
+            nr, nc = ndims[cid]
+            for r in range(nr):
+                for c in range(nc):
+                    if restart and n_unit and n_unit % restart == 0:
+                        _restart_sync(br, preds, state)
+                    n_unit += 1
+                    block(cid, td, ta, r, c)
+
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
         marker = data[pos + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker in (0xD8, 0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker == 0xD9:
+            break
+        if pos + 4 > len(data):
             break
         seglen = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4:pos + 2 + seglen]
@@ -457,98 +837,77 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = \
                     _build_decode(bits, vals)
                 b += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for ci in range(nc):
                 cid, hv, tq_id = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, tq_id))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            comp_by_id = {c[0]: c for c in comps}
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hs, vs, _tq in comps:
+                coefs[cid] = np.zeros((mcuy * vs, mcux * hs, 64),
+                                      dtype=np.int32)
+                cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
+                ndims[cid] = (-(-ch // 8), -(-cw // 8))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1)")
+                "only sequential/progressive Huffman JPEG "
+                "(SOF0/SOF1/SOF2)")
         elif marker == 0xDD:
             restart = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan_comps = []
             for ci in range(ns):
                 cid, tdta = body[1 + 2 * ci:3 + 2 * ci]
                 scan_comps.append((cid, tdta >> 4, tdta & 0xF))
-            pos = pos + 2 + seglen
-            break
+            ss_, se_, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah_, al_ = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss_, se_, ah_, al_ = 0, 63, 0, 0
+            elif ss_ > 0 and ns > 1:
+                raise ValueError("interleaved progressive AC scan")
+            entropy_start = pos + 2 + seglen
+            br = _BitReader(data[entropy_start:])
+            _run_scan(br, scan_comps, ss_, se_, ah_, al_)
+            saw_scan = True
+            p = entropy_start + br.pos
+            while p + 1 < len(data):
+                if data[p] == 0xFF and data[p + 1] != 0x00 and \
+                        not (0xD0 <= data[p + 1] <= 0xD7):
+                    break
+                p += 1
+            pos = p
+            continue
         pos += 2 + seglen
-    if h is None or not scan_comps:
+    if h is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    br = _BitReader(data[pos:])
-    planes: dict[int, np.ndarray] = {}
-    dims: dict[int, tuple] = {}
-    for cid, hs, vs, _tq in comps:
-        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8),
-                               dtype=np.float64)
-        dims[cid] = (hs, vs)
-    preds = {cid: 0 for cid, *_ in comps}
-    comp_by_id = {c[0]: c for c in comps}
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and n_mcu and n_mcu % restart == 0:
-                br.align()
-                # consume RSTn marker (FF D0-D7)
-                while br.pos < len(br.data) and \
-                        br.data[br.pos] == 0xFF and \
-                        0xD0 <= br.data[br.pos + 1] <= 0xD7:
-                    br.pos += 2
-                    break
-                br.acc = 0
-                br.n = 0
-                preds = {cid: 0 for cid, *_ in comps}
-            n_mcu += 1
-            for cid, td, ta in scan_comps:
-                _, hs, vs, tq_id = comp_by_id[cid]
-                q = qts[tq_id].reshape(8, 8).astype(np.float64)
-                for by in range(vs):
-                    for bx in range(hs):
-                        s = br.huff(dc_tabs[td])
-                        diff = _extend(br.read(s), s) if s else 0
-                        preds[cid] += diff
-                        zz = np.zeros(64, dtype=np.float64)
-                        zz[0] = preds[cid]
-                        i = 1
-                        while i < 64:
-                            rs = br.huff(ac_tabs[ta])
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                i += 16
-                                continue
-                            i += rs >> 4
-                            sz = rs & 0xF
-                            if i > 63:
-                                raise ValueError("AC index overflow")
-                            zz[i] = _extend(br.read(sz), sz)
-                            i += 1
-                        blk = (zz[UNZIGZAG].reshape(8, 8)) * q
-                        pix = _DCT.T @ blk @ _DCT + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = pix
-
     out_planes = []
-    for cid, hs, vs, _tq in comps:
-        p = planes[cid]
+    for cid, hs, vs, tq_id in comps:
+        g = coefs[cid]
+        rows, cols = g.shape[0], g.shape[1]
+        q = qts[tq_id].astype(np.float64)        # natural order
+        nat = g.reshape(-1, 64)[:, UNZIGZAG].astype(np.float64) * q
+        blocks = nat.reshape(-1, 8, 8)
+        pix = np.einsum("xu,nxy,yv->nuv", _DCT, blocks, _DCT) + 128.0
+        plane = (pix.reshape(rows, cols, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
         if hs != hmax or vs != vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0),
-                          hmax // hs, axis=1)
-        out_planes.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
-        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return np.stack([g, g, g], axis=-1)
+        g8 = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g8, g8, g8], axis=-1)
     ycc = np.clip(np.round(np.stack(out_planes, axis=-1)),
                   0, 255).astype(np.uint8)
     return ycbcr_to_rgb(ycc)

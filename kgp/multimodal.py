@@ -11,11 +11,12 @@ Design for a 100 TB multimodal corpus:
     the input (frames explode one video row into many frame rows);
   * the codecs are REAL, pure-numpy implementations (no external
     libs): 24-bit uncompressed BMP, full-baseline-spec PNG (all color
-    types/depths, Adam7), baseline JPEG (kgp.jpegcodec), MP4/MJPEG
+    types/depths, Adam7), JPEG incl. progressive (kgp.jpegcodec),
+    MP4/MJPEG
     demux (kgp.mp4) and 16-bit PCM RIFF/WAV — `decode_image`/
     `decode_audio` sniff the magic bytes and decode them for real;
-    formats that genuinely need native libraries (progressive JPEG,
-    compressed video codecs) raise NotImplementedError unless
+    formats that genuinely need native libraries (compressed video
+    codecs, arithmetic-coded JPEG) raise NotImplementedError unless
     `fake=True` selects the deterministic test stub. `synth_media`
     emits REAL BMP and WAV payloads whose pixels/samples are
     closed-form functions of the media_id, so a DuckDB oracle can
@@ -306,25 +307,61 @@ def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE (PCM16 mono) → (float32 samples in [-1, 1), rate)."""
+    """RIFF/WAVE → (float32 mono samples in [-1, 1), rate). FULL
+    integer/float PCM coverage: unsigned 8-bit, signed 16/24/32-bit,
+    IEEE float32/float64 (format 3), and WAVE_FORMAT_EXTENSIBLE
+    (format 0xFFFE, resolved via the SubFormat GUID); any channel
+    count (channels average to mono — the corpus-pipeline convention).
+    Compressed formats (ADPCM, mu-law, MP3) raise (honest limit)."""
     content = bytes(content)
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, rate, pcm = 12, None, None
+    fmt = channels = bits = None
     while pos + 8 <= len(content):
         cid, size = struct.unpack_from("<4sI", content, pos)
         body = content[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if fmt != 1 or channels != 1 or bits != 16:
-                raise NotImplementedError("only PCM16 mono WAV")
+            if fmt == 0xFFFE:                 # EXTENSIBLE: real format
+                if len(body) < 26:            # sits in the SubFormat
+                    raise ValueError("truncated extensible fmt")
+                fmt = struct.unpack_from("<H", body, 24)[0]
+            if fmt not in (1, 3):
+                raise NotImplementedError(
+                    f"compressed WAV format {fmt} needs a codec lib")
+            if fmt == 1 and bits not in (8, 16, 24, 32) or \
+                    fmt == 3 and bits not in (32, 64):
+                raise ValueError(f"illegal PCM bit depth {bits}")
         elif cid == b"data":
-            pcm = np.frombuffer(body, dtype="<i2")
+            pcm = body
         pos += 8 + size + (size & 1)
     if rate is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
-    return (pcm.astype(np.float32) / 32768.0), rate
+    if fmt == 3:
+        x = np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8")
+        x = x.astype(np.float32)
+    elif bits == 8:                           # unsigned, 128-centered
+        x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 24:                          # packed little-endian
+        raw = np.frombuffer(pcm, dtype=np.uint8)
+        raw = raw[:len(raw) - len(raw) % 3].reshape(-1, 3)
+        vals = (raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        x = vals.astype(np.float32) / float(1 << 23)
+    else:                                     # PCM32
+        x = np.frombuffer(pcm, dtype="<i4").astype(np.float32) \
+            / float(1 << 31)
+    if channels and channels > 1:
+        x = x[:len(x) - len(x) % channels] \
+            .reshape(-1, channels).mean(axis=1)
+    return x, rate
 
 
 # ----------------------------------------------------- synthetic media
@@ -452,11 +489,14 @@ def jpeg_roundtrip_stage(docs: DataFrame,
     """Image docs (id % 3 == 0) → JPEG-encode a tile-constant
     grayscale image (tile v(tr,tc) = (7*id + 31*tr + 17*tc) % 256,
     (id%5+1) x (id%4+1) tiles) with the all-ones quantization table,
-    decode it back with the pure-numpy baseline decoder, and emit
-    integer-exact stats. Per the kgp.jpegcodec exactness contract the
-    decode equals the input bit-for-bit, so the DuckDB oracle
-    recomputes every stat from the tile formula — a green gate proves
-    the full Huffman/DCT encode→decode loop."""
+    decode it back with the pure-numpy decoder, and emit
+    integer-exact stats. Odd ids encode PROGRESSIVE (SOF2, spectral
+    selection + successive approximation), even ids baseline — both
+    transmit identical quantized coefficients, so per the
+    kgp.jpegcodec exactness contract the decode equals the input
+    bit-for-bit either way and ONE DuckDB oracle covers both paths —
+    a green gate proves the full Huffman/DCT encode→decode loop
+    including the progressive refinement scans."""
     from kgp.jpegcodec import decode_jpeg, encode_jpeg
     imgs = docs.where(F.col(id_col) % 3 == 0).select(
         F.col(id_col).alias("media_id"))
@@ -472,7 +512,8 @@ def jpeg_roundtrip_stage(docs: DataFrame,
                 tc = np.arange(tw)[None, :] * 17
                 tiles = ((7 * mid + tr + tc) % 256).astype(np.uint8)
                 img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
-                px = decode_jpeg(encode_jpeg(img, qt_override=ones))
+                px = decode_jpeg(encode_jpeg(
+                    img, qt_override=ones, progressive=mid % 2 == 1))
                 gray = px[:, :, 0]
                 if not (gray == img).all():      # contract violation
                     raise AssertionError(
@@ -566,9 +607,10 @@ def _content_seed(content: bytes) -> int:
 
 
 def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
-    """→ HxWx3 uint8. BMP, PNG and baseline JPEG payloads decode for
-    REAL (pure zlib/numpy — kgp.jpegcodec for JFIF); other formats
-    raise unless fake=True selects the deterministic stub."""
+    """→ HxWx3 uint8. BMP, PNG and JPEG (baseline + progressive)
+    payloads decode for REAL (pure zlib/numpy — kgp.jpegcodec for
+    JFIF); other formats raise unless fake=True selects the
+    deterministic stub."""
     if content is not None and bytes(content)[:2] == b"BM":
         return decode_bmp(content)
     if content is not None and bytes(content)[:8] == PNG_MAGIC:
@@ -578,7 +620,7 @@ def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
         return decode_jpeg(content)
     if not fake:
         raise NotImplementedError(
-            "only BMP/PNG/baseline-JPEG decode without PIL/opencv; "
+            "only BMP/PNG/JPEG decode without PIL/opencv; "
             "pass fake=True for the deterministic test stub")
     rng = np.random.RandomState(_content_seed(content))
     return rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)

@@ -86,13 +86,66 @@ def test_quality_tables_monotone():
 def test_honest_limits_and_sniff():
     with pytest.raises(ValueError):
         decode_jpeg(b"NOTJPEG")
-    # progressive SOF2 raises NotImplementedError
+    # arithmetic-coded SOF (C9) raises NotImplementedError
     img = _smooth(8, 8)
     data = bytearray(encode_jpeg(img, 80))
     idx = bytes(data).find(b"\xff\xc0")
-    data[idx + 1] = 0xC2
+    data[idx + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
     # decode_image sniffs JFIF magic
     out = decode_image(encode_jpeg(img, 90))
     assert out.shape == (8, 8, 3)
+
+
+# ------------------------------------------------------- progressive
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """The progressive scan script transmits the SAME quantized
+    coefficients as the baseline scan, so both decode bit-identically
+    — every DC/AC first + refinement path must be exact for this to
+    hold."""
+    rng = np.random.RandomState(11)
+    for shape, gray, sub in [((16, 24), True, "444"),
+                             ((17, 9), True, "444"),
+                             ((16, 16), False, "444"),
+                             ((18, 22), False, "420"),
+                             ((8, 8), False, "444"),
+                             ((40, 33), False, "420")]:
+        if gray:
+            img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        else:
+            img = rng.randint(0, 256, size=(*shape, 3), dtype=np.uint8)
+        for q in (40, 75, 92):
+            base = encode_jpeg(img, q, subsample=sub)
+            prog = encode_jpeg(img, q, subsample=sub, progressive=True)
+            assert prog[:2] == b"\xff\xd8" and b"\xff\xc2" in prog
+            assert (decode_jpeg(prog) == decode_jpeg(base)).all(), \
+                (shape, gray, sub, q)
+
+
+def test_progressive_scan_count():
+    gray2d = _smooth(16, 16)[:, :, 0]
+    gray = encode_jpeg(gray2d, 80, progressive=True)
+    color = encode_jpeg(_smooth(16, 16), 80, progressive=True)
+    assert gray.count(b"\xff\xda") == 6       # IJG gray script
+    assert color.count(b"\xff\xda") == 10     # IJG color script
+
+
+def test_progressive_tile_constant_gray_exact_unit_qt():
+    # the lossless contract holds through the progressive path too:
+    # successive approximation must reassemble every coefficient bit
+    v = np.repeat(np.repeat(
+        np.arange(12, dtype=np.uint8).reshape(3, 4) * 20 + 8,
+        8, axis=0), 8, axis=1)
+    ones = np.ones(64, dtype=np.int32)
+    data = encode_jpeg(v, qt_override=ones, progressive=True)
+    out = decode_jpeg(data)
+    assert (out[:, :, 0] == v).all()
+
+
+def test_progressive_via_decode_image_sniff():
+    img = _smooth(9, 13)
+    prog = encode_jpeg(img, 85, progressive=True)
+    assert (decode_image(prog) == decode_jpeg(prog)).all()

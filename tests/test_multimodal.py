@@ -55,6 +55,63 @@ def test_wav_roundtrip():
     assert np.allclose(back * 32768.0, pcm)
 
 
+def _wav(fmt, channels, rate, bits, payload, extensible=False):
+    import struct
+    if extensible:
+        sub = struct.pack("<H", fmt) + b"\x00" * 14
+        body = struct.pack("<HHIIHHHHI", 0xFFFE, channels, rate,
+                           rate * channels * bits // 8,
+                           channels * bits // 8, bits, 22, bits, 0) \
+            + sub
+    else:
+        body = struct.pack("<HHIIHH", fmt, channels, rate,
+                           rate * channels * bits // 8,
+                           channels * bits // 8, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(body)) + body
+              + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" \
+        + chunks
+
+
+def test_wav_full_pcm_coverage():
+    import struct
+
+    # unsigned 8-bit: 128 -> 0.0, 255 -> ~+1, 0 -> -1
+    x, r = decode_wav(_wav(1, 1, 8000, 8, bytes([128, 255, 0])))
+    assert r == 8000
+    assert np.allclose(x, [0.0, 127 / 128, -1.0])
+    # 24-bit signed: max positive / min negative / zero
+    p24 = b"\xff\xff\x7f" + b"\x00\x00\x80" + b"\x00\x00\x00"
+    x, _ = decode_wav(_wav(1, 1, 8000, 24, p24))
+    assert np.allclose(x, [(2**23 - 1) / 2**23, -1.0, 0.0])
+    # 32-bit signed
+    p32 = struct.pack("<ii", 2**31 - 1, -(2**31))
+    x, _ = decode_wav(_wav(1, 1, 8000, 32, p32))
+    assert np.allclose(x, [(2**31 - 1) / 2**31, -1.0])
+    # float32 passthrough
+    pf = struct.pack("<ff", 0.25, -0.5)
+    x, _ = decode_wav(_wav(3, 1, 44100, 32, pf))
+    assert np.allclose(x, [0.25, -0.5])
+    # float64 narrows
+    pd_ = struct.pack("<dd", 0.125, -0.75)
+    x, _ = decode_wav(_wav(3, 1, 44100, 64, pd_))
+    assert np.allclose(x, [0.125, -0.75])
+    # stereo downmix to mono (mean)
+    ps = struct.pack("<hhhh", 1000, 3000, -2000, 0)
+    x, _ = decode_wav(_wav(1, 2, 16000, 16, ps))
+    assert np.allclose(x * 32768.0, [2000.0, -1000.0])
+    # WAVE_FORMAT_EXTENSIBLE resolves the SubFormat
+    x, _ = decode_wav(_wav(1, 1, 8000, 16,
+                           struct.pack("<h", -16384), extensible=True))
+    assert np.allclose(x, [-0.5])
+    # compressed formats stay honest
+    import pytest
+    with pytest.raises(NotImplementedError):
+        decode_wav(_wav(2, 1, 8000, 4, b"\x00\x00"))   # ADPCM
+    with pytest.raises(ValueError):
+        decode_wav(_wav(1, 1, 8000, 12, b"\x00\x00"))  # illegal depth
+
+
 def test_decode_sniffs_real_payloads():
     img = synth_pixel_array(3)
     assert np.array_equal(decode_image(encode_bmp(img)), img)
