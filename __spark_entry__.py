@@ -1417,6 +1417,17 @@ def _q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_roundtrip_stage(docs)
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio signal features (energy / zero crossings /
+    peak) over REAL decoded WAV payloads; every value integer-exact,
+    so the DuckDB oracle recomputes the frames from the closed synth
+    form (kgp.multimodal.audio_features; kgp.oracle.audio_features_sql
+    mirrors window=64 hop=32)."""
+    from kgp.multimodal import audio_features
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    return audio_features(media)
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1541,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_pixel_stats": _q_png_pixel_stats,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         "video_frame_stats": _q_video_frame_stats,
+        "audio_features": _q_audio_features,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1741,4 +1753,5 @@ def oracle_sql() -> dict[str, str]:
         "png_pixel_stats": _oracle.png_pixel_stats_sql(),
         "jpeg_pixel_stats": _oracle.jpeg_pixel_stats_sql(),
         "video_frame_stats": _oracle.video_frame_stats_sql(),
+        "audio_features": _oracle.audio_features_sql(),
     }

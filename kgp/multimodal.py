@@ -441,6 +441,57 @@ def synth_media(spark, docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("start", T.LongType()),
+    T.StructField("energy_sumsq", T.LongType()),
+    T.StructField("zcr", T.LongType()),
+    T.StructField("peak", T.LongType()),
+])
+
+
+def audio_features(media: DataFrame, window: int = 64,
+                   hop: int = 32) -> DataFrame:
+    """Audio rows → per-frame signal features over the DECODED PCM:
+    frame energy (sum of squared int16 samples), zero-crossing count
+    (sign transitions, v<0 vs v>=0), and peak |sample|. One
+    mapInPandas pass, column-pruned to (media_id, content); each audio
+    row explodes into its frames (the canonical shape for downstream
+    VAD/silence filtering or fingerprinting at corpus scale).
+
+    EVERY emitted value is an exact integer: the float32 samples
+    decode_wav returns are int16/2^15 — exactly representable — so
+    round(x * 32768) recovers the original integers and the features
+    carry no float accumulation, which is what lets a DuckDB oracle
+    recompute them bit-for-bit from the closed synth form."""
+    src = media.where("kind = 'audio'").select("media_id", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                x, _rate = decode_wav(bytes(content))
+                pcm = np.round(x * 32768.0).astype(np.int64)
+                n = len(pcm)
+                if n < window:
+                    continue
+                for fi, start in enumerate(
+                        range(0, n - window + 1, hop)):
+                    fr = pcm[start:start + window]
+                    neg = fr < 0
+                    rows.append((
+                        int(mid), fi, start,
+                        int((fr * fr).sum()),
+                        int((neg[:-1] != neg[1:]).sum()),
+                        int(np.abs(fr).max())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "start", "energy_sumsq",
+                "zcr", "peak"])
+
+    return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 PNG_STATS_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("width", T.LongType()),

@@ -2527,6 +2527,40 @@ SELECT url, doc_id, value, year, month, day, hour, abs_pos, rate
 FROM ranked WHERE rn = 1 ORDER BY doc_id"""
 
 
+def audio_features_sql(window: int = 64, hop: int = 32) -> str:
+    """Mirror of the audio_features gate: the WAV payload decodes back
+    to the closed synth form pcm(i) = (mid*13 + i*17) % 4096 - 2048
+    over n = mid%400+100 samples (kgp.multimodal.synth_samples), and
+    every gate feature is an exact integer, so frame energy / zero
+    crossings / peak recompute bit-for-bit in SQL."""
+    return f"""
+WITH aud AS (
+  SELECT doc_id AS media_id, doc_id % 400 + 100 AS n
+  FROM documents WHERE doc_id % 3 = 1),
+fr AS (
+  SELECT media_id, n,
+         unnest(range(0, (n - {window}) // {hop} + 1)) AS frame_idx
+  FROM aud WHERE n >= {window}),
+sm AS (
+  SELECT media_id, frame_idx, frame_idx * {hop} AS fstart,
+         unnest(range(0, {window})) AS j
+  FROM fr),
+v AS (
+  SELECT media_id, frame_idx, fstart, j,
+    (media_id * 13 + (fstart + j) * 17) % 4096 - 2048 AS s,
+    CASE WHEN j < {window - 1} THEN
+      (media_id * 13 + (fstart + j + 1) * 17) % 4096 - 2048 END AS s2
+  FROM sm)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+  CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(MIN(fstart) AS BIGINT) AS start,
+  CAST(SUM(s * s) AS BIGINT) AS energy_sumsq,
+  CAST(SUM(CASE WHEN s2 IS NOT NULL AND ((s < 0) <> (s2 < 0))
+      THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+  CAST(MAX(ABS(s)) AS BIGINT) AS peak
+FROM v GROUP BY media_id, frame_idx ORDER BY media_id, frame_idx"""
+
+
 def png_pixel_stats_sql() -> str:
     """Mirror of the png_pixel_stats gate: the pixels fed through the
     PNG encode→decode loop are the closed form (7*id + 5r + 3c +

@@ -27,8 +27,8 @@ def test_media_schema_and_kinds(media):
 
 
 def test_unknown_codecs_still_raise():
-    # PNG/JPEG/MP4 genuinely need native libs — non-BMP/WAV payloads
-    # must raise unless the fake stub is requested
+    # payloads with no known magic must raise unless the fake stub is
+    # requested (BMP/PNG/JPEG/WAV/MP4 all decode for real now)
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)
     with pytest.raises(NotImplementedError):
@@ -227,3 +227,35 @@ def test_dominant_colors_stage(spark):
         "media_id long, kind string, content binary")
     [row] = dominant_colors_stage(media).collect()
     assert row.main_color == "Blue"
+
+
+def test_audio_features_hand_golden_and_spark():
+    import pandas as pd
+    from kgp.multimodal import audio_features, synth_media
+    from kgp.session import get_spark
+
+    # hand-check frame 0 of media_id=1: pcm(i) = (13 + 17i) % 4096 - 2048
+    mid = 1
+    pcm = synth_samples(mid).astype(np.int64)
+    fr = pcm[:64]
+    neg = fr < 0
+    exp_energy = int((fr * fr).sum())
+    exp_zcr = int((neg[:-1] != neg[1:]).sum())
+    exp_peak = int(np.abs(fr).max())
+
+    spark = get_spark("t-audiofeat", cores=4)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 4, 7], "text": ["a", "b", "c"]}))
+    media = synth_media(spark, docs)
+    out = audio_features(media).orderBy("media_id", "frame_idx")
+    rows = out.collect()
+    r0 = [r for r in rows if r.media_id == 1 and r.frame_idx == 0][0]
+    assert r0.energy_sumsq == exp_energy
+    assert r0.zcr == exp_zcr
+    assert r0.peak == exp_peak
+    assert r0.start == 0
+    # frame count per clip: 1 + (n - 64) // 32
+    for m in (1, 4, 7):
+        n = m % 400 + 100
+        got = len([r for r in rows if r.media_id == m])
+        assert got == 1 + (n - 64) // 32
