@@ -1428,6 +1428,27 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media)
 
 
+def _q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by energy-difference fingerprint
+    (kgp.audiofp — Haitsma/Kalker sign code, 4x8-bit pigeonhole band
+    join, exact bit_count(xor) verify). The corpus is decorated with
+    re-encoded COPIES — a gain-doubled clip for audio ids %5==0 (new
+    id +1_000_000) and a polarity-flipped clip for ids %5==2 (new id
+    +2_000_000) — which the fingerprint must pair with their source at
+    Hamming 0; the DuckDB oracle recomputes every fingerprint from the
+    closed synth PCM form and computes the copies' codes from the
+    SOURCE samples, so any invariance break on the Spark side (the
+    property under test) hash-mismatches."""
+    from kgp.audiofp import audio_near_dups, synth_companion_clips
+
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    base = media.where("kind = 'audio'").select(
+        "media_id", "kind", "content")
+    companions = synth_companion_clips(_docs_table(spark, sf_dir))
+    return (audio_near_dups(base.unionByName(companions))
+            .orderBy("a", "b"))
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1553,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         "video_frame_stats": _q_video_frame_stats,
         "audio_features": _q_audio_features,
+        "audio_fp_pairs": _q_audio_fp_pairs,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1754,4 +1776,5 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_pixel_stats": _oracle.jpeg_pixel_stats_sql(),
         "video_frame_stats": _oracle.video_frame_stats_sql(),
         "audio_features": _oracle.audio_features_sql(),
+        "audio_fp_pairs": _oracle.audio_fp_pairs_sql(),
     }

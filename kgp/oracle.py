@@ -2561,6 +2561,57 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
 FROM v GROUP BY media_id, frame_idx ORDER BY media_id, frame_idx"""
 
 
+def audio_fp_pairs_sql(k: int = 33, max_hamming: int = 3) -> str:
+    """Mirror of the audio_fp_pairs gate (kgp.audiofp): the
+    energy-difference fingerprint recomputes bit-for-bit from the
+    closed synth PCM form pcm(i) = (src*13 + i*17) % 4096 - 2048 over
+    n = src%400+100 samples. The decorated copies (gain-doubled ids
+    +1_000_000 for src%5==0, polarity-flipped ids +2_000_000 for
+    src%5==2) get their code computed from the SOURCE samples — the
+    sign code is provably invariant to exact gain and polarity
+    (energies scale by g^2 / are unchanged), so if the Spark side ever
+    breaks that invariance the hashes diverge. All-pairs Hamming is
+    fine oracle-side; the Spark path uses the 4x8-bit pigeonhole band
+    join."""
+    return f"""
+WITH aud AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id AS src
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS BIGINT), doc_id
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 0
+  UNION ALL
+  SELECT CAST(doc_id + 2000000 AS BIGINT), doc_id
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 2),
+segs AS (
+  SELECT media_id, src, src % 400 + 100 AS n,
+         unnest(range(0, {k})) AS s
+  FROM aud),
+idx AS (
+  SELECT media_id, src, s,
+         unnest(range((s * n) // {k}, ((s + 1) * n) // {k})) AS i
+  FROM segs),
+en AS (
+  SELECT media_id, s,
+         SUM(CAST(((src*13 + i*17) % 4096 - 2048)
+                  * ((src*13 + i*17) % 4096 - 2048) AS BIGINT)) AS e
+  FROM idx GROUP BY media_id, s),
+nxt AS (
+  SELECT media_id, s, e,
+         LEAD(e) OVER (PARTITION BY media_id ORDER BY s) AS e2
+  FROM en),
+fp AS (
+  SELECT media_id,
+         SUM(CASE WHEN e2 > e THEN CAST(1 AS BIGINT) << CAST(s AS INT)
+             ELSE 0 END) AS code
+  FROM nxt WHERE s < {k - 1} GROUP BY media_id)
+SELECT x.media_id AS a, y.media_id AS b,
+       CAST(bit_count(xor(x.code, y.code)) AS INT) AS hamming
+FROM fp x JOIN fp y ON x.media_id < y.media_id
+WHERE bit_count(xor(x.code, y.code)) <= {max_hamming}
+ORDER BY a, b"""
+
+
 def png_pixel_stats_sql() -> str:
     """Mirror of the png_pixel_stats gate: the pixels fed through the
     PNG encode→decode loop are the closed form (7*id + 5r + 3c +
