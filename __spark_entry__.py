@@ -1449,6 +1449,23 @@ def _q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("a", "b"))
 
 
+def _q_bovw_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-visual-words histograms (kgp.bovw — the
+    PoiFeatureExtractor pipeline with the deterministic grid-patch
+    descriptor and the seed vocabulary): descriptors from one Arrow
+    pass, centroids = training-slice descriptors, nearest-centroid
+    assignment with the reference's strict-< first-wins tie rule. The
+    DuckDB oracle recomputes descriptors, vocabulary, assignment and
+    histograms from the closed-form pixels."""
+    from kgp.bovw import bow_histograms, image_descriptors, \
+        seed_vocabulary
+
+    media = _mm.synth_media(spark, _docs_table(spark, sf_dir))
+    vocab = seed_vocabulary(image_descriptors(media), seed_mod=30)
+    return (bow_histograms(media, vocab)
+            .orderBy("media_id", "word"))
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1575,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": _q_video_frame_stats,
         "audio_features": _q_audio_features,
         "audio_fp_pairs": _q_audio_fp_pairs,
+        "bovw_histograms": _q_bovw_histograms,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1777,4 +1795,5 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_stats": _oracle.video_frame_stats_sql(),
         "audio_features": _oracle.audio_features_sql(),
         "audio_fp_pairs": _oracle.audio_fp_pairs_sql(),
+        "bovw_histograms": _oracle.bovw_histograms_sql(),
     }

@@ -2612,6 +2612,55 @@ WHERE bit_count(xor(x.code, y.code)) <= {max_hamming}
 ORDER BY a, b"""
 
 
+def bovw_histograms_sql(seed_mod: int = 30) -> str:
+    """Mirror of the bovw_histograms gate (kgp.bovw): grid-patch
+    descriptors (2x2 cells, quadrant luminosity sums — every value an
+    exact integer over the closed-form pixels), seed vocabulary = the
+    descriptors of the %seed_mod==0 training images ordered by
+    (media_id, cell), assignment = exact integer squared Euclidean
+    with strict-< first-wins ties (word ASC in the ranking), histogram
+    = COUNT per (media_id, word)."""
+    lum = ("trunc(0.21*((7*media_id + 5*(yi*ch+qy*qh+rr)"
+           " + 3*(xi*cw+qx*qw+cc)) % 256)"
+           " + 0.72*((7*media_id + 5*(yi*ch+qy*qh+rr)"
+           " + 3*(xi*cw+qx*qw+cc) + 11) % 256)"
+           " + 0.07*((7*media_id + 5*(yi*ch+qy*qh+rr)"
+           " + 3*(xi*cw+qx*qw+cc) + 22) % 256))")
+    return f"""
+WITH img AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 13 + 4) // 2 AS cw, (doc_id % 7 + 4) // 2 AS ch
+  FROM documents WHERE doc_id % 3 = 0),
+dims AS (
+  SELECT media_id, cw, ch, cw // 2 AS qw, ch // 2 AS qh FROM img),
+grid AS (
+  SELECT media_id, cw, ch, qw, qh, xi, yi, qx, qy
+  FROM dims, range(0, 2) x(xi), range(0, 2) y(yi),
+       range(0, 2) a(qx), range(0, 2) b(qy)),
+pr AS (SELECT *, unnest(range(0, qh)) AS rr FROM grid),
+pc AS (SELECT *, unnest(range(0, qw)) AS cc FROM pr),
+descs AS (
+  SELECT media_id, xi * 2 + yi AS cell, qx * 2 + qy AS dim,
+         CAST(SUM({lum}) AS BIGINT) AS val
+  FROM pc GROUP BY media_id, xi * 2 + yi, qx * 2 + qy),
+vocab AS (
+  SELECT DENSE_RANK() OVER (ORDER BY media_id, cell) - 1 AS word,
+         dim, val
+  FROM descs WHERE media_id % {seed_mod} = 0),
+dist AS (
+  SELECT d.media_id, d.cell, v.word,
+         SUM((d.val - v.val) * (d.val - v.val)) AS dd
+  FROM descs d JOIN vocab v ON d.dim = v.dim
+  GROUP BY d.media_id, d.cell, v.word),
+best AS (
+  SELECT media_id, cell, word FROM dist
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY media_id, cell
+                             ORDER BY dd, word) = 1)
+SELECT media_id, CAST(word AS INT) AS word,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM best GROUP BY media_id, word ORDER BY media_id, word"""
+
+
 def png_pixel_stats_sql() -> str:
     """Mirror of the png_pixel_stats gate: the pixels fed through the
     PNG encode→decode loop are the closed form (7*id + 5r + 3c +
