@@ -1466,6 +1466,27 @@ def _q_bovw_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id", "word"))
 
 
+def _q_phrase_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM phrase probability (kgp.cooccurrence — port of
+    CooccurrenceMatrix + PhraseProbabilityCalculator, add-one
+    smoothed, log10-summed). The matrix is fit from documents.text
+    (two hash aggregations); each document's first-6-token phrase is
+    scored by joining its token pairs against the vocabulary-sized
+    count tables — zero Python, AQE broadcasts the small sides."""
+    from kgp.cooccurrence import (fit_cooccurrence_stage,
+                                  phrase_probability_stage)
+    docs = _docs_table(spark, sf_dir)
+    matrix = fit_cooccurrence_stage(docs)
+    arr = F.split(F.regexp_replace("text", r"\s+$", ""), r"\s", 0)
+    phrases = docs.select(
+        F.col("doc_id").alias("phrase_id"),
+        F.array_join(F.slice(arr, 1, 6), " ").alias("phrase"))
+    out = phrase_probability_stage(phrases, matrix,
+                                   id_col="phrase_id")
+    return out.select(F.col("phrase_id").alias("doc_id"),
+                      "phrase", "log_prob")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1593,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "audio_fp_pairs": _q_audio_fp_pairs,
         "bovw_histograms": _q_bovw_histograms,
+        "phrase_probs": _q_phrase_probs,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1796,4 +1818,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _oracle.audio_features_sql(),
         "audio_fp_pairs": _oracle.audio_fp_pairs_sql(),
         "bovw_histograms": _oracle.bovw_histograms_sql(),
+        "phrase_probs": _oracle.phrase_probs_sql(),
     }

@@ -1,0 +1,156 @@
+"""Co-occurrence matrix + phrase probability — port of the
+reference's bigram language model (palladian-experimental
+retrieval/cooccurrence/CooccurrenceMatrix.java and
+PhraseProbabilityCalculator.java):
+
+- CooccurrenceMatrix holds unigram counts (`items` Bag) and bigram
+  counts (`pairs` CountMatrix).  N = getNumItems() = the SUM of all
+  unigram counts (Bag.size(), not the vocabulary size); V =
+  getNumUniqueItems() = the vocabulary size.
+- getProbability(item, smoothing=true)   (CooccurrenceMatrix.java:104)
+      P(w) = (c(w) + 1) / (N + V)
+- getConditionalProbability(a, b, smoothing=true)  (:123-131)
+      P(a|b) = (c(b,a) + 1) / (c(b) + V)
+  i.e. add-one-smoothed bigram probability of `a` following `b`.
+- PhraseProbabilityCalculator.getProbability(phrase)  (:54-66):
+  tokens = phrase.split("\\s") (Java semantics: trailing empty
+  strings dropped, interior kept), each lowercased; score =
+      log10 P(t0) + SUM_i log10 P(t_{i+1} | t_i).
+  The reference optionally Snowball-stems each token; with
+  language=null (a supported constructor path, :43-50) no stemming is
+  applied — this port takes that path, so tokens are raw lowercase.
+
+The reference loads its matrix from pre-counted Wikipedia corpus
+files (convert(), PhraseProbabilityCalculator.java:80-105: unigram +
+adjacent-bigram counts).  Here the matrix is FIT from the input
+corpus itself with the same counting rule: tokens = lowercase
+\\s-split of the text, unigrams counted, bigrams = adjacent token
+pairs within a document (no cross-document pairs — the file-driven
+matrix had none either).
+
+Scale shape (10^12 docs):
+- Fit = ONE explode + groupBy for unigrams and ONE for bigrams, both
+  with map-side partial aggregation; the outputs are vocabulary- and
+  bigram-vocabulary-sized, tiny next to the corpus.
+- N and V ride along as single-row aggregates (no driver collect of
+  the vocabulary).
+- Scoring joins phrase tokens against the count tables on their
+  natural keys; the count tables are the SMALL side — Spark/AQE
+  broadcasts them when they fit, hash-joins otherwise.  No Python
+  anywhere (pure column expressions end-to-end).
+- Cross-engine float determinism: each log10 term is rounded to 7
+  decimals before the per-phrase SUM, the sum to 6 (same recipe as
+  kgp.lmscore).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Java String.split("\\s") semantics: trailing empty strings dropped,
+# interior ones kept (PhraseProbabilityCalculator.java:55).  Spark's
+# split keeps trailing empties for every limit <= 0 (it maps both to
+# -1), so the trailing-whitespace strip happens BEFORE the split —
+# equivalent for every non-all-whitespace string, and the
+# all-whitespace edge ("" -> [""]) matches Java's "".split too.
+_WS = r"\s"
+
+
+def _java_ws_split(col: Column) -> Column:
+    return F.split(F.regexp_replace(F.lower(col), r"\s+$", ""), _WS, -1)
+
+
+def fit_cooccurrence_stage(docs: DataFrame,
+                           text_col: str = "text") -> dict:
+    """Fit the CooccurrenceMatrix from a corpus.
+
+    Returns {"unigrams": DF(tok, c), "bigrams": DF(tok_a, tok_b, c),
+    "totals": DF(n_items, n_unique)} — the distributed twin of
+    CooccurrenceMatrix's items Bag / pairs CountMatrix / N / V.
+    """
+    arr = _java_ws_split(F.col(text_col))
+    toks = docs.select(F.explode(arr).alias("tok"))
+    unigrams = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # adjacent pairs: zip arr[0..n-2] with arr[1..n-1] (JVM-side)
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            )).alias("pr"))
+    bigrams = (pairs
+               .select(F.col("pr.0").alias("tok_a"),
+                       F.col("pr.1").alias("tok_b"))
+               .groupBy("tok_a", "tok_b").agg(F.count("*").alias("c")))
+    totals = unigrams.agg(
+        F.sum("c").alias("n_items"),
+        F.count("*").alias("n_unique"))
+    return {"unigrams": unigrams, "bigrams": bigrams, "totals": totals}
+
+
+def phrase_probability_stage(phrases: DataFrame, matrix: dict,
+                             phrase_col: str = "phrase",
+                             id_col: str = "phrase_id") -> DataFrame:
+    """PhraseProbabilityCalculator.getProbability for every row of
+    `phrases` -> (id_col, phrase, log_prob).
+
+    log_prob = log10 P(t0) + SUM log10 P(t_{i+1}|t_i), add-one
+    smoothed exactly as the reference (see module docstring).  Empty
+    phrases (no tokens after the Java split) score null.
+    """
+    uni = matrix["unigrams"]
+    big = matrix["bigrams"]
+    arr = _java_ws_split(F.col(phrase_col))
+    base = phrases.select(id_col, phrase_col).withColumn("_arr", arr)
+
+    # crossJoin with the single-row totals: a scalar broadcast, the
+    # canonical "ride-along aggregate" (never a driver collect)
+    base = base.crossJoin(F.broadcast(matrix["totals"]))
+
+    # first-token term: log10((c(t0)+1) / (N+V))
+    first = (base
+             .select(id_col, F.col("_arr")[0].alias("tok"),
+                     "n_items", "n_unique")
+             .join(uni.withColumnRenamed("tok", "tok")
+                   .withColumnRenamed("c", "c_tok"), "tok", "left")
+             .select(
+                 id_col,
+                 F.round(F.log10(
+                     (F.coalesce("c_tok", F.lit(0)) + F.lit(1.0))
+                     / (F.col("n_items") + F.col("n_unique"))),
+                     7).alias("term")))
+
+    # bigram terms: log10((c(a,b)+1) / (c(a)+V)) for each adjacent pair
+    pair_rows = (base
+                 .select(
+                     id_col, "n_unique",
+                     F.explode(F.arrays_zip(
+                         F.slice(F.col("_arr"), 1,
+                                 F.greatest(F.size("_arr") - 1,
+                                            F.lit(0))),
+                         F.slice(F.col("_arr"), 2,
+                                 F.greatest(F.size("_arr") - 1,
+                                            F.lit(0))),
+                     )).alias("pr"))
+                 .select(id_col, "n_unique",
+                         F.col("pr.0").alias("tok_a"),
+                         F.col("pr.1").alias("tok_b")))
+    big_terms = (pair_rows
+                 .join(big.withColumnRenamed("c", "c_pair"),
+                       ["tok_a", "tok_b"], "left")
+                 .join(uni.withColumnRenamed("tok", "tok_a")
+                       .withColumnRenamed("c", "c_a"), "tok_a", "left")
+                 .select(
+                     id_col,
+                     F.round(F.log10(
+                         (F.coalesce("c_pair", F.lit(0)) + F.lit(1.0))
+                         / (F.coalesce("c_a", F.lit(0))
+                            + F.col("n_unique"))),
+                         7).alias("term")))
+
+    terms = first.unionByName(big_terms)
+    scored = terms.groupBy(id_col).agg(
+        F.round(F.sum("term"), 6).alias("log_prob"))
+    return (phrases.select(id_col, phrase_col)
+            .join(scored, id_col, "left"))

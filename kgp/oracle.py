@@ -3565,3 +3565,66 @@ SELECT media_id, CAST(n AS INT) AS freq_count, freq_mean,
        ELSE sv[CAST((n + 1) // 2 AS INT)]
   END AS freq_median
 FROM agg ORDER BY media_id"""
+
+
+# ----------------------------------------------- cooccurrence oracle
+
+
+def phrase_probs_sql(n_tokens: int = 6) -> str:
+    """DuckDB mirror of kgp.cooccurrence: fit the CooccurrenceMatrix
+    (unigram + adjacent-bigram counts over the lowercase \\s-split of
+    documents.text, Java split semantics — trailing empties dropped
+    via the rtrim-regex) and score each document's first-`n_tokens`
+    phrase with the reference's add-one-smoothed bigram LM
+    (PhraseProbabilityCalculator.java:54-66): log10((c(t0)+1)/(N+V))
+    + SUM log10((c(a,b)+1)/(c(a)+V)).  Same 7/6 rounding as the
+    stage."""
+    split_lo = (r"string_split_regex(regexp_replace(lower(text),"
+                r" '\s+$', ''), '\s')")
+    split_raw = (r"string_split_regex(regexp_replace(text,"
+                 r" '\s+$', ''), '\s')")
+    phr_split = (r"string_split_regex(regexp_replace(lower(phrase),"
+                 r" '\s+$', ''), '\s')")
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, {split_lo} AS arr, {split_raw} AS arr_raw
+  FROM documents),
+toks AS (SELECT unnest(arr) AS tok FROM arrs),
+uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT (SELECT COUNT(*) FROM toks) AS n_items,
+               (SELECT COUNT(*) FROM uni) AS n_unique),
+pos AS (SELECT doc_id, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) AS i
+        FROM arrs),
+big AS (SELECT p1.tok AS tok_a, p2.tok AS tok_b, COUNT(*) AS c
+        FROM pos p1 JOIN pos p2
+          ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+        GROUP BY 1, 2),
+phr AS (SELECT doc_id,
+               array_to_string(arr_raw[1:{n_tokens}], ' ') AS phrase
+        FROM arrs),
+ptoks AS (SELECT doc_id, unnest({phr_split}) AS tok,
+                 generate_subscripts({phr_split}, 1) AS i
+          FROM phr),
+first_terms AS (
+  SELECT p.doc_id,
+         round(log10((coalesce(u.c, 0) + 1.0)
+                     / (t.n_items + t.n_unique)), 7) AS term
+  FROM ptoks p CROSS JOIN tot t
+  LEFT JOIN uni u ON u.tok = p.tok
+  WHERE p.i = 1),
+big_terms AS (
+  SELECT a.doc_id,
+         round(log10((coalesce(b.c, 0) + 1.0)
+                     / (coalesce(ua.c, 0) + t.n_unique)), 7) AS term
+  FROM ptoks a
+  JOIN ptoks nx ON nx.doc_id = a.doc_id AND nx.i = a.i + 1
+  CROSS JOIN tot t
+  LEFT JOIN big b ON b.tok_a = a.tok AND b.tok_b = nx.tok
+  LEFT JOIN uni ua ON ua.tok = a.tok),
+terms AS (SELECT * FROM first_terms UNION ALL SELECT * FROM big_terms),
+scored AS (SELECT doc_id, round(SUM(term), 6) AS log_prob
+           FROM terms GROUP BY doc_id)
+SELECT p.doc_id, p.phrase, s.log_prob
+FROM phr p LEFT JOIN scored s ON s.doc_id = p.doc_id
+ORDER BY p.doc_id"""
