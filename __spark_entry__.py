@@ -1487,6 +1487,33 @@ def _q_phrase_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "phrase", "log_prob")
 
 
+def _q_template_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageSegmenter.findSimilarFiles over the corpus
+    (kgp.segmenter.template_pairs): tag-q-gram fingerprints as pure
+    JVM columns, same-host candidates via an equi-join on
+    (host, ordinal±k) — O(N*window) pairs, hot-host immune — and the
+    reference's asymmetric variance + Jaccard erg score with the
+    0.689 <= erg < 1.0 cut and top-5 per page. FULL oracle: the tag
+    list is closed-form in doc_id (kgp.oracle.template_pairs_sql)."""
+    from kgp.segmenter import template_pairs
+    pages = _corpus.synth_pages(spark, sf_dir)
+    return template_pairs(pages)
+
+
+def _q_page_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageSegmenter.startPageSegmentation (kgp.segmenter
+    .page_segments_stage): DOM-diff conflicts vs the page's top-5
+    same-template pages, 50% incompatibility rule, substring scrub,
+    line-bag Jaccard variability rating, Segment color buckets. ONE
+    applyInPandas over bounded (page + <=5 sims) groups. The
+    recursive DOM diff is not SQL-expressible — no oracle entry
+    (driver rows-only check); the distributed==local-twin parity is
+    pinned in tests/test_segmenter.py."""
+    from kgp.segmenter import page_segments_stage, template_pairs
+    pages = _corpus.synth_pages(spark, sf_dir)
+    return page_segments_stage(pages, template_pairs(pages))
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1615,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_pairs": _q_audio_fp_pairs,
         "bovw_histograms": _q_bovw_histograms,
         "phrase_probs": _q_phrase_probs,
+        "template_pairs": _q_template_pairs,
+        "page_segments": _q_page_segments,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1819,4 +1848,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_fp_pairs": _oracle.audio_fp_pairs_sql(),
         "bovw_histograms": _oracle.bovw_histograms_sql(),
         "phrase_probs": _oracle.phrase_probs_sql(),
+        "template_pairs": _oracle.template_pairs_sql(),
     }

@@ -3628,3 +3628,119 @@ scored AS (SELECT doc_id, round(SUM(term), 6) AS log_prob
 SELECT p.doc_id, p.phrase, s.log_prob
 FROM phr p LEFT JOIN scored s ON s.doc_id = p.doc_id
 ORDER BY p.doc_id"""
+
+
+# ------------------------------------------------- segmenter oracle
+
+
+def template_pairs_sql(window: int = 30, limit: int = 5,
+                       need: float = 0.689) -> str:
+    """DuckDB mirror of kgp.segmenter.template_pairs over synth_pages:
+    the per-doc TAG TOKEN LIST is rebuilt symbolically from the page
+    template (kgp.corpus._page_columns) — the listTags truncation +
+    skip rules reduce every synth tag to its bare form, and document
+    text never contains '<' (asserted at build time), so the list is
+    closed-form in doc_id's slice conditions.  Fingerprints, the
+    asymmetric variance mean, Jaccard, erg, the [need, 1.0) cut and
+    the (erg DESC, sim_url) top-`limit` all recompute the stage's
+    math with the same 9/6 rounding."""
+    head = ("['<head>','<title>','</title>','<meta>','<style>',"
+            "'</style>','<script>','</script>','</head>']")
+    brk = "['<p>','</p>','<p>','</p>']"
+    li = "['<li>','<a>','</a>','</li>']"
+    para = ("CASE WHEN unclosed THEN ['<p>'] "
+            "ELSE ['<p>','</p>'] END")
+    body_open = ("['<body>','<header>','<nav>','<ul>'] || {li} || {li}"
+                 " || ['</ul>','</nav>','</header>']").format(li=li)
+    comments = "['<div>','<h3>','</h3>','<p>','</p>','<p>','</p>','</div>']"
+    related = ("['<div>','<h3>','</h3>','<ul>'] || {li} || {li} || {li}"
+               " || {li} || {li} || {li} || ['</ul>','</div>']"
+               ).format(li=li)
+    footer = "['<footer>','<p>','</p>','</footer>','</body>','</html>']"
+    empty = "CAST([] AS VARCHAR[])"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 17 = 13 AS adv,
+         doc_id % 10 = 7 AS unclosed,
+         (doc_id % 3 = 0 OR doc_id % 4 = 1 OR doc_id % 5 = 2
+          OR doc_id % 7 = 4) AS has_p2,
+         doc_id % 23 = 11 AS has_s7,
+         doc_id % 6 = 3 AS has_s8,
+         CASE WHEN doc_id % 10 < 4 THEN 'news.example.com'
+              WHEN doc_id % 10 < 6 THEN 'blog.example.org'
+              ELSE 'site' || CAST(doc_id % 14 AS VARCHAR)
+                   || '.example.net' END AS host
+  FROM documents),
+pages AS (
+  SELECT doc_id, host,
+         'https://' || host || '/articles/'
+           || CAST(doc_id AS VARCHAR) || '.html' AS url,
+         CASE WHEN adv THEN
+           {head} || ['<body>'] || {brk} || ['<span>','</span>']
+             || {brk}
+             || CASE WHEN has_p2 THEN {brk} ELSE {empty} END
+             || {brk}
+             || CASE WHEN has_s7 THEN {brk} ELSE {empty} END
+             || CASE WHEN has_s8 THEN {brk} ELSE {empty} END
+             || {brk} || ['</body>','</html>']
+         ELSE
+           {head} || {body_open}
+             || ['<div>','<h1>','</h1>'] || {para}
+             || CASE WHEN has_p2 THEN {para} ELSE {empty} END
+             || {para}
+             || CASE WHEN has_s7 THEN {para} ELSE {empty} END
+             || CASE WHEN has_s8 THEN {para} ELSE {empty} END
+             || {para} || ['</div>']
+             || {comments} || {related} || {footer}
+         END AS tags
+  FROM d),
+grams AS (
+  SELECT url, host,
+         array_to_string(tags[i:i+8], ' ') AS qgram
+  FROM (SELECT url, host, tags,
+               unnest(range(1, len(tags) - 7)) AS i
+        FROM pages)),
+fp AS (SELECT url, host, qgram, COUNT(*) AS c
+       FROM grams GROUP BY url, host, qgram),
+sizes AS (SELECT url, COUNT(*) AS n FROM fp GROUP BY url),
+ordd AS (SELECT url, host,
+                row_number() OVER (PARTITION BY host ORDER BY url)
+                    AS o
+         FROM pages),
+cand AS (
+  SELECT a.url AS url, b.url AS sim_url
+  FROM ordd a JOIN ordd b
+    ON a.host = b.host AND a.url <> b.url
+   AND abs(a.o - b.o) <= {window}),
+joined AS (
+  SELECT c.url, c.sim_url, fa.qgram, fa.c AS ca, fb.c AS cb
+  FROM cand c
+  JOIN fp fa ON fa.url = c.url
+  LEFT JOIN fp fb ON fb.url = c.sim_url AND fb.qgram = fa.qgram),
+agg AS (
+  SELECT url, sim_url, COUNT(*) AS n1,
+         SUM(round(CASE WHEN cb IS NULL THEN 1.0
+                        WHEN ca = cb THEN 0.0
+                        ELSE 1.0 - least(ca, cb)
+                             / CAST(greatest(ca, cb) AS DOUBLE)
+                   END, 9)) AS dsum,
+         SUM(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS inter
+  FROM joined GROUP BY url, sim_url),
+scored AS (
+  SELECT a.url, a.sim_url,
+         a.dsum / a.n1 AS vari,
+         a.inter / CAST(a.n1 + s.n - a.inter AS DOUBLE) AS jacc,
+         round((1.0 - a.dsum / a.n1
+                + a.inter / CAST(a.n1 + s.n - a.inter AS DOUBLE))
+               / 2.0, 6) AS erg
+  FROM agg a JOIN sizes s ON s.url = a.sim_url)
+SELECT url, sim_url, round(vari, 9) AS vari, round(jacc, 9) AS jacc,
+       erg,
+       CAST(row_number() OVER (PARTITION BY url
+                               ORDER BY erg DESC, sim_url) AS INT)
+           AS rank
+FROM scored
+WHERE erg >= {need} AND erg < 1.0
+QUALIFY rank <= {limit}
+ORDER BY url, rank"""
