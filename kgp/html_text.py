@@ -531,15 +531,40 @@ def parse_html(html: str | bytes) -> Node:
     return p.root
 
 
+def xml10_filter(text: str) -> str:
+    """Xml10FilterReader port (retrieval/parser/Xml10FilterReader
+    .java:41-83): drop characters invalid in XML 1.0 — keeping
+    \\t \\n \\r, 0x20-0xD7FF, 0xE000-0xFFFD — plus every char BEFORE
+    the first non-whitespace one (the reader's ignoreCharacter ramp:
+    leading whitespace is dropped; a BOM is NON-whitespace, ends the
+    ramp and survives, per Character.isWhitespace).  The
+    reference filters Java chars, so astral-plane codepoints (two
+    invalid surrogates each) are dropped too — kept bug-for-bug."""
+    out: list[str] = []
+    ignoring = True
+    for ch in text:
+        if ignoring and not ch.isspace():
+            ignoring = False
+        cp = ord(ch)
+        valid = (cp in (0x9, 0xA, 0xD) or 0x20 <= cp <= 0xD7FF
+                 or 0xE000 <= cp <= 0xFFFD)
+        if valid and not ignoring:
+            out.append(ch)
+    return "".join(out)
+
+
 def parse_xml(content: str | bytes) -> Node:
     """Strict XML/XHTML parse into the same Node DOM (the reference's
     XmlParser next to its lenient HTML parser,
     /root/reference/palladian-retrieval/src/main/java/ws/palladian/retrieval/parser/XmlParser.java):
-    stdlib ElementTree, namespaces stripped from tag names, falls back
-    to the lenient HTML parser on malformed input."""
+    stdlib ElementTree over the Xml10FilterReader-filtered input
+    (XmlParser.java wraps its reader the same way), namespaces
+    stripped from tag names, falls back to the lenient HTML parser on
+    malformed input."""
     import xml.etree.ElementTree as ET
     if isinstance(content, (bytes, bytearray)):
         content = bytes(content).decode("utf-8", errors="replace")
+    content = xml10_filter(content)
     try:
         root_el = ET.fromstring(content)
     except ET.ParseError:

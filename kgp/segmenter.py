@@ -488,3 +488,94 @@ def page_segments_stage(pages: DataFrame, pairs: DataFrame,
 
     return (grouped.groupBy("url")
             .applyInPandas(run, schema=_SEGMENT_SCHEMA))
+
+
+# ------------------------------------------- makeMutual (xpath side)
+
+
+def remove_xpath_indices(xpath: str) -> str:
+    """PageAnalyzer.removeXPathIndices (:discussed at :569-571):
+    strip every [n] index."""
+    return re.sub(r"\[(\d)+\]", "", xpath)
+
+
+def make_mutual_xpath(xpaths: list[str]) -> str:
+    """PageAnalyzer.makeMutualXPath port: find the most-common
+    index-free path, pick the most-specific member of its group, then
+    drop every [n] index that VARIES across the input set.  The
+    reference iterates a HashSet (salted order); this twin iterates
+    in FIRST-APPEARANCE order so ties resolve deterministically
+    (documented deviation — same rule as the other Set-order ports).
+    """
+    if not xpaths:
+        return ""
+    seen = list(dict.fromkeys(xpaths))
+    counts: dict[str, int] = {}
+    for xp in seen:
+        counts[remove_xpath_indices(xp)] = \
+            counts.get(remove_xpath_indices(xp), 0) + 1
+    # stable: first key with the max count (insertion order)
+    best_count = max(counts.values())
+    highest = ""
+    for k, v in counts.items():
+        if v == best_count:
+            highest = k
+            break
+    highest_elems = highest.split("/")
+
+    mutual = ""
+    max_matches = 0
+    max_length = -(2 ** 31)
+    for cur in seen:
+        elems = remove_xpath_indices(cur).split("/")
+        matches = 0
+        match = True
+        for i in range(min(len(elems), len(highest_elems))):
+            if elems[i] != highest_elems[i]:
+                match = False
+                break
+            matches += 1
+        if match and matches >= max_matches and len(elems) >= max_length:
+            max_matches = matches
+            mutual = cur
+            max_length = len(elems)
+
+    path = mutual.split("/")
+    keep = [True] * len(path)
+    for xp2 in seen:
+        arr2 = xp2.split("/")
+        for i in range(min(len(path), len(arr2))):
+            b1 = path[i].find("[")
+            if b1 == -1:
+                continue
+            b2 = arr2[i].find("[")
+            if b2 == -1:
+                continue
+            if path[i][:b1] != arr2[i][:b2]:
+                continue
+            if int(path[i][b1 + 1:-1]) != int(arr2[i][b2 + 1:-1]):
+                keep[i] = False
+    out = [p if keep[i] or p.find("[") == -1 else p[:p.find("[")]
+           for i, p in enumerate(path)]
+    return "/".join(out)
+
+
+def make_mutual(root: Node, xpaths: list[str], level: int = 1
+                ) -> list[str]:
+    """PageSegmenter.makeMutual port (:717-757): resolve the mutual
+    xpath (appending /td under a trailing tr, as written) and return
+    the constructed xpath of every node it selects."""
+    from kgp.html_text import construct_xpath
+    pmap = _parent_index_map(root)
+    s = list(dict.fromkeys(xpaths))
+    out: list[str] = []
+    for _ in range(level):
+        xp = make_mutual_xpath(s)
+        if xp.rsplit("/", 1)[-1] == "tr":
+            xp = xp + "/td"
+        for n in xpath_nodes(root, xp):
+            cx = construct_xpath(n, pmap)
+            out.append(cx)
+            if cx in s:
+                s.remove(cx)
+    return out
