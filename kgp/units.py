@@ -395,21 +395,21 @@ def multiplier_col(unit: Column | str) -> Column:
     """Column twin of unit_lookup for already-isolated unit strings
     (exact then lowercase map probe; -1 when unknown)."""
     c = F.col(unit) if isinstance(unit, str) else unit
-    exact: dict[str, float] = {}
-    lower: dict[str, float] = {}
+    # ONE map keyed by the bank names AS WRITTEN, probed twice: exact,
+    # then with the lowercased query.  The reference's second pass
+    # lowercases only the PROBE (UnitNormalizer.java:377-393), so an
+    # uppercase bank name ("K", "MW") can never match it — keying by
+    # n.lower() would wrongly fold MW (mega) onto mW (milli).
+    bank: dict[str, float] = {}
     for t in TYPE_ORDER:
         for names, mult in _TYPE_UNITS[t]:
             for n in names:
-                exact.setdefault(n, -1.0 if mult is None else mult)
-                lower.setdefault(n.lower(),
-                                 -1.0 if mult is None else mult)
-    exact_map = F.create_map(
-        *[F.lit(x) for kv in exact.items() for x in kv])
-    lower_map = F.create_map(
-        *[F.lit(x) for kv in lower.items() for x in kv])
+                bank.setdefault(n, -1.0 if mult is None else mult)
+    bank_map = F.create_map(
+        *[F.lit(x) for kv in bank.items() for x in kv])
     stripped = F.regexp_replace(F.trim(c), "\\.$", "")
-    return F.coalesce(F.element_at(exact_map, stripped),
-                      F.element_at(lower_map, F.lower(stripped)),
+    return F.coalesce(F.element_at(bank_map, stripped),
+                      F.element_at(bank_map, F.lower(stripped)),
                       F.lit(-1.0))
 
 
@@ -424,3 +424,88 @@ def normalize_amount_cols(number: Column | str,
     raw = F.when(mult == -1.0, n).otherwise(n * mult)
     factor = float(10 ** decimals)
     return F.floor(raw * factor + F.lit(0.5)) / factor
+
+
+# ------------------------------------------------------ UnitConverter
+
+# TemperatureUnit enum names (constants/TemperatureUnit.java:16-20),
+# matched case-insensitively by getByName (:59-71)
+_TEMPERATURE_NAMES = {
+    "CELSIUS": ("celsius", "degrees celsius", "° celsius", "°celsius",
+                "°c"),
+    "FAHRENHEIT": ("fahrenheit", "degrees fahrenheit", "° fahrenheit",
+                   "°fahrenheit", "°f"),
+    "KELVIN": ("kelvin", "k"),
+}
+
+
+def temperature_unit(unit: str) -> str | None:
+    """TemperatureUnit.getByName port — CELSIUS before FAHRENHEIT
+    before KELVIN, case-insensitive."""
+    low = unit.lower()
+    for name in ("CELSIUS", "FAHRENHEIT", "KELVIN"):
+        if low in _TEMPERATURE_NAMES[name]:
+            return name
+    return None
+
+
+def convert_temperature(amount: float | None, from_unit: str,
+                        to_unit: str) -> float | None:
+    """UnitConverter.convertTemperature port (conversion/UnitConverter
+    .java:40-81): the six pairwise formulas, applied as written (the
+    from==to case falls through unchanged)."""
+    f = temperature_unit(from_unit)
+    t = temperature_unit(to_unit)
+    if f is None or t is None or amount is None:
+        return None
+    if f == "CELSIUS" and t == "FAHRENHEIT":
+        amount = amount * 9 / 5 + 32
+    if f == "CELSIUS" and t == "KELVIN":
+        amount += 273.15
+    if f == "FAHRENHEIT" and t == "CELSIUS":
+        amount = (amount - 32) * 5 / 9
+    if f == "FAHRENHEIT" and t == "KELVIN":
+        amount = (amount - 32) * 5 / 9 + 273.15
+    if f == "KELVIN" and t == "CELSIUS":
+        amount -= 273.15
+    if f == "KELVIN" and t == "FAHRENHEIT":
+        amount = (amount - 273.15) * 9 / 5 + 32
+    return amount
+
+
+def convert(amount: float | None, from_unit: str,
+            to_unit: str) -> float | None:
+    """UnitConverter.convert port (:30-38): temperature routes to the
+    pairwise formulas; everything else normalizes to the base unit
+    (getNormalizedNumber, which ROUNDS to 3 decimals — the
+    reference's behavior, kept) and divides by the target's
+    unitLookup divisor."""
+    if get_unit_type(from_unit) == "TEMPERATURE":
+        return convert_temperature(amount, from_unit, to_unit)
+    normalized = get_normalized_number(amount, from_unit)
+    divisor = unit_lookup(to_unit)
+    return normalized / divisor
+
+
+def best_fit_convert(amount: float, from_unit: str,
+                     possible_units: list[str]) -> tuple[float, str]:
+    """UnitConverter.bestFitConvert port (:83-119): pick the target
+    whose divisor is largest while staying below the normalized
+    amount (else the smallest divisor overall), iterating
+    `possible_units` in the given order."""
+    normalized = get_normalized_number(amount, from_unit)
+    best_div, best_unit = 0.0, ""
+    low_div, low_unit = 999999999.0, ""
+    for to_unit in possible_units:
+        divisor = unit_lookup(to_unit)
+        if divisor < 0:
+            continue
+        if best_div < divisor < normalized:
+            best_div = divisor
+            best_unit = to_unit
+        elif divisor < low_div:
+            low_div = divisor
+            low_unit = to_unit
+    if best_unit == "":
+        best_unit, best_div = low_unit, low_div
+    return normalized / best_div, best_unit

@@ -182,3 +182,63 @@ def test_smart_transform():
     assert (v, shortest(names)) == (5.0, "mm")
     v, names = U.smart_transform(5000000.0, "WEIGHT")
     assert (v, shortest(names)) == (5.0, "t")
+
+
+# ------------------------------------------------- UnitConverter port
+
+
+def test_convert_reference_examples():
+    from kgp.units import convert
+    # UnitConverter.main (conversion/UnitConverter.java:121-124)
+    assert convert(2., "liters", "ounces") == \
+        pytest.approx(70.5479239, abs=1e-4)
+    assert convert(2., "kg", "lb") == pytest.approx(4.40924524, abs=1e-6)
+
+
+def test_convert_temperature_all_pairs():
+    from kgp.units import convert, convert_temperature
+    assert convert_temperature(100., "celsius", "°f") == 212.0
+    assert convert_temperature(212., "°F", "CELSIUS".lower()) == 100.0
+    assert convert(0., "°c", "kelvin") == 273.15
+    assert convert_temperature(32., "fahrenheit", "kelvin") == \
+        pytest.approx(273.15)
+    assert convert_temperature(273.15, "K", "°c") == 0.0
+    assert convert_temperature(273.15, "kelvin", "°f") == \
+        pytest.approx(32.0)
+    # same unit falls through unchanged; unknown -> None
+    assert convert_temperature(5., "kelvin", "kelvin") == 5.0
+    assert convert_temperature(5., "kelvin", "yards") is None
+    assert convert_temperature(None, "kelvin", "°c") is None
+
+
+def test_best_fit_convert():
+    from kgp.units import best_fit_convert
+    # UnitConverter.main: 600 g over [lb, ounces] -> ~1.32 lb
+    amount, unit = best_fit_convert(600., "g", ["lb", "ounces"])
+    assert unit == "lb"
+    assert amount == pytest.approx(1.3227735, abs=1e-5)
+    # below every divisor -> smallest divisor wins
+    amount, unit = best_fit_convert(1., "g", ["lb", "kg"])
+    assert unit == "lb"
+
+
+def test_temperature_bank_semantics():
+    from kgp.units import get_unit_type, unit_lookup
+    assert get_unit_type("celsius") == "TEMPERATURE"
+    assert get_unit_type("degrees fahrenheit") == "TEMPERATURE"
+    # null multiplier -> -1 (UnitType.java:317 non-linear projections)
+    assert unit_lookup("kelvin") == -1.0
+    # exact pass hits TEMPERATURE's 'K'; the lowercase pass cannot
+    # match uppercase bank names, so 'k' stays the PIXEL kilo-prefix
+    assert unit_lookup("K") == -1.0
+    assert unit_lookup("k") == 1000.0
+
+
+def test_multiplier_col_case_semantics(spark):
+    from kgp.units import multiplier_col, unit_lookup
+    probes = ["MW", "mW", "Mw", "mw", "K", "k", "GB", "gb", "kg."]
+    df = spark.createDataFrame([(p,) for p in probes], "u string")
+    got = {r["u"]: r["m"] for r in
+           df.select("u", multiplier_col("u").alias("m")).collect()}
+    for p in probes:
+        assert got[p] == unit_lookup(p), p
