@@ -1514,6 +1514,25 @@ def _q_page_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_segments_stage(pages, template_pairs(pages))
 
 
+def _q_geo_box_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial box + nearest lookup (kgp.spatial — Spatial2dIdMap's
+    distributed twin): grid-cell EQUI-join blocking (never a theta
+    join), getBoundingBox/approximateDistance verbatim, rank by
+    (rounded dist, id). Points/queries derived deterministically
+    from events."""
+    from kgp.spatial import closest_to_stage
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = events.select(
+        F.col("event_id").alias("id"),
+        (((F.col("event_id") * 37) % 16000) / 100.0 - 80.0)
+        .alias("lat"),
+        (((F.col("event_id") * 73) % 36000) / 100.0 - 180.0)
+        .alias("lng"))
+    queries_df = (pts.where(F.col("id") % 97 == 0)
+                  .select(F.col("id").alias("qid"), "lat", "lng"))
+    return closest_to_stage(pts, queries_df, distance_km=500.0)
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1644,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_probs": _q_phrase_probs,
         "template_pairs": _q_template_pairs,
         "page_segments": _q_page_segments,
+        "geo_box_neighbors": _q_geo_box_neighbors,
         # -- fixed this round (red/err in CORRECTNESS_r03) ----------
         "image_feature_stats": _q_image_feature_stats,
         "wiktionary_words": _q_wiktionary_words,
@@ -1849,4 +1869,5 @@ def oracle_sql() -> dict[str, str]:
         "bovw_histograms": _oracle.bovw_histograms_sql(),
         "phrase_probs": _oracle.phrase_probs_sql(),
         "template_pairs": _oracle.template_pairs_sql(),
+        "geo_box_neighbors": _oracle.geo_box_neighbors_sql(),
     }

@@ -3744,3 +3744,44 @@ FROM scored
 WHERE erg >= {need} AND erg < 1.0
 QUALIFY rank <= {limit}
 ORDER BY url, rank"""
+
+
+# ---------------------------------------------------- spatial oracle
+
+
+def geo_box_neighbors_sql(distance_km: float = 500.0,
+                          q_mod: int = 97) -> str:
+    """DuckDB mirror of kgp.spatial.closest_to_stage over the
+    deterministic event-derived point cloud: getBoundingBox
+    (lat +- d/111.2, lng +- d/|cos(lat)*111.2|), inclusive box,
+    approximateDistance (equirectangular, R=6371) rounded to 9,
+    rank by (dist, id).  DuckDB joins the box directly — the grid
+    blocking is a Spark-side physical optimization with identical
+    output."""
+    return f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         ((event_id * 37) % 16000) / 100.0 - 80.0 AS lat,
+         ((event_id * 73) % 36000) / 100.0 - 180.0 AS lng
+  FROM events),
+q AS (
+  SELECT id AS qid, lat AS qlat, lng AS qlng,
+         lat - {distance_km} / 111.2 AS lat1,
+         lat + {distance_km} / 111.2 AS lat2,
+         lng - {distance_km} / abs(cos(radians(lat)) * 111.2) AS lng1,
+         lng + {distance_km} / abs(cos(radians(lat)) * 111.2) AS lng2
+  FROM pts WHERE id % {q_mod} = 0),
+hits AS (
+  SELECT q.qid, p.id,
+         (radians(q.qlng) - radians(p.lng))
+           * cos((radians(p.lat) + radians(q.qlat)) / 2) AS x,
+         radians(q.qlat) - radians(p.lat) AS y
+  FROM q JOIN pts p
+    ON p.lat BETWEEN q.lat1 AND q.lat2
+   AND p.lng BETWEEN q.lng1 AND q.lng2)
+SELECT qid, id, round(sqrt(x * x + y * y) * 6371.0, 9) AS dist_km,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY round(sqrt(x * x + y * y)
+                                              * 6371.0, 9), id)
+            AS INT) AS rank
+FROM hits ORDER BY qid, rank"""
