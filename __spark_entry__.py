@@ -1533,6 +1533,52 @@ def _q_geo_box_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closest_to_stage(pts, queries_df, distance_km=500.0)
 
 
+def _q_wiktionary_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WiktionaryPosTagger (kgp.wikpostag) over a closed-form token
+    stream + word dictionary synthesized from documents: exercises the
+    full hard-coded rule chain, the single-char branch,
+    isNumericExpression (char-class AND the unit branch — '5km'),
+    exact + lowercase dictionary lookups, posTagMapping, and the
+    unmapped-type passthrough. The oracle re-implements the tagging
+    semantically in SQL against the rendered unit bank."""
+    from kgp.wikpostag import wiktionary_pos_stage
+
+    def pick(col, options):
+        n = len(options)
+        expr = F.when(col % n == 0, F.lit(options[0]))
+        for i, o in enumerate(options[1:], 1):
+            expr = expr.when(col % n == i, F.lit(o))
+        return expr
+
+    docs = _docs_table(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    tokens = docs.select(
+        "doc_id",
+        F.posexplode(F.array(
+            F.lit("The"),
+            F.concat(F.lit("word"), d),
+            F.concat(F.lit("Word"), d),
+            pick(d, ["5km", "1000", "3,5", "5xyz"]),
+            pick(d, [".", "$", "I", "a"]),
+            pick(d, ["was", "is", "been", "being", "am", "are",
+                     "were", "be"]),
+            pick(d, ["and", "or", "either", "some"]),
+            pick(d, ["me", "him", "he", "she", "we", "they", "you",
+                     "them"]),
+            pick(d, ["can", "should", "will", "have", "had",
+                     "having", "do", "did", "does", "this", "that",
+                     "these", "those"]),
+            F.concat(F.lit("zz"), d),
+        )).alias("pos", "token"))
+    words = docs.select(
+        F.when(d % 2 == 0, F.concat(F.lit("word"), d))
+        .otherwise(F.concat(F.lit("Word"), d)).alias("word"),
+        pick(d, ["Noun", "Verb", "Adjective", "Proper", "Article",
+                 "Preposition", "Interjection"]).alias("word_type"))
+    return wiktionary_pos_stage(tokens, words).select(
+        "doc_id", "pos", "token", "tag")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1704,6 +1750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": _q_extract_text,
         "mentions_distinct": _q_mentions,
         "canon_mapping": _q_canon,
+        # -- new r4 gates past the driver's 50-row window: strict
+        # local-harness evidence this round, rotate into the window
+        # next round ------------------------------------------------
+        "wiktionary_pos": _q_wiktionary_pos,
         "triples_by_pred": _q_triples_by_pred,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
@@ -1870,4 +1920,5 @@ def oracle_sql() -> dict[str, str]:
         "phrase_probs": _oracle.phrase_probs_sql(),
         "template_pairs": _oracle.template_pairs_sql(),
         "geo_box_neighbors": _oracle.geo_box_neighbors_sql(),
+        "wiktionary_pos": _oracle.wiktionary_pos_sql(),
     }

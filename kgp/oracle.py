@@ -3785,3 +3785,130 @@ SELECT qid, id, round(sqrt(x * x + y * y) * 6371.0, 9) AS dist_km,
                                               * 6371.0, 9), id)
             AS INT) AS rank
 FROM hits ORDER BY qid, rank"""
+
+
+def _unit_multiplier_values() -> str:
+    """Render the alphabetic single-word slice of the unit bank
+    (kgp/units_data.py, itself the UnitNormalizer.java bank port) as a
+    VALUES list of (name, unitLookup(name)) — static data, same policy
+    as the dt_predictions forest render. Names whose lookup is 1.0 or
+    -1 are omitted: for a single-word suffix both leave the number
+    unchanged (UnitNormalizer.getNormalizedNumber:616-707 falls back
+    to multiplier 1)."""
+    from kgp.units import ALL_UNITS, unit_lookup
+    rows, seen = [], set()
+    for n in ALL_UNITS:
+        if not n.isalpha() or n in seen:
+            continue
+        seen.add(n)
+        v = unit_lookup(n)
+        if v not in (-1.0, 1.0):
+            rows.append(f"('{n}', {v!r})")
+    return ", ".join(rows)
+
+
+def wiktionary_pos_sql() -> str:
+    """Semantic mirror of the wiktionary_pos gate
+    (WiktionaryPosTagger.java:47-150): the token stream and the word
+    dictionary are synthesized closed-form from documents exactly like
+    the Spark side, then the TAGGING ITSELF is re-implemented in SQL —
+    the hard-coded rule chain, isNumericExpression (char-class regex +
+    the unit branch against the rendered bank; exact on the gate's
+    alphabetic single-word suffixes), the exact-then-lowercase
+    dictionary lookups, the posTagMapping CASE, and the final
+    upper()."""
+    return f"""
+WITH dict AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'word' || doc_id
+              ELSE 'Word' || doc_id END AS word,
+         CASE doc_id % 7 WHEN 0 THEN 'Noun' WHEN 1 THEN 'Verb'
+              WHEN 2 THEN 'Adjective' WHEN 3 THEN 'Proper'
+              WHEN 4 THEN 'Article' WHEN 5 THEN 'Preposition'
+              ELSE 'Interjection' END AS word_type
+  FROM documents),
+units(u_name, u_mult) AS (VALUES {_unit_multiplier_values()}),
+toks AS (
+  SELECT doc_id, p.pos,
+         CASE p.pos
+           WHEN 0 THEN 'The'
+           WHEN 1 THEN 'word' || doc_id
+           WHEN 2 THEN 'Word' || doc_id
+           WHEN 3 THEN CASE doc_id % 4 WHEN 0 THEN '5km'
+                WHEN 1 THEN '1000' WHEN 2 THEN '3,5' ELSE '5xyz' END
+           WHEN 4 THEN CASE doc_id % 4 WHEN 0 THEN '.'
+                WHEN 1 THEN '$' WHEN 2 THEN 'I' ELSE 'a' END
+           WHEN 5 THEN CASE doc_id % 8 WHEN 0 THEN 'was'
+                WHEN 1 THEN 'is' WHEN 2 THEN 'been'
+                WHEN 3 THEN 'being' WHEN 4 THEN 'am'
+                WHEN 5 THEN 'are' WHEN 6 THEN 'were' ELSE 'be' END
+           WHEN 6 THEN CASE doc_id % 4 WHEN 0 THEN 'and'
+                WHEN 1 THEN 'or' WHEN 2 THEN 'either'
+                ELSE 'some' END
+           WHEN 7 THEN CASE doc_id % 8 WHEN 0 THEN 'me'
+                WHEN 1 THEN 'him' WHEN 2 THEN 'he' WHEN 3 THEN 'she'
+                WHEN 4 THEN 'we' WHEN 5 THEN 'they' WHEN 6 THEN 'you'
+                ELSE 'them' END
+           WHEN 8 THEN CASE doc_id % 13 WHEN 0 THEN 'can'
+                WHEN 1 THEN 'should' WHEN 2 THEN 'will'
+                WHEN 3 THEN 'have' WHEN 4 THEN 'had'
+                WHEN 5 THEN 'having' WHEN 6 THEN 'do'
+                WHEN 7 THEN 'did' WHEN 8 THEN 'does'
+                WHEN 9 THEN 'this' WHEN 10 THEN 'that'
+                WHEN 11 THEN 'these' ELSE 'those' END
+           ELSE 'zz' || doc_id
+         END AS token
+  FROM documents
+  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9))
+    p(pos)),
+num AS (
+  SELECT t.*, regexp_extract(token, '^[0-9]+') AS npfx,
+         substr(token, length(regexp_extract(token, '^[0-9]+')) + 1)
+           AS usfx
+  FROM toks t),
+feats AS (
+  SELECT n.doc_id, n.pos, n.token,
+         regexp_matches(n.token,
+           '^[\\p{{Nd}}\\p{{Pd}}\\p{{Pc}}\\p{{Sc}}\\p{{Zs}}%.,:]+$')
+           AS charclass,
+         COALESCE(n.npfx <> '' AND n.usfx <> ''
+           AND round(TRY_CAST(n.npfx AS DOUBLE)
+                     * COALESCE(ue.u_mult, ul.u_mult, 1.0), 3)
+               <> TRY_CAST(n.npfx AS DOUBLE), FALSE) AS unit_numeric,
+         COALESCE(de.word_type, dl.word_type) AS wt
+  FROM num n
+  LEFT JOIN units ue ON ue.u_name = n.usfx
+  LEFT JOIN units ul ON ul.u_name = lower(n.usfx)
+  LEFT JOIN dict de ON de.word = n.token
+  LEFT JOIN dict dl ON dl.word = lower(n.token))
+SELECT doc_id, pos, token,
+  upper(CASE
+    WHEN length(token) = 1 AND token <> 'I' AND lower(token) <> 'a'
+      THEN token
+    WHEN lower(token) IN ('a', 'the') THEN 'AT'
+    WHEN token = 'be' THEN 'BE' WHEN token = 'were' THEN 'BED'
+    WHEN token = 'was' THEN 'BEDZ' WHEN token = 'being' THEN 'BEG'
+    WHEN token = 'am' THEN 'BEM' WHEN token = 'been' THEN 'BEN'
+    WHEN token = 'are' THEN 'BER' WHEN token = 'is' THEN 'BEZ'
+    WHEN token IN ('and', 'or') THEN 'CC'
+    WHEN charclass OR unit_numeric THEN 'CD'
+    WHEN token = 'do' THEN 'DO' WHEN token = 'did' THEN 'DOD'
+    WHEN token = 'does' THEN 'DOZ'
+    WHEN token IN ('this', 'that') THEN 'DT'
+    WHEN token IN ('some', 'any') THEN 'DTI'
+    WHEN token IN ('these', 'those') THEN 'DTS'
+    WHEN token = 'either' THEN 'DTX'
+    WHEN token = 'have' THEN 'HV' WHEN token = 'had' THEN 'HVD'
+    WHEN token = 'having' THEN 'HVG'
+    WHEN token IN ('can', 'should', 'will') THEN 'MD'
+    WHEN token IN ('me', 'him', 'them') THEN 'PPO'
+    WHEN token IN ('he', 'she', 'it', 'one') THEN 'PPS'
+    WHEN token IN ('I', 'we', 'they', 'you') THEN 'PPSS'
+    ELSE COALESCE(CASE wt WHEN 'Article' THEN 'AT'
+                          WHEN 'Noun' THEN 'NN'
+                          WHEN 'Proper' THEN 'NNP'
+                          WHEN 'Adjective' THEN 'JJ'
+                          WHEN 'Verb' THEN 'VB'
+                          WHEN 'Preposition' THEN 'IN'
+                          ELSE wt END, '?')
+  END) AS tag
+FROM feats ORDER BY doc_id, pos"""
