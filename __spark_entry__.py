@@ -1579,6 +1579,33 @@ def _q_wiktionary_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos", "token", "tag")
 
 
+def _q_single_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SingleFeatureClassification (kgp.featuresel) over a closed-form
+    train/validation split of events: three nominal features of
+    graded predictive power ranked by single-feature Naive Bayes F1
+    of the 'true' class; the oracle re-implements the whole loop
+    (counts, Laplace scores, argmax, confusion, NaN->0 mapper) in
+    SQL."""
+    from kgp.featuresel import single_feature_classification
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id")
+    e = F.col("event_id")
+    feat = ev.select(
+        "event_id",
+        F.when(e % 2 == 0, "true").otherwise("false").alias("category"),
+        ((e % 2 + F.when(e % 11 == 0, 1).otherwise(0)) % 2)
+        .cast("string").alias("f_strong"),
+        ((e % 2 + F.when(e % 3 == 0, 1).otherwise(0)) % 2)
+        .cast("string").alias("f_weak"),
+        (e % 7).cast("string").alias("f_noise"))
+    train = feat.where(e % 5 != 0)
+    val = feat.where(e % 5 == 0)
+    return single_feature_classification(
+        train, val, id_col="event_id",
+        feature_cols=["f_strong", "f_weak", "f_noise"],
+        positive_class="true")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1754,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local-harness evidence this round, rotate into the window
         # next round ------------------------------------------------
         "wiktionary_pos": _q_wiktionary_pos,
+        "single_feature_ranking": _q_single_feature_ranking,
         "triples_by_pred": _q_triples_by_pred,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
@@ -1921,4 +1949,5 @@ def oracle_sql() -> dict[str, str]:
         "template_pairs": _oracle.template_pairs_sql(),
         "geo_box_neighbors": _oracle.geo_box_neighbors_sql(),
         "wiktionary_pos": _oracle.wiktionary_pos_sql(),
+        "single_feature_ranking": _oracle.single_feature_ranking_sql(),
     }

@@ -249,3 +249,103 @@ def discretize(df: DataFrame, numeric_cols: list[str],
         out = out.withColumn(
             col, apply_mdl_bins(F.col(col), bounds).cast("string"))
     return out
+
+
+def single_feature_classification(train: DataFrame,
+                                  validation: DataFrame,
+                                  label_col: str = "category",
+                                  feature_cols: list[str] | None = None,
+                                  id_col: str = "id",
+                                  positive_class: str | None = None,
+                                  laplace: float | None = None
+                                  ) -> DataFrame:
+    """SingleFeatureClassification port (SingleFeatureClassification.
+    java:39-122): rank every feature by training a classifier on THAT
+    feature alone and scoring it on the validation set — the
+    reference's own main() wiring (:124-147) fixed as the semantic:
+    NaiveBayesLearner/Classifier + ConfusionMatrixEvaluator, mapper =
+    F1 of ``positive_class`` with NaN -> 0 (:137-140), or accuracy
+    when ``positive_class`` is None.
+
+    Spark-first: the reference loops features and retrains (:104-116);
+    a single-nominal-feature Naive Bayes is fully determined by the
+    (feature, value, category) count table, so ALL per-feature models
+    train in ONE melt + aggregation and ALL validation rows score for
+    every feature in one pass — prior + Laplace likelihood exactly as
+    kgp.mlzoo.nb_classify (NaiveBayesModel.java:85-100), argmax by
+    score with ascending-category tie-break (all-negative log space:
+    score order == probability order). Confusion counts and the
+    F1/accuracy mapper are category-sized aggregations per feature.
+    Nominal (string) features only — the reference discretizes
+    numerics upstream, same contract as the rankers above.
+    """
+    from pyspark.sql import Window
+
+    from kgp.mlzoo import DEFAULT_LAPLACE, melt
+    if laplace is None:
+        laplace = DEFAULT_LAPLACE
+    if feature_cols is None:
+        feature_cols = [c for c, t in train.dtypes
+                        if t == "string" and c != label_col]
+
+    lab = F.col(label_col).alias("category")
+    cats = train.groupBy(lab).agg(F.count("*").alias("cat_n"))
+    k_tot = cats.agg(F.count("*").alias("k"),
+                     F.sum("cat_n").alias("total_n"))
+    cats = (cats.crossJoin(F.broadcast(k_tot))
+            .withColumn("prior", F.col("cat_n") / F.col("total_n")))
+    nom = (melt(train.select(label_col, *feature_cols), [label_col],
+                feature_cols, "string")
+           .groupBy(lab, "feature", "value")
+           .agg(F.count("*").alias("n")))
+
+    cells = melt(validation.select(id_col, *feature_cols), [id_col],
+                 feature_cols, "string")
+    scored = (cells.crossJoin(F.broadcast(cats))
+              .join(F.broadcast(nom),
+                    ["feature", "value", "category"], "left")
+              .select(id_col, "feature", "category",
+                      (F.log("prior")
+                       + F.log((F.coalesce(F.col("n"), F.lit(0))
+                                + laplace)
+                               / (F.col("cat_n")
+                                  + laplace * F.col("k"))))
+                      .alias("score")))
+    w = Window.partitionBy(id_col, "feature").orderBy(
+        F.desc("score"), F.asc("category"))
+    pred = (scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(id_col, "feature",
+                    F.col("category").alias("predicted")))
+
+    actual = validation.select(id_col, F.col(label_col).alias("actual"))
+    cm = (pred.join(actual, id_col)
+          .groupBy("feature", "actual", "predicted")
+          .agg(F.count("*").alias("n")))
+    if positive_class is None:
+        out = (cm.groupBy("feature")
+               .agg((F.sum(F.when(F.col("actual") == F.col("predicted"),
+                                  F.col("n")).otherwise(0))
+                     / F.sum("n")).alias("score")))
+    else:
+        pos = F.lit(positive_class)
+        agg = cm.groupBy("feature").agg(
+            F.sum(F.when(F.col("predicted") == pos, F.col("n"))
+                  .otherwise(0)).alias("n_classified"),
+            F.sum(F.when(F.col("actual") == pos, F.col("n"))
+                  .otherwise(0)).alias("n_real"),
+            F.sum(F.when((F.col("actual") == pos)
+                         & (F.col("predicted") == pos), F.col("n"))
+                  .otherwise(0)).alias("n_correct"))
+        # ConfusionMatrix edge cases (ConfusionMatrix.java:204-248)
+        # + the main() mapper's NaN -> 0 (:137-140)
+        prec = F.when(F.col("n_classified") > 0,
+                      F.col("n_correct") / F.col("n_classified"))
+        rec = F.when(F.col("n_real") > 0,
+                     F.col("n_correct") / F.col("n_real")) \
+            .otherwise(F.lit(1.0))
+        f1 = F.when(prec.isNotNull() & (prec + rec > 0),
+                    2 * prec * rec / (prec + rec))
+        out = agg.select("feature",
+                         F.coalesce(f1, F.lit(0.0)).alias("score"))
+    return out.select("feature", F.round("score", 6).alias("score"))

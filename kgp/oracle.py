@@ -3912,3 +3912,85 @@ SELECT doc_id, pos, token,
                           ELSE wt END, '?')
   END) AS tag
 FROM feats ORDER BY doc_id, pos"""
+
+
+def single_feature_ranking_sql(laplace: float = 1e-5) -> str:
+    """Semantic mirror of the single_feature_ranking gate
+    (SingleFeatureClassification.java:39-147): features/label
+    synthesized closed-form from events, then per-feature Naive Bayes
+    (prior + Laplace likelihood, NaiveBayesModel.java:85-100), argmax
+    by score with ascending-category tie-break, confusion counts and
+    the F1('true')-with-NaN->0 mapper — all re-implemented in SQL."""
+    return f"""
+WITH feat AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+           AS category,
+         CAST((event_id % 2 + CASE WHEN event_id % 11 = 0
+                                   THEN 1 ELSE 0 END) % 2 AS VARCHAR)
+           AS f_strong,
+         CAST((event_id % 2 + CASE WHEN event_id % 3 = 0
+                                   THEN 1 ELSE 0 END) % 2 AS VARCHAR)
+           AS f_weak,
+         CAST(event_id % 7 AS VARCHAR) AS f_noise
+  FROM events),
+train AS (SELECT * FROM feat WHERE event_id % 5 <> 0),
+val AS (SELECT * FROM feat WHERE event_id % 5 = 0),
+long_train AS (
+  SELECT category, 'f_strong' AS feature, f_strong AS value FROM train
+  UNION ALL
+  SELECT category, 'f_weak', f_weak FROM train
+  UNION ALL
+  SELECT category, 'f_noise', f_noise FROM train),
+long_val AS (
+  SELECT event_id, category AS actual, 'f_strong' AS feature,
+         f_strong AS value FROM val
+  UNION ALL
+  SELECT event_id, category, 'f_weak', f_weak FROM val
+  UNION ALL
+  SELECT event_id, category, 'f_noise', f_noise FROM val),
+cat AS (
+  SELECT category, COUNT(*) AS cat_n FROM train GROUP BY category),
+tot AS (SELECT COUNT(*) AS k, SUM(cat_n) AS total_n FROM cat),
+nom AS (
+  SELECT category, feature, value, COUNT(*) AS n
+  FROM long_train GROUP BY category, feature, value),
+scored AS (
+  SELECT v.event_id, v.feature, v.actual, c.category,
+         ln(CAST(c.cat_n AS DOUBLE) / t.total_n)
+         + ln((COALESCE(nm.n, 0) + {laplace})
+              / (c.cat_n + {laplace} * t.k)) AS score
+  FROM long_val v
+  CROSS JOIN cat c CROSS JOIN tot t
+  LEFT JOIN nom nm ON nm.category = c.category
+   AND nm.feature = v.feature AND nm.value = v.value),
+pred AS (
+  SELECT event_id, feature, actual, category AS predicted
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY event_id, feature
+                             ORDER BY score DESC, category ASC) = 1),
+agg AS (
+  SELECT feature,
+         SUM(CASE WHEN predicted = 'true' THEN 1 ELSE 0 END)
+           AS n_classified,
+         SUM(CASE WHEN actual = 'true' THEN 1 ELSE 0 END) AS n_real,
+         SUM(CASE WHEN actual = 'true' AND predicted = 'true'
+                  THEN 1 ELSE 0 END) AS n_correct
+  FROM pred GROUP BY feature)
+SELECT feature,
+  round(COALESCE(
+    CASE WHEN n_classified > 0
+          AND (CAST(n_correct AS DOUBLE) / n_classified
+               + CASE WHEN n_real > 0
+                      THEN CAST(n_correct AS DOUBLE) / n_real
+                      ELSE 1.0 END) > 0
+         THEN 2 * (CAST(n_correct AS DOUBLE) / n_classified)
+                * (CASE WHEN n_real > 0
+                        THEN CAST(n_correct AS DOUBLE) / n_real
+                        ELSE 1.0 END)
+              / (CAST(n_correct AS DOUBLE) / n_classified
+                 + CASE WHEN n_real > 0
+                        THEN CAST(n_correct AS DOUBLE) / n_real
+                        ELSE 1.0 END)
+    END, 0.0), 6) AS score
+FROM agg ORDER BY feature"""

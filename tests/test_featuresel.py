@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from kgp.featuresel import chi_squared_ranking, information_gain_ranking
 
@@ -186,3 +187,86 @@ def test_discretize_end_to_end_with_rankers(spark):
     ig = {r.feature: r.score for r in information_gain_ranking(
         binned, ["v", "nom"]).collect()}
     assert ig["v"] == 1.0 and abs(ig["nom"]) < 1e-6
+
+
+# ------------------------------------ SingleFeatureClassification
+def _sfc_data(spark):
+    # 40 train + 20 validation rows; f_good mirrors the label, f_flip
+    # mirrors it with every 5th row flipped, f_junk is id % 3
+    def rows(ids):
+        out = []
+        for i in ids:
+            label = "true" if i % 2 == 0 else "false"
+            good = label
+            flip = ("false" if label == "true" else "true") \
+                if i % 5 == 0 else label
+            out.append((i, good, flip, str(i % 3), label))
+        return out
+    train = spark.createDataFrame(
+        rows(range(40)),
+        "id int, f_good string, f_flip string, f_junk string, "
+        "category string")
+    val = spark.createDataFrame(
+        rows(range(40, 60)),
+        "id int, f_good string, f_flip string, f_junk string, "
+        "category string")
+    return train, val
+
+
+def test_sfc_ranking_order(spark):
+    from kgp.featuresel import single_feature_classification
+    train, val = _sfc_data(spark)
+    scores = {r.feature: r.score for r in single_feature_classification(
+        train, val, positive_class="true").collect()}
+    assert set(scores) == {"f_good", "f_flip", "f_junk"}
+    assert scores["f_good"] == 1.0
+    assert scores["f_good"] > scores["f_flip"] > scores["f_junk"]
+
+
+def test_sfc_matches_per_feature_loop(spark):
+    """One-pass result == the reference's literal loop (retrain a
+    fresh NB per feature via kgp.mlzoo) on every feature."""
+    from kgp.evaluate import category_metrics
+    from kgp.featuresel import single_feature_classification
+    from kgp.mlzoo import nb_predict, nb_train
+    train, val = _sfc_data(spark)
+    got = {r.feature: r.score for r in single_feature_classification(
+        train, val, positive_class="true").collect()}
+    for feat in ["f_good", "f_flip", "f_junk"]:
+        model = nb_train(train.select("category", feat),
+                         nominal_cols=[feat], numeric_cols=[])
+        pred = nb_predict(val.select("id", feat), model, "id")
+        res = pred.join(val.select("id", "category"), "id").select(
+            F.col("category").alias("actual"), "predicted")
+        m = {r.category: r.f1 for r in category_metrics(res).collect()}
+        expected = m.get("true") or 0.0      # the NaN -> 0 mapper
+        assert got[feat] == round(expected, 6), feat
+
+
+def test_sfc_accuracy_metric(spark):
+    from kgp.featuresel import single_feature_classification
+    train, val = _sfc_data(spark)
+    scores = {r.feature: r.score for r in single_feature_classification(
+        train, val).collect()}
+    assert scores["f_good"] == 1.0
+    n_val = val.count()
+    # accuracy of f_flip: flipped validation rows (id % 5 == 0) err
+    flipped = val.where("id % 5 = 0").count()
+    assert scores["f_flip"] == round(1 - flipped / n_val, 6)
+
+
+def test_sfc_never_predicted_positive_scores_zero(spark):
+    # all-one-class training -> 'true' never predicted -> precision
+    # null -> F null -> mapper 0 (ConfusionMatrix.java:204-248 +
+    # SingleFeatureClassification.java:137-140)
+    from kgp.featuresel import single_feature_classification
+    train = spark.createDataFrame(
+        [(i, str(i % 2), "false") for i in range(10)],
+        "id int, f string, category string")
+    val = spark.createDataFrame(
+        [(i, str(i % 2), "true" if i % 2 == 0 else "false")
+         for i in range(10, 20)],
+        "id int, f string, category string")
+    scores = {r.feature: r.score for r in single_feature_classification(
+        train, val, positive_class="true").collect()}
+    assert scores["f"] == 0.0
