@@ -1606,6 +1606,23 @@ def _q_single_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         positive_class="true")
 
 
+def _q_wiki_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWikiFormattingParser (kgp.wikiformat) over the reference's
+    own 12-template test corpus keyed by doc_id %% 12; the oracle
+    renders the expected html/counts from the pytest-golden-pinned
+    local twin."""
+    from kgp.wikiformat import REFERENCE_MARKUPS, wiki_formatting_stage
+    docs = _docs_table(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    markup = F.when(d % 12 == 0, REFERENCE_MARKUPS[0])
+    for i, m in enumerate(REFERENCE_MARKUPS[1:], 1):
+        markup = markup.when(d % 12 == i, m)
+    pages = docs.select(
+        "doc_id", (d % 12).cast("int").alias("variant"),
+        markup.alias("text"))
+    return wiki_formatting_stage(pages).drop("text")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1782,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round ------------------------------------------------
         "wiktionary_pos": _q_wiktionary_pos,
         "single_feature_ranking": _q_single_feature_ranking,
+        "wiki_formatting": _q_wiki_formatting,
         "triples_by_pred": _q_triples_by_pred,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
@@ -1950,4 +1968,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_box_neighbors": _oracle.geo_box_neighbors_sql(),
         "wiktionary_pos": _oracle.wiktionary_pos_sql(),
         "single_feature_ranking": _oracle.single_feature_ranking_sql(),
+        "wiki_formatting": _oracle.wiki_formatting_sql(),
     }

@@ -3994,3 +3994,36 @@ SELECT feature,
                         ELSE 1.0 END)
     END, 0.0), 6) AS score
 FROM agg ORDER BY feature"""
+
+
+def wiki_formatting_sql() -> str:
+    """Oracle for the wiki_formatting gate: the input markups are the
+    reference's OWN test corpus (MediaWikiFormattingParserTest.java:
+    53-77, a fixed 12-template set) keyed by doc_id %% 12; the
+    expected (html, counts) constants are rendered from the local
+    twin, whose parity with the Java parser is pinned by the 13
+    reference goldens in tests/test_wikiformat.py — same render
+    policy as the dt_predictions forest."""
+    from kgp.wikiformat import REFERENCE_MARKUPS, parse_stats
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    html_case, nb_case, ni_case, nbi_case = [], [], [], []
+    for i, markup in enumerate(REFERENCE_MARKUPS):
+        html, nb, ni, nbi = parse_stats(markup)
+        html_case.append(f"WHEN {i} THEN '{q(html)}'")
+        nb_case.append(f"WHEN {i} THEN {nb}")
+        ni_case.append(f"WHEN {i} THEN {ni}")
+        nbi_case.append(f"WHEN {i} THEN {nbi}")
+    return f"""
+SELECT doc_id,
+       CAST(doc_id % 12 AS INT) AS variant,
+       CASE doc_id % 12 {' '.join(html_case)} END AS html,
+       CAST(CASE doc_id % 12 {' '.join(nb_case)} END AS INT)
+         AS n_bold,
+       CAST(CASE doc_id % 12 {' '.join(ni_case)} END AS INT)
+         AS n_italic,
+       CAST(CASE doc_id % 12 {' '.join(nbi_case)} END AS INT)
+         AS n_bold_italic
+FROM documents ORDER BY doc_id"""
