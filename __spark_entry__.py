@@ -1623,6 +1623,41 @@ def _q_wiki_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wiki_formatting_stage(pages).drop("text")
 
 
+def _q_postrate_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostRateUpdateStrategy first-check slice (kgp.feeds
+    post_rate_intervals): minute-of-day posts/chances histogram + the
+    cyclic probability walk in closed form, over item timelines
+    synthesized from events (whole-day spans pinned by two anchor
+    items per feed so every probability is binary-exact; the local
+    twin == literal Java walk is pinned in tests/test_feeds.py)."""
+    from kgp.feeds import MS_PER_MIN, post_rate_intervals
+    base0 = 26_666_666 * MS_PER_MIN
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select((F.col("event_id") % 40).alias("feed_id"), "event_id")
+    params = ev.select("feed_id").distinct().select(
+        "feed_id",
+        (F.when(F.col("feed_id") % 3 == 0, 1)
+         .when(F.col("feed_id") % 3 == 1, 2).otherwise(4) * 1440 - 1)
+        .alias("span"),
+        (F.lit(base0) + F.col("feed_id") * 1440 * MS_PER_MIN)
+        .alias("base"))
+    from_events = (ev.join(params, "feed_id")
+                   .select("feed_id",
+                           (F.col("base")
+                            + ((F.col("event_id") * 131)
+                               % (F.col("span") + 1)) * MS_PER_MIN)
+                           .alias("published_ms")))
+    anchors = params.select(
+        "feed_id", F.explode(F.array(
+            F.col("base"),
+            F.col("base") + F.col("span") * MS_PER_MIN))
+        .alias("published_ms"))
+    items = from_events.unionByName(anchors)
+    lookup = base0 + 30 * MS_PER_MIN
+    return post_rate_intervals(items, lookup_ts_ms=lookup, lowest=5) \
+        .withColumnRenamed("feed", "feed_id").orderBy("feed_id")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1800,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiktionary_pos": _q_wiktionary_pos,
         "single_feature_ranking": _q_single_feature_ranking,
         "wiki_formatting": _q_wiki_formatting,
+        "postrate_intervals": _q_postrate_intervals,
         "triples_by_pred": _q_triples_by_pred,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
@@ -1969,4 +2005,5 @@ def oracle_sql() -> dict[str, str]:
         "wiktionary_pos": _oracle.wiktionary_pos_sql(),
         "single_feature_ranking": _oracle.single_feature_ranking_sql(),
         "wiki_formatting": _oracle.wiki_formatting_sql(),
+        "postrate_intervals": _oracle.postrate_intervals_sql(),
     }

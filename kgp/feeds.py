@@ -54,7 +54,7 @@ both the Spark and the DuckDB oracle side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -551,3 +551,161 @@ def synth_feed_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("</head><body><p>x</p></body></html>"))
     return docs.select(url.alias("url"),
                        F.encode(html, "UTF-8").alias("html"))
+
+
+# -------------------------------------------- post-rate strategy
+MONTH_MINUTES = 31 * 1440            # PostRateUpdateStrategy.java:135
+MAX_WALK_MINUTES = 6 * 31 * 1440     # :139
+
+
+def post_rate_intervals_local(published_ms: list[int],
+                              lookup_ts_ms: int) -> tuple[int, int]:
+    """PostRateUpdateStrategy.update (:50-168) literal walk for one
+    feed at its FIRST check (checks == 0: the distribution starts
+    empty, no item is skipped, no DB round-trip — the strategy's
+    deterministic, poll-state-free slice). Minute-of-day is UTC
+    (DateHelper.getTimeOfDay uses the JVM default Calendar; this port
+    fixes UTC — documented deviation, cluster-safe).
+
+    Returns (minCheckInterval, maxCheckInterval) minutes BEFORE the
+    getAllowedInterval clamp.
+    """
+    posts = [0] * 1440
+    chances = [0] * 1440
+    oldest, newest = min(published_ms), max(published_ms)
+    start_minute = (oldest // MS_PER_MIN) % 1440
+    counter = 0
+    t = oldest
+    while t < newest + MS_PER_MIN:          # :88-97
+        chances[(start_minute + counter) % 1440] += 1
+        t += MS_PER_MIN
+        counter += 1
+    for ts in published_ms:                  # :100-109
+        posts[(ts // MS_PER_MIN) % 1440] += 1
+
+    start = (lookup_ts_ms // MS_PER_MIN) % 1440      # :127-131
+    min_check, found = MONTH_MINUTES, False          # :134-136
+    max_check = MAX_WALK_MINUTES                     # :139
+    n = len(published_ms)
+    estimated = 0.0
+    current = start
+    c = 0
+    while c < max_check:                             # :143-163
+        if chances[current] > 0:
+            estimated += posts[current] / chances[current]
+        if estimated >= 1 and not found:
+            min_check, found = c, True
+        if estimated >= n:
+            max_check = c
+            break
+        current = (current + 1) % 1440
+        c += 1
+    return min_check, max_check
+
+
+def post_rate_intervals(items: DataFrame, *, lookup_ts_ms: int,
+                        feed_col: str = "feed_id",
+                        ts_col: str = "published_ms",
+                        lowest: int = -1,
+                        highest: int = -1) -> DataFrame:
+    """Distributed PostRateUpdateStrategy (first-check slice) over an
+    item table: (feed, minCheck, maxCheck, postrate_min, postrate_max)
+    where postrate_min/_max are the MIN_DELAY / MAX_COVERAGE update
+    intervals after getAllowedInterval (:165-169).
+
+    Spark shape — zero Python, zero per-feed iteration:
+      * the chance histogram's minute loop collapses to
+        full-day-count + a rotated remainder window (the loop walks
+        contiguous minutes), one 1440-row grid per feed;
+      * the cyclic probability walk collapses to ONE prefix-sum
+        window over the rotated day (1440 rows per feed, partitioned
+        by feed) plus the closed form c = k0*1440 + min{{j : pref[j] >=
+        T - k0*S}}, k0 = max(0, ceil(T/S) - 1), applied to both
+        targets T=1 (min) and T=n_items (max). The closed form equals
+        the literal walk exactly whenever the per-minute probabilities
+        are binary-exact (e.g. whole-day ranges: chances a power of
+        two) and to the last ulp otherwise; the local twin above is
+        the byte-exact reference.
+    """
+    feed = F.col(feed_col)
+    stats = (items.groupBy(feed.alias("feed"))
+             .agg(F.min(ts_col).alias("oldest"),
+                  F.max(ts_col).alias("newest"),
+                  F.count("*").alias("n_items")))
+    steps = (F.floor((F.col("newest") - F.col("oldest")) / MS_PER_MIN)
+             + 1).alias("steps")
+    stats = stats.select(
+        "*", steps,
+        ((F.col("oldest") / MS_PER_MIN).cast("long") % 1440)
+        .alias("start_minute"))
+
+    posts = (items.select(
+        feed.alias("feed"),
+        ((F.col(ts_col) / MS_PER_MIN).cast("long") % 1440)
+        .alias("minute"))
+        .groupBy("feed", "minute").agg(F.count("*").alias("posts")))
+
+    lookup_minute = (lookup_ts_ms // MS_PER_MIN) % 1440
+    grid = (stats.select(
+        "feed", "steps", "start_minute",
+        F.explode(F.sequence(F.lit(0), F.lit(1439))).alias("minute")))
+    chance = (F.floor(F.col("steps") / 1440)
+              + F.when(((F.col("minute") - F.col("start_minute")
+                         + 1440) % 1440)
+                       < F.col("steps") % 1440, 1).otherwise(0))
+    grid = (grid.join(posts, ["feed", "minute"], "left")
+            .select("feed", "minute", chance.alias("chance"),
+                    F.coalesce("posts", F.lit(0)).alias("posts")))
+    prob = F.when(F.col("chance") > 0,
+                  F.col("posts") / F.col("chance")).otherwise(0.0)
+    j = (F.col("minute") - F.lit(lookup_minute) + 1440) % 1440
+    w = Window.partitionBy("feed").orderBy("j") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = (grid.select("feed", j.alias("j"), prob.alias("prob"))
+            .withColumn("pref", F.sum("prob").over(w))
+            .select("feed", "j", "pref"))
+
+    totals = pref.groupBy("feed").agg(F.max("pref").alias("s"))
+    targets = (stats.join(totals, "feed")
+               .select("feed", "n_items", "s", F.explode(F.array(
+                   F.struct(F.lit("min").alias("tag"),
+                            F.lit(1.0).alias("t")),
+                   F.struct(F.lit("max").alias("tag"),
+                            F.col("n_items").cast("double")
+                            .alias("t")))).alias("tt"))
+               .select("feed", "n_items", "s",
+                       F.col("tt.tag").alias("tag"),
+                       F.col("tt.t").alias("t")))
+    targets = targets.withColumn(
+        "k0", F.when(F.col("s") > 0,
+                     F.greatest(F.lit(0),
+                                F.ceil(F.col("t") / F.col("s")) - 1)))
+    hits = (pref.join(targets, "feed")
+            .where(F.col("k0").isNotNull()
+                   & (F.col("pref")
+                      >= F.col("t") - F.col("k0") * F.col("s")))
+            .groupBy("feed", "tag")
+            .agg(F.min(F.col("k0") * 1440 + F.col("j")).alias("c")))
+    wide = (stats.select("feed", "n_items")
+            .join(hits.where(F.col("tag") == "min")
+                  .select("feed", F.col("c").alias("c_min")),
+                  "feed", "left")
+            .join(hits.where(F.col("tag") == "max")
+                  .select("feed", F.col("c").alias("c_max")),
+                  "feed", "left"))
+    min_check = F.when(F.col("c_min") < MAX_WALK_MINUTES,
+                       F.col("c_min")).otherwise(F.lit(MONTH_MINUTES))
+    max_check = F.when(F.col("c_max") < MAX_WALK_MINUTES,
+                       F.col("c_max")) \
+        .otherwise(F.lit(MAX_WALK_MINUTES))
+    out = wide.select(
+        "feed", "n_items",
+        F.coalesce(min_check, F.lit(MONTH_MINUTES)).alias("min_check"),
+        F.coalesce(max_check, F.lit(MAX_WALK_MINUTES))
+        .alias("max_check"))
+    return out.select(
+        "feed", "n_items", "min_check", "max_check",
+        _allowed(F.col("min_check"), lowest, highest)
+        .alias("postrate_min"),
+        _allowed(F.col("max_check"), lowest, highest)
+        .alias("postrate_max"))

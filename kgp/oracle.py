@@ -4027,3 +4027,96 @@ SELECT doc_id,
        CAST(CASE doc_id % 12 {' '.join(nbi_case)} END AS INT)
          AS n_bold_italic
 FROM documents ORDER BY doc_id"""
+
+
+def postrate_intervals_sql() -> str:
+    """Semantic mirror of the postrate_intervals gate
+    (PostRateUpdateStrategy.java:50-168, first-check slice): the item
+    timeline synthesis, the posts/chances minute-of-day histogram
+    (full-day count + rotated remainder window), the rotated running
+    probability sum, and the closed-form walk c = k0*1440 + min{j :
+    pref[j] >= T - k0*S} for T = 1 (min) and T = n_items (max), with
+    the 31-day / 186-day defaults and the getAllowedInterval clamp —
+    re-implemented in SQL. Whole-day spans make every probability
+    binary-exact, so the running sums hash identically across
+    engines."""
+    base0 = 26_666_666 * 60_000
+    return f"""
+WITH ev AS (
+  SELECT event_id % 40 AS feed, event_id FROM events),
+params AS (
+  SELECT feed,
+         (CASE feed % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)
+           * 1440 - 1 AS span,
+         {base0} + feed * 1440 * 60000 AS base
+  FROM (SELECT DISTINCT feed FROM ev)),
+items AS (
+  SELECT e.feed,
+         p.base + ((e.event_id * 131) % (p.span + 1)) * 60000 AS ts
+  FROM ev e JOIN params p USING (feed)
+  UNION ALL SELECT feed, base FROM params
+  UNION ALL SELECT feed, base + span * 60000 FROM params),
+stats AS (
+  SELECT feed, MIN(ts) AS oldest, MAX(ts) AS newest,
+         COUNT(*) AS n_items
+  FROM items GROUP BY feed),
+stats2 AS (
+  SELECT *, (newest - oldest) // 60000 + 1 AS steps,
+         (oldest // 60000) % 1440 AS start_minute
+  FROM stats),
+posts AS (
+  SELECT feed, (ts // 60000) % 1440 AS minute, COUNT(*) AS posts
+  FROM items GROUP BY feed, (ts // 60000) % 1440),
+grid AS (
+  SELECT s.feed, g.minute,
+         s.steps // 1440
+           + CASE WHEN (g.minute - s.start_minute + 1440) % 1440
+                       < s.steps % 1440 THEN 1 ELSE 0 END AS chance,
+         COALESCE(p.posts, 0) AS posts
+  FROM stats2 s
+  CROSS JOIN (SELECT unnest(generate_series(0, 1439)) AS minute) g
+  LEFT JOIN posts p ON p.feed = s.feed AND p.minute = g.minute),
+pref AS (
+  SELECT feed,
+         (minute - ({base0 + 30 * 60000} // 60000) % 1440 + 1440)
+           % 1440 AS j,
+         SUM(CASE WHEN chance > 0
+                  THEN CAST(posts AS DOUBLE) / chance
+                  ELSE 0.0 END)
+           OVER (PARTITION BY feed ORDER BY
+                 (minute - ({base0 + 30 * 60000} // 60000) % 1440
+                  + 1440) % 1440
+                 ROWS UNBOUNDED PRECEDING) AS pref
+  FROM grid),
+tot AS (SELECT feed, MAX(pref) AS s FROM pref GROUP BY feed),
+targets AS (
+  SELECT st.feed, st.n_items, t.s, tt.tag,
+         CASE tt.tag WHEN 'min' THEN 1.0
+              ELSE CAST(st.n_items AS DOUBLE) END AS t,
+         CASE WHEN t.s > 0 THEN GREATEST(0, CAST(ceil(
+              CASE tt.tag WHEN 'min' THEN 1.0
+                   ELSE CAST(st.n_items AS DOUBLE) END / t.s)
+              AS BIGINT) - 1) END AS k0
+  FROM stats2 st JOIN tot t USING (feed)
+  CROSS JOIN (VALUES ('min'), ('max')) tt(tag)),
+hits AS (
+  SELECT p.feed, g.tag, MIN(g.k0 * 1440 + p.j) AS c
+  FROM pref p JOIN targets g USING (feed)
+  WHERE g.k0 IS NOT NULL AND p.pref >= g.t - g.k0 * g.s
+  GROUP BY p.feed, g.tag),
+wide AS (
+  SELECT s.feed, s.n_items, hmin.c AS c_min, hmax.c AS c_max
+  FROM stats2 s
+  LEFT JOIN hits hmin ON hmin.feed = s.feed AND hmin.tag = 'min'
+  LEFT JOIN hits hmax ON hmax.feed = s.feed AND hmax.tag = 'max'),
+final AS (
+  SELECT feed AS feed_id, n_items,
+         COALESCE(CASE WHEN c_min < 267840 THEN c_min
+                       ELSE 44640 END, 44640) AS min_check,
+         COALESCE(CASE WHEN c_max < 267840 THEN c_max
+                       ELSE 267840 END, 267840) AS max_check
+  FROM wide)
+SELECT feed_id, n_items, min_check, max_check,
+       GREATEST(min_check, 5) AS postrate_min,
+       GREATEST(max_check, 5) AS postrate_max
+FROM final ORDER BY feed_id"""

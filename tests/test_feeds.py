@@ -292,3 +292,72 @@ def test_discover_stage_roundtrip(spark):
     # variant 4 pages yield nothing; variant 5 pages yield two rows
     n_docs = pages.count()
     assert out.count() < 2 * n_docs
+
+
+# -------------------------------------------- PostRateUpdateStrategy
+def test_post_rate_local_dense_feed():
+    from kgp.feeds import (MONTH_MINUTES, MS_PER_MIN,
+                           post_rate_intervals_local)
+    # 5 posts in one hour, range exactly covers those minutes: the
+    # estimated-posts walk crosses 1 quickly
+    base = 1_700_000_040_000 - (1_700_000_040_000 % MS_PER_MIN)
+    ts = [base + m * MS_PER_MIN for m in (0, 10, 20, 45, 59)]
+    mn, mx = post_rate_intervals_local(ts, base)
+    assert 0 <= mn <= mx
+    assert mn < MONTH_MINUTES
+
+
+def test_post_rate_local_never_crosses():
+    from kgp.feeds import (MAX_WALK_MINUTES, MONTH_MINUTES,
+                           MS_PER_MIN, post_rate_intervals_local)
+    # one post over a 200-day range: chance per minute ~200, prob sums
+    # to 1 only after ~all cycles; with a lookup far from the post the
+    # walk may not cross 1 within the bound
+    base = 1_700_000_000_000 - (1_700_000_000_000 % MS_PER_MIN)
+    ts = [base, base + 200 * 1440 * MS_PER_MIN]
+    mn, mx = post_rate_intervals_local(ts, base)
+    # min is the found crossing (which may exceed the 31-day default)
+    # or the default; max is bounded by the walk limit
+    assert mx <= MAX_WALK_MINUTES
+    assert mn <= mx or mn == MONTH_MINUTES
+
+
+def test_post_rate_stage_matches_local(spark):
+    """Distributed closed form == literal Java walk on whole-day
+    ranges (binary-exact probabilities)."""
+    import random
+
+    from kgp.feeds import MS_PER_MIN, post_rate_intervals, \
+        post_rate_intervals_local
+    rng = random.Random(7)
+    rows, expected = [], {}
+    lookup = 1_700_000_000_000 - (1_700_000_000_000 % MS_PER_MIN) \
+        + 30 * MS_PER_MIN
+    for feed in range(12):
+        n = rng.randint(2, 40)
+        days = rng.choice([1, 2, 4, 8])
+        base = 1_690_000_000_000
+        base -= base % MS_PER_MIN
+        base += rng.randint(0, 1439) * MS_PER_MIN
+        span = days * 1440 - 1
+        offs = {0, span}
+        while len(offs) < min(n, span):
+            offs.add(rng.randint(0, span))
+        ts = [base + o * MS_PER_MIN for o in sorted(offs)]
+        rows += [(feed, t) for t in ts]
+        expected[feed] = post_rate_intervals_local(ts, lookup)
+    df = spark.createDataFrame(rows, "feed_id long, published_ms long")
+    out = {r.feed: (r.min_check, r.max_check) for r in
+           post_rate_intervals(df, lookup_ts_ms=lookup).collect()}
+    assert out == expected
+
+
+def test_post_rate_stage_clamp(spark):
+    from kgp.feeds import MS_PER_MIN, post_rate_intervals
+    base = 1_700_000_000_000 - (1_700_000_000_000 % MS_PER_MIN)
+    ts = [base + m * MS_PER_MIN for m in (0, 1, 2, 3, 1439)]
+    df = spark.createDataFrame([(1, t) for t in ts],
+                               "feed_id long, published_ms long")
+    r = post_rate_intervals(df, lookup_ts_ms=base, lowest=5,
+                            highest=10000).collect()[0]
+    assert r.postrate_min >= 5 and r.postrate_max <= 10000
