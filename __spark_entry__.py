@@ -1658,6 +1658,29 @@ def _q_postrate_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("feed", "feed_id").orderBy("feed_id")
 
 
+def _q_ttl_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaptiveTTL + LRU2 update strategies (kgp.feeds) over item
+    timelines synthesized from events; both formulas re-implemented
+    in the SQL oracle (trunc-division, duplicate-newest default,
+    clamp)."""
+    from kgp.feeds import MS_PER_MIN, adaptive_ttl_interval, \
+        lru2_interval
+    base = 26_000_000 * MS_PER_MIN
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    items = ev.select(
+        (F.col("event_id") % 30).alias("feed_id"),
+        (F.lit(base) + ((F.col("event_id") * 991) % 86400)
+         * MS_PER_MIN).alias("published_ms"))
+    poll = base + 90_000 * MS_PER_MIN
+    ttl = adaptive_ttl_interval(items, poll_ts_ms=poll, weight_m=0.2,
+                                lowest=5, highest=10080)
+    lru = lru2_interval(items, lowest=5, highest=10080)
+    return (ttl.join(lru, "feed")
+            .select(F.col("feed").alias("feed_id"),
+                    "adaptive_ttl", "lru2")
+            .orderBy("feed_id"))
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1836,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_feature_ranking": _q_single_feature_ranking,
         "wiki_formatting": _q_wiki_formatting,
         "postrate_intervals": _q_postrate_intervals,
+        "ttl_intervals": _q_ttl_intervals,
         "triples_by_pred": _q_triples_by_pred,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
@@ -2006,4 +2030,5 @@ def oracle_sql() -> dict[str, str]:
         "single_feature_ranking": _oracle.single_feature_ranking_sql(),
         "wiki_formatting": _oracle.wiki_formatting_sql(),
         "postrate_intervals": _oracle.postrate_intervals_sql(),
+        "ttl_intervals": _oracle.ttl_intervals_sql(),
     }

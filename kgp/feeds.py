@@ -709,3 +709,58 @@ def post_rate_intervals(items: DataFrame, *, lookup_ts_ms: int,
         .alias("postrate_min"),
         _allowed(F.col("max_check"), lowest, highest)
         .alias("postrate_max"))
+
+
+def adaptive_ttl_interval(items: DataFrame, *, poll_ts_ms: int,
+                          weight_m: float = 0.2,
+                          feed_col: str = "feed_id",
+                          ts_col: str = "published_ms",
+                          lowest: int = -1,
+                          highest: int = -1) -> DataFrame:
+    """AdaptiveTTLUpdateStrategy.update (AdaptiveTTLUpdateStrategy.
+    java:57-85): interval = (int)(weightM * (pollTime - newestEntry)
+    / 1 min), DEFAULT_CHECK_TIME when the gap is not positive — the
+    web-caching TTL heuristic. One aggregation per feed."""
+    gap = F.lit(poll_ts_ms) - F.max(ts_col)
+    raw = F.when(gap > 0,
+                 (F.lit(weight_m) * gap / MS_PER_MIN).cast("long")) \
+        .otherwise(F.lit(DEFAULT_CHECK_TIME).cast("long"))
+    return (items.groupBy(F.col(feed_col).alias("feed"))
+            .agg(_allowed(raw, lowest, highest).alias("adaptive_ttl")))
+
+
+def lru2_interval(items: DataFrame, *,
+                  feed_col: str = "feed_id",
+                  ts_col: str = "published_ms",
+                  lowest: int = -1, highest: int = -1) -> DataFrame:
+    """LRU2UpdateStrategy.update (LRU2UpdateStrategy.java:46-77):
+    interval = (int)((lastEntry - lastButOneEntry) / 1 min) — the gap
+    of the two newest items in the date-sorted list; DEFAULT_CHECK_TIME
+    when a bound is missing or the gap is not positive (duplicate
+    newest timestamps give the sorted predecessor the SAME time, gap
+    0 -> default, which the dup-count term reproduces).
+
+    One aggregation: newest, strictly-older max, and the newest-ts
+    multiplicity come from max/max_by/conditional counts — no window
+    over raw rows.
+    """
+    ts = F.col(ts_col)
+    agg = (items.groupBy(F.col(feed_col).alias("feed"))
+           .agg(F.max(ts).alias("newest"),
+                F.count("*").alias("n"))
+           )
+    j = (items.select(F.col(feed_col).alias("feed"), ts.alias("_ts"))
+         .join(F.broadcast(agg), "feed")
+         .groupBy("feed")
+         .agg(F.first("newest").alias("newest"),
+              F.max(F.when(F.col("_ts") < F.col("newest"),
+                           F.col("_ts"))).alias("second_newest"),
+              F.sum(F.when(F.col("_ts") == F.col("newest"), 1)
+                    .otherwise(0)).alias("newest_count")))
+    gap = F.col("newest") - F.col("second_newest")
+    raw = F.when((F.col("newest_count") == 1)
+                 & F.col("second_newest").isNotNull() & (gap > 0),
+                 (gap / MS_PER_MIN).cast("long")) \
+        .otherwise(F.lit(DEFAULT_CHECK_TIME).cast("long"))
+    return j.select("feed",
+                    _allowed(raw, lowest, highest).alias("lru2"))

@@ -4120,3 +4120,45 @@ SELECT feed_id, n_items, min_check, max_check,
        GREATEST(min_check, 5) AS postrate_min,
        GREATEST(max_check, 5) AS postrate_max
 FROM final ORDER BY feed_id"""
+
+
+def ttl_intervals_sql() -> str:
+    """Semantic mirror of the ttl_intervals gate: AdaptiveTTL
+    (AdaptiveTTLUpdateStrategy.java:57-85 — (int)(weightM * (poll -
+    newest) / 1 min), default 60 on non-positive gap) and LRU2
+    (LRU2UpdateStrategy.java:46-77 — (int)((newest - lastButOne) /
+    1 min), default on missing bound / non-positive gap, duplicate
+    newest timestamps -> sorted predecessor shares the time -> gap 0
+    -> default), plus the getAllowedInterval clamp [5, 10080]."""
+    base = 26_000_000 * 60_000
+    poll = base + 90_000 * 60_000
+    return f"""
+WITH items AS (
+  SELECT event_id % 30 AS feed,
+         {base} + ((event_id * 991) % 86400) * 60000 AS ts
+  FROM events),
+agg AS (
+  SELECT feed, MAX(ts) AS newest FROM items GROUP BY feed),
+sec AS (
+  SELECT i.feed, MAX(i.ts) AS second_newest
+  FROM items i JOIN agg a ON a.feed = i.feed AND i.ts < a.newest
+  GROUP BY i.feed),
+dups AS (
+  SELECT i.feed, COUNT(*) AS c
+  FROM items i JOIN agg a ON a.feed = i.feed AND i.ts = a.newest
+  GROUP BY i.feed)
+SELECT a.feed AS feed_id,
+  GREATEST(LEAST(
+    CASE WHEN {poll} - a.newest > 0
+         THEN CAST(trunc(CAST(0.2 AS DOUBLE) * ({poll} - a.newest)
+                         / 60000) AS BIGINT)
+         ELSE 60 END, 10080), 5) AS adaptive_ttl,
+  GREATEST(LEAST(
+    CASE WHEN d.c = 1 AND s.second_newest IS NOT NULL
+              AND a.newest - s.second_newest > 0
+         THEN (a.newest - s.second_newest) // 60000
+         ELSE 60 END, 10080), 5) AS lru2
+FROM agg a
+LEFT JOIN sec s ON s.feed = a.feed
+LEFT JOIN dups d ON d.feed = a.feed
+ORDER BY feed_id"""

@@ -361,3 +361,32 @@ def test_post_rate_stage_clamp(spark):
     r = post_rate_intervals(df, lookup_ts_ms=base, lowest=5,
                             highest=10000).collect()[0]
     assert r.postrate_min >= 5 and r.postrate_max <= 10000
+
+
+def test_adaptive_ttl_and_lru2(spark):
+    from kgp.feeds import (DEFAULT_CHECK_TIME, MS_PER_MIN,
+                           adaptive_ttl_interval, lru2_interval)
+    base = 1_700_000_000_000 - (1_700_000_000_000 % MS_PER_MIN)
+    rows = [
+        # feed 1: newest at base+100min, poll at base+200min
+        (1, base), (1, base + 100 * MS_PER_MIN),
+        # feed 2: newest == poll -> gap 0 -> default
+        (2, base + 200 * MS_PER_MIN),
+        # feed 3: duplicate newest -> LRU2 default
+        (3, base), (3, base + 50 * MS_PER_MIN),
+        (3, base + 50 * MS_PER_MIN),
+        # feed 4: single item -> LRU2 default
+        (4, base),
+    ]
+    df = spark.createDataFrame(rows, "feed_id long, published_ms long")
+    poll = base + 200 * MS_PER_MIN
+    ttl = {r.feed: r.adaptive_ttl for r in adaptive_ttl_interval(
+        df, poll_ts_ms=poll, weight_m=0.2).collect()}
+    # (int)(0.2 * 100min) = 20 ; feed 3: 0.2*150 = 30 ; feed 4: 0.2*200
+    assert ttl[1] == 20 and ttl[2] == DEFAULT_CHECK_TIME
+    assert ttl[3] == 30 and ttl[4] == 40
+    lru = {r.feed: r.lru2 for r in lru2_interval(df).collect()}
+    assert lru[1] == 100                      # gap of two newest
+    assert lru[2] == DEFAULT_CHECK_TIME       # single item
+    assert lru[3] == DEFAULT_CHECK_TIME       # duplicate newest
+    assert lru[4] == DEFAULT_CHECK_TIME       # single item
