@@ -167,6 +167,27 @@ def cross_validate(df: DataFrame, k: int, id_col: str):
                folded.where(F.col("fold") == i).drop("fold"))
 
 
+def assign_folds_by_id(df: DataFrame, k: int,
+                       id_col: str) -> DataFrame:
+    """IdBasedCrossValidator port (IdBasedCrossValidator.java:25-103):
+    fold = Integer.parseInt(id) %% numFolds — the reference's exact
+    parse-the-id-string rule (k >= 2 enforced there too), already
+    partition-independent by construction."""
+    if k < 2:
+        raise ValueError("numFolds must be at least 2")
+    return df.withColumn(
+        "fold", (F.col(id_col).cast("string").cast("long") % k)
+        .cast("int"))
+
+
+def cross_validate_by_id(df: DataFrame, k: int, id_col: str):
+    """Yield (fold, train, test) over the id-modulo assignment."""
+    folded = assign_folds_by_id(df, k, id_col)
+    for i in range(k):
+        yield (i, folded.where(F.col("fold") != i).drop("fold"),
+               folded.where(F.col("fold") == i).drop("fold"))
+
+
 # ------------------------------------------------- threshold analysis
 
 

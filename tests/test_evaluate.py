@@ -286,3 +286,20 @@ def test_reservoir_sample_deterministic(spark):
     plan = reservoir_sample(df, 20)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan   # top-k, not a full sort
+
+
+def test_id_based_folds(spark):
+    from kgp.evaluate import assign_folds_by_id, cross_validate_by_id
+    df = spark.createDataFrame([(str(i), i * 2) for i in range(20)],
+                               "rid string, v int")
+    folded = assign_folds_by_id(df, 5, "rid")
+    got = {r.rid: r.fold for r in folded.collect()}
+    assert got == {str(i): i % 5 for i in range(20)}
+    splits = list(cross_validate_by_id(df, 5, "rid"))
+    assert len(splits) == 5
+    i, train, test = splits[2]
+    assert test.count() == 4 and train.count() == 16
+    assert all(int(r.rid) % 5 == 2 for r in test.collect())
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        assign_folds_by_id(df, 1, "rid")
