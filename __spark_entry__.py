@@ -1681,6 +1681,40 @@ def _q_ttl_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("feed_id"))
 
 
+def _q_wiki_ner_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WikipediaDatasetCreator (kgp.wikidataset) over a closed-form
+    wiki corpus synthesized from documents: per-page distant-
+    supervision entity dictionaries — link resolution via the corpus
+    self-join, infobox type mapping, linked alt-titles, own-title
+    entries, *IGNORE* rows, PER/ORG variants. The oracle re-derives
+    every dictionary row symbolically (join + CASE + last-wins
+    dedupe) in SQL."""
+    from kgp.wikidataset import wikipedia_ner_dataset
+    docs = _docs_table(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    box = F.when(d % 5 == 0, "airport").when(d % 5 == 1, "artist") \
+        .when(d % 5 == 2, "airline").when(d % 5 == 3, "nosuchbox")
+    box_markup = F.when(box.isNotNull(), F.concat(
+        F.lit("{{Infobox "), box, F.lit("\n| name = x\n}}\n"))) \
+        .otherwise(F.lit(""))
+    j1 = (d * 3 + 1) % 555
+    j2 = (d * 7 + 2) % 555
+    markup = F.concat(
+        box_markup,
+        F.lit("'''Alt "), d, F.lit("''' is a page. See [[Page "), j1,
+        F.lit("]] and [[Page "), j2, F.lit("|Cap "), d,
+        F.lit("]] and [[Ghost "), d, F.lit("]]."))
+    pages = docs.select(
+        d.alias("page_id"),
+        F.concat(F.lit("Page "), d).alias("title"),
+        markup.alias("markup"))
+    out = wikipedia_ner_dataset(pages)
+    return (out.select("page_id", F.explode("dictionary").alias("e"))
+            .select("page_id", F.col("e.surface").alias("surface"),
+                    F.col("e.tag").alias("tag"))
+            .orderBy("page_id", "surface"))
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1860,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_formatting": _q_wiki_formatting,
         "postrate_intervals": _q_postrate_intervals,
         "ttl_intervals": _q_ttl_intervals,
+        "wiki_ner_dictionary": _q_wiki_ner_dictionary,
         "triples_by_pred": _q_triples_by_pred,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
@@ -2031,4 +2066,5 @@ def oracle_sql() -> dict[str, str]:
         "wiki_formatting": _oracle.wiki_formatting_sql(),
         "postrate_intervals": _oracle.postrate_intervals_sql(),
         "ttl_intervals": _oracle.ttl_intervals_sql(),
+        "wiki_ner_dictionary": _oracle.wiki_ner_dictionary_sql(),
     }

@@ -37,7 +37,10 @@ def _fold_text(text: str) -> str:
 
 
 class AhoCorasick:
-    """Case-insensitive Aho-Corasick over (surface, tag) pairs.
+    """Aho-Corasick over (surface, tag) pairs — case-insensitive by
+    default (DictionaryTagger's Pattern.CASE_INSENSITIVE flag path),
+    ``case_sensitive=True`` for the flags==0 path
+    (DictionaryTagger.java:44-53).
 
     Surfaces of length <= 1 are skipped (DictionaryTagger.java:50 loops
     `value.length() > 1` semantics as used by the tagging pipeline).
@@ -45,15 +48,18 @@ class AhoCorasick:
     dict construction order in the callers).
     """
 
-    def __init__(self, surface_tags: Iterable[tuple[str, str]]) -> None:
+    def __init__(self, surface_tags: Iterable[tuple[str, str]],
+                 case_sensitive: bool = False) -> None:
         # state 0 is the root; transitions as per-state char dicts
         self._goto: list[dict[str, int]] = [{}]
         self._out: list[list[tuple[int, str]]] = [[]]  # (pattern_len, tag)
         self._tag_of: dict[str, str] = {}
+        self._case_sensitive = case_sensitive
+        fold = (lambda s: s) if case_sensitive else _fold_text
         for surface, tag in surface_tags:
             if len(surface) <= 1:
                 continue
-            self._add(_fold_text(surface), tag)
+            self._add(fold(surface), tag)
         self._fail = self._build_links()
 
     def _add(self, pattern: str, tag: str) -> None:
@@ -102,8 +108,9 @@ class AhoCorasick:
     def find_all(self, text: str) -> list[tuple[int, int, str]]:
         """All word-bounded occurrences as (start, end, tag), in text
         order. Equivalent to running `(?<!\\w)s(?!\\w)` per surface
-        with IGNORECASE and concatenating — but one pass."""
-        folded = _fold_text(text)
+        (with IGNORECASE unless case_sensitive) and concatenating —
+        but one pass."""
+        folded = text if self._case_sensitive else _fold_text(text)
         goto, fail, out = self._goto, self._fail, self._out
         n = len(folded)
         state = 0

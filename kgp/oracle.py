@@ -4162,3 +4162,72 @@ FROM agg a
 LEFT JOIN sec s ON s.feed = a.feed
 LEFT JOIN dups d ON d.feed = a.feed
 ORDER BY feed_id"""
+
+
+def wiki_ner_dictionary_sql() -> str:
+    """Symbolic mirror of the wiki_ner_dictionary gate
+    (WikipediaDatasetCreator.java:83-222): the corpus is closed-form,
+    so every dictionary entry derives from joins + CASE — link
+    destinations resolve by a self-join on the page id, the infobox
+    of page j is CASE j %% 5 (airport->LOC artist->PER airline->ORG
+    nosuchbox->*IGNORE* none->no entry), resolvable links add
+    destination + caption + the linked page's 'Alt j' bold title,
+    missing destinations ('Ghost i', out-of-corpus ids) add *IGNORE*,
+    mapped own infoboxes add 'Alt i'/'Page i', PER rows add the
+    last-token variant and ORG rows the ',? Inc.'-stripped variant
+    (identity here), duplicate-destination links are skipped, and
+    surface collisions resolve last-insertion-wins."""
+    return """
+WITH ids AS (SELECT doc_id AS i FROM documents),
+pages AS (
+  SELECT i, CASE i % 5 WHEN 0 THEN 'LOC' WHEN 1 THEN 'PER'
+                       WHEN 2 THEN 'ORG' WHEN 3 THEN '*IGNORE*'
+            END AS linked_tag,
+         i % 5 <> 4 AS has_box,
+         i % 5 IN (0, 1, 2) AS mapped
+  FROM ids),
+links AS (
+  SELECT i, 1 AS seq, (i * 3 + 1) % 555 AS dest_id,
+         CAST(NULL AS VARCHAR) AS caption FROM ids
+  UNION ALL
+  SELECT i, 2, (i * 7 + 2) % 555, 'Cap ' || i FROM ids
+  WHERE (i * 7 + 2) % 555 <> (i * 3 + 1) % 555),
+base AS (
+  -- destination / caption / linked-alt rows from resolvable links
+  SELECT l.i, l.seq * 10 + 0 AS seq, 'Page ' || l.dest_id AS surface,
+         CASE WHEN p2.i IS NULL THEN '*IGNORE*'
+              ELSE p2.linked_tag END AS tag
+  FROM links l LEFT JOIN pages p2 ON p2.i = l.dest_id
+  WHERE p2.i IS NULL OR p2.has_box
+  UNION ALL
+  SELECT l.i, l.seq * 10 + 1, l.caption, p2.linked_tag
+  FROM links l JOIN pages p2 ON p2.i = l.dest_id
+  WHERE p2.has_box AND l.caption IS NOT NULL
+  UNION ALL
+  SELECT l.i, l.seq * 10 + 2, 'Alt ' || l.dest_id, p2.linked_tag
+  FROM links l JOIN pages p2 ON p2.i = l.dest_id
+  WHERE p2.has_box
+  UNION ALL
+  SELECT i, 30, 'Ghost ' || i, '*IGNORE*' FROM ids
+  UNION ALL
+  SELECT i, 40, 'Alt ' || i, linked_tag FROM pages WHERE mapped
+  UNION ALL
+  SELECT i, 41, 'Page ' || i, linked_tag FROM pages WHERE mapped),
+dedup1 AS (
+  SELECT i, surface, tag, seq FROM base
+  QUALIFY row_number() OVER (PARTITION BY i, surface
+                             ORDER BY seq DESC) = 1),
+variants AS (
+  SELECT i, regexp_extract(surface, '[^ ]+$') AS surface, tag,
+         100 + seq AS seq
+  FROM dedup1 WHERE tag = 'PER'
+  UNION ALL
+  SELECT i, regexp_replace(surface, ',? Inc\\.', ''), tag, 100 + seq
+  FROM dedup1 WHERE tag = 'ORG'),
+unioned AS (
+  SELECT * FROM dedup1 UNION ALL SELECT * FROM variants)
+SELECT i AS page_id, surface, tag FROM unioned
+WHERE surface <> ''
+QUALIFY row_number() OVER (PARTITION BY i, surface
+                           ORDER BY seq DESC) = 1
+ORDER BY page_id, surface"""
