@@ -1715,6 +1715,41 @@ def _q_wiki_ner_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("page_id", "surface"))
 
 
+def _q_indhist_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndHist update strategy (kgp.feeds ind_hist_interval,
+    [BGR2006] hourly-histogram pull policy): whole-day item timelines
+    (binary-exact rates) from events, poll at minute :15 (dyadic
+    remaining-hour fraction), theta 0.75; the oracle re-implements
+    the model + closed-form walk in SQL."""
+    from kgp.feeds import MS_PER_MIN, ind_hist_interval
+    base0 = 26_666_666 * MS_PER_MIN
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select((F.col("event_id") % 35).alias("feed_id"), "event_id")
+    params = ev.select("feed_id").distinct().select(
+        "feed_id",
+        (F.when(F.col("feed_id") % 3 == 0, 1)
+         .when(F.col("feed_id") % 3 == 1, 2).otherwise(4) * 1440 - 1)
+        .alias("span"),
+        (F.lit(base0) + F.col("feed_id") * 7 * 1440 * MS_PER_MIN)
+        .alias("base"))
+    from_events = (ev.join(params, "feed_id")
+                   .select("feed_id",
+                           (F.col("base")
+                            + ((F.col("event_id") * 197)
+                               % (F.col("span") + 1)) * MS_PER_MIN)
+                           .alias("published_ms")))
+    anchors = params.select(
+        "feed_id", F.explode(F.array(
+            F.col("base"),
+            F.col("base") + F.col("span") * MS_PER_MIN))
+        .alias("published_ms"))
+    items = from_events.unionByName(anchors)
+    poll = base0 - (base0 % 3_600_000) + 15 * MS_PER_MIN
+    return ind_hist_interval(items, poll_ts_ms=poll, theta=0.75,
+                             lowest=5) \
+        .withColumnRenamed("feed", "feed_id").orderBy("feed_id")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1895,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postrate_intervals": _q_postrate_intervals,
         "ttl_intervals": _q_ttl_intervals,
         "wiki_ner_dictionary": _q_wiki_ner_dictionary,
+        "indhist_intervals": _q_indhist_intervals,
         "triples_by_pred": _q_triples_by_pred,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
@@ -2067,4 +2103,5 @@ def oracle_sql() -> dict[str, str]:
         "postrate_intervals": _oracle.postrate_intervals_sql(),
         "ttl_intervals": _oracle.ttl_intervals_sql(),
         "wiki_ner_dictionary": _oracle.wiki_ner_dictionary_sql(),
+        "indhist_intervals": _oracle.indhist_intervals_sql(),
     }

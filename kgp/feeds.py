@@ -764,3 +764,158 @@ def lru2_interval(items: DataFrame, *,
         .otherwise(F.lit(DEFAULT_CHECK_TIME).cast("long"))
     return j.select("feed",
                     _allowed(raw, lowest, highest).alias("lru2"))
+
+
+# ------------------------------------------------ IndHist strategy
+def ind_hist_model_local(published_ms: list[int]) -> list[float]:
+    """The externally-trained IndHist model (FeedDatabase.
+    getIndHistModel:412-434: changeRate[h] = newItems(h) /
+    observationPeriodDays). This port's training-window convention:
+    observationPeriodDays = floor((newest - oldest) / 1 day) + 1 —
+    the days the item range touches, >= 1. Hour-of-day is UTC (same
+    policy as post_rate)."""
+    rates = [0.0] * 24
+    if not published_ms:
+        return rates
+    obs_days = (max(published_ms) - min(published_ms)) \
+        // MS_PER_DAY + 1
+    for ts in published_ms:
+        rates[(ts // 3_600_000) % 24] += 1
+    return [r / obs_days for r in rates]
+
+
+def ind_hist_interval_local(published_ms: list[int],
+                            poll_ts_ms: int, theta: float,
+                            highest: int = -1) -> int:
+    """IndHistUpdateStrategy.updateCheckInterval (IndHistUpdateStrategy
+    .java:87-160) literal walk: remaining-hour check, full-day loop,
+    full-hour loop, fractional last hour — all int truncations as in
+    Java. Returns the interval BEFORE the clamp."""
+    rates = ind_hist_model_local(published_ms)
+    daily = 0.0
+    for r in rates:
+        daily += r
+    if daily == 0.0:
+        return DEFAULT_CHECK_TIME
+    poll_hour = (poll_ts_ms // 3_600_000) % 24
+    current_seconds = (poll_ts_ms // 1000) % 3600
+    remaining_seconds = 3600 - current_seconds
+    sim = poll_hour
+    pending = 0.0
+    ci = 0
+    remaining_pending = rates[sim] * remaining_seconds / 3600
+    if remaining_pending >= theta:
+        ci = int(ci + 60 * theta / rates[sim])
+    else:
+        pending += remaining_pending
+        ci += int(remaining_seconds / 60)
+        sim = (sim + 1) % 24
+        while pending + daily < theta \
+                and (ci + 1440 < highest or highest == -1):
+            pending += daily
+            ci += 1440
+        while pending + rates[sim] < theta \
+                and (ci + 60 < highest or highest == -1):
+            pending += rates[sim]
+            sim = (sim + 1) % 24
+            ci += 60
+        if rates[sim] > 0:
+            ci = int(ci + 60 * (theta - pending) / rates[sim])
+        else:  # only reachable with a finite bound; Java (int)inf
+            ci = highest
+    return ci
+
+
+def ind_hist_interval(items: DataFrame, *, poll_ts_ms: int,
+                      theta: float,
+                      feed_col: str = "feed_id",
+                      ts_col: str = "published_ms",
+                      lowest: int = -1,
+                      highest: int = -1) -> DataFrame:
+    """Distributed IndHist (hourly-histogram pull policy, [BGR2006]):
+    (feed, n_items, indhist) with the getAllowedInterval clamp.
+
+    Zero Python: rates are ONE (feed, hour) aggregation; the day loop
+    collapses to k = max(0, ceil((theta - pending0) / dailyRate) - 1)
+    and the <= 24-step hour loop to a prefix-sum window over the
+    rotated 24-row grid — byte-identical to the literal walk whenever
+    the per-hour rates are binary-exact (whole-day observation
+    windows), last-ulp otherwise; the local twin above is the exact
+    reference. The in-loop ``highest`` bound is poll-loop pacing, not
+    batch semantics — only the unbounded walk (-1) is distributed;
+    the final clamp still applies."""
+    if highest != -1:
+        raise NotImplementedError(
+            "bounded in-loop highest is poll-loop pacing; "
+            "use the local twin")
+    feed = F.col(feed_col)
+    ts = F.col(ts_col)
+    stats = (items.groupBy(feed.alias("feed"))
+             .agg(F.min(ts).alias("oldest"), F.max(ts).alias("newest"),
+                  F.count("*").alias("n_items")))
+    stats = stats.withColumn(
+        "obs_days",
+        F.floor((F.col("newest") - F.col("oldest")) / MS_PER_DAY) + 1)
+    counts = (items.select(feed.alias("feed"),
+                           ((ts / 3_600_000).cast("long") % 24)
+                           .alias("hour"))
+              .groupBy("feed", "hour").agg(F.count("*").alias("c")))
+    grid = (stats.select("feed", "obs_days",
+                         F.explode(F.sequence(F.lit(0), F.lit(23)))
+                         .alias("hour"))
+            .join(counts, ["feed", "hour"], "left")
+            .select("feed", "hour",
+                    (F.coalesce(F.col("c"), F.lit(0))
+                     / F.col("obs_days")).alias("rate")))
+
+    poll_hour = (poll_ts_ms // 3_600_000) % 24
+    current_seconds = (poll_ts_ms // 1000) % 3600
+    remaining_seconds = 3600 - current_seconds
+
+    daily = grid.groupBy("feed").agg(F.sum("rate").alias("daily"))
+    at_poll = (grid.where(F.col("hour") == poll_hour)
+               .select("feed", F.col("rate").alias("rate_poll")))
+
+    # rotated prefix sums starting at the hour AFTER the poll hour
+    j = (F.col("hour") - F.lit((poll_hour + 1) % 24) + 24) % 24
+    w = Window.partitionBy("feed").orderBy("j") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = (grid.select("feed", j.alias("j"), "rate")
+            .withColumn("pref", F.sum("rate").over(w)))
+
+    base = (stats.select("feed", "n_items")
+            .join(daily, "feed").join(at_poll, "feed"))
+    rem_pending = (F.col("rate_poll") * remaining_seconds / 3600)
+    base = base.withColumn("rem_pending", rem_pending)
+    # branch B scalars
+    pending0 = F.col("rem_pending")
+    ci0 = int(remaining_seconds / 60)
+    k = F.greatest(F.lit(0),
+                   F.ceil((F.lit(theta) - pending0) / F.col("daily"))
+                   - 1)
+    base = base.withColumn("k", k) \
+        .withColumn("pending1", pending0 + F.col("k") * F.col("daily"))
+
+    # first rotated hour j* with pending1 + pref[j] >= theta
+    hit = (pref.join(base.select("feed", "pending1"), "feed")
+           .where(F.col("pending1") + F.col("pref") >= theta)
+           .groupBy("feed")
+           .agg(F.min("j").alias("jstar")))
+    last = (pref.join(hit, "feed")
+            .where(F.col("j") == F.col("jstar"))
+            .select("feed", "jstar", F.col("rate").alias("rate_star"),
+                    (F.col("pref") - F.col("rate")).alias("pref_excl")))
+
+    out = base.join(last, "feed", "left")
+    branch_a = F.floor(60 * theta / F.col("rate_poll")).cast("long")
+    pending2 = F.col("pending1") + F.col("pref_excl")
+    ci2 = F.lit(ci0) + F.col("k") * 1440 + 60 * F.col("jstar")
+    branch_b = F.floor(ci2 + 60 * (F.lit(theta) - pending2)
+                       / F.col("rate_star")).cast("long")
+    interval = F.when(F.col("daily") == 0.0,
+                      F.lit(DEFAULT_CHECK_TIME).cast("long")) \
+        .when(F.col("rem_pending") >= theta, branch_a) \
+        .otherwise(branch_b)
+    return out.select(
+        "feed", "n_items",
+        _allowed(interval, lowest, highest).alias("indhist"))

@@ -4231,3 +4231,85 @@ WHERE surface <> ''
 QUALIFY row_number() OVER (PARTITION BY i, surface
                            ORDER BY seq DESC) = 1
 ORDER BY page_id, surface"""
+
+
+def indhist_intervals_sql() -> str:
+    """Semantic mirror of the indhist_intervals gate
+    (IndHistUpdateStrategy.java:87-160 + FeedDatabase.getIndHistModel:
+    412-434): hourly rates = per-hour counts / touched-days, then the
+    walk — remaining-hour branch, day loop in closed form k =
+    max(0, ceil((theta - pending0)/daily) - 1), rotated 24-row prefix
+    sums for the hour loop, truncating last-hour fraction, clamp.
+    Poll 1599999300000 (hour 12 UTC, 2700 s remaining), theta 0.75."""
+    base0 = 26_666_666 * 60_000
+    return f"""
+WITH ev AS (
+  SELECT event_id % 35 AS feed, event_id FROM events),
+params AS (
+  SELECT feed,
+         (CASE feed % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)
+           * 1440 - 1 AS span,
+         {base0} + feed * 7 * 1440 * 60000 AS base
+  FROM (SELECT DISTINCT feed FROM ev)),
+items AS (
+  SELECT e.feed,
+         p.base + ((e.event_id * 197) % (p.span + 1)) * 60000 AS ts
+  FROM ev e JOIN params p USING (feed)
+  UNION ALL SELECT feed, base FROM params
+  UNION ALL SELECT feed, base + span * 60000 FROM params),
+stats AS (
+  SELECT feed, COUNT(*) AS n_items,
+         (MAX(ts) - MIN(ts)) // 86400000 + 1 AS obs_days
+  FROM items GROUP BY feed),
+counts AS (
+  SELECT feed, (ts // 3600000) % 24 AS hour, COUNT(*) AS c
+  FROM items GROUP BY feed, (ts // 3600000) % 24),
+grid AS (
+  SELECT s.feed, g.hour,
+         CAST(COALESCE(c.c, 0) AS DOUBLE) / s.obs_days AS rate
+  FROM stats s
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour) g
+  LEFT JOIN counts c ON c.feed = s.feed AND c.hour = g.hour),
+daily AS (SELECT feed, SUM(rate) AS daily FROM grid GROUP BY feed),
+atpoll AS (
+  SELECT feed, rate AS rate_poll FROM grid WHERE hour = 12),
+pref AS (
+  SELECT feed, (hour - 13 + 24) % 24 AS j, rate,
+         SUM(rate) OVER (PARTITION BY feed
+                         ORDER BY (hour - 13 + 24) % 24
+                         ROWS UNBOUNDED PRECEDING) AS pref
+  FROM grid),
+base AS (
+  SELECT s.feed, s.n_items, d.daily, a.rate_poll,
+         a.rate_poll * 2700 / 3600 AS rem_pending
+  FROM stats s JOIN daily d USING (feed) JOIN atpoll a USING (feed)),
+base2 AS (
+  SELECT *, GREATEST(0, CAST(ceil((0.75 - rem_pending) / daily)
+                             AS BIGINT) - 1) AS k
+  FROM base WHERE daily > 0),
+base3 AS (
+  SELECT *, rem_pending + k * daily AS pending1 FROM base2),
+hit AS (
+  SELECT p.feed, MIN(p.j) AS jstar
+  FROM pref p JOIN base3 b USING (feed)
+  WHERE b.pending1 + p.pref >= 0.75 GROUP BY p.feed),
+last AS (
+  SELECT p.feed, h.jstar, p.rate AS rate_star,
+         p.pref - p.rate AS pref_excl
+  FROM pref p JOIN hit h ON h.feed = p.feed AND p.j = h.jstar),
+walked AS (
+  SELECT b.feed, b.n_items,
+         CASE WHEN b.rem_pending >= 0.75
+              THEN CAST(floor(60 * 0.75 / b.rate_poll) AS BIGINT)
+              ELSE CAST(floor(45 + b.k * 1440 + 60 * l.jstar
+                              + 60 * (0.75 - (b.pending1
+                                              + l.pref_excl))
+                                / l.rate_star) AS BIGINT)
+         END AS raw
+  FROM base3 b JOIN last l USING (feed)),
+final AS (
+  SELECT b.feed AS feed_id, b.n_items,
+         COALESCE(w.raw, 60) AS raw
+  FROM base b LEFT JOIN walked w ON w.feed = b.feed)
+SELECT feed_id, n_items, GREATEST(raw, 5) AS indhist
+FROM final ORDER BY feed_id"""

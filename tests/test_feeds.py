@@ -390,3 +390,42 @@ def test_adaptive_ttl_and_lru2(spark):
     assert lru[2] == DEFAULT_CHECK_TIME       # single item
     assert lru[3] == DEFAULT_CHECK_TIME       # duplicate newest
     assert lru[4] == DEFAULT_CHECK_TIME       # single item
+
+
+# ------------------------------------------------------- IndHist
+def test_ind_hist_local_walk():
+    from kgp.feeds import MS_PER_MIN, ind_hist_interval_local
+    # one item per hour over exactly one day -> rate 1.0 every hour;
+    # poll at :15 -> remaining 0.75 items >= theta 0.5 -> same-hour
+    base = 1_700_000_000_000 - (1_700_000_000_000 % 3_600_000)
+    ts = [base + h * 3_600_000 for h in range(24)]
+    got = ind_hist_interval_local(ts, base + 15 * MS_PER_MIN, 0.5)
+    assert got == int(60 * 0.5 / 1.0) == 30
+
+
+def test_ind_hist_stage_matches_local(spark):
+    import random
+
+    from kgp.feeds import MS_PER_MIN, ind_hist_interval, \
+        ind_hist_interval_local
+    rng = random.Random(11)
+    rows, expected = [], {}
+    # poll at minute 15:00 (dyadic remaining fraction 0.75)
+    poll = 1_700_000_000_000 - (1_700_000_000_000 % 3_600_000) \
+        + 15 * MS_PER_MIN
+    for feedid in range(10):
+        days = rng.choice([1, 2, 4])
+        base = 1_690_000_000_000
+        base -= base % MS_PER_MIN
+        span = days * 1440 - 1
+        n = rng.randint(2, 30)
+        offs = {0, span}
+        while len(offs) < n:
+            offs.add(rng.randint(0, span))
+        ts = [base + o * MS_PER_MIN for o in sorted(offs)]
+        rows += [(feedid, t) for t in ts]
+        expected[feedid] = ind_hist_interval_local(ts, poll, 0.75)
+    df = spark.createDataFrame(rows, "feed_id long, published_ms long")
+    out = {r.feed: r.indhist for r in ind_hist_interval(
+        df, poll_ts_ms=poll, theta=0.75).collect()}
+    assert out == expected
