@@ -1750,6 +1750,31 @@ def _q_indhist_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("feed", "feed_id").orderBy("feed_id")
 
 
+def _q_mavsync_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAVSynchronizationUpdateStrategy (kgp.feeds mav_sync_interval,
+    rssTTLmode=1) over per-feed stats aggregated from synthesized
+    item timelines; in-bounds sync vs fallback vs ttl lower bound all
+    exercised; oracle mirrors every truncation in SQL."""
+    from kgp.feeds import MS_PER_MIN, mav_sync_interval
+    base = 26_000_000 * MS_PER_MIN
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    items = ev.select(
+        (F.col("event_id") % 25).alias("feed_id"),
+        (F.lit(base) + ((F.col("event_id") * 383) % 100800)
+         * MS_PER_MIN).alias("published_ms"))
+    stats = (items.groupBy(F.col("feed_id").alias("feed"))
+             .agg(F.min("published_ms").alias("oldest"),
+                  F.max("published_ms").alias("newest"),
+                  F.count("*").alias("n_items")))
+    stats = stats.select(
+        "*",
+        (F.lit(base) + 101_000 * MS_PER_MIN).alias("last_poll_ms"),
+        F.when(F.col("feed") % 4 == 0, F.lit(120)).alias("rss_ttl"))
+    return (mav_sync_interval(stats, rss_ttl_mode=1, lowest=5,
+                              highest=10080)
+            .withColumnRenamed("feed", "feed_id").orderBy("feed_id"))
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -1931,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttl_intervals": _q_ttl_intervals,
         "wiki_ner_dictionary": _q_wiki_ner_dictionary,
         "indhist_intervals": _q_indhist_intervals,
+        "mavsync_intervals": _q_mavsync_intervals,
         "triples_by_pred": _q_triples_by_pred,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
@@ -2104,4 +2130,5 @@ def oracle_sql() -> dict[str, str]:
         "ttl_intervals": _oracle.ttl_intervals_sql(),
         "wiki_ner_dictionary": _oracle.wiki_ner_dictionary_sql(),
         "indhist_intervals": _oracle.indhist_intervals_sql(),
+        "mavsync_intervals": _oracle.mavsync_intervals_sql(),
     }

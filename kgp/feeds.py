@@ -919,3 +919,47 @@ def ind_hist_interval(items: DataFrame, *, poll_ts_ms: int,
     return out.select(
         "feed", "n_items",
         _allowed(interval, lowest, highest).alias("indhist"))
+
+
+def mav_sync_interval(stats: DataFrame, *, rss_ttl_mode: int = 0,
+                      lowest: int = -1,
+                      highest: int = -1) -> DataFrame:
+    """MAVSynchronizationUpdateStrategy.update
+    (MAVSynchronizationUpdateStrategy.java:77-160): synchronize the
+    next poll to lastEntry + window-average gap; if the resulting
+    interval falls outside [lowest, highest], fall back to
+    (lastPoll - oldest) / n; RSS ttl modes 0 (ignore) / 1 (lower
+    bound) / 2 (override) — all Java (int) truncations (negative
+    sync intervals truncate toward zero).
+
+    ``stats``: (feed, oldest, newest, n_items, last_poll_ms
+    [, rss_ttl]). Pure column expressions, one projection."""
+    if rss_ttl_mode not in (0, 1, 2):
+        raise ValueError(f"Wrong usage of rssTTLmode! Value "
+                         f"{rss_ttl_mode} not supported.")
+    n = F.col("n_items")
+    window_len = F.col("newest") - F.col("oldest")
+    window_iv = F.when((n >= 2) & (window_len > 0),
+                       _ldiv(window_len, (n - 1) * MS_PER_MIN)) \
+        .otherwise(F.lit(0).cast("long"))
+    sync_poll = F.when(F.col("newest").isNotNull(),
+                       F.col("newest") + window_iv * MS_PER_MIN) \
+        .otherwise(F.lit(0).cast("long"))
+    # toward-zero truncation (the sync interval can be negative)
+    ci = ((sync_poll - F.col("last_poll_ms")) / MS_PER_MIN) \
+        .cast("long")
+    in_bounds = ci == _allowed(ci, lowest, highest)
+    fb_len = F.col("last_poll_ms") - F.col("oldest")
+    fallback = F.when((n >= 1) & (fb_len > 0),
+                      _ldiv(fb_len, n * MS_PER_MIN)) \
+        .otherwise(F.lit(DEFAULT_CHECK_TIME).cast("long"))
+    ci = F.when(in_bounds, ci).otherwise(fallback)
+    if rss_ttl_mode != 0 and "rss_ttl" in stats.columns:
+        ttl = F.col("rss_ttl")
+        valid = ttl.isNotNull() & (ttl >= 0)
+        if rss_ttl_mode == 1:
+            ci = F.when(valid & (ci < ttl), ttl).otherwise(ci)
+        else:
+            ci = F.when(valid, ttl).otherwise(ci)
+    return stats.select(
+        "feed", _allowed(ci, lowest, highest).alias("mav_sync"))

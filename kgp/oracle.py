@@ -4313,3 +4313,50 @@ final AS (
   FROM base b LEFT JOIN walked w ON w.feed = b.feed)
 SELECT feed_id, n_items, GREATEST(raw, 5) AS indhist
 FROM final ORDER BY feed_id"""
+
+
+def mavsync_intervals_sql() -> str:
+    """Semantic mirror of the mavsync_intervals gate
+    (MAVSynchronizationUpdateStrategy.java:77-160, rssTTLmode=1):
+    window-average sync interval with toward-zero truncation (it can
+    be negative), in-bounds check against the [5, 10080] clamp,
+    (lastPoll - oldest)/n fallback, ttl-as-lower-bound, final
+    clamp."""
+    base = 26_000_000 * 60_000
+    poll = base + 101_000 * 60_000
+    return f"""
+WITH items AS (
+  SELECT event_id % 25 AS feed,
+         {base} + ((event_id * 383) % 100800) * 60000 AS ts
+  FROM events),
+stats AS (
+  SELECT feed, MIN(ts) AS oldest, MAX(ts) AS newest,
+         COUNT(*) AS n FROM items GROUP BY feed),
+calc AS (
+  SELECT feed,
+    CASE WHEN n >= 2 AND newest - oldest > 0
+         THEN (newest - oldest) // ((n - 1) * 60000)
+         ELSE 0 END AS window_iv,
+    oldest, newest, n,
+    CASE WHEN feed % 4 = 0 THEN 120 END AS rss_ttl
+  FROM stats),
+sync AS (
+  SELECT *,
+    CAST(trunc((newest + window_iv * 60000 - {poll}) / 60000.0)
+         AS BIGINT) AS ci
+  FROM calc),
+chosen AS (
+  SELECT *,
+    CASE WHEN ci = GREATEST(LEAST(ci, 10080), 5) THEN ci
+         WHEN n >= 1 AND {poll} - oldest > 0
+         THEN ({poll} - oldest) // (n * 60000)
+         ELSE 60 END AS ci2
+  FROM sync),
+ttl AS (
+  SELECT feed,
+    CASE WHEN rss_ttl IS NOT NULL AND rss_ttl >= 0 AND ci2 < rss_ttl
+         THEN rss_ttl ELSE ci2 END AS ci3
+  FROM chosen)
+SELECT feed AS feed_id,
+       GREATEST(LEAST(ci3, 10080), 5) AS mav_sync
+FROM ttl ORDER BY feed_id"""

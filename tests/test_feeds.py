@@ -429,3 +429,42 @@ def test_ind_hist_stage_matches_local(spark):
     out = {r.feed: r.indhist for r in ind_hist_interval(
         df, poll_ts_ms=poll, theta=0.75).collect()}
     assert out == expected
+
+
+def test_mav_sync(spark):
+    from kgp.feeds import DEFAULT_CHECK_TIME, MS_PER_MIN, \
+        mav_sync_interval
+    base = 1_700_000_000_000 - (1_700_000_000_000 % MS_PER_MIN)
+    rows = [
+        # feed 1: window 0..100min over 5 items -> gap 25; sync poll
+        # newest+25min; last poll newest+10min -> ci 15, in bounds
+        (1, base, base + 100 * MS_PER_MIN, 5,
+         base + 110 * MS_PER_MIN, None),
+        # feed 2: last poll far past sync point -> negative ci ->
+        # fallback (lastPoll - oldest) / n = 500/5 = 100
+        (2, base, base + 100 * MS_PER_MIN, 5,
+         base + 500 * MS_PER_MIN, None),
+        # feed 3: single item -> window 0 -> sync = newest -> ci
+        # negative vs poll -> fallback 200/1
+        (3, base, base, 1, base + 200 * MS_PER_MIN, None),
+        # feed 4: ttl present
+        (4, base, base + 100 * MS_PER_MIN, 5,
+         base + 110 * MS_PER_MIN, 90),
+    ]
+    df = spark.createDataFrame(
+        rows, "feed long, oldest long, newest long, n_items long, "
+              "last_poll_ms long, rss_ttl int")
+    got = {r.feed: r.mav_sync for r in mav_sync_interval(
+        df, lowest=5, highest=10080).collect()}
+    assert got[1] == 15
+    assert got[2] == 100
+    assert got[3] == 200
+    ttl1 = {r.feed: r.mav_sync for r in mav_sync_interval(
+        df, rss_ttl_mode=1, lowest=5, highest=10080).collect()}
+    assert ttl1[4] == 90          # ttl as lower bound (15 < 90)
+    ttl2 = {r.feed: r.mav_sync for r in mav_sync_interval(
+        df, rss_ttl_mode=2, lowest=5, highest=10080).collect()}
+    assert ttl2[4] == 90 and ttl2[1] == 15
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mav_sync_interval(df, rss_ttl_mode=3)
