@@ -131,3 +131,21 @@ def permute_regex(regexp: str) -> list[str]:
 
     recurse(splits, "")
     return out
+
+
+def feature_based_similarity(s1: str, s2: str, feature_setting=None,
+                             set_sim: str = "jaccard") -> float:
+    """FeatureBasedSimilarity port (helper/nlp/FeatureBasedSimilarity
+    .java:13-51): equal strings are 1, otherwise the chosen
+    SetSimilarity over the Preprocessor's feature SETS (the same
+    n-gram/word extraction the text classifier uses)."""
+    from kgp.mathstats import set_similarity
+    from kgp.textclassifier import FeatureSetting, preprocess
+    if feature_setting is None:
+        feature_setting = FeatureSetting(mode="char", min_ngram=3,
+                                         max_ngram=3,
+                                         case_sensitive=False)
+    if s1 == s2:
+        return 1.0
+    return set_similarity(set_sim, set(preprocess(s1, feature_setting)),
+                          set(preprocess(s2, feature_setting)))

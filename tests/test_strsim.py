@@ -78,3 +78,18 @@ def test_permute_regex_goldens():
     assert {"what is strange", "how are you", "how is strange"} <= \
         set(got)
     assert len(got) == 8
+
+
+def test_feature_based_similarity():
+    # FeatureBasedSimilarity.java:37-44: equal -> 1, else set sim of
+    # preprocessor features
+    from kgp.strsim import feature_based_similarity
+    from kgp.textclassifier import FeatureSetting
+    assert feature_based_similarity("Dresden", "Dresden") == 1.0
+    assert feature_based_similarity("abc", "xyz") == 0.0
+    ws = FeatureSetting(mode="word", min_ngram=1, max_ngram=1,
+                        case_sensitive=False)
+    # word features: {the, quick, fox} vs {the, lazy, fox}
+    got = feature_based_similarity("the quick fox", "the lazy fox",
+                                   feature_setting=ws)
+    assert got == 0.5  # jaccard 2/4
