@@ -61,3 +61,23 @@ def test_stage(spark):
     for i, (m, exp) in enumerate(REFERENCE_GOLDENS):
         assert out[i][0] == exp, m
     assert out[2][1] == 1  # one bold toggle in "hello ''' blah"
+
+
+def test_fuzz_invariants():
+    """Random apostrophe soup: the parser must terminate, consume
+    every non-apostrophe character exactly once and in order, and
+    keep toggle-tag structure well-formed per the TestingCallback
+    semantics."""
+    import random
+    import re
+    rng = random.Random(42)
+    alphabet = ["'", "a", " ", "''", "'''", "b"]
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(0, 40)))
+        html = format_to_html(s)
+        # non-apostrophe chars survive in order
+        stripped = re.sub(r"</?[bi]>", "", html)
+        assert re.sub(r"'+", "", stripped) == re.sub(r"'+", "", s), s
+        # tags come only from the known set
+        assert not re.search(r"<(?!/?[bi]>)", html), s
