@@ -1883,6 +1883,74 @@ def _q_intent_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filter_values", F.array_join("filter_values", "|"))
 
 
+
+def _q_dataset_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DatasetJoiner.join port (kgp.datasetops.join_datasets —
+    DatasetJoiner.java:41-105): inner equi-join of two datasets on the
+    join column, merged feature vector, SECOND dataset's category
+    survives (d1's is dropped).  ONE Spark join; AQE broadcasts the
+    customer side at gate scale."""
+    from kgp.datasetops import join_gate_stage
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return join_gate_stage(orders, customer)
+
+
+def _q_dataset_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConcatenatedDataset port (kgp.datasetops.concat_datasets —
+    ConcatenatedDataset.java:14-76): row concatenation with UNION
+    feature space; features absent from one input read null for its
+    rows (FeatureVector miss -> NullValue).  unionByName, narrow plan
+    node, no shuffle."""
+    from kgp.datasetops import concat_datasets
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    d1 = orders.select(F.col("o_orderkey").alias("a"),
+                       F.col("o_totalprice").alias("b"),
+                       F.col("o_orderstatus").alias("category"))
+    d2 = customer.select(F.col("c_custkey").alias("a"),
+                         F.col("c_acctbal").alias("c"),
+                         F.col("c_mktsegment").alias("category"))
+    return concat_datasets(d1, d2).select("a", "b", "c", "category")
+
+
+def _q_protected_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProtectedPlanetImporter port (kgp.protectedplanet —
+    ProtectedPlanetImporter.java:60-127): quote-aware 26-column WDPA
+    CSV split, primary/alternative names, LANDMARK type, coordinate =
+    geographic midpoint of the KML ring's DISTINCT vertices.  The gate
+    synthesizes deterministic WDPA lines JVM-side from orders keys,
+    then runs the real importer (one mapInPandas), so the oracle can
+    recompute every output closed-form."""
+    from kgp.protectedplanet import protected_areas_stage
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return protected_areas_stage(orders)
+
+
+def _q_sparse_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SparseDatasetReader port (kgp.sparsedataset —
+    SparseDatasetReader.java: quote-aware ' '/':' splits, '?' null
+    marker, headerless type inference through the Boolean->Integer->
+    Long->Float->Double->LocalDate->String parser chain).  The gate
+    synthesizes sparse-format lines from events JVM-side, parses them
+    with the real reader (one mapInPandas + vocabulary-sized inference
+    join), and emits the long-format rows."""
+    from kgp.sparsedataset import parse_sparse_lines
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = events.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(" 0:"), (F.col("event_id") % 97).cast("string"),
+            F.lit(' 1:"u '), F.col("user_id").cast("string"), F.lit('"'),
+            F.lit(" 2:"),
+            F.when(F.col("event_id") % 5 == 0, F.lit("?"))
+             .otherwise((F.col("event_id") % 13).cast("string")),
+        ).alias("line"),
+        F.lit(0).cast("long").alias("block_start"))
+    long = parse_sparse_lines(lines)
+    return long.select("category", "feature", "value_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is a driver contract: the correctness driver checks
     the FIRST 50 entries only (observed r3: exactly the first 50 got
@@ -1957,6 +2025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_ner_dictionary": _q_wiki_ner_dictionary,
         "indhist_intervals": _q_indhist_intervals,
         "mavsync_intervals": _q_mavsync_intervals,
+        "dataset_join": _q_dataset_join,
+        "dataset_concat": _q_dataset_concat,
+        "protected_areas": _q_protected_areas,
+        "sparse_dataset": _q_sparse_dataset,
         "triples_by_pred": _q_triples_by_pred,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
@@ -2131,4 +2203,8 @@ def oracle_sql() -> dict[str, str]:
         "wiki_ner_dictionary": _oracle.wiki_ner_dictionary_sql(),
         "indhist_intervals": _oracle.indhist_intervals_sql(),
         "mavsync_intervals": _oracle.mavsync_intervals_sql(),
+        "dataset_join": _oracle.dataset_join_sql(),
+        "dataset_concat": _oracle.dataset_concat_sql(),
+        "protected_areas": _oracle.protected_areas_sql(),
+        "sparse_dataset": _oracle.sparse_dataset_sql(),
     }

@@ -4360,3 +4360,84 @@ ttl AS (
 SELECT feed AS feed_id,
        GREATEST(LEAST(ci3, 10080), 5) AS mav_sync
 FROM ttl ORDER BY feed_id"""
+
+
+# ------------------------------------------- round-5 dataset-ops gates
+
+
+def dataset_join_sql() -> str:
+    """Mirror of the dataset_join gate (kgp.datasetops.join_datasets —
+    DatasetJoiner.java:41-105): inner equi-join on the join column,
+    d2's category survives, multi-matches multiply."""
+    return (
+        "SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey, "
+        "o.o_totalprice AS totalprice, c.c_acctbal AS acctbal, "
+        "c.c_mktsegment AS category "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "ORDER BY orderkey")
+
+
+def dataset_concat_sql() -> str:
+    """Mirror of the dataset_concat gate (kgp.datasetops
+    .concat_datasets — ConcatenatedDataset.java:14-76): UNION ALL with
+    null padding for the union feature space."""
+    return (
+        "SELECT o_orderkey AS a, o_totalprice AS b, "
+        "CAST(NULL AS DOUBLE) AS c, o_orderstatus AS category "
+        "FROM orders "
+        "UNION ALL "
+        "SELECT c_custkey, NULL, c_acctbal, c_mktsegment "
+        "FROM customer ORDER BY a, category")
+
+
+def protected_areas_sql(areas: int = 400, points: int = 8) -> str:
+    """Closed-form mirror of the protected_areas gate
+    (kgp.protectedplanet — ProtectedPlanetImporter.java:60-127): the
+    synthetic WDPA ring for area k has vertices j = 0..points-1 with
+    vertex points-1 repeating vertex 0, so the HashSet keeps
+    j = 0..points-2; the midpoint is the unit-sphere vector average
+    (GeoUtils.getMidpoint, GeoUtils.java:61-87)."""
+    return f"""
+WITH ks AS (
+  SELECT DISTINCT o_orderkey % {areas} AS k FROM orders),
+verts AS (
+  SELECT k, j,
+    CAST((k*7 + j*13) % 120 AS DOUBLE)/2.0 - 30
+      + CAST(j AS DOUBLE)/100.0 AS lat,
+    CAST((k*11 + j*17) % 300 AS DOUBLE)/2.0 - 75
+      + CAST(j AS DOUBLE)/100.0 AS lng
+  FROM ks, range(0, {points - 1}) t(j)),
+mid AS (
+  SELECT k,
+    avg(cos(radians(lat))*cos(radians(lng))) AS x,
+    avg(cos(radians(lat))*sin(radians(lng))) AS y,
+    avg(sin(radians(lat))) AS z
+  FROM verts GROUP BY k)
+SELECT k AS id,
+  'Area ' || k || ', Reserve' AS primary_name,
+  CASE WHEN k % 3 = 0 THEN 'Reserva ' || k ELSE '' END AS alt_names,
+  'LANDMARK' AS type,
+  round(degrees(atan2(z, sqrt(x*x + y*y))), 6) + 0.0 AS lat,
+  round(degrees(atan2(y, x)), 6) + 0.0 AS lng
+FROM mid ORDER BY id"""
+
+
+def sparse_dataset_sql() -> str:
+    """Mirror of the sparse_dataset gate (kgp.sparsedataset —
+    SparseDatasetReader.java): the synthetic line for an event is
+    ``event_type 0:<id%97> 1:"u <user_id>" 2:<?|id%13>``; parsing it
+    back gives three long-format rows per event, feature '1' quoted
+    (string), feature '2' null-marked every 5th event, types from the
+    headerless first-occurrence parser chain (int/string/int)."""
+    return (
+        "SELECT event_type AS category, '0' AS feature, "
+        "'int' AS value_type, CAST(event_id % 97 AS VARCHAR) AS value "
+        "FROM events "
+        "UNION ALL "
+        "SELECT event_type, '1', 'string', "
+        "'u ' || CAST(user_id AS VARCHAR) FROM events "
+        "UNION ALL "
+        "SELECT event_type, '2', 'int', "
+        "CASE WHEN event_id % 5 = 0 THEN NULL "
+        "ELSE CAST(event_id % 13 AS VARCHAR) END FROM events "
+        "ORDER BY category, feature, value")
