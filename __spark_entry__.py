@@ -1951,6 +1951,33 @@ def _q_sparse_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.select("category", "feature", "value_type", "value")
 
 
+
+def _q_libsvm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LibSvmDatasetReader port (kgp.sparsedataset.parse_libsvm_lines
+    — LibSvmDatasetReader.java:37-113): ``target idx:value ...``
+    lines, integer target as the category, 1-based double features.
+    The gate synthesizes libsvm lines from events JVM-side, parses
+    them back with the pure-JVM reader (zero Python), and explodes the
+    features map for hashing."""
+    from kgp.sparsedataset import parse_libsvm_lines
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = events.select(
+        F.concat(
+            (F.col("event_id") % 3).cast("string"),
+            F.lit(" 1:"),
+            ((F.col("event_id") % 7).cast("double") + 0.5)
+            .cast("string"),
+            F.when(F.col("event_id") % 2 == 1,
+                   F.concat(F.lit(" 3:"),
+                            ((F.col("user_id") % 11).cast("double")
+                             / 2.0).cast("string")))
+             .otherwise(F.lit(""))).alias("value"))
+    parsed = parse_libsvm_lines(lines)
+    return parsed.select(
+        "category",
+        F.explode("features").alias("feature", "value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is a driver contract: the correctness driver checks
     the FIRST 50 entries only (observed r3: exactly the first 50 got
@@ -2029,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_concat": _q_dataset_concat,
         "protected_areas": _q_protected_areas,
         "sparse_dataset": _q_sparse_dataset,
+        "libsvm_dataset": _q_libsvm_dataset,
         "triples_by_pred": _q_triples_by_pred,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
@@ -2207,4 +2235,5 @@ def oracle_sql() -> dict[str, str]:
         "dataset_concat": _oracle.dataset_concat_sql(),
         "protected_areas": _oracle.protected_areas_sql(),
         "sparse_dataset": _oracle.sparse_dataset_sql(),
+        "libsvm_dataset": _oracle.libsvm_dataset_sql(),
     }

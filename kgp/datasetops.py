@@ -123,3 +123,16 @@ def join_gate_stage(orders: DataFrame, customer: DataFrame) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_mktsegment").alias("category"))
     return join_datasets(d1, d2, "custkey")
+
+
+def with_feature_as_category(df: DataFrame, feature: str,
+                             class_col: str = "category") -> DataFrame:
+    """DatasetWithFeatureAsCategory port (core/dataset/
+    DatasetWithFeatureAsCategory.java:20-36): the named feature
+    becomes the instance category and leaves the feature vector; a
+    previous category column is replaced.  Pure projection."""
+    out = df
+    if class_col in df.columns and feature != class_col:
+        out = out.drop(class_col)
+    return out.withColumn(class_col,
+                          F.col(feature).cast("string")).drop(feature)

@@ -356,3 +356,20 @@ def reliability_diagram(results: DataFrame, true_class: str,
             F.col(prob_col).alias("prob")),
         label_col="label", prob_col="prob")
     return bins, ll
+
+
+def train_test_split(df: DataFrame, train_fraction: float,
+                     id_col: str) -> tuple[DataFrame, DataFrame]:
+    """RandomSplit port (core/dataset/split/RandomSplit.java:36-53 —
+    trainPercentage in (0,1], shuffled index assignment) re-expressed
+    through the deterministic md5 sample key like assign_folds
+    (RandomCrossValidator treatment): a java.util.Random shuffle is
+    neither partition-stable nor engine-portable on a cluster, the
+    keyed threshold is both.  Returns (train, test) filters over the
+    same scan — no shuffle, no materialization."""
+    if not 0 < train_fraction <= 1:
+        raise ValueError("trainPercentage must be in range (0,1]")
+    from kgp.curation import sample_key
+    cut = int(round(train_fraction * 10000))
+    key = sample_key(F.col(id_col))
+    return df.where(key < cut), df.where(key >= cut)

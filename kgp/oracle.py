@@ -4441,3 +4441,21 @@ def sparse_dataset_sql() -> str:
         "CASE WHEN event_id % 5 = 0 THEN NULL "
         "ELSE CAST(event_id % 13 AS VARCHAR) END FROM events "
         "ORDER BY category, feature, value")
+
+
+def libsvm_dataset_sql() -> str:
+    """Mirror of the libsvm_dataset gate (kgp.sparsedataset
+    .parse_libsvm_lines — LibSvmDatasetReader.java:37-113): the
+    synthetic line for an event is ``<id%3> 1:<id%7+0.5>`` plus
+    `` 3:<(user%11)/2>`` on odd ids; parsing it back is exact (every
+    value is a 0.5-step double, round-trip-faithful through the
+    string cast)."""
+    return (
+        "SELECT CAST(event_id % 3 AS VARCHAR) AS category, "
+        "1 AS feature, CAST(event_id % 7 AS DOUBLE) + 0.5 AS value "
+        "FROM events "
+        "UNION ALL "
+        "SELECT CAST(event_id % 3 AS VARCHAR), 3, "
+        "CAST(user_id % 11 AS DOUBLE)/2.0 FROM events "
+        "WHERE event_id % 2 = 1 "
+        "ORDER BY category, feature, value")

@@ -267,3 +267,48 @@ def test_sparse_null_marker(spark, tmp_path):
     long = read_sparse_dataset(spark, str(p)).orderBy("feature").collect()
     assert long[0]["value"] is None
     assert long[1]["value"] == "5" and long[1]["value_type"] == "int"
+
+
+# -------------------------------------- libsvm / splits / retarget
+
+
+def test_libsvm_reader(spark, tmp_path):
+    from kgp.sparsedataset import (libsvm_feature_information,
+                                   read_libsvm_dataset)
+    p = tmp_path / "data.libsvm"
+    p.write_text("1 1:0.5 3:2.0\n-1 2:1.25\n\n1 5:3.0\n")
+    ds = read_libsvm_dataset(spark, str(p))
+    rows = sorted(ds.collect(), key=lambda r: sorted(r["features"]))
+    assert ds.count() == 3  # empty line skipped
+    cats = sorted(r["category"] for r in ds.collect())
+    assert cats == ["-1", "1", "1"]
+    m = {frozenset(r["features"].items()) for r in ds.collect()}
+    assert frozenset({1: 0.5, 3: 2.0}.items()) in m
+    info = libsvm_feature_information(ds)
+    # every index 1..maxIndex declared, present or not
+    assert info.count() == 5
+    assert (info.filter("feature = '4'").first()["value_type"]
+            == "double")
+
+
+def test_with_feature_as_category(spark):
+    from kgp.datasetops import with_feature_as_category
+    df = spark.createDataFrame([(1, "x", "old")],
+                               ["a", "b", "category"])
+    out = with_feature_as_category(df, "b")
+    assert set(out.columns) == {"a", "category"}
+    assert out.first()["category"] == "x"
+
+
+def test_train_test_split(spark):
+    from kgp.evaluate import train_test_split
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    train, test = train_test_split(df, 0.8, "k")
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 1000
+    # md5 keys are uniform; 80/20 within a generous tolerance
+    assert 700 <= n_train <= 900
+    # deterministic: same split on recompute
+    assert train.count() == n_train
+    with pytest.raises(ValueError):
+        train_test_split(df, 0.0, "k")
