@@ -1775,6 +1775,36 @@ def _q_mavsync_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("feed", "feed_id").orderBy("feed_id"))
 
 
+def _q_lihz_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIHZUpdateStrategy [LIHZ08] (kgp.feeds lihz_interval): 21
+    daily training polls at 09:00 UTC build the day-of-week rate
+    model (incl. the Saturday/sum-row cell collision), then ONE
+    prediction poll walks forward <= 7 days -- the untrained index-0
+    cell NaN-exits every longer walk, so the loop unrolls to 7
+    left-associated cumulative sums, binary-exact vs the literal
+    Java walk (pinned in tests/test_feeds.py). Feeds 37-39 carry no
+    items (empty-feed branch); per-feed poll-grid offsets feed%7
+    exercise every prediction day-of-week."""
+    from kgp.feeds import MS_PER_DAY, MS_PER_MIN, lihz_interval
+    feeds_df = spark.range(40).select(
+        F.col("id").alias("feed"),
+        ((18001 + F.col("id") % 7) * MS_PER_DAY
+         + 9 * 3_600_000).alias("first_poll_ms"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select((F.col("event_id") % 37).alias("feed"), "event_id")
+    items = (ev.join(feeds_df, "feed")
+             .select("feed",
+                     (F.col("first_poll_ms")
+                      + ((F.col("event_id") * 7919) % 21) * MS_PER_DAY
+                      + (60 + (F.col("event_id") * 37) % 1320)
+                      * MS_PER_MIN).alias("published_ms")))
+    out = lihz_interval(feeds_df, items, n_train_polls=21,
+                        theta=0.75, lowest=5)
+    return out.select(F.col("feed").alias("feed_id"), "n_items",
+                      F.col("has_new").cast("int").alias("has_new"),
+                      "lihz").orderBy("feed_id")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -2052,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_ner_dictionary": _q_wiki_ner_dictionary,
         "indhist_intervals": _q_indhist_intervals,
         "mavsync_intervals": _q_mavsync_intervals,
+        "lihz_intervals": _q_lihz_intervals,
         "dataset_join": _q_dataset_join,
         "dataset_concat": _q_dataset_concat,
         "protected_areas": _q_protected_areas,
@@ -2231,6 +2262,7 @@ def oracle_sql() -> dict[str, str]:
         "wiki_ner_dictionary": _oracle.wiki_ner_dictionary_sql(),
         "indhist_intervals": _oracle.indhist_intervals_sql(),
         "mavsync_intervals": _oracle.mavsync_intervals_sql(),
+        "lihz_intervals": _oracle.lihz_intervals_sql(),
         "dataset_join": _oracle.dataset_join_sql(),
         "dataset_concat": _oracle.dataset_concat_sql(),
         "protected_areas": _oracle.protected_areas_sql(),

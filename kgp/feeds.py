@@ -963,3 +963,203 @@ def mav_sync_interval(stats: DataFrame, *, rss_ttl_mode: int = 0,
             ci = F.when(valid, ttl).otherwise(ci)
     return stats.select(
         "feed", _allowed(ci, lowest, highest).alias("mav_sync"))
+
+
+# --------------------------------------------------------------- LIHZ
+def _dow_utc(ts_ms: int) -> int:
+    """Calendar.DAY_OF_WEEK in this port's fixed-UTC convention:
+    Sunday=1 .. Saturday=7 (epoch day 0 = Thursday = 5)."""
+    return (ts_ms // MS_PER_DAY + 4) % 7 + 1
+
+
+def lihz_interval_local(published_ms: list[int], first_poll_ms: int,
+                        n_train_polls: int, theta: float,
+                        lowest: int = -1,
+                        highest: int = -1) -> tuple[int, bool]:
+    """LIHZUpdateStrategy literal port (LIHZUpdateStrategy.java:44-130):
+    ``n_train_polls`` daily training polls starting at
+    ``first_poll_ms`` followed by ONE prediction poll a day later.
+    Returns (clamped interval of the prediction poll, hasNewItem at
+    the prediction poll).
+
+    Every as-written quirk is kept:
+    - ``dailyRates`` indexes training writes by Calendar.DAY_OF_WEEK
+      (1..7) but the walk advances ``(sim + 1) % 7`` (0..6), so
+      Saturday's trained cell (7) is never read back and the walk
+      NaN-exits (0.9 * 0/0) the first time it crosses the untrained
+      index 0 -- bounding every walk to <= 7 days (:96-107, :121-125).
+    - index 7 doubles as Saturday AND the sum row, so Saturday polls
+      increment the global denominators twice (:62-65, :70-72).
+    - the empty-feed branch's hour guard ``hourOfDay < 60/60`` only
+      fires at hour 0 and writes ``yesterday`` with 0..6 indexing
+      (:84-88) -- state-only, it never changes the emitted interval.
+    """
+    import math
+    daily = [[0, 0] for _ in range(8)]
+    last_poll: int | None = None
+    ci = DEFAULT_CHECK_TIME
+    has_new = False
+    for r in range(n_train_polls + 1):
+        ts = first_poll_ms + r * MS_PER_DAY
+        training = r < n_train_polls
+        dow = _dow_utc(ts)
+        if last_poll is None:
+            has_new = any(p <= ts for p in published_ms)
+        else:
+            has_new = any(last_poll < p <= ts for p in published_ms)
+        if has_new:
+            daily[dow][0] += 1
+            daily[7][0] += 1
+        if training:
+            ci = 1440
+            daily[dow][1] += 1
+            daily[7][1] += 1
+        elif daily[7][0] == 0:
+            ci = DEFAULT_CHECK_TIME
+            if (ts // 3_600_000) % 24 < ci // DEFAULT_CHECK_TIME:
+                daily[(dow + 6) % 7][1] += 1
+                daily[7][1] += 1
+        else:
+            sim = dow
+            cum = 0.0
+            ci = 0
+            while cum < theta and (ci + 1440 <= highest
+                                   or highest == -1):
+                daily[sim][1] += 1
+                daily[7][1] += 1
+                ci += 1440
+                sim = (sim + 1) % 7
+                # Java double arithmetic: 0.9*0/0 = NaN, x>0/0 = inf
+                if daily[sim][1] == 0:
+                    local = math.nan if daily[sim][0] == 0 else math.inf
+                else:
+                    local = 0.9 * daily[sim][0] / daily[sim][1]
+                cum += local + (1 - 0.9) * daily[7][0] / daily[7][1]
+        last_poll = ts
+    lo, hi = lowest, highest
+    if hi != -1 and hi < ci:
+        ci = hi
+    if lo != -1 and lo > ci:
+        ci = lo
+    return ci, has_new
+
+
+def lihz_interval(feeds: DataFrame, items: DataFrame, *,
+                  n_train_polls: int, theta: float,
+                  lowest: int = -1, highest: int = -1) -> DataFrame:
+    """Distributed LIHZ [LIHZ08] (LIHZUpdateStrategy.java:44-130):
+    (feed, n_items, has_new, lihz) for one prediction poll after
+    ``n_train_polls`` daily training polls.
+
+    ``feeds``: (feed, first_poll_ms); ``items``: (feed,
+    published_ms). Items after the prediction poll are out of the
+    polled horizon and ignored (and excluded from n_items).
+
+    Zero Python, no explode on the walk: because the walk reads day
+    indices 0..6 while training writes 1..7, index 0 is never
+    trained, the local numerator term NaNs there, and every walk
+    provably stops within 7 iterations -- so the loop UNROLLS to 7
+    left-associated cumulative-sum columns (binary-exact double
+    order, identical to the literal walk in ``lihz_interval_local``).
+    The walk's own check-count writes are provably never read back by
+    its probability lookups (the writing iteration for any cell comes
+    after every read of that cell within the 7-step horizon), so the
+    per-day denominators stay the static trained counts; only the
+    global denominator grows by j (+1 extra when the prediction day
+    is Saturday, the sum-row collision)."""
+    import math
+    n = n_train_polls
+    feed = F.col("feed")
+    first = F.col("first_poll_ms")
+
+    # poll assignment: r=0 takes everything <= first poll
+    it = (items.join(feeds, "feed")
+          .withColumn("r", F.when(F.col("published_ms") <= first, 0)
+                      .otherwise(_ldiv(
+                          F.col("published_ms") - first - 1,
+                          MS_PER_DAY) + 1))
+          .where(F.col("r") <= n))
+    n_items = it.groupBy("feed").agg(F.count("*").alias("n_items"))
+
+    dow_of = lambda r_col: (
+        _ldiv(first + r_col * MS_PER_DAY, MS_PER_DAY) + 4) % 7 + 1
+
+    # training found-days: distinct polls r < n with new items
+    fr = (it.where(F.col("r") < n).select("feed", "r").distinct()
+          .join(feeds, "feed")
+          .select("feed", dow_of(F.col("r")).alias("dow")))
+    found = fr.groupBy("feed").agg(
+        *[F.sum(F.when(F.col("dow") == d, 1).otherwise(0))
+          .alias(f"found{d}") for d in range(1, 7)],
+        (F.count("*")
+         + F.sum(F.when(F.col("dow") == 7, 1).otherwise(0)))
+        .alias("found7"))
+
+    # static per-dow check counts over the n training polls
+    checks = (feeds.select(
+        "feed", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        .alias("r"), "first_poll_ms")
+        .select("feed", dow_of(F.col("r")).alias("dow"))
+        .groupBy("feed").agg(
+            *[F.sum(F.when(F.col("dow") == d, 1).otherwise(0))
+              .alias(f"checks{d}") for d in range(1, 7)],
+            (F.lit(n)
+             + F.sum(F.when(F.col("dow") == 7, 1).otherwise(0)))
+            .alias("checks7")))
+
+    has_new = (it.where(F.col("r") == n).select("feed").distinct()
+               .withColumn("has_new", F.lit(True)))
+
+    base = (feeds.join(n_items, "feed", "left")
+            .join(found, "feed", "left")
+            .join(checks, "feed")
+            .join(has_new, "feed", "left")
+            .na.fill({"n_items": 0, "has_new": False,
+                      **{f"found{d}": 0 for d in range(1, 7)},
+                      "found7": 0}))
+
+    dow_p = dow_of(F.lit(n))
+    base = base.withColumn("dow_p", dow_p)
+    hn = F.col("has_new")
+    dp = F.col("dow_p")
+    fcols = {d: F.col(f"found{d}")
+             + F.when(hn & (dp == d), 1).otherwise(0)
+             for d in range(1, 7)}
+    f7 = F.col("found7") + F.when(hn, F.when(dp == 7, 2).otherwise(1)) \
+        .otherwise(0)
+    base = base.withColumn("f7", f7)
+
+    c09 = F.lit(0.9)
+    c01 = F.lit(1 - 0.9)  # Java (1 - LIHZ_ALPHA): one ulp below 0.1
+    nan = F.lit(float("nan"))
+    jmax = 7 if highest == -1 else min(7, highest // 1440)
+    cum = None
+    cums = []
+    for j in range(1, jmax + 1):
+        d_j = (dp + j) % 7
+        local = F.when(d_j == 0, nan)
+        for d in range(1, 7):
+            local = local.when(d_j == d,
+                               c09 * fcols[d] / F.col(f"checks{d}"))
+        glob = c01 * F.col("f7") / (F.col("checks7") + j
+                                    + F.when(dp == 7, 1).otherwise(0))
+        prob = local + glob
+        cum = prob if cum is None else cum + prob
+        base = base.withColumn(f"cum{j}", cum)
+        cums.append(F.col(f"cum{j}"))
+
+    raw = None
+    if jmax == 0:
+        walk = F.lit(0).cast("long")
+    else:
+        walk = F.lit(1440 * jmax).cast("long")
+        for j in range(jmax, 0, -1):
+            stop = F.isnan(cums[j - 1]) | (cums[j - 1] >= theta)
+            walk = F.when(stop, F.lit(1440 * j).cast("long")) \
+                .otherwise(walk)
+    raw = F.when(F.col("f7") == 0,
+                 F.lit(DEFAULT_CHECK_TIME).cast("long")) \
+        .otherwise(walk)
+    return base.select(
+        "feed", "n_items", F.col("has_new"),
+        _allowed(raw, lowest, highest).alias("lihz"))

@@ -4459,3 +4459,114 @@ def libsvm_dataset_sql() -> str:
         "CAST(user_id % 11 AS DOUBLE)/2.0 FROM events "
         "WHERE event_id % 2 = 1 "
         "ORDER BY category, feature, value")
+
+
+def lihz_intervals_sql() -> str:
+    """Semantic mirror of the lihz_intervals gate
+    (LIHZUpdateStrategy.java:44-130): day-of-week found/checks model
+    from 21 daily training polls (index 7 = Saturday AND the sum row,
+    so Saturday polls double-increment), prediction-poll update, the
+    <= 7-step walk unrolled with left-associated double sums and the
+    NaN exit at the untrained index 0, DEFAULT_CHECK_TIME for empty
+    feeds, GREATEST clamp."""
+    day = 86_400_000
+    theta = "0.75"
+    f_cases = []
+    for d in range(1, 7):
+        f_cases.append(
+            f"COALESCE(f.found{d}, 0) + CASE WHEN b.has_new = 1 AND "
+            f"b.dow_p = {d} THEN 1 ELSE 0 END AS g{d}")
+    probs = []
+    for j in range(1, 8):
+        local = f"CASE WHEN (dow_p + {j}) % 7 = 0 THEN 'NaN'::DOUBLE"
+        for d in range(1, 7):
+            local += (f" WHEN (dow_p + {j}) % 7 = {d} THEN "
+                      f"CAST(0.9 AS DOUBLE) * g{d} / checks{d}")
+        local += " END"
+        glob = (f"(1 - CAST(0.9 AS DOUBLE)) * g7 / (checks7 + {j} + "
+                f"CASE WHEN dow_p = 7 THEN 1 ELSE 0 END)")
+        probs.append(f"({local}) + {glob} AS p{j}")
+    cums = []
+    for j in range(1, 8):
+        e = "p1"
+        for i in range(2, j + 1):
+            e = f"({e} + p{i})"
+        cums.append(f"{e} AS c{j}")
+    walk = "CASE "
+    for j in range(1, 8):
+        walk += (f"WHEN isnan(c{j}) OR c{j} >= {theta} "
+                 f"THEN {1440 * j} ")
+    walk += f"ELSE {1440 * 7} END"
+    found_sums = ",\n         ".join(
+        f"SUM(CASE WHEN dow = {d} THEN 1 ELSE 0 END) AS found{d}"
+        for d in range(1, 7))
+    check_sums = ",\n         ".join(
+        f"SUM(CASE WHEN dow = {d} THEN 1 ELSE 0 END) AS checks{d}"
+        for d in range(1, 7))
+    return f"""
+WITH feeds AS (
+  SELECT f AS feed,
+         (18001 + f % 7) * {day} + 9 * 3600000 AS first
+  FROM (SELECT unnest(generate_series(0, 39)) AS f)),
+ev AS (SELECT event_id % 37 AS feed, event_id FROM events),
+items AS (
+  SELECT e.feed,
+         fd.first + ((e.event_id * 7919) % 21) * {day}
+                  + (60 + (e.event_id * 37) % 1320) * 60000 AS ts
+  FROM ev e JOIN feeds fd USING (feed)),
+it AS (
+  SELECT feed, r FROM (
+    SELECT i.feed,
+           CASE WHEN i.ts <= fd.first THEN 0
+                ELSE (i.ts - fd.first - 1) // {day} + 1 END AS r
+    FROM items i JOIN feeds fd USING (feed))
+  WHERE r <= 21),
+ni AS (SELECT feed, COUNT(*) AS n_items FROM it GROUP BY feed),
+frd AS (
+  SELECT f.feed,
+         ((fd.first + f.r * {day}) // {day} + 4) % 7 + 1 AS dow
+  FROM (SELECT DISTINCT feed, r FROM it WHERE r < 21) f
+  JOIN feeds fd USING (feed)),
+found AS (
+  SELECT feed,
+         {found_sums},
+         COUNT(*) + SUM(CASE WHEN dow = 7 THEN 1 ELSE 0 END)
+           AS found7
+  FROM frd GROUP BY feed),
+cg AS (
+  SELECT fd.feed,
+         ((fd.first + g.r * {day}) // {day} + 4) % 7 + 1 AS dow
+  FROM feeds fd CROSS JOIN
+       (SELECT unnest(generate_series(0, 20)) AS r) g),
+checks AS (
+  SELECT feed,
+         {check_sums},
+         21 + SUM(CASE WHEN dow = 7 THEN 1 ELSE 0 END) AS checks7
+  FROM cg GROUP BY feed),
+hn AS (SELECT DISTINCT feed, 1 AS has_new FROM it WHERE r = 21),
+b AS (
+  SELECT fd.feed, COALESCE(n.n_items, 0) AS n_items,
+         COALESCE(h.has_new, 0) AS has_new,
+         ((fd.first + 21 * {day}) // {day} + 4) % 7 + 1 AS dow_p
+  FROM feeds fd
+  LEFT JOIN ni n USING (feed) LEFT JOIN hn h USING (feed)),
+upd AS (
+  SELECT b.feed, b.n_items, b.has_new, b.dow_p,
+         {', '.join(f_cases)},
+         COALESCE(f.found7, 0)
+           + CASE WHEN b.has_new = 1
+                  THEN CASE WHEN b.dow_p = 7 THEN 2 ELSE 1 END
+                  ELSE 0 END AS g7,
+         {', '.join(f'c.checks{d}' for d in range(1, 7))}, c.checks7
+  FROM b LEFT JOIN found f USING (feed) JOIN checks c USING (feed)),
+probs AS (
+  SELECT *, {', '.join(probs)} FROM upd),
+cums AS (
+  SELECT *, {', '.join(cums)} FROM probs),
+walked AS (
+  SELECT feed, n_items, has_new,
+         CASE WHEN g7 = 0 THEN 60 ELSE ({walk}) END AS raw
+  FROM cums)
+SELECT feed AS feed_id, n_items, has_new,
+       GREATEST(raw, 5) AS lihz
+FROM walked ORDER BY feed_id"""

@@ -468,3 +468,87 @@ def test_mav_sync(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         mav_sync_interval(df, rss_ttl_mode=3)
+
+
+# ----------------------------------------------------------- LIHZ08
+def _lihz_case(feed: int, n_events: int = 25):
+    """Deterministic synth feed: 21 daily training polls at 09:00 UTC
+    starting day 18001+(feed%7) (a Monday + offset), items strictly
+    between polls."""
+    first = (18001 + feed % 7) * feeds.MS_PER_DAY + 9 * 3_600_000
+    items = []
+    for k in range(n_events):
+        if (k * 31 + feed) % 3 == 0:  # sparse-ish
+            day = (k * 7919 + feed) % 21
+            off = 60 + (k * 37 + feed * 11) % 1320
+            items.append(first + day * feeds.MS_PER_DAY
+                         + off * feeds.MS_PER_MIN)
+    return first, items
+
+
+def test_lihz_local_quirks():
+    # empty feed -> DEFAULT_CHECK_TIME, has_new False
+    first = 18001 * feeds.MS_PER_DAY + 9 * 3_600_000
+    iv, hn = feeds.lihz_interval_local([], first, 21, 0.6)
+    assert (iv, hn) == (60, False)
+    # dense feed, prediction on Monday: every trained day found=3/3
+    dense = [first + d * feeds.MS_PER_DAY + 600 * feeds.MS_PER_MIN
+             for d in range(21)]
+    iv, hn = feeds.lihz_interval_local(dense, first, 21, 0.6)
+    # prob_1 ~ 0.9 + 0.1*... >= 0.6 -> one day
+    assert iv == 1440 and hn is True
+    # high theta: the walk crosses the untrained index 0 (the
+    # Saturday-cell quirk) and NaN-exits -- never runs past 7 days
+    iv, _ = feeds.lihz_interval_local(dense, first, 21, 1e9)
+    assert iv <= 7 * 1440
+    # sparse feed with no found-days still in-model via prediction
+    # poll's own new item (day 20 item -> has_new at prediction)
+    only_last = [first + 20 * feeds.MS_PER_DAY
+                 + 600 * feeds.MS_PER_MIN]
+    iv, hn = feeds.lihz_interval_local(only_last, first, 21, 0.6)
+    assert hn is True and iv >= 1440
+    # bounded walk: highest < 1440 forbids even one iteration
+    iv, _ = feeds.lihz_interval_local(dense, first, 21, 0.6,
+                                      highest=1000)
+    assert iv == 0 or iv == 1000  # raw 0, then clamp keeps 0
+    # clamp lowest
+    iv, _ = feeds.lihz_interval_local([], first, 21, 0.6, lowest=90)
+    assert iv == 90
+
+
+def test_lihz_saturday_double_increment():
+    # first poll on a Saturday: 18001+5 = 18006 -> dow 7
+    first = 18006 * feeds.MS_PER_DAY + 9 * 3_600_000
+    assert feeds._dow_utc(first) == 7
+    dense = [first + d * feeds.MS_PER_DAY + 600 * feeds.MS_PER_MIN
+             for d in range(21)]
+    iv, hn = feeds.lihz_interval_local(dense, first, 21, 0.95)
+    assert iv >= 1440  # just exercises the collision path
+
+
+def test_lihz_stage_matches_local(spark):
+    rows_f, rows_i = [], []
+    cases = {}
+    for f in range(24):
+        first, items = _lihz_case(f)
+        if f % 11 == 5:
+            items = []  # empty feeds stay in the roster
+        cases[f] = (first, items)
+        rows_f.append((f, first))
+        rows_i += [(f, ts) for ts in items]
+    fdf = spark.createDataFrame(rows_f, "feed long, first_poll_ms long")
+    idf = spark.createDataFrame(rows_i or [(0, 0)],
+                                "feed long, published_ms long")
+    if not rows_i:
+        idf = idf.where(F.lit(False))
+    for theta, lo, hi in [(0.6, 5, -1), (1.7, -1, -1), (0.9, 5, 4320)]:
+        got = {r["feed"]: (r["lihz"], r["has_new"], r["n_items"])
+               for r in feeds.lihz_interval(
+                   fdf, idf, n_train_polls=21, theta=theta,
+                   lowest=lo, highest=hi).collect()}
+        for f, (first, items) in cases.items():
+            iv, hn = feeds.lihz_interval_local(
+                items, first, 21, theta, lowest=lo, highest=hi)
+            assert got[f][0] == iv, (f, theta, lo, hi, got[f], iv)
+            assert got[f][1] == hn
+            assert got[f][2] == len(items)
