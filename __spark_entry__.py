@@ -1805,6 +1805,113 @@ def _q_lihz_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lihz").orderBy("feed_id")
 
 
+def _q_mavpr_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MavPrUpdateStrategy (kgp.feeds mavpr_interval): MAV and
+    PostRate both run per poll; the carried winner flag (synthesized
+    deterministic prior predictions) picks which interval ships --
+    with the reference's swapped-branch quirk kept (usePostRate==True
+    emits the MAV interval). Item timelines reuse the postrate gate's
+    whole-day-span synthesis so every PostRate probability is
+    binary-exact."""
+    from kgp.feeds import (MS_PER_MIN, feed_post_statistics,
+                           mavpr_interval, post_rate_intervals)
+    base0 = 26_666_666 * MS_PER_MIN
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select((F.col("event_id") % 40).alias("feed_id"), "event_id")
+    params = ev.select("feed_id").distinct().select(
+        "feed_id",
+        (F.when(F.col("feed_id") % 3 == 0, 1)
+         .when(F.col("feed_id") % 3 == 1, 2).otherwise(4) * 1440 - 1)
+        .alias("span"),
+        (F.lit(base0) + F.col("feed_id") * 1440 * MS_PER_MIN)
+        .alias("base"))
+    from_events = (ev.join(params, "feed_id")
+                   .select("feed_id",
+                           (F.col("base")
+                            + ((F.col("event_id") * 131)
+                               % (F.col("span") + 1)) * MS_PER_MIN)
+                           .alias("published_ms")))
+    anchors = params.select(
+        "feed_id", F.explode(F.array(
+            F.col("base"),
+            F.col("base") + F.col("span") * MS_PER_MIN))
+        .alias("published_ms"))
+    items = from_events.unionByName(anchors)
+    lookup = base0 + 30 * MS_PER_MIN
+    pr = post_rate_intervals(items, lookup_ts_ms=lookup, lowest=5,
+                             highest=20000)
+    feeds_f = params.select(
+        F.col("feed_id").alias("feed_url"),
+        F.timestamp_millis(F.lit(lookup)).alias("fetched_ts"))
+    items_ts = items.select(
+        F.col("feed_id").alias("feed_url"),
+        F.timestamp_millis(F.col("published_ms")).alias("published_ts"))
+    stats = feed_post_statistics(feeds_f, items_ts)
+    state = params.select(
+        F.col("feed_id").alias("feed"),
+        ((F.col("feed_id") * 53) % 3000).alias("pr_pred"),
+        ((F.col("feed_id") * 97) % 3000).alias("mav_pred"),
+        (F.col("feed_id") % 2 == 0).alias("use_pr_prev"),
+        (F.col("feed_id") % 3 != 1).alias("has_new"),
+        (F.lit(lookup) - 1440 * MS_PER_MIN
+         + F.col("feed_id") * MS_PER_MIN).alias("last_lookup_ms"))
+    out = mavpr_interval(stats, pr, state, lowest=5, highest=20000)
+    return out.select(F.col("feed").alias("feed_id"), "n_items",
+                      F.col("use_post_rate").cast("int")
+                      .alias("use_post_rate"), "mavpr") \
+        .orderBy("feed_id")
+
+
+def _q_indhist_ttl_intervals(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """IndHistTTLUpdateStrategy (kgp.feeds ind_hist_ttl_interval,
+    [BGR2006] burst policy): whole-day model timelines (dyadic rates,
+    binary-exact predicted-updates composition), new-poll items
+    placed before a minute-45 poll so the currentMinutes=seconds
+    quirk and both strategy branches fire; feed 34 has no model
+    (predicted==0 burst path), f%6==5 feeds no new items (real==0
+    IndHist path)."""
+    from kgp.feeds import MS_PER_MIN, ind_hist_ttl_interval
+    base0 = 26_666_666 * MS_PER_MIN
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select((F.col("event_id") % 35).alias("feed_id"), "event_id")
+    params = ev.select("feed_id").distinct().select(
+        "feed_id",
+        (F.when(F.col("feed_id") % 3 == 0, 1)
+         .when(F.col("feed_id") % 3 == 1, 2).otherwise(4) * 1440 - 1)
+        .alias("span"),
+        (F.lit(base0) + F.col("feed_id") * 1440 * MS_PER_MIN)
+        .alias("base"))
+    from_events = (ev.where(F.col("event_id") % 9 != 0)
+                   .join(params, "feed_id")
+                   .select("feed_id",
+                           (F.col("base")
+                            + ((F.col("event_id") * 197)
+                               % (F.col("span") + 1)) * MS_PER_MIN)
+                           .alias("published_ms")))
+    anchors = params.select(
+        "feed_id", F.explode(F.array(
+            F.col("base"),
+            F.col("base") + F.col("span") * MS_PER_MIN))
+        .alias("published_ms"))
+    model = from_events.unionByName(anchors) \
+        .where(F.col("feed_id") != 34)
+    poll = base0 + (40 * 1440 + 19) * MS_PER_MIN  # hour 12, minute 45
+    new = (ev.where((F.col("event_id") % 9 == 0)
+                    & (F.col("feed_id") % 6 != 5))
+           .select("feed_id",
+                   (F.lit(poll)
+                    - (1 + (F.col("event_id") * 13)
+                       % F.when(F.col("feed_id") % 4 == 0, 600)
+                       .otherwise(3000)) * MS_PER_MIN)
+                   .alias("published_ms")))
+    out = ind_hist_ttl_interval(model, new, poll_ts_ms=poll,
+                                theta=0.75, t_burst=2.0,
+                                window_hours=48, weight_m=0.2,
+                                lowest=5)
+    return out.withColumnRenamed("feed", "feed_id").orderBy("feed_id")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -2083,6 +2190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indhist_intervals": _q_indhist_intervals,
         "mavsync_intervals": _q_mavsync_intervals,
         "lihz_intervals": _q_lihz_intervals,
+        "mavpr_intervals": _q_mavpr_intervals,
+        "indhist_ttl_intervals": _q_indhist_ttl_intervals,
         "dataset_join": _q_dataset_join,
         "dataset_concat": _q_dataset_concat,
         "protected_areas": _q_protected_areas,
@@ -2263,6 +2372,8 @@ def oracle_sql() -> dict[str, str]:
         "indhist_intervals": _oracle.indhist_intervals_sql(),
         "mavsync_intervals": _oracle.mavsync_intervals_sql(),
         "lihz_intervals": _oracle.lihz_intervals_sql(),
+        "mavpr_intervals": _oracle.mavpr_intervals_sql(),
+        "indhist_ttl_intervals": _oracle.indhist_ttl_intervals_sql(),
         "dataset_join": _oracle.dataset_join_sql(),
         "dataset_concat": _oracle.dataset_concat_sql(),
         "protected_areas": _oracle.protected_areas_sql(),

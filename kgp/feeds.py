@@ -1163,3 +1163,220 @@ def lihz_interval(feeds: DataFrame, items: DataFrame, *,
     return base.select(
         "feed", "n_items", F.col("has_new"),
         _allowed(raw, lowest, highest).alias("lihz"))
+
+
+def mavpr_interval(stats: DataFrame, postrate: DataFrame,
+                   state: DataFrame, *, lowest: int = -1,
+                   highest: int = -1) -> DataFrame:
+    """MavPrUpdateStrategy.update (MavPrUpdateStrategy.java:39-76)
+    for ONE poll, with the carried predictor state supplied as
+    columns (the cross-poll mutation of that state is the polling
+    loop, out of scope like the loop itself).
+
+    ``stats``: feed_post_statistics output keyed ``feed_url``;
+    ``postrate``: post_rate_intervals output keyed ``feed``
+    (postrate_min = the PR MIN_DELAY interval); ``state``: (feed,
+    pr_pred, mav_pred, use_pr_prev, has_new, last_lookup_ms).
+
+    As-written quirks kept: the winner flag needs STRICTLY smaller
+    |prediction - newest-post| (ties keep MAV), and the final
+    setUpdateInterval branches are SWAPPED -- usePostRate==True emits
+    the MAV interval, usePostRate==False the PostRate one (:66-73).
+    Both sub-strategies clamp with the same bounds before the outer
+    clamp, exactly as the Java ctor wiring does."""
+    mav_t = mav_update_interval(stats, has_new_item=True,
+                                lowest=lowest, highest=highest) \
+        .select(F.col("feed_url").alias("feed"),
+                F.col("mav_min").alias("mav_t"))
+    mav_f = mav_update_interval(stats, has_new_item=False,
+                                lowest=lowest, highest=highest) \
+        .select(F.col("feed_url").alias("feed"),
+                F.col("mav_min").alias("mav_f"))
+    newest = stats.select(F.col("feed_url").alias("feed"),
+                          "time_newest_ms")
+    j = (state.join(mav_t, "feed").join(mav_f, "feed")
+         .join(newest, "feed")
+         .join(postrate.select("feed", "n_items", "postrate_min"),
+               "feed"))
+    mav_iv = F.when(F.col("has_new"), F.col("mav_t")) \
+        .otherwise(F.col("mav_f"))
+    diff_pr = (F.col("last_lookup_ms")
+               + F.col("pr_pred") * MS_PER_MIN
+               - F.col("time_newest_ms")).cast("double")
+    diff_mav = (F.col("last_lookup_ms")
+                + F.col("mav_pred") * MS_PER_MIN
+                - F.col("time_newest_ms")).cast("double")
+    use_pr = F.when(F.col("has_new"),
+                    F.abs(diff_pr) < F.abs(diff_mav)) \
+        .otherwise(F.col("use_pr_prev"))
+    raw = F.when(use_pr, mav_iv).otherwise(F.col("postrate_min"))
+    return j.select("feed", "n_items",
+                    use_pr.alias("use_post_rate"),
+                    _allowed(raw, lowest, highest).alias("mavpr"))
+
+
+def ind_hist_ttl_interval(model_items: DataFrame,
+                          new_items: DataFrame, *,
+                          poll_ts_ms: int, theta: float,
+                          t_burst: float = 2.0,
+                          window_hours: int = 24,
+                          weight_m: float = 0.2,
+                          feed_col: str = "feed_id",
+                          ts_col: str = "published_ms",
+                          lowest: int = -1) -> DataFrame:
+    """IndHistTTLUpdateStrategy.update (IndHistTTLUpdateStrategy.java:
+    93-246, [BGR2006]): detect a burst by comparing the number of NEW
+    items inside the time window before the poll against the number
+    the externally-trained IndHist hourly model predicts for that
+    window; burst -> AdaptiveTTL, else the IndHist walk.
+
+    ``model_items`` plays the reference's DB-trained model
+    (getModelFromDB); ``new_items`` the current poll's items (on the
+    first poll the stored window list is null, so the window holds
+    exactly the new items, :114-127). AdaptiveTTL sees the newest
+    post over ALL items (fps.getTimeNewestPost).
+
+    As-written quirks kept:
+    - ``currentMinutes = Calendar.MINUTE * 60`` is SECONDS used as
+      minutes (:215), so polls late in the hour overshoot the window
+      and the tail term (windowMin - historyMinutes) goes NEGATIVE --
+      predicted can be 0 or < 0; real/predicted <= 0 is never > tBurst
+      so those feeds take IndHist, while predicted == 0 with real > 0
+      bursts (:128-129).
+    - the backward walk (:205-240) is evaluated in Java expression
+      order; with whole-day observation windows every rate is dyadic
+      and the composition is binary-exact (general case: last-ulp,
+      the Java walk is the byte-exact reference).
+
+    The window walk's iteration counts depend only on the scalar poll
+    time, so they fold to Python constants at plan time; the per-feed
+    prediction is ONE conditional aggregation over the 24-row rate
+    grid. Returns (feed, n_items, real_in_window, used_ttl,
+    indhist_ttl)."""
+    feed = F.col(feed_col)
+    ts = F.col(ts_col)
+
+    indhist = ind_hist_interval(model_items, poll_ts_ms=poll_ts_ms,
+                                theta=theta, feed_col=feed_col,
+                                ts_col=ts_col, lowest=lowest)
+    all_items = model_items.select(feed.alias("feed_id"),
+                                   ts.alias("published_ms")) \
+        .unionByName(new_items.select(feed.alias("feed_id"),
+                                      ts.alias("published_ms")))
+    ttl = adaptive_ttl_interval(all_items, poll_ts_ms=poll_ts_ms,
+                                weight_m=weight_m, lowest=lowest)
+
+    # hourly rate grid, identical derivation to ind_hist_interval
+    stats = (model_items.groupBy(feed.alias("feed"))
+             .agg(F.min(ts).alias("oldest"), F.max(ts).alias("newest")))
+    stats = stats.withColumn(
+        "obs_days",
+        F.floor((F.col("newest") - F.col("oldest")) / MS_PER_DAY) + 1)
+    counts = (model_items.select(feed.alias("feed"),
+                                 ((ts / 3_600_000).cast("long") % 24)
+                                 .alias("hour"))
+              .groupBy("feed", "hour").agg(F.count("*").alias("c")))
+    grid = (stats.select("feed", "obs_days",
+                         F.explode(F.sequence(F.lit(0), F.lit(23)))
+                         .alias("hour"))
+            .join(counts, ["feed", "hour"], "left")
+            .select("feed", "hour",
+                    (F.coalesce(F.col("c"), F.lit(0))
+                     / F.col("obs_days")).alias("rate")))
+
+    # scalar walk bookkeeping (calculatePredictedNumUpdates)
+    poll_hour = (poll_ts_ms // 3_600_000) % 24
+    cm = ((poll_ts_ms // MS_PER_MIN) % 60) * 60  # MINUTE * 60 quirk
+    w_min = window_hours * 60
+    hm = cm
+    k_d = 0
+    while hm + 1440 < w_min:
+        hm += 1440
+        k_d += 1
+    visited = []
+    sim = (24 + poll_hour - 1) % 24
+    while hm + 60 < w_min:
+        hm += 60
+        visited.append(sim)
+        sim = (24 + sim - 1) % 24
+    tail_hour = sim
+    tail_coeff = w_min - hm
+
+    pred_parts = grid.groupBy("feed").agg(
+        (F.max(F.when(F.col("hour") == poll_hour, F.col("rate")))
+         * cm / 60).alias("t0"),
+        F.sum("rate").alias("daily"),
+        F.coalesce(F.sum(F.when(
+            F.col("hour").isin(visited) if visited else F.lit(False),
+            F.col("rate"))), F.lit(0.0)).alias("hsum"),
+        (F.lit(tail_coeff)
+         * (F.max(F.when(F.col("hour") == tail_hour, F.col("rate")))
+            / 60)).alias("tail"))
+    predicted = (F.col("t0") + F.lit(k_d) * F.col("daily")
+                 + F.col("hsum") + F.col("tail"))
+    pred = pred_parts.select("feed", predicted.alias("predicted"))
+
+    window_start = poll_ts_ms - window_hours * 3_600_000
+    real = (new_items.where(ts >= window_start)
+            .groupBy(feed.alias("feed"))
+            .agg(F.count("*").alias("real_in_window")))
+
+    roster = (model_items.select(feed.alias("feed"))
+              .unionByName(new_items.select(feed.alias("feed")))
+              .distinct())
+    out = (roster.join(indhist, "feed", "left")
+           .join(ttl, "feed", "left")
+           .join(pred, "feed", "left")
+           .join(real, "feed", "left")
+           .na.fill({"real_in_window": 0, "n_items": 0}))
+    r = F.col("real_in_window")
+    p = F.coalesce(F.col("predicted"), F.lit(0.0))
+    burst = ((r > 0) & (p == 0.0)) \
+        | ((p != 0.0) & (r.cast("double") / p > t_burst))
+    iv = F.when(burst, F.col("adaptive_ttl")).otherwise(
+        F.coalesce(F.col("indhist"),
+                   _allowed(F.lit(DEFAULT_CHECK_TIME).cast("long"),
+                            lowest, -1)))
+    return out.select("feed", "n_items", r.alias("real_in_window"),
+                      burst.cast("int").alias("used_ttl"),
+                      iv.alias("indhist_ttl"))
+
+
+def predicted_in_window_local(rates: list[float], poll_ts_ms: int,
+                              window_hours: int) -> float:
+    """calculatePredictedNumUpdates literal port
+    (IndHistTTLUpdateStrategy.java:198-246) -- the byte-exact
+    reference for the conditional-aggregation composition above."""
+    poll_hour = (poll_ts_ms // 3_600_000) % 24
+    sim = poll_hour
+    current_minutes = ((poll_ts_ms // MS_PER_MIN) % 60) * 60
+    daily = 0.0
+    for r in rates:
+        daily += r
+    predicted = rates[sim] * current_minutes / 60
+    history = current_minutes
+    sim = (24 + sim - 1) % 24
+    while history + 1440 < window_hours * 60:
+        history += 1440
+        predicted += daily
+    while history + 60 < window_hours * 60:
+        history += 60
+        predicted += rates[sim]
+        sim = (24 + sim - 1) % 24
+    predicted += (window_hours * 60 - history) * (rates[sim] / 60)
+    return predicted
+
+
+def fix_interval(feeds: DataFrame, check_interval: int, *,
+                 lowest: int = -1, highest: int = -1) -> DataFrame:
+    """FixUpdateStrategy.update (FixUpdateStrategy.java:57-75): the
+    same clamped constant for every feed; ctor rejects
+    checkInterval <= 0 (:36-41). Completes the update-strategy
+    family -- trivially a single projection."""
+    if check_interval <= 0:
+        raise ValueError("A fixed check interval smaller or equal "
+                         "to zero is not supported.")
+    return feeds.select(
+        "feed",
+        _allowed(F.lit(check_interval).cast("long"), lowest, highest)
+        .alias("fix"))

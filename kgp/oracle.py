@@ -4570,3 +4570,266 @@ walked AS (
 SELECT feed AS feed_id, n_items, has_new,
        GREATEST(raw, 5) AS lihz
 FROM walked ORDER BY feed_id"""
+
+
+def mavpr_intervals_sql() -> str:
+    """Semantic mirror of the mavpr_intervals gate
+    (MavPrUpdateStrategy.java:39-76): the PostRate CTE chain from
+    postrate_intervals_sql (clamped [5, 20000]), the MAV min-delay
+    formula in both has-new branches (MavUpdateStrategy.java:44-86,
+    trunc-division), the strict-less winner flag over the carried
+    predictions, and the SWAPPED final branch (usePostRate -> MAV)."""
+    base0 = 26_666_666 * 60_000
+    lookup = base0 + 30 * 60_000
+    return f"""
+WITH ev AS (
+  SELECT event_id % 40 AS feed, event_id FROM events),
+params AS (
+  SELECT feed,
+         (CASE feed % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)
+           * 1440 - 1 AS span,
+         {base0} + feed * 1440 * 60000 AS base
+  FROM (SELECT DISTINCT feed FROM ev)),
+items AS (
+  SELECT e.feed,
+         p.base + ((e.event_id * 131) % (p.span + 1)) * 60000 AS ts
+  FROM ev e JOIN params p USING (feed)
+  UNION ALL SELECT feed, base FROM params
+  UNION ALL SELECT feed, base + span * 60000 FROM params),
+stats AS (
+  SELECT feed, MIN(ts) AS oldest, MAX(ts) AS newest,
+         COUNT(*) AS n_items
+  FROM items GROUP BY feed),
+firstgap AS (
+  SELECT feed,
+         MAX(CASE WHEN rn = 2 THEN ts END)
+           - MAX(CASE WHEN rn = 1 THEN ts END) AS first_gap
+  FROM (SELECT feed, ts,
+               ROW_NUMBER() OVER (PARTITION BY feed ORDER BY ts) AS rn
+        FROM items)
+  WHERE rn <= 2 GROUP BY feed),
+stats2 AS (
+  SELECT s.feed, s.n_items, s.oldest, s.newest,
+         (s.newest - s.oldest) // 60000 + 1 AS steps,
+         (s.oldest // 60000) % 1440 AS start_minute,
+         CAST(s.newest - s.oldest AS DOUBLE) / (s.n_items - 1)
+           AS avg_gap,
+         fg.first_gap,
+         {lookup} - s.newest AS delay
+  FROM stats s JOIN firstgap fg USING (feed)),
+posts AS (
+  SELECT feed, (ts // 60000) % 1440 AS minute, COUNT(*) AS posts
+  FROM items GROUP BY feed, (ts // 60000) % 1440),
+grid AS (
+  SELECT s.feed, g.minute,
+         s.steps // 1440
+           + CASE WHEN (g.minute - s.start_minute + 1440) % 1440
+                       < s.steps % 1440 THEN 1 ELSE 0 END AS chance,
+         COALESCE(p.posts, 0) AS posts
+  FROM stats2 s
+  CROSS JOIN (SELECT unnest(generate_series(0, 1439)) AS minute) g
+  LEFT JOIN posts p ON p.feed = s.feed AND p.minute = g.minute),
+pref AS (
+  SELECT feed,
+         (minute - ({lookup} // 60000) % 1440 + 1440) % 1440 AS j,
+         SUM(CASE WHEN chance > 0
+                  THEN CAST(posts AS DOUBLE) / chance
+                  ELSE 0.0 END)
+           OVER (PARTITION BY feed ORDER BY
+                 (minute - ({lookup} // 60000) % 1440 + 1440) % 1440
+                 ROWS UNBOUNDED PRECEDING) AS pref
+  FROM grid),
+tot AS (SELECT feed, MAX(pref) AS s FROM pref GROUP BY feed),
+kzero AS (
+  SELECT st.feed, t.s,
+         CASE WHEN t.s > 0 THEN GREATEST(0,
+              CAST(ceil(1.0 / t.s) AS BIGINT) - 1) END AS k0
+  FROM stats2 st JOIN tot t USING (feed)),
+hits AS (
+  SELECT p.feed, MIN(g.k0 * 1440 + p.j) AS c
+  FROM pref p JOIN kzero g USING (feed)
+  WHERE g.k0 IS NOT NULL AND p.pref >= 1.0 - g.k0 * g.s
+  GROUP BY p.feed),
+prmin AS (
+  SELECT s.feed,
+         GREATEST(LEAST(COALESCE(
+           CASE WHEN h.c < 267840 THEN h.c ELSE 44640 END, 44640),
+           20000), 5) AS postrate_min
+  FROM stats2 s LEFT JOIN hits h USING (feed)),
+mav AS (
+  SELECT feed, n_items, newest,
+         GREATEST(LEAST(
+           CASE WHEN n_items <= 1 THEN 30
+                ELSE CAST(trunc(avg_gap / 60000.0) AS BIGINT) END,
+           20000), 5) AS mav_t,
+         GREATEST(LEAST(
+           CASE WHEN n_items <= 1 THEN 30
+                WHEN avg_gap = 0 THEN 20000
+                ELSE CAST(trunc((CASE WHEN delay > 0
+                     THEN avg_gap - first_gap // (n_items - 1)
+                          + delay // (n_items - 1)
+                     ELSE avg_gap END) / 60000.0) AS BIGINT) END,
+           20000), 5) AS mav_f
+  FROM stats2),
+state AS (
+  SELECT feed, (feed * 53) % 3000 AS pr_pred,
+         (feed * 97) % 3000 AS mav_pred,
+         CASE WHEN feed % 2 = 0 THEN 1 ELSE 0 END AS use_pr_prev,
+         CASE WHEN feed % 3 <> 1 THEN 1 ELSE 0 END AS has_new,
+         {lookup} - 1440 * 60000 + feed * 60000 AS last_lookup
+  FROM params),
+winner AS (
+  SELECT m.feed, m.n_items,
+         CASE WHEN s.has_new = 1 THEN
+           CASE WHEN ABS(CAST(s.last_lookup + s.pr_pred * 60000
+                              - m.newest AS DOUBLE))
+                   < ABS(CAST(s.last_lookup + s.mav_pred * 60000
+                              - m.newest AS DOUBLE))
+                THEN 1 ELSE 0 END
+           ELSE s.use_pr_prev END AS use_post_rate,
+         CASE WHEN s.has_new = 1 THEN m.mav_t ELSE m.mav_f END
+           AS mav_iv,
+         p.postrate_min
+  FROM mav m JOIN state s USING (feed) JOIN prmin p USING (feed))
+SELECT feed AS feed_id, n_items, use_post_rate,
+       GREATEST(LEAST(CASE WHEN use_post_rate = 1 THEN mav_iv
+                           ELSE postrate_min END, 20000), 5) AS mavpr
+FROM winner ORDER BY feed_id"""
+
+
+def indhist_ttl_intervals_sql() -> str:
+    """Semantic mirror of the indhist_ttl_intervals gate
+    (IndHistTTLUpdateStrategy.java:93-246): the IndHist model + walk
+    (poll at hour 12 minute 45 -> 900 s remaining, ci0 = 15), the
+    predicted-updates backward window walk folded to its scalar
+    shape for this poll (cm = 2700 quirk-minutes, W = 2880: t0 =
+    rate[12]*2700/60, hours 11 and 10, 60-minute tail on hour 9),
+    the real-new-items window count, the burst pick, and the
+    AdaptiveTTL fallback -- all in SQL."""
+    base0 = 26_666_666 * 60_000
+    poll = base0 + (40 * 1440 + 19) * 60_000
+    wstart = poll - 48 * 3_600_000
+    return f"""
+WITH ev AS (
+  SELECT event_id % 35 AS feed, event_id FROM events),
+params AS (
+  SELECT feed,
+         (CASE feed % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)
+           * 1440 - 1 AS span,
+         {base0} + feed * 1440 * 60000 AS base
+  FROM (SELECT DISTINCT feed FROM ev)),
+model AS (
+  SELECT feed, ts FROM (
+    SELECT e.feed,
+           p.base + ((e.event_id * 197) % (p.span + 1)) * 60000 AS ts
+    FROM ev e JOIN params p USING (feed)
+    WHERE e.event_id % 9 <> 0
+    UNION ALL SELECT feed, base FROM params
+    UNION ALL SELECT feed, base + span * 60000 FROM params)
+  WHERE feed <> 34),
+new_items AS (
+  SELECT feed,
+         {poll} - (1 + (event_id * 13)
+                   % (CASE WHEN feed % 4 = 0 THEN 600 ELSE 3000 END))
+                * 60000 AS ts
+  FROM ev WHERE event_id % 9 = 0 AND feed % 6 <> 5),
+stats AS (
+  SELECT feed, COUNT(*) AS n_items, MAX(ts) AS newest,
+         (MAX(ts) - MIN(ts)) // 86400000 + 1 AS obs_days
+  FROM model GROUP BY feed),
+counts AS (
+  SELECT feed, (ts // 3600000) % 24 AS hour, COUNT(*) AS c
+  FROM model GROUP BY feed, (ts // 3600000) % 24),
+grid AS (
+  SELECT s.feed, g.hour,
+         CAST(COALESCE(c.c, 0) AS DOUBLE) / s.obs_days AS rate
+  FROM stats s
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour) g
+  LEFT JOIN counts c ON c.feed = s.feed AND c.hour = g.hour),
+daily AS (SELECT feed, SUM(rate) AS daily FROM grid GROUP BY feed),
+atpoll AS (
+  SELECT feed, rate AS rate_poll FROM grid WHERE hour = 12),
+pref AS (
+  SELECT feed, (hour - 13 + 24) % 24 AS j, rate,
+         SUM(rate) OVER (PARTITION BY feed
+                         ORDER BY (hour - 13 + 24) % 24
+                         ROWS UNBOUNDED PRECEDING) AS pref
+  FROM grid),
+base AS (
+  SELECT s.feed, s.n_items, d.daily, a.rate_poll,
+         a.rate_poll * 900 / 3600 AS rem_pending
+  FROM stats s JOIN daily d USING (feed) JOIN atpoll a USING (feed)),
+base2 AS (
+  SELECT *, GREATEST(0, CAST(ceil((0.75 - rem_pending) / daily)
+                             AS BIGINT) - 1) AS k
+  FROM base WHERE daily > 0),
+base3 AS (
+  SELECT *, rem_pending + k * daily AS pending1 FROM base2),
+hit AS (
+  SELECT p.feed, MIN(p.j) AS jstar
+  FROM pref p JOIN base3 b USING (feed)
+  WHERE b.pending1 + p.pref >= 0.75 GROUP BY p.feed),
+last AS (
+  SELECT p.feed, h.jstar, p.rate AS rate_star,
+         p.pref - p.rate AS pref_excl
+  FROM pref p JOIN hit h ON h.feed = p.feed AND p.j = h.jstar),
+walked AS (
+  SELECT b.feed,
+         CASE WHEN b.rem_pending >= 0.75
+              THEN CAST(floor(60 * 0.75 / b.rate_poll) AS BIGINT)
+              ELSE CAST(floor(15 + b.k * 1440 + 60 * l.jstar
+                              + 60 * (0.75 - (b.pending1
+                                              + l.pref_excl))
+                                / l.rate_star) AS BIGINT)
+         END AS raw
+  FROM base3 b JOIN last l USING (feed)),
+indhist AS (
+  SELECT b.feed, GREATEST(COALESCE(w.raw, 60), 5) AS indhist
+  FROM base b LEFT JOIN walked w ON w.feed = b.feed),
+pred AS (
+  SELECT feed,
+         MAX(CASE WHEN hour = 12 THEN rate END) * 2700 / 60
+         + COALESCE(SUM(CASE WHEN hour IN (11, 10) THEN rate END),
+                    0.0)
+         + 60 * (MAX(CASE WHEN hour = 9 THEN rate END) / 60)
+           AS predicted
+  FROM grid GROUP BY feed),
+realw AS (
+  SELECT feed, COUNT(*) AS real_in_window
+  FROM new_items WHERE ts >= {wstart} GROUP BY feed),
+alln AS (
+  SELECT feed, MAX(ts) AS newest_all FROM (
+    SELECT feed, ts FROM model
+    UNION ALL SELECT feed, ts FROM new_items) GROUP BY feed),
+ttl AS (
+  SELECT feed,
+         GREATEST(CASE WHEN {poll} - newest_all > 0
+              THEN CAST(trunc(0.2 * ({poll} - newest_all) / 60000.0)
+                        AS BIGINT)
+              ELSE 60 END, 5) AS adaptive_ttl
+  FROM alln),
+roster AS (SELECT DISTINCT feed FROM ev),
+joined AS (
+  SELECT r.feed, COALESCE(s.n_items, 0) AS n_items,
+         COALESCE(rw.real_in_window, 0) AS real_in_window,
+         COALESCE(p.predicted, 0.0) AS predicted,
+         i.indhist, t.adaptive_ttl
+  FROM roster r
+  LEFT JOIN stats s USING (feed)
+  LEFT JOIN realw rw USING (feed)
+  LEFT JOIN pred p USING (feed)
+  LEFT JOIN indhist i USING (feed)
+  LEFT JOIN ttl t USING (feed)),
+final AS (
+  SELECT feed, n_items, real_in_window,
+         CASE WHEN (real_in_window > 0 AND predicted = 0.0)
+                OR (predicted <> 0.0
+                    AND CAST(real_in_window AS DOUBLE) / predicted
+                        > 2.0)
+              THEN 1 ELSE 0 END AS used_ttl,
+         adaptive_ttl, COALESCE(indhist, 60) AS indhist
+  FROM joined)
+SELECT feed AS feed_id, n_items, real_in_window, used_ttl,
+       CASE WHEN used_ttl = 1 THEN adaptive_ttl ELSE indhist END
+         AS indhist_ttl
+FROM final ORDER BY feed_id"""

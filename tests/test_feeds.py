@@ -552,3 +552,90 @@ def test_lihz_stage_matches_local(spark):
             assert got[f][0] == iv, (f, theta, lo, hi, got[f], iv)
             assert got[f][1] == hn
             assert got[f][2] == len(items)
+
+
+# ------------------------------------------------------- IndHistTTL
+def test_predicted_in_window_local():
+    # flat 1-per-hour model, poll at minute 45 (currentMinutes=2700
+    # "minutes" -- the seconds-as-minutes quirk), 48h window:
+    # t0 = 1*2700/60 = 45, k_d = 0, two full hours, 60-min tail
+    rates = [1.0] * 24
+    poll = (40 * 1440 + 12 * 60 + 45) * feeds.MS_PER_MIN
+    p = feeds.predicted_in_window_local(rates, poll, 48)
+    assert p == 45.0 + 1.0 + 1.0 + 60 * (1.0 / 60)
+    # negative-tail quirk: window shorter than the fake 2700 minutes
+    p = feeds.predicted_in_window_local(rates, poll, 24)
+    assert p == 45.0 + (24 * 60 - 2700) * (1.0 / 60)
+    assert p < 45.0
+    # zero model
+    assert feeds.predicted_in_window_local([0.0] * 24, poll, 48) == 0.0
+
+
+def test_ind_hist_ttl_stage(spark):
+    base0 = 26_666_666 * feeds.MS_PER_MIN
+    poll = base0 + (40 * 1440 + 19) * feeds.MS_PER_MIN
+    model_rows, new_rows = [], []
+    for f in range(10):
+        span = (f % 3 + 1) * 1440 - 1
+        base = base0 + f * 1440 * feeds.MS_PER_MIN
+        if f != 9:  # feed 9: no trained model -> predicted == 0
+            for k in range(40):
+                model_rows.append(
+                    (f, base + ((k * 197) % (span + 1))
+                     * feeds.MS_PER_MIN))
+            model_rows += [(f, base),
+                           (f, base + span * feeds.MS_PER_MIN)]
+        if f % 6 != 5:
+            d = 600 if f % 4 == 0 else 3000
+            for k in range(0, 40, 7):
+                new_rows.append(
+                    (f, poll - (1 + k * 13 % d) * feeds.MS_PER_MIN))
+    model = spark.createDataFrame(model_rows,
+                                  "feed_id long, published_ms long")
+    new = spark.createDataFrame(new_rows,
+                                "feed_id long, published_ms long")
+    out = {r["feed"]: r for r in feeds.ind_hist_ttl_interval(
+        model, new, poll_ts_ms=poll, theta=0.75, t_burst=2.0,
+        window_hours=48, weight_m=0.2, lowest=5).collect()}
+    assert len(out) == 10
+    # verify predicted/burst per feed against the literal twin
+    from collections import defaultdict
+    per = defaultdict(list)
+    for f, ts in model_rows:
+        per[f].append(ts)
+    for f in range(10):
+        rates = feeds.ind_hist_model_local(per[f])
+        if f == 9:
+            rates = [0.0] * 24
+        pred = feeds.predicted_in_window_local(rates, poll, 48)
+        real = sum(1 for ff, ts in new_rows
+                   if ff == f and ts >= poll - 48 * 3_600_000)
+        burst = (real > 0 and pred == 0) or \
+            (pred != 0 and real / pred > 2.0)
+        assert out[f]["used_ttl"] == int(burst), (f, pred, real)
+        assert out[f]["real_in_window"] == real
+        if burst:
+            newest = max([ts for ff, ts in model_rows + new_rows
+                          if ff == f])
+            gap = poll - newest
+            exp = int(0.2 * gap / 60_000) if gap > 0 else 60
+            assert out[f]["indhist_ttl"] == max(5, exp)
+        else:
+            iv = feeds.ind_hist_interval_local(per[f], poll, 0.75)
+            assert out[f]["indhist_ttl"] == max(5, iv)
+    # both branches must occur in the slice
+    flags = {out[f]["used_ttl"] for f in range(10)}
+    assert flags == {0, 1}, flags
+
+
+def test_fix_interval(spark):
+    df = spark.createDataFrame([(1,), (2,)], "feed long")
+    out = {r["feed"]: r["fix"]
+           for r in feeds.fix_interval(df, 60, lowest=90).collect()}
+    assert out == {1: 90, 2: 90}
+    out = {r["feed"]: r["fix"]
+           for r in feeds.fix_interval(df, 500, highest=120).collect()}
+    assert out == {1: 120, 2: 120}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        feeds.fix_interval(df, 0)
