@@ -1912,6 +1912,55 @@ def _q_indhist_ttl_intervals(spark: SparkSession,
     return out.withColumnRenamed("feed", "feed_id").orderBy("feed_id")
 
 
+def _q_page_date_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/Structure/URL date getters end-to-end (kgp.datestack over
+    kgp.dateparse, the reference-exact DateParserLogic port): pages
+    synthesized closed-form from doc_id (meta variants per doc_id%4,
+    a date-bearing div behind a keyword class, an img whose date
+    attribute MUST be skipped, URL shapes per doc_id%5), parsed by
+    the real HTML5 parser inside ONE Arrow pass; the oracle
+    re-renders every expected row symbolically in SQL -- getter
+    semantics themselves are pinned against the reference's own test
+    pages in tests/test_datestack.py."""
+    from kgp.datestack import page_dates_stage
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(d % 7 == 3).select("doc_id")
+    mm = F.lpad((d % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((d % 28 + 1).cast("string"), 2, "0")
+    hh = F.lpad((d % 24).cast("string"), 2, "0")
+    mi = F.lpad((d % 60).cast("string"), 2, "0")
+    ss = F.lpad(((d * 7) % 60).cast("string"), 2, "0")
+    mm2 = F.lpad(((d * 3) % 12 + 1).cast("string"), 2, "0")
+    dd2 = F.lpad(((d * 5) % 28 + 1).cast("string"), 2, "0")
+    meta = F.when(d % 4 == 0, F.concat(
+        F.lit('<meta name="published" content="2010-'), mm, F.lit("-"),
+        dd, F.lit(" "), hh, F.lit(":"), mi, F.lit(":"), ss,
+        F.lit('">'))) \
+        .when(d % 4 == 1, F.concat(
+            F.lit('<meta http-equiv="last-modified" content="2010-'),
+            mm, F.lit("-"), dd, F.lit('">'))) \
+        .when(d % 4 == 2, F.concat(
+            F.lit('<meta itemprop="datePublished" content="2011-'),
+            mm, F.lit('">'))) \
+        .otherwise(F.lit('<meta name="author" content="2010-01-01">'))
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit("<title>t</title></head><body><main>"
+              '<div class="posted" id="s2012-'), mm2, F.lit("-"), dd2,
+        F.lit('">x</div><img id="d2011-02-02x">'
+              "</main></body></html>"))
+    url = F.when(d % 5 == 0, F.concat(
+        F.lit("https://pages.example.org/2012-"), mm,
+        F.lit("/doc-"), d)) \
+        .otherwise(F.concat(
+            F.lit("https://pages.example.org/2012/"), mm, F.lit("/"),
+            dd, F.lit("/doc-"), d))
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    out = page_dates_stage(pages)
+    return out.orderBy("url", "technique", "pos")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -2192,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lihz_intervals": _q_lihz_intervals,
         "mavpr_intervals": _q_mavpr_intervals,
         "indhist_ttl_intervals": _q_indhist_ttl_intervals,
+        "page_date_stack": _q_page_date_stack,
         "dataset_join": _q_dataset_join,
         "dataset_concat": _q_dataset_concat,
         "protected_areas": _q_protected_areas,
@@ -2374,6 +2424,7 @@ def oracle_sql() -> dict[str, str]:
         "lihz_intervals": _oracle.lihz_intervals_sql(),
         "mavpr_intervals": _oracle.mavpr_intervals_sql(),
         "indhist_ttl_intervals": _oracle.indhist_ttl_intervals_sql(),
+        "page_date_stack": _oracle.page_date_stack_sql(),
         "dataset_join": _oracle.dataset_join_sql(),
         "dataset_concat": _oracle.dataset_concat_sql(),
         "protected_areas": _oracle.protected_areas_sql(),

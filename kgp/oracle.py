@@ -4833,3 +4833,76 @@ SELECT feed AS feed_id, n_items, real_in_window, used_ttl,
        CASE WHEN used_ttl = 1 THEN adaptive_ttl ELSE indhist END
          AS indhist_ttl
 FROM final ORDER BY feed_id"""
+
+
+def page_date_stack_sql() -> str:
+    """Symbolic mirror of the page_date_stack gate: the synthesized
+    pages make every getter output a closed form of doc_id -- head
+    rows per doc_id%4 (the author variant yields none), exactly one
+    structure row (the div; the img's date attribute is skipped by
+    StructureDateGetter.java:62), one url row per doc_id%5 shape with
+    the UrlDateRater constant."""
+    return """
+WITH d AS (
+  SELECT doc_id,
+         lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+         lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') AS hh,
+         lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS mi,
+         lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') AS ss,
+         lpad(CAST((doc_id * 3) % 12 + 1 AS VARCHAR), 2, '0') AS mm2,
+         lpad(CAST((doc_id * 5) % 28 + 1 AS VARCHAR), 2, '0') AS dd2,
+         doc_id % 4 AS v, doc_id % 5 AS u
+  FROM documents WHERE doc_id % 7 = 3),
+urls AS (
+  SELECT *,
+         CASE WHEN u = 0
+              THEN 'https://pages.example.org/2012-' || mm
+                   || '/doc-' || doc_id
+              ELSE 'https://pages.example.org/2012/' || mm || '/'
+                   || dd || '/doc-' || doc_id END AS url
+  FROM d),
+head_rows AS (
+  SELECT url, 'head' AS technique, 0 AS pos,
+         CASE v WHEN 0 THEN 'published' WHEN 1 THEN 'last-modified'
+                ELSE 'published' END AS keyword,
+         CAST(NULL AS VARCHAR) AS tag, -1 AS depth,
+         CASE v WHEN 0 THEN '2010-' || mm || '-' || dd || ' ' || hh
+                          || ':' || mi || ':' || ss
+                WHEN 1 THEN '2010-' || mm || '-' || dd
+                ELSE '2011-' || mm END AS date_string,
+         CASE v WHEN 0 THEN 'YYYY-MM-DDTHH:MM:SS+HH:MM'
+                WHEN 1 THEN 'YYYY-MM-DD'
+                ELSE 'YYYY-MM' END AS fmt,
+         CASE v WHEN 0 THEN '2010-' || mm || '-' || dd || ' ' || hh
+                          || ':' || mi || ':' || ss
+                WHEN 1 THEN '2010-' || mm || '-' || dd
+                ELSE '2011-' || mm END AS normalized,
+         CASE v WHEN 0 THEN 6 WHEN 1 THEN 3 ELSE 2 END AS exactness,
+         CAST(NULL AS DOUBLE) AS rate
+  FROM urls WHERE v <> 3),
+struct_rows AS (
+  SELECT url, 'structure' AS technique, 0 AS pos,
+         'posted' AS keyword, 'div' AS tag, 2 AS depth,
+         '2012-' || mm2 || '-' || dd2 AS date_string,
+         'YYYY-MM-DD' AS fmt,
+         '2012-' || mm2 || '-' || dd2 AS normalized,
+         3 AS exactness, CAST(NULL AS DOUBLE) AS rate
+  FROM urls),
+url_rows AS (
+  SELECT url, 'url' AS technique, 0 AS pos,
+         CAST(NULL AS VARCHAR) AS keyword,
+         CAST(NULL AS VARCHAR) AS tag, -1 AS depth,
+         CASE WHEN u = 0 THEN '2012-' || mm
+              ELSE '2012/' || mm || '/' || dd END AS date_string,
+         CASE WHEN u = 0 THEN 'YYYY_MM' ELSE 'YYYY_MM_DD' END AS fmt,
+         CASE WHEN u = 0 THEN '2012-' || mm
+              ELSE '2012-' || mm || '-' || dd END AS normalized,
+         CASE WHEN u = 0 THEN 2 ELSE 3 END AS exactness,
+         CASE WHEN u = 0 THEN 0.99 ELSE 0.95 END AS rate
+  FROM urls)
+SELECT * FROM (
+  SELECT * FROM head_rows
+  UNION ALL SELECT * FROM struct_rows
+  UNION ALL SELECT * FROM url_rows)
+ORDER BY url, technique, pos"""
