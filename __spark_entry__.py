@@ -1338,17 +1338,10 @@ def _q_dt_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dt.classify_stage(feats, _dt.gate_model())
 
 
-def _q_content_date_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ContentDateRater + RatedDateComparator as a FULL oracle
-    (kgp.contentdates): the quickdt forest rater — mirroring the
-    reference's bundled dates_pub QuickDt model,
-    ContentDateRater.java:60-105 — compiles into nested CASE WHEN
-    columns (tree_column), the publish+inUrl override stays exact, and
-    the per-url winner comes from the RatedDateComparator window
-    (rate desc, position asc, newest first). Candidate features are
-    synthesized closed-form from doc_id so the DuckDB oracle rebuilds
-    features, forest and comparator symbolically (tree_sql)."""
-    from kgp import contentdates as _cd
+def _content_gate_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ContentDate candidate features from doc_id (shared
+    by the content_date_rates and reference_dates gates; the DuckDB
+    oracles rebuild the same formulas symbolically)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
     ci = F.col("ci")
@@ -1386,13 +1379,57 @@ def _q_content_date_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((d * 3 + ci) % 28 + 1).cast("long").alias("day"),
         F.when(exact >= 4, (d + ci) % 24).otherwise(-1)
         .cast("long").alias("hour"))
-    feats = feats.withColumn(
+    return feats.withColumn(
         "value", F.format_string("%04d-%02d-%02d", "year", "month",
                                  "day"))
+
+
+def _q_content_date_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContentDateRater + RatedDateComparator as a FULL oracle
+    (kgp.contentdates): the quickdt forest rater — mirroring the
+    reference's bundled dates_pub QuickDt model,
+    ContentDateRater.java:60-105 — compiles into nested CASE WHEN
+    columns (tree_column), the publish+inUrl override stays exact, and
+    the per-url winner comes from the RatedDateComparator window
+    (rate desc, position asc, newest first). Candidate features are
+    synthesized closed-form from doc_id so the DuckDB oracle rebuilds
+    features, forest and comparator symbolically (tree_sql)."""
+    from kgp import contentdates as _cd
+    feats = _content_gate_feats(spark, sf_dir)
     rated = _cd.rate_with_forest(feats)
     best = _cd.best_content_dates(rated)
     return best.select("url", "doc_id", "value", "year", "month",
                        "day", "hour", "abs_pos", "rate")
+
+
+def _q_reference_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReferenceDateGetter (ReferenceDateGetter.java:29-77) as a
+    distributed composition over the pre-crawled corpus: a closed-form
+    link table joins each source page to the rated content dates of
+    its link TARGETS; per link the reference keeps the highest-rate
+    dates and takes the OLDEST (unset fields oldest-first -- the
+    DateComparator double-reversal), ties broken by candidate
+    position. No fetching: the corpus stands in for the reference's
+    per-link page downloads, exactly like the DocumentRetriever
+    substitution everywhere else in this repo."""
+    from kgp import contentdates as _cd
+    from kgp.datestack import reference_dates_df
+    feats = _content_gate_feats(spark, sf_dir)
+    rated = _cd.rate_with_forest(feats)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    links = (docs.where(d % 3 == 0)
+             .select(d.alias("src"),
+                     F.explode(F.array((d * 7 + 1) % 500,
+                                       (d * 13 + 2) % 500))
+                     .alias("dst"))
+             .distinct())
+    out = reference_dates_df(
+        links.select("src", F.col("dst").cast("string").alias("dst")),
+        rated)
+    return out.select("src", F.col("dst").cast("long").alias("dst"),
+                      "value", "year", "month", "day", "hour",
+                      "rate").orderBy("src", "dst")
 
 
 def _q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2242,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mavpr_intervals": _q_mavpr_intervals,
         "indhist_ttl_intervals": _q_indhist_ttl_intervals,
         "page_date_stack": _q_page_date_stack,
+        "reference_dates": _q_reference_dates,
         "dataset_join": _q_dataset_join,
         "dataset_concat": _q_dataset_concat,
         "protected_areas": _q_protected_areas,
@@ -2425,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "mavpr_intervals": _oracle.mavpr_intervals_sql(),
         "indhist_ttl_intervals": _oracle.indhist_ttl_intervals_sql(),
         "page_date_stack": _oracle.page_date_stack_sql(),
+        "reference_dates": _oracle.reference_dates_sql(),
         "dataset_join": _oracle.dataset_join_sql(),
         "dataset_concat": _oracle.dataset_concat_sql(),
         "protected_areas": _oracle.protected_areas_sql(),

@@ -468,3 +468,36 @@ def page_dates_stage(pages, html_col: str = "html",
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return pages.select(url_col, html_col).mapInPandas(run, schema)
+
+
+def reference_dates_df(links, rated, *, src_col: str = "src",
+                       dst_col: str = "dst", url_col: str = "url",
+                       rate_col: str = "rate",
+                       age_cols: tuple = ("year", "month", "day",
+                                          "hour"),
+                       pos_col: str = "abs_pos"):
+    """ReferenceDateGetter.getDates (ReferenceDateGetter.java:29-77)
+    over a pre-crawled corpus: per link target, keep the
+    highest-rate rated content dates and take the OLDEST
+    (DateComparator's oldest-first order puts unset (-1) fields
+    FIRST -- the newest-first comparator sorts unset last, and
+    orderDates(false) reverses it); ties fall back to candidate
+    position, matching the stable re-sort of the
+    RatedDateComparator-ordered list.
+
+    Pure DataFrame composition: ONE window over the rated candidates
+    (target-page-partitioned) and ONE equi-join links->winner. At
+    corpus scale the winner table is page-count-sized and the join
+    shuffles on the url key only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(rate_col).desc(),
+        *[F.col(c).asc() for c in age_cols],
+        F.col(pos_col).asc())
+    winners = (rated.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn"))
+    return (links.join(
+        winners.withColumnRenamed(url_col, dst_col), dst_col)
+        .drop("doc_id"))

@@ -2461,19 +2461,13 @@ SELECT event_id,
 FROM e ORDER BY event_id"""
 
 
-def content_date_rates_sql() -> str:
-    """Mirror of the content_date_rates gate: the SAME deterministic
-    quickdt forest (kgp.contentdates.gate_rater_forest — trained on
-    closed-form synthetic DateInstanceFactory vectors, no RNG)
-    rendered as SQL by tree_sql; the candidate features, the
-    publish+inUrl override (ContentDateRater.java:90-91) and the
-    RatedDateComparator window (RatedDateComparator.java:39-75) are
-    all recomputed symbolically."""
+def _content_rated_cte() -> str:
+    """Shared base..rated CTE text for the content-date gates (the
+    closed-form candidate features + forest rate)."""
     from kgp.contentdates import gate_rater_forest
     from kgp.dtree import tree_sql
     p_pos = tree_sql(gate_rater_forest(), "pos")
-    return f"""
-WITH base AS (
+    return f"""WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS url, doc_id, CAST(ci AS BIGINT) AS ci
   FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS ci) cand
 ), f AS (
@@ -2515,7 +2509,18 @@ WITH base AS (
   SELECT *,
     CASE WHEN in_url_d > 0 THEN CAST(1 AS DOUBLE)
          ELSE round({p_pos}, 9) + CAST(0 AS DOUBLE) END AS rate
-  FROM v
+  FROM v"""
+
+
+def content_date_rates_sql() -> str:
+    """Mirror of the content_date_rates gate: the SAME deterministic
+    quickdt forest (kgp.contentdates.gate_rater_forest — trained on
+    closed-form synthetic DateInstanceFactory vectors, no RNG)
+    rendered as SQL by tree_sql; the candidate features, the
+    publish+inUrl override (ContentDateRater.java:90-91) and the
+    RatedDateComparator window (RatedDateComparator.java:39-75) are
+    all recomputed symbolically."""
+    return _content_rated_cte() + """
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY url
@@ -4906,3 +4911,29 @@ SELECT * FROM (
   UNION ALL SELECT * FROM struct_rows
   UNION ALL SELECT * FROM url_rows)
 ORDER BY url, technique, pos"""
+
+
+def reference_dates_sql() -> str:
+    """Mirror of the reference_dates gate
+    (ReferenceDateGetter.java:29-77): shared rated-candidate CTE,
+    winner per target page = highest rate then OLDEST date (unset
+    fields oldest-first: plain ASC over the -1 sentinels) then
+    candidate position, joined to the closed-form link table."""
+    return _content_rated_cte() + """
+), winners AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY url
+    ORDER BY rate DESC, year ASC, month ASC, day ASC, hour ASC,
+             abs_pos ASC) AS rn
+  FROM rated
+), links AS (
+  SELECT DISTINCT doc_id AS src, dst FROM (
+    SELECT doc_id, (doc_id * 7 + 1) % 500 AS dst FROM documents
+    WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 2) % 500 AS dst FROM documents
+    WHERE doc_id % 3 = 0)
+)
+SELECT l.src, l.dst, w.value, w.year, w.month, w.day, w.hour, w.rate
+FROM links l JOIN winners w ON w.url = CAST(l.dst AS VARCHAR)
+WHERE w.rn = 1 ORDER BY l.src, l.dst"""

@@ -194,3 +194,23 @@ def test_rater_semantics():
     future = dp.ParsedDate("", "YYYY_MM_DD", 2031, 1, 1, -1, -1, -1,
                            None)
     assert ds.url_date_rates([future]) == [0.0]
+
+
+def test_reference_dates_df(spark):
+    from kgp.datestack import reference_dates_df
+    rated = spark.createDataFrame(
+        [("10", 0.9, 2015, 3, 2, -1, 0),
+         ("10", 0.9, 2014, 5, 1, -1, 120),   # older -> wins
+         ("10", 0.95, 2020, 1, 1, 5, 240),   # higher rate -> beats age
+         ("11", 0.5, 2016, -1, -1, -1, 0),   # unset = oldest-first
+         ("11", 0.5, 2016, 1, 1, -1, 120)],
+        "url string, rate double, year long, month long, day long, "
+        "hour long, abs_pos long")
+    links = spark.createDataFrame([(1, "10"), (1, "11"), (2, "10")],
+                                  "src long, dst string")
+    out = {(r["src"], r["dst"]): (r["year"], r["month"], r["rate"])
+           for r in reference_dates_df(links, rated).collect()}
+    assert out[(1, "10")] == (2020, 1, 0.95)
+    assert out[(2, "10")] == (2020, 1, 0.95)
+    # unset month sorts before set month (oldest-first quirk)
+    assert out[(1, "11")] == (2016, -1, 0.5)
