@@ -1998,6 +1998,56 @@ def _q_page_date_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("url", "technique", "pos")
 
 
+def _q_wiki_dump_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki dump processing end-to-end (kgp.wikidump): dump XML
+    chunks synthesized closed-form from doc_id (3 pages per chunk,
+    one per namespace, revision ids primed to pin the
+    outside-revision page-id rule), parsed by the expat
+    MediaWikiPageContentHandler twin in ONE Arrow pass; internal
+    links (fragment strip, category drop) and the disambiguation
+    flag stay PURE JVM. The oracle re-renders every page and link
+    symbolically."""
+    from kgp.wikidump import (disambiguation_col, internal_links_df,
+                              wiki_dump_stage)
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(d % 2 == 0).select("doc_id")
+
+    def page(k):
+        pid = d * 3 + k
+        title = F.concat(
+            F.lit("Page "), pid,
+            F.when(pid % 7 == 3, F.lit(" (disambiguation)"))
+            .otherwise(F.lit("")))
+        text = F.concat(
+            F.lit("[[Link "), (pid * 3) % 100, F.lit("|a"), pid,
+            F.lit("]] txt [[T"), (pid * 5) % 50,
+            F.lit("#sec]] [[Category:C"), pid % 10, F.lit("]]"),
+            F.when(pid % 11 == 0, F.lit(" {{disambig}}"))
+            .otherwise(F.lit("")))
+        return F.concat(
+            F.lit("<page><title>"), title, F.lit("</title><ns>"),
+            F.lit(k), F.lit("</ns><id>"), pid,
+            F.lit("</id><revision><id>"), pid + 100000,
+            F.lit("</id><text>"), text,
+            F.lit("</text></revision></page>"))
+
+    xml = F.concat(F.lit("<mediawiki>"), page(0), page(1), page(2),
+                   F.lit("</mediawiki>"))
+    dumps = docs.select(xml.alias("xml"))
+    pages = wiki_dump_stage(dumps)
+    linked = internal_links_df(pages)
+    return linked.select(
+        "page_id", "namespace_id", "title",
+        F.size("links").alias("n_links"),
+        F.array_join(F.transform(
+            F.col("links"),
+            lambda s: F.concat_ws("|", s["target"], s["anchor"])),
+            ";").alias("links_s"),
+        disambiguation_col("title", "text").cast("int")
+        .alias("disamb")).orderBy("page_id")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -2280,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indhist_ttl_intervals": _q_indhist_ttl_intervals,
         "page_date_stack": _q_page_date_stack,
         "reference_dates": _q_reference_dates,
+        "wiki_dump_pages": _q_wiki_dump_pages,
         "dataset_join": _q_dataset_join,
         "dataset_concat": _q_dataset_concat,
         "protected_areas": _q_protected_areas,
@@ -2464,6 +2515,7 @@ def oracle_sql() -> dict[str, str]:
         "indhist_ttl_intervals": _oracle.indhist_ttl_intervals_sql(),
         "page_date_stack": _oracle.page_date_stack_sql(),
         "reference_dates": _oracle.reference_dates_sql(),
+        "wiki_dump_pages": _oracle.wiki_dump_pages_sql(),
         "dataset_join": _oracle.dataset_join_sql(),
         "dataset_concat": _oracle.dataset_concat_sql(),
         "protected_areas": _oracle.protected_areas_sql(),

@@ -4937,3 +4937,27 @@ def reference_dates_sql() -> str:
 SELECT l.src, l.dst, w.value, w.year, w.month, w.day, w.hour, w.rate
 FROM links l JOIN winners w ON w.url = CAST(l.dst AS VARCHAR)
 WHERE w.rn = 1 ORDER BY l.src, l.dst"""
+
+
+def wiki_dump_pages_sql() -> str:
+    """Mirror of the wiki_dump_pages gate: the synthesized chunks make
+    every page/link a closed form of doc_id -- 3 pages per even
+    doc_id, links = [Link (id*3)%100 with anchor, T(id*5)%50 with the
+    fragment stripped and an EMPTY anchor (the JVM
+    regexp_extract_all convention for a non-participating group)],
+    category links dropped, disambiguation per id%7==3 / id%11==0."""
+    return """
+WITH ids AS (
+  SELECT doc_id * 3 + k AS page_id, k AS ns
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) kk
+  WHERE doc_id % 2 = 0)
+SELECT page_id, CAST(ns AS BIGINT) AS namespace_id,
+       'Page ' || page_id
+         || CASE WHEN page_id % 7 = 3 THEN ' (disambiguation)'
+                 ELSE '' END AS title,
+       2 AS n_links,
+       'Link ' || (page_id * 3) % 100 || '|a' || page_id
+         || ';T' || (page_id * 5) % 50 || '|' AS links_s,
+       CASE WHEN page_id % 7 = 3 OR page_id % 11 = 0 THEN 1 ELSE 0 END
+         AS disamb
+FROM ids ORDER BY page_id"""
