@@ -2048,6 +2048,35 @@ def _q_wiki_dump_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("disamb")).orderBy("page_id")
 
 
+def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureSelector greedy forward wrapper selection
+    (kgp.featuresel.feature_selection, FeatureSelector.java:139-195)
+    over four closed-form nominal features of events (one strongly
+    class-aligned, one partial, two noise) with a NaiveBayes +
+    accuracy evaluator; the oracle unrolls all four greedy rounds in
+    SQL, each round's base terms conditioned on the previous winner
+    subqueries. Categories are well-separated by construction so the
+    cross-engine ln/argmax is stable (same pragmatics as the green
+    single_feature_ranking gate)."""
+    from kgp.featuresel import feature_selection
+    e = F.col("event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        e.alias("id"),
+        F.concat(F.lit("c"), (e % 3)).alias("category"),
+        F.concat(F.lit("g"), F.when(e % 10 < 8, e % 3)
+                 .otherwise((e + 1) % 3)).alias("f_good"),
+        F.concat(F.lit("m"), F.when(e % 2 == 0, e % 3)
+                 .otherwise((e * 7) % 5)).alias("f_mid"),
+        F.concat(F.lit("j"), (e * 13) % 4).alias("f_junk"),
+        F.concat(F.lit("n"), (e * 11) % 2).alias("f_noise"))
+    train = ev.where(F.col("id") % 2 == 0)
+    val = ev.where(F.col("id") % 2 == 1)
+    return feature_selection(
+        train, val,
+        feature_cols=["f_good", "f_junk", "f_mid", "f_noise"]) \
+        .orderBy("sel_order")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -2331,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_date_stack": _q_page_date_stack,
         "reference_dates": _q_reference_dates,
         "wiki_dump_pages": _q_wiki_dump_pages,
+        "feature_selection_rank": _q_feature_selection,
         "dataset_join": _q_dataset_join,
         "dataset_concat": _q_dataset_concat,
         "protected_areas": _q_protected_areas,
@@ -2516,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
         "page_date_stack": _oracle.page_date_stack_sql(),
         "reference_dates": _oracle.reference_dates_sql(),
         "wiki_dump_pages": _oracle.wiki_dump_pages_sql(),
+        "feature_selection_rank": _oracle.feature_selection_rank_sql(),
         "dataset_join": _oracle.dataset_join_sql(),
         "dataset_concat": _oracle.dataset_concat_sql(),
         "protected_areas": _oracle.protected_areas_sql(),

@@ -349,3 +349,150 @@ def single_feature_classification(train: DataFrame,
         out = agg.select("feature",
                          F.coalesce(f1, F.lit(0.0)).alias("score"))
     return out.select("feature", F.round("score", 6).alias("score"))
+
+
+def feature_selection(train: DataFrame, validation: DataFrame, *,
+                      label_col: str = "category",
+                      feature_cols: list[str] | None = None,
+                      id_col: str = "id",
+                      positive_class: str | None = None,
+                      backward: bool = False,
+                      laplace: float | None = None) -> DataFrame:
+    """FeatureSelector greedy wrapper selection (FeatureSelector.java:
+    139-195): per round, every remaining candidate is evaluated --
+    forward: train/score on selected+candidate; backward: on
+    everything EXCEPT selected+candidate -- and the best (ties keep
+    the LAST evaluated, ``score >= highestScore``) joins the selected
+    list; ranks count down from N-1 (forward) / up from 1 (backward),
+    higher = more important. The reference iterates a HashSet (order
+    nondeterministic); this port fixes candidate order to ascending
+    feature name, so a tie selects the lexicographically LAST --
+    documented deterministic substitute.
+
+    Learner/scorer = the reference main() wiring fixed as the
+    semantic, same as single_feature_classification: NaiveBayes +
+    accuracy (or F1 of ``positive_class``, NaN -> 0).
+
+    Spark shape: Naive Bayes independence turns every per-candidate
+    retrain into adding ONE per-feature log-likelihood term, so each
+    greedy round is a single job over a cached (id, feature,
+    category, term) cell table -- the base sum over the selected set
+    joins against a feature-name literal list, candidates score in
+    one aggregation. N features -> N jobs, never N^2/2 retrains.
+    Returns (feature, rank, sel_order, score)."""
+    from pyspark.sql import Window
+
+    from kgp.mlzoo import DEFAULT_LAPLACE, melt
+    if laplace is None:
+        laplace = DEFAULT_LAPLACE
+    if feature_cols is None:
+        feature_cols = [c for c, t in train.dtypes
+                        if t == "string" and c != label_col]
+    n_features = len(feature_cols)
+
+    lab = F.col(label_col).alias("category")
+    cats = train.groupBy(lab).agg(F.count("*").alias("cat_n"))
+    k_tot = cats.agg(F.count("*").alias("k"),
+                     F.sum("cat_n").alias("total_n"))
+    cats = (cats.crossJoin(F.broadcast(k_tot))
+            .withColumn("prior", F.col("cat_n") / F.col("total_n")))
+    nom = (melt(train.select(label_col, *feature_cols), [label_col],
+                feature_cols, "string")
+           .groupBy(lab, "feature", "value")
+           .agg(F.count("*").alias("n")))
+    cells = melt(validation.select(id_col, *feature_cols), [id_col],
+                 feature_cols, "string")
+    terms = (cells.crossJoin(F.broadcast(cats))
+             .join(F.broadcast(nom),
+                   ["feature", "value", "category"], "left")
+             .select(id_col, "feature", "category", "prior",
+                     F.log((F.coalesce(F.col("n"), F.lit(0)) + laplace)
+                           / (F.col("cat_n") + laplace * F.col("k")))
+                     .alias("term"))).persist()
+    actual = validation.select(id_col, F.col(label_col).alias("actual"))
+
+    selected: list[str] = []
+    out_rows: list[tuple] = []
+    rank = 0 if backward else n_features
+    for _ in range(n_features):
+        cands = sorted(set(feature_cols) - set(selected))
+        # per-id/category sum over the fixed feature set of the round
+        if backward:
+            # score uses all features EXCEPT selected+candidate
+            base_set = [f for f in feature_cols if f not in selected]
+            base = (terms.where(F.col("feature").isin(base_set))
+                    .groupBy(id_col, "category", "prior")
+                    .agg(F.sum("term").alias("base")))
+            cand_terms = terms.where(F.col("feature").isin(cands)) \
+                .select(id_col, F.col("feature").alias("cand"),
+                        "category", F.col("term").alias("cterm"))
+            total = (base.join(cand_terms, [id_col, "category"])
+                     .select(id_col, "cand", "category",
+                             (F.log("prior") + F.col("base")
+                              - F.col("cterm")).alias("score")))
+        else:
+            cand_terms = terms.where(F.col("feature").isin(cands)) \
+                .select(id_col, F.col("feature").alias("cand"),
+                        "category", "prior",
+                        F.col("term").alias("cterm"))
+            if selected:
+                base = (terms.where(F.col("feature").isin(selected))
+                        .groupBy(id_col, "category")
+                        .agg(F.sum("term").alias("base")))
+                total = (cand_terms.join(base, [id_col, "category"])
+                         .select(id_col, "cand", "category",
+                                 (F.log("prior") + F.col("base")
+                                  + F.col("cterm")).alias("score")))
+            else:
+                total = cand_terms.select(
+                    id_col, "cand", "category",
+                    (F.log("prior") + F.col("cterm")).alias("score"))
+        w = Window.partitionBy(id_col, "cand").orderBy(
+            F.desc("score"), F.asc("category"))
+        pred = (total.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") == 1)
+                .select(id_col, "cand",
+                        F.col("category").alias("predicted")))
+        cm = (pred.join(actual, id_col)
+              .groupBy("cand", "actual", "predicted")
+              .agg(F.count("*").alias("n")))
+        if positive_class is None:
+            sc = (cm.groupBy("cand")
+                  .agg((F.sum(F.when(F.col("actual")
+                                     == F.col("predicted"),
+                                     F.col("n")).otherwise(0))
+                        / F.sum("n")).alias("score")))
+        else:
+            pos = F.lit(positive_class)
+            agg = cm.groupBy("cand").agg(
+                F.sum(F.when(F.col("predicted") == pos, F.col("n"))
+                      .otherwise(0)).alias("n_classified"),
+                F.sum(F.when(F.col("actual") == pos, F.col("n"))
+                      .otherwise(0)).alias("n_real"),
+                F.sum(F.when((F.col("actual") == pos)
+                             & (F.col("predicted") == pos),
+                             F.col("n")).otherwise(0))
+                .alias("n_correct"))
+            prec = F.when(F.col("n_classified") > 0,
+                          F.col("n_correct") / F.col("n_classified"))
+            rec = F.when(F.col("n_real") > 0,
+                         F.col("n_correct") / F.col("n_real")) \
+                .otherwise(F.lit(1.0))
+            f1 = F.when(prec.isNotNull() & (prec + rec > 0),
+                        2 * prec * rec / (prec + rec))
+            sc = agg.select("cand",
+                            F.coalesce(f1, F.lit(0.0)).alias("score"))
+        # last tied candidate in ascending order wins (>= semantics)
+        winner = sc.orderBy(F.desc("score"),
+                            F.desc("cand")).limit(1).collect()[0]
+        selected.append(winner["cand"])
+        rank += 1 if backward else -1
+        out_rows.append((winner["cand"], rank, len(selected),
+                         float(winner["score"])))
+    terms.unpersist()
+    spark = train.sparkSession
+    return spark.createDataFrame(
+        out_rows, "feature string, rank long, sel_order long, "
+                  "score double").select(
+        "feature", "rank", "sel_order", F.round("score", 6)
+        .alias("score"))

@@ -4961,3 +4961,98 @@ SELECT page_id, CAST(ns AS BIGINT) AS namespace_id,
        CASE WHEN page_id % 7 = 3 OR page_id % 11 = 0 THEN 1 ELSE 0 END
          AS disamb
 FROM ids ORDER BY page_id"""
+
+
+def feature_selection_rank_sql() -> str:
+    """Mirror of the feature_selection_rank gate (FeatureSelector.
+    java:139-195, forward): shared NB term table, then FOUR unrolled
+    greedy rounds -- each round scores every remaining candidate with
+    the base sum over the previous winner subqueries, winner = max
+    score with the last-in-ascending-name tie rule (ORDER BY score
+    DESC, cand DESC LIMIT 1), ranks count down from N-1."""
+    lap = "0.00001"
+    feats = ["f_good", "f_junk", "f_mid", "f_noise"]
+    cell_selects = "\n    UNION ALL ".join(
+        f"SELECT id, '{f}' AS feature, {f} AS value FROM val"
+        for f in feats)
+    rounds = []
+    for r in range(1, 5):
+        prev = " UNION ALL ".join(
+            f"SELECT cand AS feature FROM winner{i}"
+            for i in range(1, r))
+        sel_cte = (f"sel{r} AS ({prev}),\n" if prev else "")
+        base_join = (
+            f"base{r} AS (\n"
+            f"  SELECT id, category, SUM(term) AS base FROM terms\n"
+            f"  WHERE feature IN (SELECT feature FROM sel{r})\n"
+            f"  GROUP BY id, category),\n" if prev else "")
+        not_in = (f"AND feature NOT IN (SELECT feature FROM sel{r})"
+                  if prev else "")
+        total = (
+            f"SELECT t.id, t.feature AS cand, t.category,\n"
+            f"       ln(t.prior) + b.base + t.term AS score\n"
+            f"FROM terms t JOIN base{r} b\n"
+            f"  ON b.id = t.id AND b.category = t.category\n"
+            f"WHERE TRUE {not_in}" if prev else
+            f"SELECT id, feature AS cand, category,\n"
+            f"       ln(prior) + term AS score\n"
+            f"FROM terms WHERE TRUE {not_in}")
+        rounds.append(f"""{sel_cte}{base_join}total{r} AS (
+  {total}),
+pred{r} AS (
+  SELECT id, cand, category AS predicted FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY id, cand ORDER BY score DESC, category ASC) AS rk
+    FROM total{r}) WHERE rk = 1),
+score{r} AS (
+  SELECT p.cand,
+         CAST(SUM(CASE WHEN p.predicted = a.actual THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*) AS score
+  FROM pred{r} p JOIN actual a USING (id) GROUP BY p.cand),
+winner{r} AS (
+  SELECT cand, score FROM score{r}
+  ORDER BY score DESC, cand DESC LIMIT 1)""")
+    rounds_sql = ",\n".join(rounds)
+    finals = " UNION ALL ".join(
+        f"SELECT cand AS feature, {4 - i} AS rank, {i} AS sel_order, "
+        f"round(score, 6) AS score FROM winner{i}"
+        for i in range(1, 5))
+    return f"""
+WITH ev AS (
+  SELECT event_id AS id,
+         'c' || (event_id % 3) AS category,
+         'g' || (CASE WHEN event_id % 10 < 8 THEN event_id % 3
+                      ELSE (event_id + 1) % 3 END) AS f_good,
+         'm' || (CASE WHEN event_id % 2 = 0 THEN event_id % 3
+                      ELSE (event_id * 7) % 5 END) AS f_mid,
+         'j' || ((event_id * 13) % 4) AS f_junk,
+         'n' || ((event_id * 11) % 2) AS f_noise
+  FROM events),
+train AS (SELECT * FROM ev WHERE id % 2 = 0),
+val AS (SELECT * FROM ev WHERE id % 2 = 1),
+cats AS (
+  SELECT category, COUNT(*) AS cat_n FROM train GROUP BY category),
+kt AS (SELECT COUNT(*) AS k, SUM(cat_n) AS total_n FROM cats),
+catp AS (
+  SELECT c.category, c.cat_n, kt.k,
+         CAST(c.cat_n AS DOUBLE) / kt.total_n AS prior
+  FROM cats c CROSS JOIN kt),
+nom AS (
+  SELECT category, feature, value, COUNT(*) AS n FROM (
+    SELECT category, 'f_good' AS feature, f_good AS value FROM train
+    UNION ALL SELECT category, 'f_junk', f_junk FROM train
+    UNION ALL SELECT category, 'f_mid', f_mid FROM train
+    UNION ALL SELECT category, 'f_noise', f_noise FROM train)
+  GROUP BY category, feature, value),
+cells AS (
+    {cell_selects}),
+terms AS (
+  SELECT c.id, c.feature, p.category, p.prior,
+         ln((COALESCE(n.n, 0) + {lap}) / (p.cat_n + {lap} * p.k))
+           AS term
+  FROM cells c CROSS JOIN catp p
+  LEFT JOIN nom n ON n.feature = c.feature AND n.value = c.value
+                 AND n.category = p.category),
+actual AS (SELECT id, category AS actual FROM val),
+{rounds_sql}
+SELECT * FROM ({finals}) ORDER BY sel_order"""

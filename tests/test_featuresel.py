@@ -270,3 +270,97 @@ def test_sfc_never_predicted_positive_scores_zero(spark):
     scores = {r.feature: r.score for r in single_feature_classification(
         train, val, positive_class="true").collect()}
     assert scores["f"] == 0.0
+
+
+# ---------------------------------------------------- FeatureSelector
+def _nb_predict(train_rows, feats, row, laplace=0.00001):
+    """Literal NB over a feature subset (NaiveBayesModel.java:85-100
+    semantics as in kgp.mlzoo.nb_classify)."""
+    import math
+    from collections import Counter, defaultdict
+    cat_n = Counter(r["category"] for r in train_rows)
+    total = sum(cat_n.values())
+    k = len(cat_n)
+    counts = defaultdict(int)
+    for r in train_rows:
+        for f in feats:
+            counts[(f, r[f], r["category"])] += 1
+    best, best_score = None, None
+    for cat in sorted(cat_n):
+        score = math.log(cat_n[cat] / total)
+        for f in feats:
+            n = counts[(f, row[f], cat)]
+            score += math.log((n + laplace)
+                              / (cat_n[cat] + laplace * k))
+        if best_score is None or score > best_score:
+            best, best_score = cat, score
+    return best
+
+
+def _selector_twin(train_rows, val_rows, features, backward=False):
+    selected, order = [], []
+    for _ in range(len(features)):
+        cands = sorted(set(features) - set(selected))
+        best_c, best_s = None, 0.0
+        for c in cands:
+            if backward:
+                feats = [f for f in features
+                         if f not in selected and f != c]
+            else:
+                feats = selected + [c]
+            ok = sum(1 for r in val_rows
+                     if _nb_predict(train_rows, feats, r)
+                     == r["category"])
+            s = ok / len(val_rows)
+            if best_c is None or s >= best_s:
+                best_c, best_s = c, s
+        selected.append(best_c)
+        order.append((best_c, best_s))
+    return order
+
+
+def _selector_fixture():
+    import random
+    rng = random.Random(7)
+    cats = ["x", "y", "z"]
+    rows = []
+    for i in range(240):
+        cat = cats[i % 3]
+        rows.append({
+            "id": i, "category": cat,
+            # f_good strongly predictive, f_mid partially, f_junk not
+            "f_good": cat + ("" if rng.random() < 0.9
+                             else rng.choice(cats)),
+            "f_mid": cat if rng.random() < 0.55 else rng.choice(cats),
+            "f_junk": rng.choice(["a", "b"]),
+            "f_anti": rng.choice(cats),
+        })
+    return rows[:160], rows[160:]
+
+
+def test_feature_selection_matches_twin(spark):
+    from kgp.featuresel import feature_selection
+    train_rows, val_rows = _selector_fixture()
+    feats = ["f_anti", "f_good", "f_junk", "f_mid"]
+    tr = spark.createDataFrame(train_rows)
+    va = spark.createDataFrame(val_rows)
+    for backward in (False, True):
+        got = {r["sel_order"]: (r["feature"], r["score"], r["rank"])
+               for r in feature_selection(
+                   tr, va, feature_cols=feats,
+                   backward=backward).collect()}
+        twin = _selector_twin(train_rows, val_rows, feats,
+                              backward=backward)
+        for i, (c, s) in enumerate(twin, start=1):
+            assert got[i][0] == c, (backward, i, got, twin)
+            assert abs(got[i][1] - s) < 1e-9
+        # rank direction: higher = more important (selected earlier
+        # forward / eliminated later backward)
+        if not backward:
+            assert got[1][2] == len(feats) - 1
+            assert got[len(feats)][2] == 0
+        else:
+            assert got[1][2] == 1
+            assert got[len(feats)][2] == len(feats)
+    # forward must find the informative feature first
+    assert _selector_twin(train_rows, val_rows, feats)[0][0] == "f_good"
