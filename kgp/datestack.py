@@ -501,3 +501,74 @@ def reference_dates_df(links, rated, *, src_col: str = "src",
     return (links.join(
         winners.withColumnRenamed(url_col, dst_col), dst_col)
         .drop("doc_id"))
+
+
+# --------------------------------------- WebPageDateEvaluator surface
+def evaluate_page_dates(root: Node) -> list[dict]:
+    """WebPageDateEvaluator.getDates/rate (WebPageDateEvaluator.java:
+    24-35, 100-117, PUBLISH): content-date candidates -> in-range
+    filter -> full-date filter -> ContentDateRater (the repo's
+    documented quickdt-substitute forest, kgp.contentdates.
+    gate_rater_forest) -> RatedDateComparator order (rate desc,
+    position asc, newest first). Returns the rated candidate dicts
+    with a ``rate`` key. The getter-side counts and the best dates
+    reproduce the reference's own WebPageDateEvaluatorTest goldens on
+    its fixture pages (tests/test_datestack.py)."""
+    from kgp.contentdates import (RATER_FEATURES,
+                                  content_date_candidates,
+                                  gate_rater_forest)
+    cands = content_date_candidates(root)
+    forest = gate_rater_forest()
+    rated = []
+    for c in cands:
+        if c["year"] == -1 or c["month"] == -1 or c["day"] == -1:
+            continue  # filterFullDate (DateExtractionHelper:40-49)
+        pd = ParsedDate("", "", c["year"], c["month"], c["day"],
+                        c["hour"], -1, -1, None)
+        if not is_date_in_range(pd):
+            continue  # filterByRange (:30-38)
+        attrs = {}
+        for k in RATER_FEATURES:
+            if k in c:
+                v = c[k]
+                attrs[k] = float(v) if not isinstance(v, bool) \
+                    else (1.0 if v else 0.0)
+        for flag, src in (("in_meta_d", "in_meta"),
+                          ("h_tag_d", "h_tag"),
+                          ("struct_d", "has_structure_date")):
+            if flag not in attrs:
+                attrs[flag] = 1.0 if c.get(src) else 0.0
+        rate = 1.0 if c.get("in_url") \
+            else round(forest.probability(attrs, "pos"), 9)
+        rated.append({**c, "rate": rate})
+    # RatedDateComparator.INSTANCE: rate desc, doc position asc,
+    # newest first (matches kgp.contentdates.best_content_dates)
+    rated.sort(key=lambda c: (
+        -c["rate"], c["abs_pos"], -c["year"], -c["month"], -c["day"],
+        -c["hour"], c["value"]))
+    return rated
+
+
+def best_page_date(root: Node) -> dict | None:
+    """WebPageDateEvaluator.getBestDate (:37-46)."""
+    rated = evaluate_page_dates(root)
+    return rated[0] if rated else None
+
+
+def best_pub_date_html5(root: Node) -> ParsedDate | None:
+    """WebPageDateEvaluator.getBestPubDateHtml5 (:48-78): the first
+    <time pubdate datetime=...> inside the LONGEST <article> (whole
+    document when none), parsed over the full format bank."""
+    articles = [n for n in root.iter() if n.tag == "article"]
+    node = root
+    longest = -1
+    for a in articles:
+        length = len(a.text_content())
+        if length > longest:
+            node, longest = a, length
+    for t in node.iter():
+        if t.tag == "time" and "pubdate" in t.attrs:
+            dt = t.attrs.get("datetime")
+            if dt is not None:
+                return find_date(str(dt))
+    return None

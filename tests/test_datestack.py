@@ -214,3 +214,38 @@ def test_reference_dates_df(spark):
     assert out[(2, "10")] == (2020, 1, 0.95)
     # unset month sorts before set month (oldest-first quirk)
     assert out[(1, "11")] == (2016, -1, 0.5)
+
+
+# ------------------------------------------- WebPageDateEvaluatorTest
+def test_evaluator_reference_goldens():
+    # getDates counts (WebPageDateEvaluatorTest.testGetAllDates)
+    for f, want in [("dateExtraction/zeit2.htm", 2),
+                    ("dateExtraction/zeit1.htm", 5),
+                    ("dateExtraction/kullin.htm", 12)]:
+        rated = ds.evaluate_page_dates(_page(f))
+        assert len(rated) == want, (f, len(rated))
+    # best rated date (testGetBestRatedDate): zeit1 -> 2010-08-22
+    best = ds.best_page_date(_page("dateExtraction/zeit1.htm"))
+    assert (best["year"], best["month"], best["day"]) == (2010, 8, 22)
+    # the commented-out kullin golden's date part also holds
+    best = ds.best_page_date(_page("dateExtraction/kullin.htm"))
+    assert (best["year"], best["month"], best["day"]) == (2010, 5, 28)
+
+
+def test_best_pub_date_html5():
+    html = ("<html><body><article>short<time pubdate datetime="
+            "'2011-01-02'>x</time></article>"
+            "<article>a much longer article body text here"
+            "<time pubdate datetime='2012-03-04 10:20:30'>y</time>"
+            "</article></body></html>")
+    d = ds.best_pub_date_html5(parse_html(html))
+    assert norm(d) == "2012-03-04 10:20:30"
+    # no pubdate time -> None; falls back to whole document when no
+    # article exists
+    d = ds.best_pub_date_html5(parse_html(
+        "<html><body><time datetime='2011-01-02'>x</time></body></html>"))
+    assert d is None
+    d = ds.best_pub_date_html5(parse_html(
+        "<html><body><p><time pubdate datetime='2013-05-06'>z</time>"
+        "</p></body></html>"))
+    assert norm(d) == "2013-05-06"
