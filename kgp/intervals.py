@@ -140,3 +140,31 @@ def time_interval_col(text: Column) -> Column:
     return F.when(parsed, primary) \
         .when(compact > 0, compact) \
         .otherwise(F.lit(None).cast("long"))
+
+
+def on_schedule_col(ts: Column, *, day_of_year: int | None = None,
+                    day_of_month: int | None = None,
+                    day_of_week: int | None = None,
+                    hour_of_day: int | None = None,
+                    minute_of_hour: int | None = None) -> Column:
+    """Schedule.onSchedule (palladian-commons helper/date/
+    Schedule.java:12-50): a timestamp is on schedule when EVERY set
+    field matches the calendar field of the instant -- day-of-week in
+    Calendar convention (Sunday=1..Saturday=7), fixed-UTC like every
+    calendar op in this repo. The reference's lastRun debounce is the
+    scheduler polling loop's state, out of scope like the loop
+    itself (Scheduler.java runs a thread timer). Pure JVM columns --
+    at corpus scale this is a predicate, pushdown-friendly."""
+    import pyspark.sql.functions as F
+    cond = F.lit(True)
+    if day_of_year is not None:
+        cond = cond & (F.dayofyear(ts) == day_of_year)
+    if day_of_month is not None:
+        cond = cond & (F.dayofmonth(ts) == day_of_month)
+    if day_of_week is not None:
+        cond = cond & (F.dayofweek(ts) == day_of_week)
+    if hour_of_day is not None:
+        cond = cond & (F.hour(ts) == hour_of_day)
+    if minute_of_hour is not None:
+        cond = cond & (F.minute(ts) == minute_of_hour)
+    return cond

@@ -69,3 +69,26 @@ def test_column_twin_plan_pure_jvm(spark):
     plan = df.select(time_interval_col(F.col("text"))) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_on_schedule_col(spark):
+    from pyspark.sql import functions as F
+
+    from kgp.intervals import on_schedule_col
+    df = spark.createDataFrame(
+        [("2026-08-20 12:30:00",),   # Thursday (dow 5)
+         ("2026-08-21 12:30:00",),   # Friday
+         ("2026-08-20 13:30:00",)],
+        "s string").select(F.to_timestamp("s").alias("ts"))
+    got = df.select(
+        on_schedule_col(F.col("ts"), day_of_week=5, hour_of_day=12)
+        .alias("a"),
+        on_schedule_col(F.col("ts"), minute_of_hour=30).alias("b"),
+        on_schedule_col(F.col("ts")).alias("c")).collect()
+    assert [r["a"] for r in got] == [True, False, False]
+    assert [r["b"] for r in got] == [True, True, True]
+    assert [r["c"] for r in got] == [True, True, True]  # no fields set
+    # day_of_month / day_of_year
+    got = df.select(on_schedule_col(F.col("ts"), day_of_month=20,
+                                    day_of_year=232).alias("d")).collect()
+    assert [r["d"] for r in got] == [True, False, True]
