@@ -2077,6 +2077,75 @@ def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sel_order")
 
 
+def _q_feed_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MetaInformationExtractor capability flags (kgp.feeds
+    feed_meta_cols) over gate-local feed XML synthesized closed-form
+    from event ids: RSS variants exercise guid/pubDate/cloud/ttl/
+    skipDays/skipHours presence combinations, Atom variants
+    id/updated/published, plus an inaccessible-status and a non-feed
+    payload; everything is ONE codegen projection and the oracle
+    re-renders every flag symbolically."""
+    from kgp.feeds import feed_meta_cols
+    e = F.col("event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select((e % 60).alias("fid")).distinct()
+    f = F.col("fid")
+    rss_item = F.concat(
+        F.lit("<item><title>t</title>"),
+        F.when(f % 3 != 0, F.lit("<guid>g1</guid>"))
+        .when(f % 9 == 0, F.lit("<guid></guid>")).otherwise(F.lit("")),
+        F.when(f % 4 != 1, F.lit("<pubDate>Tue, 01 Jan 2013 00:00:00"
+                                 " GMT</pubDate>")).otherwise(F.lit("")),
+        F.lit("</item>"))
+    rss = F.concat(
+        F.lit("<rss version=\"2.0\"><channel>"),
+        F.when(f % 5 == 0, F.lit("<cloud domain=\"x\"/>"))
+        .otherwise(F.lit("")),
+        F.when(f % 6 == 0, F.concat(F.lit("<ttl>"), f * 3,
+                                    F.lit("</ttl>")))
+        .otherwise(F.lit("")),
+        F.when(f % 7 == 0, F.lit("<skipDays><day>Sunday</day>"
+                                 "</skipDays>")).otherwise(F.lit("")),
+        F.when(f % 8 == 0, F.lit("<skipHours><hour>1</hour>"
+                                 "</skipHours>")).otherwise(F.lit("")),
+        F.when(f % 10 == 2, F.lit("<atom:link rel=\"hub\" "
+                                  "href=\"h\"/>"))
+        .otherwise(F.lit("")),
+        rss_item, F.lit("</channel></rss>"))
+    atom_entry = F.concat(
+        F.lit("<entry>"),
+        F.when(f % 3 != 0, F.lit("<id>urn:1</id>"))
+        .otherwise(F.lit("")),
+        F.when(f % 4 != 1, F.lit("<updated>2013-01-01T00:00:00Z"
+                                 "</updated>")).otherwise(F.lit("")),
+        F.when(f % 5 == 0, F.lit("<published>2013-01-01T00:00:00Z"
+                                 "</published>")).otherwise(F.lit("")),
+        F.lit("</entry>"))
+    atom = F.concat(F.lit("<feed xmlns=\"a\">"), atom_entry,
+                    F.lit("</feed>"))
+    xml = F.when(f % 11 == 3, F.lit("<html>not a feed</html>")) \
+        .when(f % 2 == 0, rss).otherwise(atom)
+    status = F.when(f % 13 == 4, 404).when(f % 13 == 9, 403) \
+        .otherwise(200)
+    out = ev.select(f.alias("feed_id"), xml.alias("xml"),
+                    status.alias("status"))
+    out = out.select("feed_id",
+                     *feed_meta_cols(F.col("xml"), F.col("status")))
+    return out.select(
+        "feed_id", F.col("accessible").cast("int").alias("accessible"),
+        F.col("supports_pubsubhubbub").cast("int").alias("pubsub"),
+        "feed_format",
+        F.col("has_item_ids").cast("int").alias("has_item_ids"),
+        F.col("has_pub_date").cast("int").alias("has_pub_date"),
+        F.col("has_cloud").cast("int").alias("has_cloud"),
+        "ttl",
+        F.col("has_skip_days").cast("int").alias("has_skip_days"),
+        F.col("has_skip_hours").cast("int").alias("has_skip_hours"),
+        F.col("has_updated").cast("int").alias("has_updated"),
+        F.col("has_published").cast("int").alias("has_published")) \
+        .orderBy("feed_id")
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4/MJPEG video gate (kgp.mp4 ISO BMFF muxer/demuxer +
     kgp.jpegcodec): tile-constant frames mux into a valid MP4, demux
@@ -2361,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_dates": _q_reference_dates,
         "wiki_dump_pages": _q_wiki_dump_pages,
         "feature_selection_rank": _q_feature_selection,
+        "feed_meta": _q_feed_meta,
         "dataset_join": _q_dataset_join,
         "dataset_concat": _q_dataset_concat,
         "protected_areas": _q_protected_areas,
@@ -2547,6 +2617,7 @@ def oracle_sql() -> dict[str, str]:
         "reference_dates": _oracle.reference_dates_sql(),
         "wiki_dump_pages": _oracle.wiki_dump_pages_sql(),
         "feature_selection_rank": _oracle.feature_selection_rank_sql(),
+        "feed_meta": _oracle.feed_meta_sql(),
         "dataset_join": _oracle.dataset_join_sql(),
         "dataset_concat": _oracle.dataset_concat_sql(),
         "protected_areas": _oracle.protected_areas_sql(),

@@ -572,3 +572,41 @@ def best_pub_date_html5(root: Node) -> ParsedDate | None:
             if dt is not None:
                 return find_date(str(dt))
     return None
+
+
+def http_date_rates(dates: list[TechDate], *,
+                    download_date: ParsedDate = CURRENT_DATE
+                    ) -> list[RatedTechDate]:
+    """HttpDateRater.evaluateHTTPDate (HttpDateRater.java:33-71):
+    0.75 when the header date is more than 12 h older than the
+    download date (fresh last-modified = probably a dynamic
+    timestamp, rate 0), then the same oldest-anchored age-discount
+    append as the head rater -- duplicate entries kept."""
+    result = [RatedTechDate(
+        td, 0.75 if _dp.get_difference_hours(td.date, download_date)
+        > 12 else 0.0) for td in dates]
+    exact = filter_exactest([r.td.date for r in result])
+    ordered = order_dates(exact, reverse=False)
+    oldest = ordered[0] if ordered else None
+    snapshot = order_dates(result, reverse=False,
+                           key=lambda r: r.td.date)
+    for r in snapshot:
+        diff = _dp.get_difference_hours(oldest, r.td.date) \
+            if oldest is not None else 0.0
+        if diff > 24:
+            diff = 24.0
+        new_rate = r.rate - r.rate * (diff / 24.0)
+        result.append(RatedTechDate(
+            r.td, round(new_rate * 10000) / 10000.0))
+    return result
+
+
+def reference_date_rate(dates: list[ParsedDate]) \
+        -> tuple[ParsedDate, float] | None:
+    """ReferenceDateRater.rate (ReferenceDateRater.java:20-31): ONLY
+    the youngest reference date survives, always rated 0 (the rater
+    was never finished upstream -- quirk kept)."""
+    if not dates:
+        return None
+    youngest = order_dates(dates, reverse=True)[0]
+    return (youngest, 0.0)

@@ -1380,3 +1380,68 @@ def fix_interval(feeds: DataFrame, check_interval: int, *,
         "feed",
         _allowed(F.lit(check_interval).cast("long"), lowest, highest)
         .alias("fix"))
+
+
+def feed_meta_cols(xml: Column, status: Column | None = None) -> list:
+    """MetaInformationExtractor (feeds/meta/MetaInformationExtractor
+    .java:60-214) as PURE JVM columns over the raw feed bytes:
+
+    - accessible: status not 403/404 AND content matches one of the
+      VALID_FEED_PATTERNS (<rss | <feed | <rdf:RDF) (:102-117);
+    - supports_pubsubhubbub: content contains rel="hub" (:124-130);
+    - feed_format: ROME's SyndFeed.getFeedType() substituted by a
+      declaration sniff (rss_2.0 / atom_1.0 / rdf_1.0, documented);
+    - RSS flags from the FIRST item + channel (:169-185): has_item_ids
+      (non-empty <guid>), has_pub_date, has_cloud, ttl (int, -1 when
+      absent), has_skip_days, has_skip_hours;
+    - Atom flags from the FIRST entry (:151-166): has_item_ids
+      (non-empty <id>), has_updated, has_published.
+
+    Returns the aliased column list; at corpus scale this is one
+    codegen projection over the fetched bytes, no Python, no
+    shuffle."""
+    s = xml.cast("string")
+    ok_status = F.lit(True) if status is None \
+        else ~status.isin(403, 404)
+    accessible = ok_status & (s.contains("<rss") | s.contains("<feed")
+                              | s.contains("<rdf:RDF"))
+    fmt = F.when(s.contains("<rss"), F.lit("rss_2.0")) \
+        .when(s.contains("<feed"), F.lit("atom_1.0")) \
+        .when(s.contains("<rdf:RDF"), F.lit("rdf_1.0"))
+    first_item = F.regexp_extract(s, r"(?s)<item[ >](.*?)</item>", 1)
+    first_entry = F.regexp_extract(s, r"(?s)<entry[ >](.*?)</entry>", 1)
+    is_rss = fmt.contains("rss")
+    is_atom = fmt.contains("atom")
+    # entry/item PRESENCE is the element, not its content (an empty
+    # <entry></entry> still reaches the flag branch in ROME)
+    has_item = s.contains("<item")
+    has_entry = s.contains("<entry")
+    guid_val = F.regexp_extract(first_item,
+                                r"(?s)<guid[^>]*>(.*?)</guid>", 1)
+    id_val = F.regexp_extract(first_entry, r"(?s)<id[^>]*>(.*?)</id>",
+                              1)
+    has_item_ids = F.when(is_rss & has_item, guid_val != "") \
+        .when(is_atom & has_entry, id_val != "")
+    ttl_str = F.regexp_extract(s, r"<ttl>(\d+)</ttl>", 1)
+    ttl = F.when(is_rss & has_item,
+                 F.coalesce(ttl_str.try_cast("int"), F.lit(-1)))
+    return [
+        accessible.alias("accessible"),
+        s.contains('rel="hub"').alias("supports_pubsubhubbub"),
+        fmt.alias("feed_format"),
+        has_item_ids.alias("has_item_ids"),
+        F.when(is_rss & has_item,
+               first_item.contains("<pubDate>")).alias("has_pub_date"),
+        F.when(is_rss & has_item,
+               s.contains("<cloud")).alias("has_cloud"),
+        ttl.alias("ttl"),
+        F.when(is_rss & has_item,
+               s.contains("<skipDays>")).alias("has_skip_days"),
+        F.when(is_rss & has_item,
+               s.contains("<skipHours>")).alias("has_skip_hours"),
+        F.when(is_atom & has_entry,
+               first_entry.contains("<updated>")).alias("has_updated"),
+        F.when(is_atom & has_entry,
+               first_entry.contains("<published>"))
+        .alias("has_published"),
+    ]

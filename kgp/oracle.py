@@ -5056,3 +5056,45 @@ terms AS (
 actual AS (SELECT id, category AS actual FROM val),
 {rounds_sql}
 SELECT * FROM ({finals}) ORDER BY sel_order"""
+
+
+def feed_meta_sql() -> str:
+    """Mirror of the feed_meta gate (MetaInformationExtractor.java:
+    60-214): every capability flag re-derived from the closed-form
+    synthesis contract -- RSS for even fid (guid per fid%3/%9, pubDate
+    per fid%4, cloud %5, ttl %6, skipDays %7, skipHours %8, hub link
+    %10==2), Atom for odd (id %3, updated %4, published %5), the
+    %11==3 non-feed payload and the %13 inaccessible statuses."""
+    return """
+WITH f AS (
+  SELECT DISTINCT event_id % 60 AS fid FROM events),
+k AS (
+  SELECT fid,
+         fid % 11 = 3 AS nonfeed,
+         fid % 2 = 0 AS rss,
+         fid % 13 IN (4, 9) AS badstatus
+  FROM f)
+SELECT fid AS feed_id,
+  CASE WHEN NOT badstatus AND NOT nonfeed THEN 1 ELSE 0 END
+    AS accessible,
+  CASE WHEN NOT nonfeed AND rss AND fid % 10 = 2 THEN 1 ELSE 0 END
+    AS pubsub,
+  CASE WHEN nonfeed THEN NULL
+       WHEN rss THEN 'rss_2.0' ELSE 'atom_1.0' END AS feed_format,
+  CASE WHEN nonfeed THEN NULL
+       WHEN fid % 3 <> 0 THEN 1 ELSE 0 END AS has_item_ids,
+  CASE WHEN nonfeed OR NOT rss THEN NULL
+       WHEN fid % 4 <> 1 THEN 1 ELSE 0 END AS has_pub_date,
+  CASE WHEN nonfeed OR NOT rss THEN NULL
+       WHEN fid % 5 = 0 THEN 1 ELSE 0 END AS has_cloud,
+  CASE WHEN nonfeed OR NOT rss THEN NULL
+       WHEN fid % 6 = 0 THEN fid * 3 ELSE -1 END AS ttl,
+  CASE WHEN nonfeed OR NOT rss THEN NULL
+       WHEN fid % 7 = 0 THEN 1 ELSE 0 END AS has_skip_days,
+  CASE WHEN nonfeed OR NOT rss THEN NULL
+       WHEN fid % 8 = 0 THEN 1 ELSE 0 END AS has_skip_hours,
+  CASE WHEN nonfeed OR rss THEN NULL
+       WHEN fid % 4 <> 1 THEN 1 ELSE 0 END AS has_updated,
+  CASE WHEN nonfeed OR rss THEN NULL
+       WHEN fid % 5 = 0 THEN 1 ELSE 0 END AS has_published
+FROM k ORDER BY feed_id"""

@@ -249,3 +249,24 @@ def test_best_pub_date_html5():
         "<html><body><p><time pubdate datetime='2013-05-06'>z</time>"
         "</p></body></html>"))
     assert norm(d) == "2013-05-06"
+
+
+def test_http_and_reference_raters():
+    mk = lambda y, m, d, h: ds.TechDate(
+        "http", "date", None, -1,
+        dp.ParsedDate("", "", y, m, d, h, 0, 0, None))
+    old = mk(2020, 1, 1, 0)
+    fresh = mk(2026, 8, 20, 11)   # < 12h from the pinned now
+    rated = ds.http_date_rates([old, fresh])
+    first = {id(r.td): r.rate for r in rated[:2]}
+    assert first[id(old)] == 0.75 and first[id(fresh)] == 0.0
+    # age discount appended per date (duplicates kept)
+    assert len(rated) == 4
+    # oldest keeps its rate (diff 0), the fresh one is 0 either way
+    assert any(r.td is old and r.rate == 0.75 for r in rated[2:])
+    # reference rater: youngest only, rate 0
+    a = dp.ParsedDate("", "", 2019, 5, 1, -1, -1, -1, None)
+    b = dp.ParsedDate("", "", 2021, 2, 3, -1, -1, -1, None)
+    got = ds.reference_date_rate([a, b])
+    assert got == (b, 0.0)
+    assert ds.reference_date_rate([]) is None

@@ -639,3 +639,42 @@ def test_fix_interval(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         feeds.fix_interval(df, 0)
+
+
+# ------------------------------------------ MetaInformationExtractor
+def test_feed_meta_cols(spark):
+    cases = [
+        # (xml, status, expected dict subset)
+        ('<rss version="2.0"><channel><ttl>45</ttl>'
+         '<item><guid>g</guid><pubDate>x</pubDate></item>'
+         '</channel></rss>', 200,
+         dict(accessible=True, feed_format="rss_2.0",
+              has_item_ids=True, has_pub_date=True, has_cloud=False,
+              ttl=45, has_updated=None)),
+        ('<rss version="2.0"><channel><cloud domain="d"/>'
+         '<skipDays><day>Sunday</day></skipDays>'
+         '<item><guid></guid></item></channel></rss>', 200,
+         dict(has_item_ids=False, has_pub_date=False, has_cloud=True,
+              ttl=-1, has_skip_days=True, has_skip_hours=False)),
+        ('<feed><entry><id>u</id><updated>t</updated></entry></feed>',
+         200,
+         dict(feed_format="atom_1.0", has_item_ids=True,
+              has_updated=True, has_published=False,
+              has_pub_date=None)),
+        ('<feed><entry></entry></feed>', 200,
+         dict(has_item_ids=False, has_updated=False)),
+        ('<html>nope</html>', 200,
+         dict(accessible=False, feed_format=None, has_item_ids=None)),
+        ('<rss version="2.0"><channel><atom:link rel="hub" href="h"/>'
+         '<item><guid>g</guid></item></channel></rss>', 404,
+         dict(accessible=False, supports_pubsubhubbub=True)),
+    ]
+    df = spark.createDataFrame([(i, x, st) for i, (x, st, _)
+                                in enumerate(cases)],
+                               "i long, xml string, status int")
+    rows = {r["i"]: r for r in df.select(
+        "i", *feeds.feed_meta_cols(F.col("xml"),
+                                   F.col("status"))).collect()}
+    for i, (_, _, want) in enumerate(cases):
+        for k, v in want.items():
+            assert rows[i][k] == v, (i, k, rows[i][k], v)
