@@ -222,3 +222,49 @@ def test_codec_stages_prune_columns(spark, sf_dir):
                   video_frame_stage):
         plan = plan_of(stage(docs))
         assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_new_stages_prune_and_stay_jvm(spark):
+    # page_dates_stage: only url+html reach the Arrow pass
+    from kgp.datestack import page_dates_stage
+    pages = spark.createDataFrame(
+        [("u", "<html></html>", "junk", 1)],
+        "url string, html string, extra string, n long")
+    plan = plan_of(page_dates_stage(pages))
+    assert plan.count("MapInPandas") == 1
+    mip_line = next(l for l in plan.splitlines() if "MapInPandas" in l)
+    assert "extra" not in mip_line and "url" in mip_line
+    # wiki_dump_stage: xml only
+    from kgp.wikidump import internal_links_df, wiki_dump_stage
+    dumps = spark.createDataFrame([("<mediawiki></mediawiki>", "x")],
+                                  "xml string, other string")
+    plan = plan_of(wiki_dump_stage(dumps))
+    assert plan.count("MapInPandas") == 1
+    # link extraction after the stage adds NO Python and NO shuffle
+    plan = plan_of(internal_links_df(wiki_dump_stage(dumps)))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" \
+        not in plan
+    assert "Exchange" not in plan
+    # feed_meta_cols: pure codegen projection
+    from kgp.feeds import feed_meta_cols
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([("<rss></rss>", 200)],
+                               "xml string, status int")
+    plan = plan_of(df.select(*feed_meta_cols(F.col("xml"),
+                                             F.col("status"))))
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_reference_dates_single_window_single_join(spark):
+    from kgp.datestack import reference_dates_df
+    rated = spark.createDataFrame(
+        [("1", 0.5, 2020, 1, 1, -1, 0)],
+        "url string, rate double, year long, month long, day long, "
+        "hour long, abs_pos long")
+    links = spark.createDataFrame([(1, "1")], "src long, dst string")
+    plan = plan_of(reference_dates_df(links, rated))
+    # ONE Window exec; WindowGroupLimit lines are the rank-limit
+    # pushdown (top-1 kept map-side before the shuffle) — a win.
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+    assert "Python" not in plan
