@@ -2048,6 +2048,51 @@ def _q_wiki_dump_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("disamb")).orderBy("page_id")
 
 
+def _q_wiki_case_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WikipediaCaseDictionaryCreator mine+clean
+    (kgp.wikicasedict, WikipediaCaseDictionaryCreator.java:42-140)
+    end-to-end over a closed-form dump: one chunk per doc with a
+    MAIN-namespace page (bold/link markup exercising the
+    getCleanText path, a capitalized mid-sentence word, a digit
+    token and a hyphen word for the clean() regex, sentence-initial
+    tokens that must never be counted) and one ns-4 page that the
+    namespace filter must drop. The oracle re-renders the token
+    stream symbolically and re-aggregates in SQL."""
+    from kgp.wikicasedict import (clean_case_dictionary,
+                                  mine_case_dictionary)
+    from kgp.wikidump import wiki_dump_stage
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def letter(mod):
+        return F.substring(F.lit("abcdefg"),
+                           (d % mod + 1).cast("int"), 1)
+
+    text0 = F.concat(
+        F.lit("Lead '''beta"), letter(7), F.lit("''' Gamma"),
+        letter(5), F.lit(" x"), d, F.lit(". Head [[T"), d,
+        F.lit("|delta"), letter(3), F.lit("]] well-known Zeta"),
+        letter(7), F.lit("."))
+
+    def page(ns, text):
+        return F.concat(
+            F.lit("<page><title>P"), d, F.lit("-"), F.lit(ns),
+            F.lit("</title><ns>"), F.lit(ns), F.lit("</ns><id>"),
+            d * 2 + ns, F.lit("</id><revision><id>"),
+            d * 2 + ns + 100000, F.lit("</id><text>"), text,
+            F.lit("</text></revision></page>"))
+
+    xml = F.concat(
+        F.lit("<mediawiki>"), page(0, text0),
+        page(4, F.lit("Lead noise words never counted.")),
+        F.lit("</mediawiki>"))
+    pages = wiki_dump_stage(docs.select(xml.alias("xml")))
+    out = clean_case_dictionary(mine_case_dictionary(pages))
+    return out.select("word", "total", "upper").orderBy("word")
+
+
 def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureSelector greedy forward wrapper selection
     (kgp.featuresel.feature_selection, FeatureSelector.java:139-195)
@@ -2429,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_date_stack": _q_page_date_stack,
         "reference_dates": _q_reference_dates,
         "wiki_dump_pages": _q_wiki_dump_pages,
+        "wiki_case_dictionary": _q_wiki_case_dictionary,
         "feature_selection_rank": _q_feature_selection,
         "feed_meta": _q_feed_meta,
         "dataset_join": _q_dataset_join,
@@ -2616,6 +2662,7 @@ def oracle_sql() -> dict[str, str]:
         "page_date_stack": _oracle.page_date_stack_sql(),
         "reference_dates": _oracle.reference_dates_sql(),
         "wiki_dump_pages": _oracle.wiki_dump_pages_sql(),
+        "wiki_case_dictionary": _oracle.wiki_case_dictionary_sql(),
         "feature_selection_rank": _oracle.feature_selection_rank_sql(),
         "feed_meta": _oracle.feed_meta_sql(),
         "dataset_join": _oracle.dataset_join_sql(),

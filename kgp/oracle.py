@@ -4963,6 +4963,43 @@ SELECT page_id, CAST(ns AS BIGINT) AS namespace_id,
 FROM ids ORDER BY page_id"""
 
 
+def wiki_case_dictionary_sql() -> str:
+    """Mirror of the wiki_case_dictionary gate
+    (WikipediaCaseDictionaryCreator.java:42-140): the synthesized
+    MAIN-namespace page renders to exactly two real sentences per
+    doc, so the counted token stream (sentence-initial tokens
+    skipped) is a closed form of doc_id; the ns-4 page contributes
+    nothing. Re-aggregate totals/uppercase counts and apply the
+    clean() gate: count >= 10 and full-match [A-Za-z-]+ (digit
+    tokens and the '.' tokens die here)."""
+    return """
+WITH toks AS (
+  SELECT 'beta' || substr('abcdefg', CAST(doc_id % 7 AS INT) + 1, 1)
+           AS word, 0 AS up FROM documents
+  UNION ALL
+  SELECT 'gamma' || substr('abcdefg', CAST(doc_id % 5 AS INT) + 1, 1),
+         1 FROM documents
+  UNION ALL
+  SELECT 'x' || doc_id, 0 FROM documents
+  UNION ALL
+  SELECT 'delta' || substr('abcdefg', CAST(doc_id % 3 AS INT) + 1, 1),
+         0 FROM documents
+  UNION ALL
+  SELECT 'well-known', 0 FROM documents
+  UNION ALL
+  SELECT 'zeta' || substr('abcdefg', CAST(doc_id % 7 AS INT) + 1, 1),
+         1 FROM documents
+  UNION ALL
+  SELECT '.', 0 FROM documents
+  UNION ALL
+  SELECT '.', 0 FROM documents)
+SELECT word, COUNT(*) AS total, CAST(SUM(up) AS BIGINT) AS upper
+FROM toks
+GROUP BY word
+HAVING COUNT(*) >= 10 AND regexp_full_match(word, '[A-Za-z\\-]+')
+ORDER BY word"""
+
+
 def feature_selection_rank_sql() -> str:
     """Mirror of the feature_selection_rank gate (FeatureSelector.
     java:139-195, forward): shared NB term table, then FOUR unrolled
