@@ -2093,6 +2093,32 @@ def _q_wiki_case_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("word", "total", "upper").orderBy("word")
 
 
+def _q_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StopWordRemover token predicates (kgp.stopwords,
+    StopWordRemover.java:148-169) over the documents table: per doc,
+    token count (reference Tokenizer regex, pure JVM), stop tokens
+    under the CASE-SENSITIVE isStopWord contains (:167-169), and
+    under the case-insensitive membership removeStopWords actually
+    targets (:148-160 via replaceWord's lowercased scan). Zero
+    Python; the full-text removal path is pinned by pytest goldens
+    (not SQL-expressible)."""
+    from kgp.informativeness import tokenize_col
+    from kgp.stopwords import STOPWORDS_EN
+
+    toks = tokenize_col(F.col("text"))
+    words = list(STOPWORDS_EN)
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(
+                "doc_id",
+                F.size(toks).alias("n_tokens"),
+                F.size(F.filter(toks, lambda t: t.isin(words)))
+                .alias("n_stop_cs"),
+                F.size(F.filter(
+                    toks, lambda t: F.lower(t).isin(words)))
+                .alias("n_stop_ci"))
+            .orderBy("doc_id"))
+
+
 def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureSelector greedy forward wrapper selection
     (kgp.featuresel.feature_selection, FeatureSelector.java:139-195)
@@ -2475,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_dates": _q_reference_dates,
         "wiki_dump_pages": _q_wiki_dump_pages,
         "wiki_case_dictionary": _q_wiki_case_dictionary,
+        "stopword_stats": _q_stopword_stats,
         "feature_selection_rank": _q_feature_selection,
         "feed_meta": _q_feed_meta,
         "dataset_join": _q_dataset_join,
@@ -2663,6 +2690,7 @@ def oracle_sql() -> dict[str, str]:
         "reference_dates": _oracle.reference_dates_sql(),
         "wiki_dump_pages": _oracle.wiki_dump_pages_sql(),
         "wiki_case_dictionary": _oracle.wiki_case_dictionary_sql(),
+        "stopword_stats": _oracle.stopword_stats_sql(),
         "feature_selection_rank": _oracle.feature_selection_rank_sql(),
         "feed_meta": _oracle.feed_meta_sql(),
         "dataset_join": _oracle.dataset_join_sql(),

@@ -5000,6 +5000,31 @@ HAVING COUNT(*) >= 10 AND regexp_full_match(word, '[A-Za-z\\-]+')
 ORDER BY word"""
 
 
+def stopword_stats_sql() -> str:
+    """Mirror of the stopword_stats gate: same Tokenizer regex (RE2
+    accepts the \\p{L} classes), stop list rendered as a literal,
+    case-sensitive vs lowercased membership."""
+    from kgp.informativeness import TOKEN_SPLIT_JAVA
+    from kgp.stopwords import STOPWORDS_EN
+
+    words = ", ".join("'" + w.replace("'", "''") + "'"
+                      for w in STOPWORDS_EN)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{TOKEN_SPLIT_JAVA}') AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_filter(toks,
+            tok -> list_contains([{words}], tok))) AS INT)
+         AS n_stop_cs,
+       CAST(len(list_filter(toks,
+            tok -> list_contains([{words}], lower(tok)))) AS INT)
+         AS n_stop_ci
+FROM t ORDER BY doc_id"""
+
+
 def feature_selection_rank_sql() -> str:
     """Mirror of the feature_selection_rank gate (FeatureSelector.
     java:139-195, forward): shared NB term table, then FOUR unrolled
