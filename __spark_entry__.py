@@ -2119,6 +2119,28 @@ def _q_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q_snowball_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowball stemmers (kgp.stemmer — Stemmer.java:29-108 +
+    WordTransformer.stemWord:558-583): the fixed GATE_WORDS bank
+    (every en/de algorithm branch + both exception maps) keyed by
+    doc_id %% |bank|, stemmed by the distributed per-row-language
+    stage (ONE Arrow projection, broadcast word-bank join); the
+    oracle renders expected stems from the spec-trace-pinned twin."""
+    from kgp.stemmer import GATE_WORDS, stem_stage
+
+    n = len(GATE_WORDS)
+    bank = spark.createDataFrame(
+        [(i, w, lg) for i, (w, lg) in enumerate(GATE_WORDS)],
+        "variant int, word string, lang string")
+    docs = (_docs_table(spark, sf_dir)
+            .select("doc_id", (F.col("doc_id") % n)
+                    .cast("int").alias("variant")))
+    joined = docs.join(F.broadcast(bank), "variant")
+    return (stem_stage(joined, "word", language_col="lang")
+            .select("doc_id", "variant", "word", "lang", "stem")
+            .orderBy("doc_id"))
+
+
 def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureSelector greedy forward wrapper selection
     (kgp.featuresel.feature_selection, FeatureSelector.java:139-195)
@@ -2502,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_dump_pages": _q_wiki_dump_pages,
         "wiki_case_dictionary": _q_wiki_case_dictionary,
         "stopword_stats": _q_stopword_stats,
+        "snowball_stems": _q_snowball_stems,
         "feature_selection_rank": _q_feature_selection,
         "feed_meta": _q_feed_meta,
         "dataset_join": _q_dataset_join,
@@ -2691,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "wiki_dump_pages": _oracle.wiki_dump_pages_sql(),
         "wiki_case_dictionary": _oracle.wiki_case_dictionary_sql(),
         "stopword_stats": _oracle.stopword_stats_sql(),
+        "snowball_stems": _oracle.snowball_stems_sql(),
         "feature_selection_rank": _oracle.feature_selection_rank_sql(),
         "feed_meta": _oracle.feed_meta_sql(),
         "dataset_join": _oracle.dataset_join_sql(),

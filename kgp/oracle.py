@@ -5025,6 +5025,31 @@ SELECT doc_id,
 FROM t ORDER BY doc_id"""
 
 
+def snowball_stems_sql() -> str:
+    """Mirror of the snowball_stems gate: the fixed GATE_WORDS bank
+    as a VALUES list joined on doc_id %% |bank|, expected stems
+    rendered from the stem_word twin (Stemmer.java:29-108 +
+    WordTransformer.stemWord:558-583), whose parity is pinned by the
+    spec-trace goldens in tests/test_stemmer.py — same render policy
+    as wiki_formatting/dt_predictions."""
+    from kgp.stemmer import GATE_WORDS, stem_word
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = ", ".join(
+        f"({i}, '{q(w)}', '{lg}', '{q(stem_word(w, lg))}')"
+        for i, (w, lg) in enumerate(GATE_WORDS))
+    return f"""
+WITH bank(variant, word, lang, stem) AS (VALUES {rows})
+SELECT d.doc_id,
+       CAST(d.doc_id % {len(GATE_WORDS)} AS INT) AS variant,
+       b.word, b.lang, b.stem
+FROM documents d
+JOIN bank b ON b.variant = d.doc_id % {len(GATE_WORDS)}
+ORDER BY d.doc_id"""
+
+
 def feature_selection_rank_sql() -> str:
     """Mirror of the feature_selection_rank gate (FeatureSelector.
     java:139-195, forward): shared NB term table, then FOUR unrolled

@@ -208,12 +208,12 @@ def word_to_plural(singular: str) -> str:
 def _lookup_irregular(verb: str) -> str | None:
     """Present form of an irregular verb, by raw form then stem
     (stemEnglishWord lookup at WordTransformer.java:635-636)."""
-    from kgp.textclassifier import porter_stem
+    from kgp.stemmer import stem_english_word
     if verb in IRREGULAR_VERBS:
         return IRREGULAR_VERBS[verb]
     if verb in IRREGULAR_VERB_FORMS:
         return verb
-    stem = porter_stem(verb)
+    stem = stem_english_word(verb)
     if stem in IRREGULAR_VERB_FORMS:
         return stem
     return None
@@ -287,13 +287,13 @@ def past_participle(verb: str) -> str:
     """getPastParticiple port (:731-745): irregular participle, else
     the regular past of the STEMMED word (the reference quirk —
     participles of regular verbs are built on the Snowball stem)."""
-    from kgp.textclassifier import porter_stem
+    from kgp.stemmer import stem_english_word
     if not verb:
         return verb
     present = _lookup_irregular(verb.lower())
     if present is not None:
         return IRREGULAR_VERB_FORMS[present][1]
-    return _regular_verb_past(porter_stem(verb.lower()))
+    return _regular_verb_past(stem_english_word(verb.lower()))
 
 
 def predicate_variants(pred: str) -> list[str]:

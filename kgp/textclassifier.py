@@ -51,8 +51,10 @@ STOPWORDS = set(STOPWORDS_EN) | {
 
 def porter_stem(word: str) -> str:
     """Compact Porter stemmer (M.F. Porter 1980, public-domain
-    algorithm) — steps 1a/1b/1c and the common suffix strips; stands in
-    for the reference's Snowball English stemmer."""
+    algorithm) — steps 1a/1b/1c and the common suffix strips.
+    Superseded as the reference-parity stemmer by kgp.stemmer
+    (real Snowball English/German); kept as the lightweight
+    public-algorithm utility."""
     w = word.lower()
     if len(w) <= 2:
         return w
@@ -131,7 +133,10 @@ def preprocess(text: str, fs: FeatureSetting) -> list[str]:
                            padding=fs.padding)
     tokens = tokenize(text)
     if fs.stem:
-        tokens = [porter_stem(t) for t in tokens]
+        # Preprocessor.java:104 stems with the RAW snowball stemmer
+        # (no WordTransformer exception maps)
+        from kgp.stemmer import snowball_en
+        tokens = [snowball_en(t) for t in tokens]
     if fs.remove_stopwords:
         tokens = [t for t in tokens if t.lower() not in STOPWORDS]
     tokens = [t for t in tokens
