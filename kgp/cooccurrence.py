@@ -18,7 +18,10 @@ PhraseProbabilityCalculator.java):
       log10 P(t0) + SUM_i log10 P(t_{i+1} | t_i).
   The reference optionally Snowball-stems each token; with
   language=null (a supported constructor path, :43-50) no stemming is
-  applied — this port takes that path, so tokens are raw lowercase.
+  applied.  This port supports BOTH: the default is the null path
+  (raw lowercase tokens); pass language="en"/"de" for the stemmed
+  lookup via kgp.stemmer (raw snowball, no exception maps — the
+  reference calls Stemmer.stem directly).
 
 The reference loads its matrix from pre-counted Wikipedia corpus
 files (convert(), PhraseProbabilityCalculator.java:80-105: unigram +
@@ -45,6 +48,7 @@ Scale shape (10^12 docs):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,18 +95,39 @@ def fit_cooccurrence_stage(docs: DataFrame,
 
 def phrase_probability_stage(phrases: DataFrame, matrix: dict,
                              phrase_col: str = "phrase",
-                             id_col: str = "phrase_id") -> DataFrame:
+                             id_col: str = "phrase_id",
+                             language: str | None = None) -> DataFrame:
     """PhraseProbabilityCalculator.getProbability for every row of
     `phrases` -> (id_col, phrase, log_prob).
 
     log_prob = log10 P(t0) + SUM log10 P(t_{i+1}|t_i), add-one
     smoothed exactly as the reference (see module docstring).  Empty
     phrases (no tokens after the Java split) score null.
+
+    `language` mirrors the reference constructor's Language argument
+    (PhraseProbabilityCalculator.java:43-50, stem() :69-74): None =
+    no stemming (the default, zero-Python end-to-end); "en"/"de" =
+    each lowercased query token is RAW-snowball-stemmed before
+    lookup (kgp.stemmer, one Arrow pass over the phrase table —
+    query-sized, never the corpus; the matrix keys stay raw, exactly
+    as the reference stems only at lookup time).
     """
     uni = matrix["unigrams"]
     big = matrix["bigrams"]
     arr = _java_ws_split(F.col(phrase_col))
     base = phrases.select(id_col, phrase_col).withColumn("_arr", arr)
+    if language is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        from kgp.stemmer import snowball_de, snowball_en
+        stem = snowball_en if language == "en" else snowball_de
+
+        @pandas_udf("array<string>")
+        def _stem_arr(arrs: pd.Series) -> pd.Series:
+            return arrs.map(
+                lambda a: None if a is None else [stem(t) for t in a])
+
+        base = base.withColumn("_arr", _stem_arr(F.col("_arr")))
 
     # crossJoin with the single-row totals: a scalar broadcast, the
     # canonical "ride-along aggregate" (never a driver collect)

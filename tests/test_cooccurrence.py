@@ -65,6 +65,31 @@ def test_java_split_semantics(spark):
     assert big == {("a", ""): 1, ("", "b"): 1}
 
 
+def test_phrase_probability_stemmed(spark):
+    """The Language constructor path (PhraseProbabilityCalculator
+    .java:43-50 + stem():69-74): query tokens are raw-snowball-stemmed
+    before lookup; the matrix keys stay raw."""
+    from kgp.stemmer import snowball_en
+
+    # matrix over already-stem-shaped tokens: walk:2 dog:1 (N=3, V=2)
+    # bigram (walk, dog):1
+    corpus = spark.createDataFrame(
+        [(0, "walk dog"), (1, "walk")], "doc_id long, text string")
+    m = fit_cooccurrence_stage(corpus)
+    phrases = spark.createDataFrame(
+        [(0, "walking dogs"), (1, "walk dog")],
+        "phrase_id long, phrase string")
+    out = {r["phrase_id"]: r["log_prob"]
+           for r in phrase_probability_stage(
+               phrases, m, language="en").collect()}
+    assert snowball_en("walking") == "walk"   # the lookup key
+    # stemmed "walking dogs" == raw "walk dog":
+    # P(walk) = (2+1)/(3+2); P(dog|walk) = (1+1)/(2+2)
+    exp = round(round(math.log10(3 / 5), 7)
+                + round(math.log10(2 / 4), 7), 6)
+    assert out == {0: exp, 1: exp}
+
+
 def test_no_python_in_plan(tiny):
     m = fit_cooccurrence_stage(tiny)
     phrases = tiny.select(F.col("doc_id").alias("phrase_id"),
