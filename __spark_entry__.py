@@ -2141,6 +2141,51 @@ def _q_snowball_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q_baseline_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BaselineDisambiguation (kgp.linker.link_mentions_baseline,
+    BaselineDisambiguation.java:29-47): mentions synthesized
+    closed-form from doc_id against the corpus gazetteer + the branch
+    probes (continent break / population >= tie / null-pop drop /
+    zero-pop qualify).  The oracle recomputes the expanded gazetteer
+    as VALUES and the selection window in SQL."""
+    from kgp.corpus import GAZETTEER_SCHEMA
+    from kgp import constants as C
+    from kgp.linker import baseline_gate_rows, link_mentions_baseline
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    d = F.col("doc_id")
+
+    def pick(vals: list[str], idx) -> F.Column:
+        return F.element_at(F.array(*[F.lit(v) for v in vals]),
+                            idx.cast("int") + 1)
+
+    def mrow(df, sent: int, start: int, surface, tag: str):
+        return df.select(
+            d.cast("string").alias("url"),
+            F.lit(sent).cast("long").alias("sent_idx"),
+            F.lit(start).cast("long").alias("start"),
+            surface.alias("surface"), F.lit(tag).alias("tag"))
+
+    mentions = (
+        mrow(docs, 0, 5, pick(C.CITIES, d % 11), "CITY")
+        .union(mrow(docs, 1, 40, pick(C.COUNTRIES, d % 7), "COUNTRY"))
+        .union(mrow(docs.where(d % 3 == 0), 2, 80,
+                    F.lit("Atlantis"), "LOC"))
+        .union(mrow(docs.where(d % 4 == 1), 3, 120,
+                    F.lit("Twinville"), "LOC"))
+        .union(mrow(docs.where(d % 5 == 2), 4, 160,
+                    F.lit("Ghosttown"), "LOC"))
+        .union(mrow(docs.where(d % 6 == 3), 5, 200,
+                    F.lit("Zeroville"), "LOC"))
+        .union(mrow(docs.where(d % 7 == 4), 6, 240,
+                    F.lit("Nowhere"), "LOC"))
+    ).withColumn("end",
+                 (F.col("start") + F.length("surface")).cast("long"))
+    gaz = spark.createDataFrame(baseline_gate_rows(), GAZETTEER_SCHEMA)
+    return (link_mentions_baseline(mentions, gaz)
+            .orderBy("url", "sent_idx"))
+
+
 def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureSelector greedy forward wrapper selection
     (kgp.featuresel.feature_selection, FeatureSelector.java:139-195)
@@ -2525,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_case_dictionary": _q_wiki_case_dictionary,
         "stopword_stats": _q_stopword_stats,
         "snowball_stems": _q_snowball_stems,
+        "baseline_links": _q_baseline_links,
         "feature_selection_rank": _q_feature_selection,
         "feed_meta": _q_feed_meta,
         "dataset_join": _q_dataset_join,
@@ -2715,6 +2761,7 @@ def oracle_sql() -> dict[str, str]:
         "wiki_case_dictionary": _oracle.wiki_case_dictionary_sql(),
         "stopword_stats": _oracle.stopword_stats_sql(),
         "snowball_stems": _oracle.snowball_stems_sql(),
+        "baseline_links": _oracle.baseline_links_sql(),
         "feature_selection_rank": _oracle.feature_selection_rank_sql(),
         "feed_meta": _oracle.feed_meta_sql(),
         "dataset_join": _oracle.dataset_join_sql(),

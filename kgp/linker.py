@@ -173,6 +173,95 @@ def link_mentions(mentions: DataFrame, gaz: DataFrame,
     )
 
 
+def link_mentions_baseline(mentions: DataFrame,
+                           gaz: DataFrame) -> DataFrame:
+    """BaselineDisambiguation port (disambiguation/
+    BaselineDisambiguation.java:29-47): per mention, the FIRST
+    CONTINENT/COUNTRY candidate wins outright (the loop breaks);
+    otherwise the max-population candidate with the reference's
+    ``population >= max`` update (LAST qualifying candidate wins
+    population ties; null populations never qualify — expand_gazetteer
+    encodes null as -1 against the reference's starting max of 0);
+    mentions whose candidate set yields nothing are dropped (the
+    reference adds no annotation).  The reference iterates candidates
+    in LocationSource insertion order; the distributed stand-in is
+    entity_id order (documented, deterministic).
+
+    Shape: candidate generation = the same broadcast hash join as
+    link_mentions; selection = ONE window over the mention key.  Zero
+    Python."""
+    expanded = expand_gazetteer(gaz)
+    cand = (mentions
+            .withColumn("norm", normalize_name(F.col("surface")))
+            .join(F.broadcast(expanded.select(
+                "norm", "entity_id", "canon_name", "etype",
+                "population")), "norm"))
+    is_cc = F.col("etype").isin("CONTINENT", "COUNTRY")
+    mention_key = ["url", "sent_idx", "start", "end"]
+    pick_w = Window.partitionBy(*mention_key).orderBy(
+        # CC candidates first, lowest entity_id among them (the break
+        # on first); else qualifying populations descending with the
+        # LAST-wins >= tie (entity_id descending)
+        F.desc(is_cc),
+        F.when(is_cc, -F.col("entity_id"))
+         .otherwise(F.col("population")).desc(),
+        F.desc("entity_id"))
+    qualifies = is_cc | (F.col("population") >= 0)
+    return (cand
+            .where(qualifies)
+            .withColumn("_rn", F.row_number().over(pick_w))
+            .where(F.col("_rn") == 1)
+            .select("url", "sent_idx", "start", "end", "surface",
+                    "tag", "entity_id", "canon_name", "etype",
+                    "population"))
+
+
+def baseline_gate_rows() -> list[dict]:
+    """Gazetteer for the baseline_links gate: the corpus gazetteer
+    plus probes for every BaselineDisambiguation branch — a
+    continent/country/huge-city surface trio (the break), an exact
+    population tie (the >= last-wins update), an all-null-population
+    surface (dropped), and a zero-population surface (0 >= 0
+    qualifies)."""
+    from kgp.corpus import gazetteer_rows
+    rows = list(gazetteer_rows())
+    rows += [
+        dict(id=9101, name="Atlantis", alt_names=[], type="CONTINENT",
+             population=None, ancestor_ids=[], lat=None, lon=None),
+        dict(id=9102, name="Atlantis", alt_names=[], type="COUNTRY",
+             population=900, ancestor_ids=[], lat=None, lon=None),
+        dict(id=9103, name="Atlantis", alt_names=[], type="CITY",
+             population=9_000_000, ancestor_ids=[], lat=None,
+             lon=None),
+        dict(id=9110, name="Twinville", alt_names=[], type="CITY",
+             population=500, ancestor_ids=[], lat=None, lon=None),
+        dict(id=9111, name="Twinville", alt_names=[], type="CITY",
+             population=500, ancestor_ids=[], lat=None, lon=None),
+        dict(id=9120, name="Ghosttown", alt_names=[], type="POI",
+             population=None, ancestor_ids=[], lat=None, lon=None),
+        dict(id=9121, name="Ghosttown", alt_names=[], type="POI",
+             population=None, ancestor_ids=[], lat=None, lon=None),
+        dict(id=9130, name="Zeroville", alt_names=[], type="CITY",
+             population=0, ancestor_ids=[], lat=None, lon=None),
+    ]
+    return rows
+
+
+def link_mentions_none(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
+    """NoDisambiguation port (disambiguation/NoDisambiguation.java:
+    22-36): every candidate becomes an annotation — the pure
+    candidate-generation join, no selection at all."""
+    expanded = expand_gazetteer(gaz)
+    return (mentions
+            .withColumn("norm", normalize_name(F.col("surface")))
+            .join(F.broadcast(expanded.select(
+                "norm", "entity_id", "canon_name", "etype",
+                "population")), "norm")
+            .select("url", "sent_idx", "start", "end", "surface",
+                    "tag", "entity_id", "canon_name", "etype",
+                    "population"))
+
+
 # -------------------- faithful per-document heuristic disambiguation
 # Port of HeuristicDisambiguation.disambiguate
 # (/root/reference/palladian-core/src/main/java/ws/palladian/extraction/location/disambiguation/HeuristicDisambiguation.java:47-120,

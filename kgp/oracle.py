@@ -5050,6 +5050,67 @@ JOIN bank b ON b.variant = d.doc_id % {len(GATE_WORDS)}
 ORDER BY d.doc_id"""
 
 
+def baseline_links_sql() -> str:
+    """Mirror of the baseline_links gate (BaselineDisambiguation.
+    java:29-47): expanded gazetteer as VALUES (unique forms
+    lowercased, null population -> -1 per expand_gazetteer), mention
+    synthesis from doc_id, then the selection window — first
+    CONTINENT/COUNTRY by entity_id (the break), else max qualifying
+    population with the last-wins >= tie (entity_id DESC), non-
+    qualifying candidates filtered, NIL mentions dropped by the inner
+    join."""
+    from kgp.linker import baseline_gate_rows
+
+    gaz_vals = []
+    for r in baseline_gate_rows():
+        uniq = list(dict.fromkeys([r["name"], *r["alt_names"]]))
+        pop = r["population"] if r["population"] is not None else -1
+        for form in uniq:
+            gaz_vals.append(
+                f"(CAST({r['id']} AS BIGINT), {_lit(r['name'])}, "
+                f"{_lit(form.lower())}, {_lit(r['type'])}, "
+                f"CAST({pop} AS BIGINT))")
+    mention_selects = f"""
+  SELECT CAST(doc_id AS VARCHAR) AS url, CAST(0 AS BIGINT) AS sent_idx,
+         CAST(5 AS BIGINT) AS "start",
+         {_pick(C.CITIES, 'doc_id % 11')} AS surface, 'CITY' AS tag
+  FROM documents
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 40,
+         {_pick(C.COUNTRIES, 'doc_id % 7')}, 'COUNTRY' FROM documents
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 2, 80, 'Atlantis', 'LOC'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 3, 120, 'Twinville', 'LOC'
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 4, 160, 'Ghosttown', 'LOC'
+  FROM documents WHERE doc_id % 5 = 2
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 5, 200, 'Zeroville', 'LOC'
+  FROM documents WHERE doc_id % 6 = 3
+  UNION ALL SELECT CAST(doc_id AS VARCHAR), 6, 240, 'Nowhere', 'LOC'
+  FROM documents WHERE doc_id % 7 = 4"""
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT *, CAST("start" + length(surface) AS BIGINT) AS "end"
+  FROM ({mention_selects})
+), gaz(entity_id, canon_name, norm, etype, population) AS (
+  VALUES {", ".join(gaz_vals)}
+), cand AS (
+  SELECT m.url, m.sent_idx, m."start", m."end", m.surface, m.tag,
+         g.entity_id, g.canon_name, g.etype, g.population,
+         (g.etype IN ('CONTINENT', 'COUNTRY')) AS is_cc
+  FROM m JOIN gaz g ON g.norm = lower(m.surface)
+)
+SELECT url, sent_idx, "start", "end", surface, tag,
+       entity_id, canon_name, etype, population
+FROM cand
+WHERE is_cc OR population >= 0
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY url, sent_idx, "start", "end"
+  ORDER BY is_cc DESC,
+           CASE WHEN is_cc THEN -entity_id ELSE population END DESC,
+           entity_id DESC) = 1
+ORDER BY url, sent_idx"""
+
+
 def feature_selection_rank_sql() -> str:
     """Mirror of the feature_selection_rank gate (FeatureSelector.
     java:139-195, forward): shared NB term table, then FOUR unrolled

@@ -290,3 +290,67 @@ def test_csv_gazetteer_hierarchy_links_reference_path(spark, tmp_path):
                                    _geo_gaz(spark, tmp_path)).collect()}
     assert out["Atlantis"].entity_id == 100
     assert out["Oldtown"].entity_id == 300
+
+
+def _baseline_gaz(spark):
+    from kgp.corpus import GAZETTEER_SCHEMA
+    rows = [
+        # one surface claimed by a continent, a country and a huge city
+        (1, "Atlantis", [], "CONTINENT", None, [], None, None),
+        (2, "Atlantis", [], "COUNTRY", 900, [], None, None),
+        (3, "Atlantis", [], "CITY", 9_000_000, [], None, None),
+        # population ties: >= keeps the LAST qualifying candidate
+        (10, "Twinville", [], "CITY", 500, [], None, None),
+        (11, "Twinville", [], "CITY", 500, [], None, None),
+        # all-null populations, no CC -> dropped
+        (20, "Ghosttown", [], "POI", None, [], None, None),
+        (21, "Ghosttown", [], "POI", None, [], None, None),
+        # zero population qualifies (0 >= starting max 0)
+        (30, "Zeroville", [], "CITY", 0, [], None, None),
+    ]
+    return spark.createDataFrame(rows, GAZETTEER_SCHEMA)
+
+
+def test_baseline_disambiguation(spark):
+    """BaselineDisambiguation.java:29-47: first CONTINENT/COUNTRY
+    short-circuits; else max population with last-wins >= ties; null
+    populations never qualify; no winner -> no annotation."""
+    from kgp.linker import link_mentions_baseline
+    rows = [
+        ("u1", 0, 0, 8, "Atlantis", "LOC", 1.0, 0, "s"),
+        ("u1", 1, 0, 9, "Twinville", "LOC", 1.0, 0, "s"),
+        ("u1", 2, 0, 9, "Ghosttown", "LOC", 1.0, 0, "s"),
+        ("u1", 3, 0, 9, "Zeroville", "LOC", 1.0, 0, "s"),
+        ("u1", 4, 0, 7, "Nowhere", "LOC", 1.0, 0, "s"),
+    ]
+    out = {r.surface: r for r in link_mentions_baseline(
+        _mentions(spark, rows), _baseline_gaz(spark)).collect()}
+    # continent (entity 1) wins over pop-9M city: the loop breaks
+    assert out["Atlantis"].entity_id == 1
+    # >= update: the later candidate keeps the tie
+    assert out["Twinville"].entity_id == 11
+    # all-null populations and no CC -> dropped entirely
+    assert "Ghosttown" not in out
+    assert out["Zeroville"].entity_id == 30
+    assert "Nowhere" not in out
+    assert len(out) == 3
+
+
+def test_no_disambiguation_keeps_all(spark):
+    """NoDisambiguation.java:22-36: every candidate annotates."""
+    from kgp.linker import link_mentions_none
+    rows = [("u1", 0, 0, 8, "Atlantis", "LOC", 1.0, 0, "s"),
+            ("u1", 1, 0, 7, "Nowhere", "LOC", 1.0, 0, "s")]
+    out = link_mentions_none(
+        _mentions(spark, rows), _baseline_gaz(spark)).collect()
+    assert sorted(r.entity_id for r in out) == [1, 2, 3]
+
+
+def test_baseline_plan_zero_python(spark):
+    from kgp.linker import link_mentions_baseline
+    rows = [("u1", 0, 0, 8, "Atlantis", "LOC", 1.0, 0, "s")]
+    plan = (link_mentions_baseline(_mentions(spark, rows),
+                                   _baseline_gaz(spark))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
