@@ -2186,6 +2186,28 @@ def _q_baseline_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "sent_idx"))
 
 
+def _q_context_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PatternAnalyzer context mining (kgp.contextpatterns,
+    PatternAnalyzer.java:50-111): one annotated line per doc from the
+    GATE_TEMPLATES bank (doc_id %% 250 == 0 -> rare slice 8, else
+    doc_id %% 8), LEFT contexts of size 2, min_count=5, min_prob=0.6,
+    categories CITY/PER.  The oracle hand-derives every variant's
+    (context, tag) contributions and recomputes counts, most-likely
+    pick and both prunes in SQL — a twin bug mismatches."""
+    from kgp.contextpatterns import GATE_TEMPLATES, extract_patterns_stage
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    d = F.col("doc_id")
+    v = F.when(d % 250 == 0, F.lit(8)).otherwise(d % 8)
+    line = F.element_at(
+        F.array(*[F.lit(t) for t in GATE_TEMPLATES]), v.cast("int") + 1)
+    lines = docs.select(line.alias("line"))
+    return (extract_patterns_stage(
+                lines, "line", "LEFT", 2, min_count=5, min_prob=0.6,
+                categories=("CITY", "PER"))
+            .orderBy("pattern"))
+
+
 def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureSelector greedy forward wrapper selection
     (kgp.featuresel.feature_selection, FeatureSelector.java:139-195)
@@ -2571,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_stats": _q_stopword_stats,
         "snowball_stems": _q_snowball_stems,
         "baseline_links": _q_baseline_links,
+        "context_patterns": _q_context_patterns,
         "feature_selection_rank": _q_feature_selection,
         "feed_meta": _q_feed_meta,
         "dataset_join": _q_dataset_join,
@@ -2762,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_stats": _oracle.stopword_stats_sql(),
         "snowball_stems": _oracle.snowball_stems_sql(),
         "baseline_links": _oracle.baseline_links_sql(),
+        "context_patterns": _oracle.context_patterns_sql(),
         "feature_selection_rank": _oracle.feature_selection_rank_sql(),
         "feed_meta": _oracle.feed_meta_sql(),
         "dataset_join": _oracle.dataset_join_sql(),

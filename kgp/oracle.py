@@ -5111,6 +5111,48 @@ QUALIFY ROW_NUMBER() OVER (
 ORDER BY url, sent_idx"""
 
 
+def context_patterns_sql() -> str:
+    """Mirror of the context_patterns gate (PatternAnalyzer.java:
+    50-111): each GATE_TEMPLATES variant's LEFT-size-2 (context, tag)
+    contributions are HAND-DERIVED below (digit masking, NBSP, quote
+    normalization, DOCSTART skip, ORG category filter and the .{2,}
+    length filter all pre-applied by hand — a kgp.contextpatterns twin
+    bug therefore mismatches); counts, the most-likely pick
+    (count DESC, tag ASC) and both prunes (total >= 5, prob >= 0.6)
+    recomputed in SQL."""
+    return """
+WITH docs AS (
+  SELECT CASE WHEN doc_id % 250 = 0 THEN 8
+              ELSE doc_id % 8 END AS v
+  FROM documents
+), contrib(v, ctx, tag) AS (VALUES
+  (0, 'visited', 'CITY'), (0, 'he visited', 'CITY'),
+  (1, 'met', 'PER'), (1, 'she''d met', 'PER'),
+  (1, 'near', 'CITY'), (1, 'lee near', 'CITY'),
+  (3, 'visited', 'CITY'), (3, 'he visited', 'CITY'),
+  (4, 'near', 'PER'), (4, 'stand near', 'PER'),
+  (7, '§§§§', 'PER'), (7, 'in §§§§', 'PER'),
+  (8, 'of', 'CITY'), (8, 'talk of', 'CITY')
+), counts AS (
+  SELECT c.ctx, c.tag, COUNT(*) AS c
+  FROM docs d JOIN contrib c ON c.v = d.v
+  GROUP BY c.ctx, c.tag
+), agg AS (
+  SELECT ctx, tag, c,
+         SUM(c) OVER (PARTITION BY ctx) AS total,
+         ROW_NUMBER() OVER (PARTITION BY ctx
+                            ORDER BY c DESC, tag ASC) AS rn
+  FROM counts
+)
+SELECT ctx || ' *' AS pattern, tag,
+       CAST(c AS BIGINT) AS count,
+       ROUND(CAST(c AS DOUBLE) / CAST(total AS DOUBLE), 9) AS prob
+FROM agg
+WHERE rn = 1 AND total >= 5
+  AND CAST(c AS DOUBLE) / CAST(total AS DOUBLE) >= 0.6
+ORDER BY pattern"""
+
+
 def feature_selection_rank_sql() -> str:
     """Mirror of the feature_selection_rank gate (FeatureSelector.
     java:139-195, forward): shared NB term table, then FOUR unrolled
