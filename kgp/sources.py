@@ -266,3 +266,40 @@ def read_csv_dataset(spark: SparkSession, path: str, *,
     if read_class_from_last_column and cols:
         df = df.withColumnRenamed(cols[-1], class_col)
     return df
+
+
+def write_csv_dataset(df: DataFrame, path: str, *,
+                      field_separator: str = ";",
+                      write_category: bool = True,
+                      class_col: str = "category",
+                      overwrite: bool = False) -> None:
+    """CsvDatasetWriter port (core/dataset/csv/CsvDatasetWriter.java:
+    33-67 + CsvDatasetWriterConfig defaults: ';' separator, category
+    written, no overwrite): header = feature names + ``targetClass``,
+    NullValue cells empty, values via Value.toString — Java's
+    Double.toString comes for free from Spark's JVM-side
+    cast(double AS string) (decimal/scientific switch included), so
+    the sink is zero-Python end-to-end.
+
+    Spark-first: a distributed ``df.write.csv`` (per-part files, each
+    with the header — the directory round-trips through
+    read_csv_dataset's splittable scan).  Deviation, documented: a
+    string value CONTAINING the separator is appended raw by the
+    reference (corrupting the line — GIGO); Spark's sink instead
+    NUL-quotes it to protect line structure.  Clean values are
+    byte-identical (pinned in tests/test_sources.py).
+    """
+    feats = [c for c in df.columns if c != class_col]
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+            for c in feats]
+    if write_category:
+        cols.append(F.coalesce(F.col(class_col).cast("string"),
+                               F.lit("")).alias("targetClass"))
+    (df.select(*cols).write
+     .mode("overwrite" if overwrite else "error")
+     .option("header", "true")
+     .option("sep", field_separator)
+     .option("quote", "")
+     .option("emptyValue", "")
+     .option("nullValue", "")
+     .csv(path))

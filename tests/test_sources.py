@@ -91,3 +91,53 @@ def test_json_query(spark):
         json_query(F.col("j"), "meta/year").alias("y"),
         json_query(F.col("j"), "/meta/missing").alias("m")).collect()[0]
     assert (got.a, got.y, got.m) == ("Bob", "2020", None)
+
+
+def test_csv_dataset_writer_line_format(tmp_path, spark):
+    """CsvDatasetWriter.java:33-67: header + targetClass, empty cells
+    for nulls, Java Double.toString values (decimal/scientific
+    switch via the JVM cast)."""
+    import glob
+    from kgp.sources import write_csv_dataset
+    df = spark.createDataFrame(
+        [(1.5, True, "a", "pos"),
+         (10000000.0, False, None, "neg"),
+         (0.0001, None, "xy", "pos")],
+        "f1 double, f2 boolean, f3 string, category string")
+    out = str(tmp_path / "ds")
+    write_csv_dataset(df.coalesce(1), out)
+    files = sorted(glob.glob(out + "/part-*"))
+    lines = open(files[0]).read().splitlines()
+    assert lines[0] == "f1;f2;f3;targetClass"
+    body = sorted(lines[1:])
+    assert body == sorted([
+        "1.5;true;a;pos",
+        "1.0E7;false;;neg",       # Java scientific form >= 1e7
+        "1.0E-4;;xy;pos",         # < 1e-3 scientific form
+    ])
+
+
+def test_csv_dataset_writer_roundtrip(tmp_path, spark):
+    from kgp.sources import read_csv_dataset, write_csv_dataset
+    df = spark.createDataFrame(
+        [(1.5, True, "hello", "pos"), (2.0, False, "world", "neg"),
+         (-3.25, True, "again", "pos")],
+        "f1 double, f2 boolean, f3 string, category string")
+    out = str(tmp_path / "ds")
+    write_csv_dataset(df.repartition(3), out)
+    back = read_csv_dataset(spark, out)
+    assert dict(back.dtypes) == {"f1": "double", "f2": "boolean",
+                                 "f3": "string", "category": "string"}
+    assert (sorted(map(tuple, back.collect()))
+            == sorted(map(tuple, df.collect())))
+
+
+def test_csv_dataset_writer_no_category(tmp_path, spark):
+    import glob
+    from kgp.sources import write_csv_dataset
+    df = spark.createDataFrame([(1.0, "pos")],
+                               "f1 double, category string")
+    out = str(tmp_path / "ds")
+    write_csv_dataset(df.coalesce(1), out, write_category=False)
+    files = sorted(glob.glob(out + "/part-*"))
+    assert open(files[0]).read().splitlines() == ["f1", "1.0"]
