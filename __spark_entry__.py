@@ -2208,6 +2208,34 @@ def _q_context_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("pattern"))
 
 
+def _q_tudloc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUD-Loc-2013 reader (kgp.tudloc, TudLoc2013DatasetIterable
+    .java:47-181): per-doc file contents from the GATE_TEMPLATES bank
+    (doc_id %% 5), parsed by the distributed annotation stage, with a
+    coordinate bank joined by (variant, offset).  The oracle
+    hand-derives every annotation row — offsets, LocationType
+    mapping, Java String.hashCode ids, main-role index — in SQL."""
+    from kgp.tudloc import GATE_TEMPLATES, tudloc_annotations_stage
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    d = F.col("doc_id")
+    content = F.element_at(
+        F.array(*[F.lit(t) for t in GATE_TEMPLATES]),
+        (d % 5).cast("int") + 1)
+    files = docs.select(d.cast("string").alias("file_name"),
+                        content.alias("content"))
+    anns = tudloc_annotations_stage(files)
+    coords = spark.createDataFrame(
+        [(0, 8, 51.05, 13.74), (2, 23, 48.858, 2.294)],
+        "variant int, offset long, lat double, lon double")
+    anns = anns.withColumn(
+        "variant", (F.col("file_name").cast("long") % 5).cast("int"))
+    out = (anns.join(F.broadcast(coords), ["variant", "offset"], "left")
+           .select("file_name", "idx", "offset", "value", "loc_type",
+                   "loc_id", "is_main", "lat", "lon"))
+    return out.orderBy(F.col("file_name").cast("long"), "idx")
+
+
 def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureSelector greedy forward wrapper selection
     (kgp.featuresel.feature_selection, FeatureSelector.java:139-195)
@@ -2594,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snowball_stems": _q_snowball_stems,
         "baseline_links": _q_baseline_links,
         "context_patterns": _q_context_patterns,
+        "tudloc_annotations": _q_tudloc_annotations,
         "feature_selection_rank": _q_feature_selection,
         "feed_meta": _q_feed_meta,
         "dataset_join": _q_dataset_join,
@@ -2786,6 +2815,7 @@ def oracle_sql() -> dict[str, str]:
         "snowball_stems": _oracle.snowball_stems_sql(),
         "baseline_links": _oracle.baseline_links_sql(),
         "context_patterns": _oracle.context_patterns_sql(),
+        "tudloc_annotations": _oracle.tudloc_annotations_sql(),
         "feature_selection_rank": _oracle.feature_selection_rank_sql(),
         "feed_meta": _oracle.feed_meta_sql(),
         "dataset_join": _oracle.dataset_join_sql(),

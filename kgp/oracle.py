@@ -5153,6 +5153,37 @@ WHERE rn = 1 AND total >= 5
 ORDER BY pattern"""
 
 
+def tudloc_annotations_sql() -> str:
+    """Mirror of the tudloc_annotations gate (TudLoc2013Dataset
+    Iterable.java:70-174): every template's annotation rows are
+    HAND-DERIVED — plain-text offsets (incl. the nested-markup
+    cumulated-length case), LocationType.map, role="main" ordinal,
+    and the Java String.hashCode ids inlined as spec constants — so a
+    kgp.tudloc twin bug mismatches."""
+    return """
+WITH docs AS (
+  SELECT doc_id, CAST(doc_id % 5 AS INT) AS v FROM documents
+), ann(v, idx, "offset", value, loc_type, loc_id, is_main) AS (VALUES
+  (0, CAST(0 AS BIGINT), CAST(8 AS BIGINT), 'Dresden', 'CITY',
+   CAST(-713734991 AS BIGINT), true),
+  (0, 1, 19, 'Germany', 'COUNTRY', 1588421523, false),
+  (1, 0, 6, 'Bar', 'UNDETERMINED', 66547, false),
+  (2, 0, 0, 'Eiffel Tower', 'POI', 362606260, false),
+  (2, 1, 23, 'Paris', 'CITY', 76884331, true),
+  (4, 0, 4, 'New York', 'CITY', 1382994575, false)
+), coord(v, "offset", lat, lon) AS (VALUES
+  (0, CAST(8 AS BIGINT), CAST(51.05 AS DOUBLE),
+   CAST(13.74 AS DOUBLE)),
+  (2, 23, 48.858, 2.294)
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS file_name, a.idx, a."offset",
+       a.value, a.loc_type, a.loc_id, a.is_main, c.lat, c.lon
+FROM docs d
+JOIN ann a ON a.v = d.v
+LEFT JOIN coord c ON c.v = a.v AND c."offset" = a."offset"
+ORDER BY d.doc_id, a.idx"""
+
+
 def feature_selection_rank_sql() -> str:
     """Mirror of the feature_selection_rank gate (FeatureSelector.
     java:139-195, forward): shared NB term table, then FOUR unrolled
