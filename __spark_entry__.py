@@ -2236,6 +2236,34 @@ def _q_tudloc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("file_name").cast("long"), "idx")
 
 
+_GEOTEXT_TEMPLATES = (
+    "at the café on main st", "raining again in the city",
+    "go vols! game day", "new phone who dis")
+
+
+def _q_geotext_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoText scope-dataset reader (kgp.geotext, GeoTextDatasetReader
+    .java:33-227): full_text.txt lines synthesized closed-form from
+    doc_id (hex user ids so the base-16 parse is exercised, exact
+    half/quarter coordinates, 4 text variants incl. a latin-1 é),
+    read in SINGLE mode with the TRAIN subset filter.  The oracle
+    reconstructs user/fold/coords symbolically and inlines the four
+    ISO-8859-1 sha1 digests as spec constants."""
+    from kgp.geotext import geotext_docs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    d = F.col("doc_id")
+    text = F.element_at(
+        F.array(*[F.lit(t) for t in _GEOTEXT_TEMPLATES]),
+        (d % 4).cast("int") + 1)
+    line = F.concat(
+        F.lit("USER_"), F.hex(d % 29), F.lit("\tx\ty\t"),
+        (d % 90).cast("string"), F.lit(".5\t-"),
+        (d % 180).cast("string"), F.lit(".25\t"), text)
+    out = geotext_docs(docs.select(line.alias("value")), "TRAIN")
+    return out.orderBy("user_name", "doc_name", "lat")
+
+
 def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureSelector greedy forward wrapper selection
     (kgp.featuresel.feature_selection, FeatureSelector.java:139-195)
@@ -2623,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "baseline_links": _q_baseline_links,
         "context_patterns": _q_context_patterns,
         "tudloc_annotations": _q_tudloc_annotations,
+        "geotext_docs": _q_geotext_docs,
         "feature_selection_rank": _q_feature_selection,
         "feed_meta": _q_feed_meta,
         "dataset_join": _q_dataset_join,
@@ -2816,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         "baseline_links": _oracle.baseline_links_sql(),
         "context_patterns": _oracle.context_patterns_sql(),
         "tudloc_annotations": _oracle.tudloc_annotations_sql(),
+        "geotext_docs": _oracle.geotext_docs_sql(),
         "feature_selection_rank": _oracle.feature_selection_rank_sql(),
         "feed_meta": _oracle.feed_meta_sql(),
         "dataset_join": _oracle.dataset_join_sql(),

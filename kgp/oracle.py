@@ -5184,6 +5184,40 @@ LEFT JOIN coord c ON c.v = a.v AND c."offset" = a."offset"
 ORDER BY d.doc_id, a.idx"""
 
 
+def geotext_docs_sql() -> str:
+    """Mirror of the geotext_docs gate (GeoTextDatasetReader.java:
+    113-161, SINGLE + TRAIN): user/fold/coordinates reconstructed
+    symbolically from doc_id (the hex round-trip collapses), the four
+    ISO-8859-1 SHA-1 digests inlined as spec constants."""
+    texts = ("at the café on main st", "raining again in the city",
+             "go vols! game day", "new phone who dis")
+    shas = ("e5d7cc473f173a3948b65c96e9172d960f377a25",
+            "0a414f6061f55443130b9e97a8d913c5411ceb36",
+            "344b0c9c8f685e5fcfea94768634b2afb83ae453",
+            "dbe03a96cc873a551f8a6dc06b56f29bac9aa4bf")
+    text_case = " ".join(f"WHEN {i} THEN '{t.replace(chr(39), chr(39)*2)}'"
+                         for i, t in enumerate(texts))
+    sha_case = " ".join(f"WHEN {i} THEN '{s}'"
+                        for i, s in enumerate(shas))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         'USER_' || upper(to_hex(doc_id % 29)) AS user_name,
+         CAST(CASE WHEN (doc_id % 29) % 5 = 0 THEN 5
+                   ELSE (doc_id % 29) % 5 END AS INT) AS fold,
+         CAST(doc_id % 90 AS DOUBLE) + 0.5 AS lat,
+         -(CAST(doc_id % 180 AS DOUBLE) + 0.25) AS lon,
+         CASE doc_id % 4 {text_case} END AS text,
+         CASE doc_id % 4 {sha_case} END AS sha
+  FROM documents
+)
+SELECT user_name || '#' || sha AS doc_name, user_name, fold,
+       lat, lon, text
+FROM base
+WHERE fold IN (1, 2, 3)
+ORDER BY user_name, doc_name, lat"""
+
+
 def feature_selection_rank_sql() -> str:
     """Mirror of the feature_selection_rank gate (FeatureSelector.
     java:139-195, forward): shared NB term table, then FOUR unrolled
