@@ -2264,6 +2264,25 @@ def _q_geotext_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_name", "doc_name", "lat")
 
 
+def _q_wiki_scope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikipedia scope-dataset reader (kgp.wikiscope,
+    WikipediaLocationScopeIterator.java:28-125): per-doc markup from
+    the GATE_MARKUPS bank (doc_id %% 4), parsed by the one-Arrow-pass
+    stage.  The oracle hand-derives the clean texts and the
+    parseComponents coordinate arithmetic."""
+    from kgp.wikiscope import GATE_MARKUPS, wikiscope_stage
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    d = F.col("doc_id")
+    markup = F.element_at(
+        F.array(*[F.lit(m) for m in GATE_MARKUPS]),
+        (d % 4).cast("int") + 1)
+    files = docs.select(d.cast("string").alias("file_name"),
+                        markup.alias("markup"))
+    return (wikiscope_stage(files)
+            .orderBy(F.col("file_name").cast("long")))
+
+
 def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureSelector greedy forward wrapper selection
     (kgp.featuresel.feature_selection, FeatureSelector.java:139-195)
@@ -2652,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_patterns": _q_context_patterns,
         "tudloc_annotations": _q_tudloc_annotations,
         "geotext_docs": _q_geotext_docs,
+        "wiki_scope_docs": _q_wiki_scope_docs,
         "feature_selection_rank": _q_feature_selection,
         "feed_meta": _q_feed_meta,
         "dataset_join": _q_dataset_join,
@@ -2846,6 +2866,7 @@ def oracle_sql() -> dict[str, str]:
         "context_patterns": _oracle.context_patterns_sql(),
         "tudloc_annotations": _oracle.tudloc_annotations_sql(),
         "geotext_docs": _oracle.geotext_docs_sql(),
+        "wiki_scope_docs": _oracle.wiki_scope_docs_sql(),
         "feature_selection_rank": _oracle.feature_selection_rank_sql(),
         "feed_meta": _oracle.feed_meta_sql(),
         "dataset_join": _oracle.dataset_join_sql(),

@@ -5218,6 +5218,32 @@ WHERE fold IN (1, 2, 3)
 ORDER BY user_name, doc_name, lat"""
 
 
+def wiki_scope_docs_sql() -> str:
+    """Mirror of the wiki_scope_docs gate (WikipediaLocationScope
+    Iterator.java:86-106): clean texts HAND-derived from the markup
+    bank; coordinates mirror MediaWikiUtil.parseComponents
+    (d + m/60 + s/3600, :606-613) term-for-term so the IEEE result is
+    bit-identical; inline-only display and no-coordinate variants
+    keep the document with a null scope."""
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS file_name,
+       CASE doc_id % 4
+         WHEN 0 THEN 'Dresden is a city. More text here.'
+         WHEN 1 THEN 'Paris is the capital of France.'
+         WHEN 2 THEN 'Plain article with links and no coordinate.'
+         WHEN 3 THEN 'Just some text about nothing.'
+       END AS clean_text,
+       CASE doc_id % 4
+         WHEN 0 THEN 51 + 3/60.0 + 0/3600.0
+         WHEN 1 THEN CAST(48.8566 AS DOUBLE)
+       END AS lat,
+       CASE doc_id % 4
+         WHEN 0 THEN 13 + 44/60.0 + 0/3600.0
+         WHEN 1 THEN CAST(2.3522 AS DOUBLE)
+       END AS lon
+FROM documents ORDER BY doc_id"""
+
+
 def feature_selection_rank_sql() -> str:
     """Mirror of the feature_selection_rank gate (FeatureSelector.
     java:139-195, forward): shared NB term table, then FOUR unrolled
