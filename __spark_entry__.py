@@ -2283,6 +2283,25 @@ def _q_wiki_scope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("file_name").cast("long")))
 
 
+def _q_twitter_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentiment140 reader + Go et al. 2009 normalizations
+    (kgp.twittersentiment, TwitterSentimentDatasetIterator.java:
+    37-110): per-doc CSV lines from the GATE_LINES bank (doc_id %% 5)
+    through the one-Arrow-pass converter; the oracle hand-derives the
+    normalized (category, text) per variant."""
+    from kgp.twittersentiment import (GATE_LINES,
+                                      twitter_sentiment_stage)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    d = F.col("doc_id")
+    line = F.element_at(
+        F.array(*[F.lit(l) for l in GATE_LINES]),
+        (d % 5).cast("int") + 1)
+    lines = docs.select(d.alias("doc_id"), line.alias("value"))
+    out = twitter_sentiment_stage(lines)
+    return out.orderBy("category", "text")
+
+
 def _q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureSelector greedy forward wrapper selection
     (kgp.featuresel.feature_selection, FeatureSelector.java:139-195)
@@ -2672,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tudloc_annotations": _q_tudloc_annotations,
         "geotext_docs": _q_geotext_docs,
         "wiki_scope_docs": _q_wiki_scope_docs,
+        "twitter_sentiment": _q_twitter_sentiment,
         "feature_selection_rank": _q_feature_selection,
         "feed_meta": _q_feed_meta,
         "dataset_join": _q_dataset_join,
@@ -2867,6 +2887,7 @@ def oracle_sql() -> dict[str, str]:
         "tudloc_annotations": _oracle.tudloc_annotations_sql(),
         "geotext_docs": _oracle.geotext_docs_sql(),
         "wiki_scope_docs": _oracle.wiki_scope_docs_sql(),
+        "twitter_sentiment": _oracle.twitter_sentiment_sql(),
         "feature_selection_rank": _oracle.feature_selection_rank_sql(),
         "feed_meta": _oracle.feed_meta_sql(),
         "dataset_join": _oracle.dataset_join_sql(),

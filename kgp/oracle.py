@@ -5244,6 +5244,28 @@ SELECT CAST(doc_id AS VARCHAR) AS file_name,
 FROM documents ORDER BY doc_id"""
 
 
+def twitter_sentiment_sql() -> str:
+    """Mirror of the twitter_sentiment gate
+    (TwitterSentimentDatasetIterator.java:78-103): the normalized
+    (category, text) of every GATE_LINES variant HAND-derived — the
+    quote-aware split, replaceWord boundary/casing rules, and the
+    ASCII repeated-letter collapse are all pre-applied by hand, so a
+    kgp.twittersentiment twin bug mismatches."""
+    return """
+SELECT CASE doc_id % 5 WHEN 0 THEN '0' WHEN 1 THEN '4'
+       WHEN 2 THEN '2' WHEN 3 THEN '0' WHEN 4 THEN '4'
+       END AS category,
+       CASE doc_id % 5
+         WHEN 0 THEN
+           'USERNAME check URL I am soo huungry for QUERY_TERM now'
+         WHEN 1 THEN 'I love it, really cool stuff'
+         WHEN 2 THEN 'my QUERY_TERM concatenates cat-like things'
+         WHEN 3 THEN 'wow!!!! yes__no aab'
+         WHEN 4 THEN 'see URL and USERNAME now'
+       END AS text
+FROM documents ORDER BY category, text"""
+
+
 def feature_selection_rank_sql() -> str:
     """Mirror of the feature_selection_rank gate (FeatureSelector.
     java:139-195, forward): shared NB term table, then FOUR unrolled
