@@ -24,7 +24,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -538,3 +538,36 @@ def expected_canon() -> dict[int, int]:
         m[C.ORG_ALIAS_ID + i] = C.ORG_ID + i
     m[C.ORG_CHAIN_ID] = C.ORG_ID  # 3-node chain: 2200 -> 2100 -> 2000
     return m
+
+
+def import_hotelsbase(lines: DataFrame, max_id: int = 0) -> DataFrame:
+    """HotelsBase gazetteer importer — port of HotelsBaseImporter
+    (extraction/location/sources/importers/HotelsBaseImporter.java:
+    57-77): '~'-split lines; the header (line 0) and lines with < 15
+    parts are skipped; name = parts[1] with &amp; -> &; coordinate
+    from parts 12/13; every location is a POI with null population;
+    id = locationStore.getHighestId() + 1-based line number.
+
+    Spark shape: the parse is pure JVM (split / replace / casts).
+    The reference's line-number id needs the file order: ONE
+    row_number window over ``monotonically_increasing_id`` — fine
+    here because a gazetteer import is the SMALL side by definition
+    (the store the reference writes into is the broadcast side of
+    every downstream join); callers at true bulk scale can pass
+    pre-numbered lines instead.
+    """
+    parts = F.split(F.col("value"), "~", -1)
+    w = Window.orderBy("_ord")
+    return (lines
+            .withColumn("_ord", F.monotonically_increasing_id())
+            .withColumn("_line", F.row_number().over(w) - 1)
+            .where((F.col("_line") > 0) & (F.size(parts) >= 15))
+            .select(
+                (F.col("_line") + max_id).cast("long").alias("id"),
+                F.regexp_replace(parts[1], "&amp;", "&").alias("name"),
+                F.array().cast("array<string>").alias("alt_names"),
+                F.lit("POI").alias("type"),
+                F.lit(None).cast("long").alias("population"),
+                F.array().cast("array<long>").alias("ancestor_ids"),
+                parts[12].cast("double").alias("lat"),
+                parts[13].cast("double").alias("lon")))

@@ -66,3 +66,25 @@ def test_gazetteer(spark):
     canon = expected_canon()
     assert canon[C.ORG_CHAIN_ID] == C.ORG_ID
     assert canon[C.ORG_ALIAS_ID + 1] == C.ORG_ID + 1
+
+
+def test_hotelsbase_importer(spark):
+    """HotelsBaseImporter.java:57-77: header + short lines skipped,
+    &amp; unescaped, POI type, line-number ids above max_id."""
+    from kgp.corpus import import_hotelsbase
+    lines = [
+        "id~name~x~x~x~x~x~x~x~x~x~x~lat~lng~z",            # header
+        "1~Grand &amp; Small Hotel~a~b~c~d~e~f~g~h~i~j~51.5~-0.1~z",
+        "2~short~line",                                      # < 15 parts
+        "3~Beach Resort~a~b~c~d~e~f~g~h~i~j~-33.86~151.2~z",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    out = {r["id"]: r for r in
+           import_hotelsbase(df.coalesce(1), max_id=500).collect()}
+    assert set(out) == {501, 503}
+    assert out[501]["name"] == "Grand & Small Hotel"
+    assert (out[501]["lat"], out[501]["lon"]) == (51.5, -0.1)
+    assert out[503]["type"] == "POI" and out[503]["population"] is None
+    # importable into the linking pipeline's gazetteer shape
+    from kgp.linker import expand_gazetteer
+    assert expand_gazetteer(import_hotelsbase(df, 0)).count() == 2
