@@ -104,3 +104,41 @@ def test_stage_plan_shape(spark):
     # ONE Arrow scan, no per-row python
     assert plan.count("FlatMapsInPandas") <= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_reference_html_helper_strip_tags_goldens():
+    """The reference's OWN HtmlHelperTest.testStripTags
+    (HtmlHelperTest.java:53-79), incl. the md5 golden over its
+    removeHtmlTest.html fixture."""
+    import hashlib
+    from kgp.contextpatterns import join_tags_and_remove_newlines
+
+    h = ('<html lang="en-us"> <script language="JavaScript" '
+         'type="text/javascript">var MKTCOUNTRY = "USA"</script>'
+         "this is relevant <!-- function open_doc (docHref) "
+         "{document.location.href = '/sennheiser/home_de.nsf/' + "
+         "docHref;}--> </html>")
+    assert strip_html_tags(
+        join_tags_and_remove_newlines(h)).strip() == "this is relevant"
+
+    fixture = ("/root/reference/palladian-commons/src/test/resources/"
+               "removeHtmlTest.html")
+    # FileHelper.readFileToString appends "\n" after EVERY readLine
+    # (FileHelper.java:351-354) — mirror it or the md5 shifts
+    raw = open(fixture, encoding="utf-8").read()
+    content = "".join(l + "\n" for l in raw.splitlines())
+    result = strip_html_tags(content)
+    assert hashlib.md5(result.encode("utf-8")).hexdigest() == \
+        "65efc6cba6ae65e3e53e15c07e491fc4"
+
+    h = ('<style type="text/css">#abca{}</style><a>some text\n1</a>'
+         "<br />\n\n\n<script>another text</script>")
+    assert strip_html_tags(join_tags_and_remove_newlines(h)) == \
+        "some text1"
+    h = ('<style type="text/css">#abca{}</style><a>some text\n 2</a>'
+         "<br />")
+    assert strip_html_tags(join_tags_and_remove_newlines(h)) == \
+        "some text 2"
+    # '<' that opens no tag survives
+    assert strip_html_tags("It weights <3 tons<br />(bridge)") == \
+        "It weights <3 tons(bridge)"
