@@ -65,6 +65,28 @@ def join_tags_and_remove_newlines(text: str | None) -> str | None:
     return text.replace("\n", "")
 
 
+def html_to_readable_text(html: str) -> str:
+    """HtmlHelper.htmlToReadableText (HtmlHelper.java:380-385):
+    <br>/<li> -> newline, </p> -> blank line, strip tags, trim."""
+    html = re.sub(r"<(br|li)\s?/?>", "\n", html, flags=re.IGNORECASE)
+    html = re.sub(r"</p>", "\n\n", html, flags=re.IGNORECASE)
+    return strip_html_tags(html).strip()
+
+
+def html_to_readable_text_col(col):
+    """The same chain as pure JVM column expressions (the regexes are
+    Java-identical by construction)."""
+    from pyspark.sql import functions as F
+    c = F.regexp_replace(col, r"(?i)<(br|li)\s?/?>", "\n")
+    c = F.regexp_replace(c, r"(?i)</p>", "\n\n")
+    c = F.regexp_replace(
+        c, r"(?is)<!--.*?-->|<script.*?>.*?</script>"
+           r"|<style.*?>.*?</style>|<[^<]*?>", "")
+    # Java String.trim strips every char <= U+0020 (F.trim only
+    # strips spaces)
+    return F.regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+
+
 def line_contexts(line: str, direction: str = "LEFT", size: int = 1,
                   categories: tuple[str, ...] | None = None
                   ) -> list[tuple[str, str]]:

@@ -142,3 +142,29 @@ def test_reference_html_helper_strip_tags_goldens():
     # '<' that opens no tag survives
     assert strip_html_tags("It weights <3 tons<br />(bridge)") == \
         "It weights <3 tons(bridge)"
+
+
+def test_reference_html_to_readable_text_goldens(spark):
+    """HtmlHelperTest.testHtmlToReadableText (HtmlHelperTest.java:
+    43-49) — scalar twin AND the pure-JVM column chain."""
+    from kgp.contextpatterns import (html_to_readable_text,
+                                     html_to_readable_text_col)
+    s1 = ("Event: Dropkick Murphys<br>Venue: Aragon Ballroom<br>"
+          "Start: 2/22/2013 7:00:00 PM<br>Category: CONCERTS "
+          "ALTERNATIVE")
+    s2 = ('<p class="standfirst">David Cameron describes dismissal '
+          "of claims that EU law gives prisoners right to vote as 'a "
+          "great victory for common sense'</p><p>Two convicted "
+          "murderers who argued that European Union law gave them "
+          "the right to vote in UK elections have had their appeals "
+          "dismissed by the supreme court at Westminster.</p>")
+    s3 = "".join(
+        f'<li><b><a href="http://x/{i}">headline {i}</a></b></li>'
+        + ("  " if i in (4, 5) else "") for i in range(6))
+    assert len(html_to_readable_text(s1).split("\n")) == 4
+    assert len(html_to_readable_text(s2).split("\n\n")) == 2
+    assert len(html_to_readable_text(s3).split("\n")) == 6
+    df = spark.createDataFrame([(s1,), (s2,), (s3,)], "h string")
+    got = [r[0] for r in
+           df.select(html_to_readable_text_col(F.col("h"))).collect()]
+    assert got == [html_to_readable_text(s) for s in (s1, s2, s3)]
