@@ -37,6 +37,7 @@ from __future__ import annotations
 import re
 from typing import NamedTuple
 
+from kgp import dates as _dates
 from kgp.dates import (ALL_DATE_FORMATS, DATE_ANSI_C, DATE_RFC_1123,
                        DateFormat, _df, _g)
 
@@ -106,6 +107,39 @@ DATE_ISO8601_YM = _df(_g(YEAR_SHORT_LONG) + "-"
                       + _g(MONTH_NUMBER_DOUBLE), "YYYY-MM")
 DATE_ISO8601_YW = _df(LONG_YEAR + "-" + _g(WEEK_OF_YEAR), "YYYY-WW")
 
+# ---- remaining RegExp bank members (RegExp.java:111-226) ------------
+
+MONTH_NAME_SHORT = (
+    r"(?:[Aa]pr|[Aa]ug|[Dd]e[cz]|[Ff]eb|[Jj]an|[Jj]u[ln]|[Mm]a[iry]"
+    r"|[Mm]är|[Nn]ov|[Oo][ck]t|[Ss]ept?"
+    r"|APR|AUG|DE[CZ]|FEB|JAN|JU[LN]|MA[IRY]|MÄR|NOV|O[CK]T|SEPT?)\.?")
+
+DATE_ISO8601_YD_T = _df(
+    LONG_YEAR + "-" + _g(DAY_OF_YEAR) + ISO_TIME,
+    "YYYY-DDDTHH:MM:SS+HH:MM")
+DATE_ISO8601_YWD_T = _df(
+    LONG_YEAR + "-" + _g(WEEK_OF_YEAR) + "-" + DAY_OF_WEEK + ISO_TIME,
+    "YYYY-WW-DTHH:MM:SS+HH:MM")
+DATE_ISO8601_YWD_NO = _df(
+    LONG_YEAR + _g(WEEK_OF_YEAR) + DAY_OF_WEEK, "YYYYWWD")
+DATE_ISO8601_YW_NO = _df(LONG_YEAR + _g(WEEK_OF_YEAR), "YYYYWW")
+DATE_ISO8601_YD_NO = _df(LONG_YEAR + _g(DAY_OF_YEAR), "YYYYDDD")
+DATE_MMM_DD_HH_MM_SS_TZ_YYYY = _df(
+    _g(MONTH_NAME_SHORT) + r"\s" + _g(_dates.DAY_OF_MONTH_1_2)
+    + r"\s" + _g(_dates.TIME) + TIMEZONE + r"\s" + LONG_YEAR,
+    "MMM DD HH:MM:SS TZ YYYY")
+DATE_EU_MM_Y = _df(
+    _g(_dates.MONTH_NUMBER_NORMAL) + "[/._-]" + _g(YEAR_SHORT_LONG),
+    "MM.YYYY")
+_USA_MDY_SEP = "|".join(
+    _g(_dates.MONTH_NUMBER_NORMAL) + sep + _g(_dates.DAY_OF_MONTH_1_2)
+    + sep + _g(YEAR_SHORT_LONG) for sep in (r"\.", "-", "_"))
+DATE_USA_MM_D_Y_SEPARATOR = _df(_USA_MDY_SEP, "MM/DD/YYYY")
+DATE_USA_MM_D_Y_T_SEPARATOR = _df(
+    _g(_USA_MDY_SEP) + _dates.TIME_SEPARATOR + _g(_dates.TIME)
+    + "(?:" + DIFF_UTC + "|" + TIMEZONE + ")?",
+    "MM/DD/YYYY HH:MM:SS +UTC")
+
 # RegExp.RFC_FORMATS == HTTP_DATES (RegExp.java:297-298, 332)
 HTTP_DATES: "list[DateFormat]" = None  # set below
 
@@ -119,6 +153,72 @@ HTML_HEAD_DATES: list[DateFormat] = [
 
 HTTP_DATES = [DATE_ANSI_C_TZ, DATE_ANSI_C, DATE_RFC_1036_UTC,
               DATE_RFC_1036, DATE_RFC_1123_UTC, DATE_RFC_1123]
+
+# RegExp.RELATIVE_DATES (RegExp.java:287-343): "<n> <unit> ago"
+RELATIVE_DATES: "list[DateFormat]" = [
+    _df(r"\d* (minute|minutes) ago", "min"),
+    _df(r"\d* (hour|hours) ago", "hour"),
+    _df(r"\d* (day|days) ago", "day"),
+    _df(r"\d* (month|months) ago", "mon"),
+    _df(r"\d* (year|years) ago", "year"),
+]
+
+_RELATIVE_MS = {"min": 60_000, "hour": 3_600_000, "day": 86_400_000,
+                "mon": 30 * 86_400_000, "year": 365 * 86_400_000}
+
+
+def find_relative_date(text: str,
+                       current_time_ms: int) -> ParsedDate | None:
+    """DateParser.findRelativeDate (:261-289): first matching
+    relative format wins; months are 30 days, years 365 (rounded, as
+    upstream documents).  The reference converts the millisecond
+    instant through a default-zone Calendar; this port pins UTC
+    (deterministic; every test vector is hours away from midnight)."""
+    import datetime as _dt
+    for fmt in RELATIVE_DATES:
+        m = fmt.pattern.search(text)
+        if m:
+            number = _java_int(m.group().split(" ")[0])
+            rel = current_time_ms - number * _RELATIVE_MS[fmt.fmt]
+            cal = _dt.datetime.fromtimestamp(rel / 1000.0,
+                                             _dt.timezone.utc)
+            return ParsedDate(m.group(), fmt.fmt, cal.year, cal.month,
+                              cal.day, cal.hour, cal.minute,
+                              cal.second, None)
+    return None
+
+
+# RegExp.ALL_DATE_FORMATS — the COMPLETE reference bank in its exact
+# construction order (RegExp.java:295-359: RFC > TIME > THREE_PART >
+# TWO_PART > ONE_PART).  kgp.dates.ALL_DATE_FORMATS is the compact
+# tagger subset from earlier rounds; findDate/findDates default to
+# THIS bank, matching DateParser.
+REF_ALL_DATE_FORMATS: list[DateFormat] = (
+    # RFC_FORMATS
+    [DATE_ANSI_C_TZ, DATE_ANSI_C, DATE_RFC_1036_UTC, DATE_RFC_1036,
+     DATE_RFC_1123_UTC, DATE_RFC_1123]
+    # TIME_FORMATS
+    + [DATE_ISO8601_YD_T, DATE_ISO8601_YMD_T, DATE_ISO8601_YWD_T,
+       _dates.TIME_FORMATS[1], _dates.TIME_FORMATS[2],
+       _dates.TIME_FORMATS[3], _dates.TIME_FORMATS[4],
+       DATE_USA_MM_D_Y_T_SEPARATOR, DATE_MMM_DD_HH_MM_SS_TZ_YYYY]
+    # THREE_PART_FORMATS
+    + [DATE_ISO8601_YMD, _dates.THREE_PART_FORMATS[1],
+       _dates.THREE_PART_FORMATS[2], _dates.THREE_PART_FORMATS[3],
+       _dates.THREE_PART_FORMATS[4], _dates.THREE_PART_FORMATS[5],
+       DATE_ISO8601_YWD, _dates.DATE_URL_D,
+       DATE_USA_MM_D_Y_SEPARATOR, _dates.THREE_PART_FORMATS[6],
+       DATE_ISO8601_YMD_SEPARATOR]
+    # TWO_PART_FORMATS
+    + [DATE_ISO8601_YD, DATE_ISO8601_YM, DATE_ISO8601_YW,
+       _dates.TWO_PART_FORMATS[1], _dates.TWO_PART_FORMATS[2],
+       _dates.TWO_PART_FORMATS[3], _dates.TWO_PART_FORMATS[4],
+       _dates.TWO_PART_FORMATS[5], _dates.TWO_PART_FORMATS[6],
+       DATE_EU_MM_Y, _dates.DATE_URL]
+    # ONE_PART_FORMATS
+    + [DATE_ISO8601_YD_NO, _dates.DATE_ISO8601_YMD_NO,
+       DATE_ISO8601_YW_NO, DATE_ISO8601_YWD_NO]
+)
 
 CONTEXT_YEAR = 2026  # pinned "current year" for get4DigitYear
 
@@ -163,9 +263,11 @@ def _java_int(s: str) -> int:
     return int(s)
 
 def month_name_to_number(name: str) -> int:
-    """DateHelper.monthNameToNumber essentials: name (any case,
-    optional trailing period) -> 1..12, or -1."""
-    key = name.strip().rstrip(".").lower()
+    """DateHelper.monthNameToNumber (DateHelper.java:116-122):
+    commas, periods and spaces stripped ANYWHERE, lowercased ->
+    1..12, or -1."""
+    key = name.replace(",", "").replace(".", "").replace(" ", "") \
+        .lower()
     return _MONTHS.get(key, -1)
 
 
@@ -382,6 +484,29 @@ def _dispatch(lg: _Logic, ds: str, fmt: str) -> None:
         lg.set_date_by_week_of_year(ds, False, True)
     elif fmt == "YYYY-DDD":
         lg.set_date_by_day_of_year(ds, True)
+    elif fmt == "YYYY-DDDTHH:MM:SS+HH:MM":
+        sep = "T" if "T" in ds else " "
+        temp = ds.split(sep)
+        lg.set_date_by_day_of_year(temp[0], True)
+        lg.set_time_values(temp[1])
+    elif fmt == "YYYY-WW-DTHH:MM:SS+HH:MM":
+        sep = "T" if "T" in ds else " "
+        temp = ds.split(sep)
+        lg.set_date_by_week_of_year(temp[0], True, True)
+        lg.set_time_values(temp[1])
+    elif fmt == "YYYYWWD":
+        lg.set_date_by_week_of_year(ds, True, False)
+    elif fmt == "YYYYWW":
+        lg.set_date_by_week_of_year(ds, False, False)
+    elif fmt == "YYYYDDD":
+        lg.set_date_by_day_of_year(ds, False)
+    elif fmt == "MMM DD HH:MM:SS TZ YYYY":
+        parts = ds.split(" ")
+        lg.set_date_values(parts, 3, 0, 1)
+        lg.set_time_values(parts[2])
+    elif fmt == "MM.YYYY":
+        lg.set_date_values(re.split(_separator_regex(ds), ds),
+                           1, 0, -1)
     elif fmt == "YYYYMMDD":
         lg.year = _java_int(ds[0:4])
         lg.month = _java_int(ds[4:6])
@@ -629,8 +754,9 @@ def _find_parsed(text: str, fmt: DateFormat) -> list[ParsedDate]:
 def find_date(text: str,
               formats: list[DateFormat] | None = None) -> ParsedDate | None:
     """DateParser.findDate (:107-131): first format that yields a
-    date wins."""
-    fmts = formats if formats is not None else ALL_DATE_FORMATS
+    date wins; the default bank is the reference's full
+    RegExp.ALL_DATE_FORMATS (REF_ALL_DATE_FORMATS)."""
+    fmts = formats if formats is not None else REF_ALL_DATE_FORMATS
     for fmt in fmts:
         dates = _find_parsed(text, fmt)
         if dates:
