@@ -128,17 +128,23 @@ def replace_html_symbols(text: str) -> str:
 def find_all_dates(text: str) -> list[FoundDate]:
     """ContentDateGetter.findAllDates (:313-338) — like
     DateParser.findDates but with ONLY the digit-neighbor rejection
-    (no dot rule), matching on the progressively masked text."""
+    (no dot rule), over the FULL RegExp.ALL_DATE_FORMATS bank, and
+    with the reference's as-written neighbor OVERWRITE: the
+    right-neighbor check unconditionally replaces the left-neighbor
+    verdict whenever end < length (:318-326), so a left-digit with a
+    right-non-digit is ACCEPTED."""
+    from kgp.dateparse import REF_ALL_DATE_FORMATS
     out: list[FoundDate] = []
     if not re.search(r"\d", text):
         return out
     current = text
-    for fmt in ALL_DATE_FORMATS:
+    for fmt in REF_ALL_DATE_FORMATS:
         for m in fmt.pattern.finditer(current):
             start, end = m.start(), m.end()
-            if start > 0 and current[start - 1].isdigit():
-                continue
-            if end < len(current) and current[end].isdigit():
+            digit_neighbor = start > 0 and current[start - 1].isdigit()
+            if end < len(current):
+                digit_neighbor = current[end].isdigit()
+            if digit_neighbor:
                 continue
             out.append(FoundDate(start, m.group(), fmt.fmt))
         for d in out:

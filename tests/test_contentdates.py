@@ -28,8 +28,18 @@ def test_find_all_dates_masks_and_digit_rule():
     from kgp.contentdates import find_all_dates
     found = find_all_dates("on 2010-07-20 and again 2010-07-20.")
     assert [f.value for f in found] == ["2010-07-20", "2010-07-20"]
-    # digit neighbor rejects
-    assert find_all_dates("id 92010-07-20") == []
+    # digit neighbor: the full YMD match ends at text end, so the
+    # left-digit verdict stands (rejected) — but the reference's
+    # as-written right-neighbor OVERWRITE (ContentDateGetter.java:
+    # 318-326) then ACCEPTS the shorter YYYY-MM slice, whose right
+    # neighbor is '-'
+    assert [f.value for f in find_all_dates("id 92010-07-20")] == [
+        "2010-07"]
+    # fully digit-bounded full dates rejected; the '-'-bounded
+    # YYYY-MM slice again survives via the overwrite
+    assert [f.value for f in find_all_dates("92010-07-203")] == [
+        "2010-07"]
+    assert find_all_dates("920103") == []
 
 
 def test_parse_parts_families():
