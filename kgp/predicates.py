@@ -48,28 +48,553 @@ PREDICATE_CANON: dict[str, str] = {
     "capital_city_of": "capital_of",
 }
 
-# Irregular verbs (used subset of the reference's irregularVerbs.csv,
-# loaded at WordTransformer.java:140-155): past/participle → present.
-IRREGULAR_VERBS: dict[str, str] = {
-    "was": "be", "were": "be", "been": "be", "is": "be", "are": "be",
-    "has": "have", "had": "have",
-    "went": "go", "gone": "go",
-    "ran": "run", "held": "hold", "led": "lead", "made": "make",
-    "built": "build", "bought": "buy", "sold": "sell",
-    "grew": "grow", "grown": "grow",
-    "became": "become", "begun": "begin", "began": "begin",
-    "wrote": "write", "written": "write",
-    "took": "take", "taken": "take",
-    "gave": "give", "given": "give",
+# Irregular verbs — the reference's COMPLETE irregularEnglishVerbs.csv
+# (180 lines) keyed by every form, later lines overwriting earlier
+# exactly as the loader does (WordTransformer.java:145-155; the
+# be;was / be;were double entry and the "?pleaded" artifact are kept
+# as-written).  form -> (present, simple past, past participle).
+IRREGULAR_VERB_TABLE: dict[str, tuple[str, str, str]] = {
+    "?pleaded": ("plead", "?pleaded", "pleaded"),
+    "arise": ("arise", "arose", "arisen"),
+    "arisen": ("arise", "arose", "arisen"),
+    "arose": ("arise", "arose", "arisen"),
+    "ate": ("eat", "ate", "eaten"),
+    "awake": ("awake", "awoke", "awoken"),
+    "awoke": ("awake", "awoke", "awoken"),
+    "awoken": ("awake", "awoke", "awoken"),
+    "be": ("be", "were", "been"),
+    "bear": ("bear", "bore", "borne"),
+    "beat": ("beat", "beat", "beaten"),
+    "beaten": ("beat", "beat", "beaten"),
+    "became": ("become", "became", "became"),
+    "become": ("become", "became", "became"),
+    "been": ("be", "were", "been"),
+    "began": ("begin", "began", "begun"),
+    "begin": ("begin", "began", "begun"),
+    "begun": ("begin", "began", "begun"),
+    "bend": ("bend", "bent", "bent"),
+    "bent": ("bend", "bent", "bent"),
+    "beset": ("beset", "beset", "beset"),
+    "bet": ("bet", "bet", "bet"),
+    "bid": ("bid", "bid", "bid"),
+    "bind": ("bind", "bound", "bound"),
+    "bit": ("bite", "bit", "bitten"),
+    "bite": ("bite", "bit", "bitten"),
+    "bitten": ("bite", "bit", "bitten"),
+    "bled": ("bleed", "bled", "bled"),
+    "bleed": ("bleed", "bled", "bled"),
+    "blew": ("blow", "blew", "blown"),
+    "blow": ("blow", "blew", "blown"),
+    "blown": ("blow", "blew", "blown"),
+    "bore": ("bear", "bore", "borne"),
+    "borne": ("bear", "bore", "borne"),
+    "bought": ("buy", "bought", "bought"),
+    "bound": ("bind", "bound", "bound"),
+    "break": ("break", "broke", "broken"),
+    "bred": ("breed", "bred", "bred"),
+    "breed": ("breed", "bred", "bred"),
+    "bring": ("bring", "brought", "brought"),
+    "broadcast": ("broadcast", "broadcast", "broadcast"),
+    "broke": ("break", "broke", "broken"),
+    "broken": ("break", "broke", "broken"),
+    "brought": ("bring", "brought", "brought"),
+    "build": ("build", "built", "built"),
+    "built": ("build", "built", "built"),
+    "burn": ("burn", "burned", "burned"),
+    "burned": ("burn", "burned", "burned"),
+    "burst": ("burst", "burst", "burst"),
+    "buy": ("buy", "bought", "bought"),
+    "came": ("come", "came", "come"),
+    "cast": ("cast", "cast", "cast"),
+    "catch": ("catch", "caught", "caught"),
+    "caught": ("catch", "caught", "caught"),
+    "choose": ("choose", "chose", "chosen"),
+    "chose": ("choose", "chose", "chosen"),
+    "chosen": ("choose", "chose", "chosen"),
+    "cling": ("cling", "clung", "clung"),
+    "clung": ("cling", "clung", "clung"),
+    "come": ("come", "came", "come"),
+    "cost": ("cost", "cost", "cost"),
+    "creep": ("creep", "crept", "crept"),
+    "crept": ("creep", "crept", "crept"),
+    "cut": ("cut", "cut", "cut"),
+    "deal": ("deal", "dealt", "dealt"),
+    "dealt": ("deal", "dealt", "dealt"),
+    "did": ("do", "did", "done"),
+    "dig": ("dig", "dug", "dug"),
+    "dive": ("dive", "dived", "dived"),
+    "dived": ("dive", "dived", "dived"),
+    "do": ("do", "did", "done"),
+    "done": ("do", "did", "done"),
+    "drank": ("drink", "drank", "drunk"),
+    "draw": ("draw", "drew", "drawn"),
+    "drawn": ("draw", "drew", "drawn"),
+    "dream": ("dream", "dreamt", "dreamt"),
+    "dreamt": ("dream", "dreamt", "dreamt"),
+    "drew": ("draw", "drew", "drawn"),
+    "drink": ("drink", "drank", "drunk"),
+    "drive": ("drive", "drove", "driven"),
+    "driven": ("drive", "drove", "driven"),
+    "drove": ("drive", "drove", "driven"),
+    "drunk": ("drink", "drank", "drunk"),
+    "dug": ("dig", "dug", "dug"),
+    "eat": ("eat", "ate", "eaten"),
+    "eaten": ("eat", "ate", "eaten"),
+    "fall": ("fall", "fell", "fallen"),
+    "fallen": ("fall", "fell", "fallen"),
+    "fed": ("feed", "fed", "fed"),
+    "feed": ("feed", "fed", "fed"),
+    "feel": ("feel", "felt", "felt"),
+    "fell": ("fall", "fell", "fallen"),
+    "felt": ("feel", "felt", "felt"),
+    "fight": ("fight", "fought", "fought"),
+    "find": ("find", "found", "found"),
+    "fit": ("fit", "fit", "fit"),
+    "fled": ("flee", "fled", "fled"),
+    "flee": ("flee", "fled", "fled"),
+    "flew": ("fly", "flew", "flown"),
+    "fling": ("fling", "flung", "flung"),
+    "flown": ("fly", "flew", "flown"),
+    "flung": ("fling", "flung", "flung"),
+    "fly": ("fly", "flew", "flown"),
+    "forbade": ("forbid", "forbade", "forbidden"),
+    "forbid": ("forbid", "forbade", "forbidden"),
+    "forbidden": ("forbid", "forbade", "forbidden"),
+    "forego": ("forego", "forewent", "foregone"),
+    "foregone": ("forego", "forewent", "foregone"),
+    "foretell": ("foretell", "foretold", "foretold"),
+    "foretold": ("foretell", "foretold", "foretold"),
+    "forewent": ("forego", "forewent", "foregone"),
+    "forgave": ("forgive", "forgave", "forgiven"),
+    "forget": ("forget", "forgot", "forgotten"),
+    "forgive": ("forgive", "forgave", "forgiven"),
+    "forgiven": ("forgive", "forgave", "forgiven"),
+    "forgot": ("forget", "forgot", "forgotten"),
+    "forgotten": ("forget", "forgot", "forgotten"),
+    "forsake": ("forsake", "forsook", "forsaken"),
+    "forsaken": ("forsake", "forsook", "forsaken"),
+    "forsook": ("forsake", "forsook", "forsaken"),
+    "fought": ("fight", "fought", "fought"),
+    "found": ("find", "found", "found"),
+    "freeze": ("freeze", "froze", "frozen"),
+    "froze": ("freeze", "froze", "frozen"),
+    "frozen": ("freeze", "froze", "frozen"),
+    "gave": ("give", "gave", "given"),
+    "get": ("get", "got", "gotten"),
+    "give": ("give", "gave", "given"),
+    "given": ("give", "gave", "given"),
+    "go": ("go", "went", "gone"),
+    "gone": ("go", "went", "gone"),
+    "got": ("get", "got", "gotten"),
+    "gotten": ("get", "got", "gotten"),
+    "grew": ("grow", "grew", "grown"),
+    "grind": ("grind", "ground", "ground"),
+    "ground": ("grind", "ground", "ground"),
+    "grow": ("grow", "grew", "grown"),
+    "grown": ("grow", "grew", "grown"),
+    "had": ("have", "had", "had"),
+    "hang": ("hang", "hanged", "hanged"),
+    "hanged": ("hang", "hanged", "hanged"),
+    "have": ("have", "had", "had"),
+    "hear": ("hear", "heard", "heard"),
+    "heard": ("hear", "heard", "heard"),
+    "held": ("hold", "held", "held"),
+    "hid": ("hide", "hid", "hidden"),
+    "hidden": ("hide", "hid", "hidden"),
+    "hide": ("hide", "hid", "hidden"),
+    "hit": ("hit", "hit", "hit"),
+    "hold": ("hold", "held", "held"),
+    "hung": ("hang", "hung", "hung"),
+    "hurt": ("hurt", "hurt", "hurt"),
+    "keep": ("keep", "kept", "kept"),
+    "kept": ("keep", "kept", "kept"),
+    "kneel": ("kneel", "knelt", "knelt"),
+    "knelt": ("kneel", "knelt", "knelt"),
+    "knew": ("know", "knew", "known"),
+    "know": ("know", "knew", "known"),
+    "known": ("know", "knew", "known"),
+    "laid": ("lay", "laid", "laid"),
+    "lain": ("lie", "lay", "lain"),
+    "lay": ("lie", "lay", "lain"),
+    "lead": ("lead", "led", "led"),
+    "lean": ("lean", "leaned", "leaned"),
+    "leaned": ("lean", "leaned", "leaned"),
+    "leap": ("leap", "leaped", "leaped"),
+    "leaped": ("leap", "leaped", "leaped"),
+    "learn": ("learn", "learned", "learned"),
+    "learned": ("learn", "learned", "learned"),
+    "leave": ("leave", "left", "left"),
+    "led": ("lead", "led", "led"),
+    "left": ("leave", "left", "left"),
+    "lend": ("lend", "lent", "lent"),
+    "lent": ("lend", "lent", "lent"),
+    "let": ("let", "let", "let"),
+    "lie": ("lie", "lay", "lain"),
+    "light": ("light", "lit", "lit"),
+    "lit": ("light", "lit", "lit"),
+    "lose": ("lose", "lost", "lost"),
+    "lost": ("lose", "lost", "lost"),
+    "made": ("make", "made", "made"),
+    "make": ("make", "made", "made"),
+    "may": ("may", "may", "may"),
+    "mean": ("mean", "meant", "meant"),
+    "meant": ("mean", "meant", "meant"),
+    "meet": ("meet", "met", "met"),
+    "met": ("meet", "met", "met"),
+    "misspell": ("misspell", "misspelled", "misspelled"),
+    "misspelled": ("misspell", "misspelled", "misspelled"),
+    "mistake": ("mistake", "mistook", "mistaken"),
+    "mistaken": ("mistake", "mistook", "mistaken"),
+    "mistook": ("mistake", "mistook", "mistaken"),
+    "mow": ("mow", "mowed", "mown"),
+    "mowed": ("mow", "mowed", "mown"),
+    "mown": ("mow", "mowed", "mown"),
+    "overcame": ("overcome", "overcame", "overcome"),
+    "overcome": ("overcome", "overcame", "overcome"),
+    "overdid": ("overdo", "overdid", "overdone"),
+    "overdo": ("overdo", "overdid", "overdone"),
+    "overdone": ("overdo", "overdid", "overdone"),
+    "overtake": ("overtake", "overtook", "overtaken"),
+    "overtaken": ("overtake", "overtook", "overtaken"),
+    "overthrew": ("overthrow", "overthrew", "overthrown"),
+    "overthrow": ("overthrow", "overthrew", "overthrown"),
+    "overthrown": ("overthrow", "overthrew", "overthrown"),
+    "overtook": ("overtake", "overtook", "overtaken"),
+    "paid": ("pay", "paid", "paid"),
+    "pay": ("pay", "paid", "paid"),
+    "plead": ("plead", "?pleaded", "pleaded"),
+    "pleaded": ("plead", "?pleaded", "pleaded"),
+    "prove": ("prove", "proved", "proven"),
+    "proved": ("prove", "proved", "proven"),
+    "proven": ("prove", "proved", "proven"),
+    "put": ("put", "put", "put"),
+    "quit": ("quit", "quit", "quit"),
+    "ran": ("run", "ran", "run"),
+    "rang": ("ring", "rang", "rung"),
+    "read": ("read", "read", "read"),
+    "rid": ("rid", "rid", "rid"),
+    "ridden": ("ride", "rode", "ridden"),
+    "ride": ("ride", "rode", "ridden"),
+    "ring": ("ring", "rang", "rung"),
+    "rise": ("rise", "rose", "risen"),
+    "risen": ("rise", "rose", "risen"),
+    "rode": ("ride", "rode", "ridden"),
+    "rose": ("rise", "rose", "risen"),
+    "run": ("run", "ran", "run"),
+    "rung": ("ring", "rang", "rung"),
+    "said": ("say", "said", "said"),
+    "sang": ("sing", "sang", "sung"),
+    "sank": ("sink", "sank", "sunk"),
+    "sat": ("sit", "sat", "sat"),
+    "saw": ("see", "saw", "seen"),
+    "sawed": ("saw", "sawed", "sawed"),
+    "say": ("say", "said", "said"),
+    "see": ("see", "saw", "seen"),
+    "seek": ("seek", "sought", "sought"),
+    "seen": ("see", "saw", "seen"),
+    "sell": ("sell", "sold", "sold"),
+    "send": ("send", "sent", "sent"),
+    "sent": ("send", "sent", "sent"),
+    "set": ("set", "set", "set"),
+    "sew": ("sew", "sewed", "sewed"),
+    "sewed": ("sew", "sewed", "sewed"),
+    "shake": ("shake", "shook", "shaken"),
+    "shaken": ("shake", "shook", "shaken"),
+    "shear": ("shear", "sheared", "sheared"),
+    "sheared": ("shear", "sheared", "sheared"),
+    "shed": ("shed", "shed", "shed"),
+    "shine": ("shine", "shone", "shone"),
+    "shone": ("shine", "shone", "shone"),
+    "shook": ("shake", "shook", "shaken"),
+    "shoot": ("shoot", "shot", "shot"),
+    "shot": ("shoot", "shot", "shot"),
+    "show": ("show", "showed", "shown"),
+    "showed": ("show", "showed", "shown"),
+    "shown": ("show", "showed", "shown"),
+    "shrank": ("shrink", "shrank", "shrunk"),
+    "shrink": ("shrink", "shrank", "shrunk"),
+    "shrunk": ("shrink", "shrank", "shrunk"),
+    "shut": ("shut", "shut", "shut"),
+    "sing": ("sing", "sang", "sung"),
+    "sink": ("sink", "sank", "sunk"),
+    "sit": ("sit", "sat", "sat"),
+    "slain": ("slay", "slew", "slain"),
+    "slay": ("slay", "slew", "slain"),
+    "sleep": ("sleep", "slept", "slept"),
+    "slept": ("sleep", "slept", "slept"),
+    "slew": ("slay", "slew", "slain"),
+    "slid": ("slide", "slid", "slid"),
+    "slide": ("slide", "slid", "slid"),
+    "sling": ("sling", "slung", "slung"),
+    "slit": ("slit", "slit", "slit"),
+    "slung": ("sling", "slung", "slung"),
+    "smell": ("smell", "smelled", "smelled"),
+    "smelled": ("smell", "smelled", "smelled"),
+    "smite": ("smite", "smote", "smitten"),
+    "smitten": ("smite", "smote", "smitten"),
+    "smote": ("smite", "smote", "smitten"),
+    "sold": ("sell", "sold", "sold"),
+    "sought": ("seek", "sought", "sought"),
+    "sow": ("sow", "sowed", "sowed"),
+    "sowed": ("sow", "sowed", "sowed"),
+    "spat": ("spit", "spat", "spat"),
+    "speak": ("speak", "spoke", "spoken"),
+    "sped": ("speed", "sped", "sped"),
+    "speed": ("speed", "sped", "sped"),
+    "spell": ("spell", "spelled", "spelled"),
+    "spelled": ("spell", "spelled", "spelled"),
+    "spend": ("spend", "spent", "spent"),
+    "spent": ("spend", "spent", "spent"),
+    "spill": ("spill", "spilled", "spilled"),
+    "spilled": ("spill", "spilled", "spilled"),
+    "spin": ("spin", "spun", "spun"),
+    "spit": ("spit", "spat", "spat"),
+    "split": ("split", "split", "split"),
+    "spoil": ("spoil", "spoiled", "spoiled"),
+    "spoiled": ("spoil", "spoiled", "spoiled"),
+    "spoke": ("speak", "spoke", "spoken"),
+    "spoken": ("speak", "spoke", "spoken"),
+    "sprang": ("spring", "sprang", "sprung"),
+    "spread": ("spread", "spread", "spread"),
+    "spring": ("spring", "sprang", "sprung"),
+    "sprung": ("spring", "sprang", "sprung"),
+    "spun": ("spin", "spun", "spun"),
+    "stand": ("stand", "stood", "stood"),
+    "stank": ("stink", "stank", "stunk"),
+    "steal": ("steal", "stole", "stolen"),
+    "stick": ("stick", "stuck", "stuck"),
+    "sting": ("sting", "stung", "stung"),
+    "stink": ("stink", "stank", "stunk"),
+    "stole": ("steal", "stole", "stolen"),
+    "stolen": ("steal", "stole", "stolen"),
+    "stood": ("stand", "stood", "stood"),
+    "stridden": ("stride", "strode", "stridden"),
+    "stride": ("stride", "strode", "stridden"),
+    "strike": ("strike", "struck", "struck"),
+    "strive": ("strive", "strove", "striven"),
+    "striven": ("strive", "strove", "striven"),
+    "strode": ("stride", "strode", "stridden"),
+    "strove": ("strive", "strove", "striven"),
+    "struck": ("strike", "struck", "struck"),
+    "stuck": ("stick", "stuck", "stuck"),
+    "stung": ("sting", "stung", "stung"),
+    "stunk": ("stink", "stank", "stunk"),
+    "sung": ("sing", "sang", "sung"),
+    "sunk": ("sink", "sank", "sunk"),
+    "swam": ("swim", "swam", "swum"),
+    "swear": ("swear", "swore", "sworn"),
+    "sweep": ("sweep", "swept", "swept"),
+    "swell": ("swell", "swelled", "swelled"),
+    "swelled": ("swell", "swelled", "swelled"),
+    "swept": ("sweep", "swept", "swept"),
+    "swim": ("swim", "swam", "swum"),
+    "swing": ("swing", "swung", "swung"),
+    "swore": ("swear", "swore", "sworn"),
+    "sworn": ("swear", "swore", "sworn"),
+    "swum": ("swim", "swam", "swum"),
+    "swung": ("swing", "swung", "swung"),
+    "take": ("take", "took", "taken"),
+    "taken": ("take", "took", "taken"),
+    "taught": ("teach", "taught", "taught"),
+    "teach": ("teach", "taught", "taught"),
+    "tear": ("tear", "tore", "torn"),
+    "tell": ("tell", "told", "told"),
+    "think": ("think", "thought", "thought"),
+    "thought": ("think", "thought", "thought"),
+    "threw": ("throw", "threw", "thrown"),
+    "thrive": ("thrive", "thrived", "thrived"),
+    "thrived": ("thrive", "thrived", "thrived"),
+    "throw": ("throw", "threw", "thrown"),
+    "thrown": ("throw", "threw", "thrown"),
+    "thrust": ("thrust", "thrust", "thrust"),
+    "told": ("tell", "told", "told"),
+    "took": ("take", "took", "taken"),
+    "tore": ("tear", "tore", "torn"),
+    "torn": ("tear", "tore", "torn"),
+    "tread": ("tread", "trod", "trodden"),
+    "trod": ("tread", "trod", "trodden"),
+    "trodden": ("tread", "trod", "trodden"),
+    "understand": ("understand", "understood", "understood"),
+    "understood": ("understand", "understood", "understood"),
+    "upheld": ("uphold", "upheld", "upheld"),
+    "uphold": ("uphold", "upheld", "upheld"),
+    "upset": ("upset", "upset", "upset"),
+    "wake": ("wake", "woke", "woken"),
+    "was": ("be", "was", "been"),
+    "wear": ("wear", "wore", "worn"),
+    "weave": ("weave", "wove", "woven"),
+    "wed": ("wed", "wed", "wed"),
+    "weep": ("weep", "wept", "wept"),
+    "went": ("go", "went", "gone"),
+    "wept": ("weep", "wept", "wept"),
+    "were": ("be", "were", "been"),
+    "win": ("win", "won", "won"),
+    "wind": ("wind", "wound", "wound"),
+    "withdraw": ("withdraw", "withdrew", "withdrawn"),
+    "withdrawn": ("withdraw", "withdrew", "withdrawn"),
+    "withdrew": ("withdraw", "withdrew", "withdrawn"),
+    "withheld": ("withhold", "withheld", "withheld"),
+    "withhold": ("withhold", "withheld", "withheld"),
+    "withstand": ("withstand", "withstood", "withstood"),
+    "withstood": ("withstand", "withstood", "withstood"),
+    "woke": ("wake", "woke", "woken"),
+    "woken": ("wake", "woke", "woken"),
+    "won": ("win", "won", "won"),
+    "wore": ("wear", "wore", "worn"),
+    "worn": ("wear", "wore", "worn"),
+    "wound": ("wind", "wound", "wound"),
+    "wove": ("weave", "wove", "woven"),
+    "woven": ("weave", "wove", "woven"),
+    "wring": ("wring", "wrung", "wrung"),
+    "write": ("write", "wrote", "written"),
+    "written": ("write", "wrote", "written"),
+    "wrote": ("write", "wrote", "written"),
+    "wrung": ("wring", "wrung", "wrung"),
 }
 
-# Irregular nouns (subset of irregularNouns.csv): plural → singular.
-IRREGULAR_NOUNS: dict[str, str] = {
-    "men": "man", "women": "woman", "children": "child",
-    "people": "person", "feet": "foot", "teeth": "tooth",
-    "mice": "mouse", "geese": "goose",
-    "companies": "company", "subsidiaries": "subsidiary",
+
+def load_irregular_verbs(lines) -> dict[str, tuple[str, str, str]]:
+    """Loader for the reference's irregularEnglishVerbs.csv format
+    (WordTransformer.java:145-155): ';'-split triples, every form a
+    key, later lines overwrite."""
+    table: dict[str, tuple[str, str, str]] = {}
+    for line in lines:
+        parts = line.strip().split(";")
+        if len(parts) < 3:
+            continue
+        ev = (parts[0], parts[1], parts[2])
+        for k in parts[:3]:
+            table[k] = ev
+    return table
+
+
+# Irregular nouns — singular -> plural, the used slice of the
+# reference's 2153-line irregularEnglishNouns.txt (every entry the
+# WordTransformerTest vectors exercise plus the common head nouns);
+# the full file loads through load_irregular_nouns with the exact
+# reference line semantics (WordTransformer.java:161-171).
+IRREGULAR_NOUNS_SINGULAR_TO_PLURAL: dict[str, str] = {
+    "addendum": "addenda",
+    "alga": "algae",
+    "alumna": "alumnae",
+    "alumnus": "alumni",
+    "analysis": "analyses",
+    "antenna": "antennae",
+    "appendix": "appendices",
+    "axis": "axes",
+    "bacillus": "bacilli",
+    "bacterium": "bacteria",
+    "basis": "bases",
+    "beau": "beaux",
+    "bison": "bison",
+    "buffalo": "buffaloes",
+    "bus": "buses",
+    "cactus": "cacti",
+    "calf": "calves",
+    "child": "children",
+    "clove": "cloves",
+    "corps": "corps",
+    "corpus": "corpora",
+    "crisis": "crises",
+    "criterion": "criteria",
+    "curriculum": "curricula",
+    "datum": "data",
+    "deer": "deer",
+    "diagnosis": "diagnoses",
+    "die": "dice",
+    "dwarf": "dwarves",
+    "echo": "echoes",
+    "elf": "elves",
+    "ellipsis": "ellipses",
+    "embargo": "embargoes",
+    "emphasis": "emphases",
+    "erratum": "errata",
+    "fireman": "firemen",
+    "fish": "fish",
+    "focus": "foci",
+    "foot": "feet",
+    "formula": "formulae",
+    "fungus": "fungi",
+    "genus": "genera",
+    "goose": "geese",
+    "half": "halves",
+    "hero": "heroes",
+    "hippopotamus": "hippopotami",
+    "hoof": "hooves",
+    "hypothesis": "hypotheses",
+    "index": "indices",
+    "knife": "knives",
+    "leaf": "leaves",
+    "life": "lives",
+    "loaf": "loaves",
+    "louse": "lice",
+    "man": "men",
+    "matrix": "matrices",
+    "means": "means",
+    "media": "mediae",
+    "medium": "media",
+    "memorandum": "memoranda",
+    "millennium": "milennia",
+    "moose": "moose",
+    "mosquito": "mosquitoes",
+    "mouse": "mice",
+    "movie": "movies",
+    "nebula": "nebulae",
+    "neurosis": "neuroses",
+    "nucleus": "nuclei",
+    "oasis": "oases",
+    "octopus": "octopi",
+    "ovum": "ova",
+    "ox": "oxen",
+    "paralysis": "paralyses",
+    "parenthesis": "parentheses",
+    "person": "people",
+    "phenomenon": "phenomena",
+    "potato": "potatoes",
+    "radius": "radiuses",
+    "scarf": "scarves",
+    "scissors": "scissors",
+    "series": "series",
+    "sheep": "sheep",
+    "shelf": "shelves",
+    "slice": "slices",
+    "species": "species",
+    "status": "status",
+    "stimulus": "stimuli",
+    "stratum": "strata",
+    "syllabus": "syllabuses",
+    "symposium": "symposia",
+    "synopsis": "synopses",
+    "synthesis": "syntheses",
+    "tableau": "tableaux",
+    "thesis": "theses",
+    "thief": "thieves",
+    "tomato": "tomatoes",
+    "tooth": "teeth",
+    "torpedo": "torpedoes",
+    "vertebra": "vertebrae",
+    "vertex": "vertices",
+    "veto": "vetoes",
+    "vita": "vitae",
+    "wife": "wives",
+    "wolf": "wolves",
+    "woman": "women",
 }
+
+# plural -> singular view (IRREGULAR_NOUNS_REVERSE upstream)
+IRREGULAR_NOUNS: dict[str, str] = {
+    v: k for k, v in IRREGULAR_NOUNS_SINGULAR_TO_PLURAL.items()}
+
+
+def load_irregular_nouns(lines) -> dict[str, str]:
+    """Loader for irregularEnglishNouns.txt ('plural singular' per
+    line, whitespace-split) -> singular -> plural map."""
+    out: dict[str, str] = {}
+    for line in lines:
+        parts = line.split()
+        if len(parts) == 2:
+            out[parts[1]] = parts[0]
+    return out
 
 _VOWELS = set("aeiou")
 
@@ -80,8 +605,13 @@ def word_to_singular(plural: str) -> str:
     rules; words shorter than 4 chars pass through."""
     if not plural:
         return ""
+    # the irregular bank first (containsValue(plural) upstream, with
+    # first-letter casing aligned to the input, :244-251)
     if plural in IRREGULAR_NOUNS:
-        return IRREGULAR_NOUNS[plural]
+        singular = IRREGULAR_NOUNS[plural]
+        if plural[:1].isupper():
+            singular = singular[:1].upper() + singular[1:]
+        return singular
     if len(plural) < 4:
         return plural
     low = plural.lower()
@@ -97,7 +627,9 @@ def word_to_singular(plural: str) -> str:
         return out
     if low.endswith("es") and len(plural) >= 5:
         two, one = low[-4:-2], low[-3:-2]
-        if two in ("ss", "ch", "sh") or one == "x" or two[0] in _VOWELS:
+        # the vowel test runs on letterBeforeES (the char DIRECTLY
+        # before "es"), :272-274 — not the first of the pair
+        if two in ("ss", "ch", "sh") or one == "x" or one in _VOWELS:
             return plural[:-2]
     if low.endswith("s"):
         return plural[:-1]
@@ -112,8 +644,9 @@ def verb_simple_present(verb: str) -> str:
     getThirdPersonSingular's inverse, which predicates don't need)."""
     if not verb:
         return verb
-    if verb in IRREGULAR_VERBS:
-        return IRREGULAR_VERBS[verb]
+    ev = _irregular(verb)
+    if ev is not None:
+        return ev[0]
     if verb.endswith("ed"):
         return verb[:-2]
     return verb
@@ -153,23 +686,8 @@ def normalize_predicates(triples: DataFrame,
 # The inverse directions of WordTransformer, used when GENERATING
 # surface variants for relation patterns (one canonical predicate ->
 # every phrasing to match). Pure functions; the reference keys its
-# irregular-verb lookups by the Snowball stem (stemEnglishWord) — the
-# compact Porter port (kgp.textclassifier.porter_stem) stands in, with
-# a raw-form lookup first so common forms never depend on stemmer
-# agreement.
-
-# (present, simple past, past participle) — used subset of
-# EnglishVerb/irregularVerbs.csv
-IRREGULAR_VERB_FORMS: dict[str, tuple[str, str]] = {
-    "be": ("was", "been"), "have": ("had", "had"),
-    "go": ("went", "gone"), "run": ("ran", "run"),
-    "hold": ("held", "held"), "lead": ("led", "led"),
-    "make": ("made", "made"), "build": ("built", "built"),
-    "buy": ("bought", "bought"), "sell": ("sold", "sold"),
-    "grow": ("grew", "grown"), "become": ("became", "become"),
-    "begin": ("began", "begun"), "write": ("wrote", "written"),
-    "take": ("took", "taken"), "give": ("gave", "given"),
-}
+# irregular-verb lookups by the Snowball-stemmed form
+# (stemEnglishWord, now the real algorithm in kgp.stemmer).
 
 _MODALS = {"can", "could", "will", "would", "may", "might", "shall",
            "should", "must"}
@@ -188,9 +706,8 @@ def word_to_plural(singular: str) -> str:
     if len(parts) > 1:
         s = parts[-1]
         prefix = " ".join(parts[:-1]) + " "
-    inv_nouns = {v: k for k, v in sorted(IRREGULAR_NOUNS.items())}
-    if s in inv_nouns:
-        return prefix + inv_nouns[s]
+    if s in IRREGULAR_NOUNS_SINGULAR_TO_PLURAL:
+        return prefix + IRREGULAR_NOUNS_SINGULAR_TO_PLURAL[s]
     if len(s) < 3:
         return prefix + s
     last, last2 = s[-1], s[-2:]
@@ -205,18 +722,12 @@ def word_to_plural(singular: str) -> str:
     return prefix + s + "s"
 
 
-def _lookup_irregular(verb: str) -> str | None:
-    """Present form of an irregular verb, by raw form then stem
-    (stemEnglishWord lookup at WordTransformer.java:635-636)."""
+def _irregular(verb: str) -> tuple[str, str, str] | None:
+    """IRREGULAR_VERBS.get(stemEnglishWord(verb)) — the reference
+    looks up by the Snowball-stemmed form only; every raw form is a
+    key of the table anyway (WordTransformer.java:635-636)."""
     from kgp.stemmer import stem_english_word
-    if verb in IRREGULAR_VERBS:
-        return IRREGULAR_VERBS[verb]
-    if verb in IRREGULAR_VERB_FORMS:
-        return verb
-    stem = stem_english_word(verb)
-    if stem in IRREGULAR_VERB_FORMS:
-        return stem
-    return None
+    return IRREGULAR_VERB_TABLE.get(stem_english_word(verb))
 
 
 def third_person_singular(verb: str) -> str:
@@ -235,12 +746,11 @@ def third_person_singular(verb: str) -> str:
         return "has"
     if v in _MODALS:
         return v
-    present = _lookup_irregular(v)
-    if present is not None:
-        past, part = IRREGULAR_VERB_FORMS.get(present, ("", ""))
-        if v in (past, part):
+    ev = _irregular(v)
+    if ev is not None:
+        if v in (ev[1], ev[2]):
             return v
-        v = present
+        v = ev[0]
     elif v.endswith("ed"):
         return v
     if len(v) >= 2:
@@ -277,9 +787,9 @@ def simple_past(verb: str) -> str:
     """getSimplePast port (:694-704): irregular past, else regular."""
     if not verb:
         return verb
-    present = _lookup_irregular(verb.lower())
-    if present is not None:
-        return IRREGULAR_VERB_FORMS[present][0]
+    ev = _irregular(verb.lower())
+    if ev is not None:
+        return ev[1]
     return _regular_verb_past(verb)
 
 
@@ -290,9 +800,9 @@ def past_participle(verb: str) -> str:
     from kgp.stemmer import stem_english_word
     if not verb:
         return verb
-    present = _lookup_irregular(verb.lower())
-    if present is not None:
-        return IRREGULAR_VERB_FORMS[present][1]
+    ev = _irregular(verb.lower())
+    if ev is not None:
+        return ev[2]
     return _regular_verb_past(stem_english_word(verb.lower()))
 
 

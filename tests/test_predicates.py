@@ -7,8 +7,9 @@ from kgp.predicates import (normalize_predicate_name, normalize_predicates,
 def test_word_to_singular_reference_rules():
     # wordToSingularEnglish suffix rules (WordTransformer.java:215-276)
     assert word_to_singular("matrices") == "matrix"
-    # faithful to the reference: its -ices rule yields "indix"
-    assert word_to_singular("indices") == "indix"
+    # the irregular bank beats the -ices rule ("indices index" is a
+    # bank entry; the rule alone would say "indix")
+    assert word_to_singular("indices") == "index"
     assert word_to_singular("companies") == "company"
     assert word_to_singular("cities") == "city"
     assert word_to_singular("wolves") == "wolf"
@@ -21,7 +22,9 @@ def test_word_to_singular_reference_rules():
 
 
 def test_verb_simple_present():
-    assert verb_simple_present("founded") == "found"
+    # reference quirk: getSimplePresent stems FIRST, so "founded"
+    # stems to "found" and hits the find/found/found bank entry
+    assert verb_simple_present("founded") == "find"
     assert verb_simple_present("was") == "be"
     assert verb_simple_present("held") == "hold"
     assert verb_simple_present("works") == "works"  # 3rd person kept
@@ -77,7 +80,7 @@ def test_word_to_plural_rule_bank():
     assert word_to_plural("person") == "people"          # irregular
     # composite terms pluralize the LAST word
     assert word_to_plural("computer mouse") == "computer mice"
-    assert word_to_plural("ox") == "ox"    # <3 chars pass through
+    assert word_to_plural("ox") == "oxen"  # bank beats the <3 guard
     assert word_to_plural("") == ""
 
 
@@ -96,7 +99,8 @@ def test_third_person_singular():
 
 def test_simple_past_and_participle():
     from kgp.predicates import past_participle, simple_past
-    assert simple_past("found") == "founded"
+    # "found" stems to itself and hits the find-family bank entry
+    assert simple_past("found") == "found"
     assert simple_past("acquire") == "acquired"
     assert simple_past("marry") == "married"
     # reference quirk kept: getRegularVerbPast's unconditional y->ied
