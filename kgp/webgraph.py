@@ -74,6 +74,10 @@ _SLD_SUFFIXES = [
     ".com.mx", ".com.ar", ".com.tr", ".com.sg", ".com.hk",
     ".co.kr", ".or.kr", ".com.tw", ".co.th", ".co.id",
     ".com.my", ".com.ph", ".com.vn", ".com.ua", ".co.il", ".org.il",
+    # US states / CA provinces (second-level-domains.txt carries the
+    # full per-state set)
+    ".or.us", ".ca.us", ".ny.us", ".tx.us", ".wa.us", ".fl.us",
+    ".qc.ca", ".on.ca", ".bc.ca", ".ab.ca",
 ]
 _TLDS = [
     "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
@@ -82,9 +86,37 @@ _TLDS = [
     "br", "in", "ca", "ch", "at", "se", "no", "dk", "fi", "be", "us",
     "eu", "cz", "pt", "gr", "hu", "ro", "ie", "nz", "za", "kr", "tw",
     "hk", "sg", "my", "th", "id", "ph", "vn", "tr", "il", "mx", "ar",
-    "cl", "ua", "ly", "gd",
+    "cl", "ua", "ly", "gd", "codes",
 ]
-DOMAIN_SUFFIXES = _SLD_SUFFIXES + ["." + t for t in _TLDS]
+
+
+def _length_sorted(strings: "list[str]") -> "list[str]":
+    """StringLengthComparator order (StringLengthComparator.java:
+    23-26): length DESC, then case-insensitive alpha."""
+    return sorted(strings, key=lambda s: (-len(s), s.lower()))
+
+
+def load_domain_suffixes(tld_lines, sld_lines) -> "list[str]":
+    """The reference's suffix-bank loader (UrlHelper.java:64-103):
+    top-level-domains.txt lines lose their leading dot then get it
+    re-prepended; second-level-domains.txt lines are used verbatim;
+    comments/empties skipped; each section length-sorted; SLDs first
+    (so the first endsWith match prefers the longer public suffix)."""
+    tlds, slds = [], []
+    for line in tld_lines:
+        t = line.strip()
+        if t and not t.startswith("#"):
+            tlds.append(t[1:])
+    for line in sld_lines:
+        t = line.strip()
+        if t and not t.startswith("#"):
+            slds.append(t)
+    return (_length_sorted(slds)
+            + ["." + t for t in _length_sorted(tlds)])
+
+
+DOMAIN_SUFFIXES = (_length_sorted(_SLD_SUFFIXES)
+                   + ["." + t for t in _length_sorted(_TLDS)])
 
 
 def _jtrim(s: str) -> str:
@@ -148,9 +180,10 @@ def make_full_url(page_url: str | None, base_url: str | None,
     return _resolve(context, link_url)  # type: ignore[arg-type]
 
 
-def get_domain(url: str, include_protocol: bool = False,
+def get_domain(url: str, include_protocol: bool = True,
                include_subdomain: bool = True) -> str:
-    """UrlHelper.getDomain:258-290."""
+    """UrlHelper.getDomain:258-290 (the 1-arg overload defaults to
+    includeProtocol=true, :305-307)."""
     try:
         p = urlsplit(url)
     except ValueError:

@@ -95,7 +95,11 @@ def test_make_full_url_unknown_scheme_passthrough():
 
 
 def test_get_domain():
+    # the 1-arg overload defaults includeProtocol=true
+    # (UrlHelper.java:305-307)
     assert get_domain("http://www.example.com/page.html") \
+        == "http://www.example.com"
+    assert get_domain("http://www.example.com/page.html", False) \
         == "www.example.com"
     assert get_domain("http://www.example.com/page.html", True) \
         == "http://www.example.com"
