@@ -280,21 +280,69 @@ def compute_splits(string: str, n1: int, n2: int,
     return splits
 
 
+def _is_bracket(ch: str) -> bool:
+    """StringHelper.isBracket (StringHelper.java:682-684)."""
+    return ch in "(){}[]"
+
+
 def phrase_to_end_of_sentence(string: str) -> str:
-    """Tokenizer.getPhraseToEndOfSentence semantics: text up to the
-    first sentence delimiter (period not inside a number, or !/?)."""
-    end = len(string)
-    for i, ch in enumerate(string):
-        if ch in "!?":
-            end = i
+    """Tokenizer.getPhraseToEndOfSentence (Tokenizer.java:450-519),
+    exact translation: period scan with the numeral / uppercase /
+    bracket / preceding-quote context rules (each check OVERWRITES
+    the previous verdict, as written), break/end-of-string
+    acceptance, an earlier !/? wins, and the delimiter character is
+    KEPT (++endIndex)."""
+    end_index = string.find(".")
+    ok = False
+    while not ok and end_index > -1:
+        if end_index > 0:
+            ok = not string[end_index - 1].isdigit()
+        if end_index < len(string) - 1:
+            ok = ((not string[end_index + 1].isdigit()
+                   and string[end_index + 1].isupper())
+                  or _is_bracket(string[end_index + 1])
+                  or (end_index > 0 and string[end_index - 1] == '"'))
+        if not ok and end_index < len(string) - 2:
+            ok = (not string[end_index + 2].isdigit()
+                  and (string[end_index + 2].isupper()
+                       or _is_bracket(string[end_index + 2]))
+                  and string[end_index + 1] == " ")
+        if not ok and (len(string) == end_index + 1
+                       or string[end_index + 1] == "\n"):
+            ok = True
+        if ok:
             break
-        if ch == ".":
-            prev_num = i > 0 and string[i - 1].isdigit()
-            next_num = i + 1 < len(string) and string[i + 1].isdigit()
-            if not (prev_num and next_num):
-                end = i
-                break
-    return string[:end]
+        if end_index < len(string) - 1:
+            end_index = string.find(".", end_index + 1)
+        else:
+            end_index = -1
+    bang = string.find("!")
+    if bang > -1 and (bang < end_index or end_index == -1):
+        end_index = bang
+    quest = string.find("?")
+    if quest > -1 and (quest < end_index or end_index == -1):
+        end_index = quest
+    if end_index == -1:
+        end_index = len(string)
+    else:
+        end_index += 1
+    return string[:end_index]
+
+
+def get_sentence(string: str, position: int,
+                 language: str = "en") -> str:
+    """Tokenizer.getSentence (Tokenizer.java:267-296): the last
+    sentence whose indexOf start is <= position."""
+    if position < 0:
+        return string
+    picked = ""
+    for tok in get_sentences(string, language=language):
+        start = string.find(tok.value)
+        if start <= position:
+            picked = tok.value
+        else:
+            break
+    return picked
 
 
 def phrase_from_beginning_of_sentence(string: str) -> str:

@@ -127,9 +127,87 @@ def test_compute_splits():
 def test_phrase_helpers():
     from kgp.tokenize import (phrase_from_beginning_of_sentence,
                               phrase_to_end_of_sentence)
+    # the delimiter character is kept (Tokenizer.java:515 ++endIndex)
     assert phrase_to_end_of_sentence("Costs 30.2% more. Next") == \
-        "Costs 30.2% more"
+        "Costs 30.2% more."
     assert phrase_from_beginning_of_sentence(
         "It rose 30.2% today. The next phrase") == "The next phrase"
     assert phrase_from_beginning_of_sentence("no delimiters here") == \
         "no delimiters here"
+
+
+def test_reference_tokenizer_sentence_battery():
+    """TokenizerTest.testGetSentence (:123-144) + the German
+    one-sentence battery of testGetSentences (:146-200) + the
+    testTokenize counts (:86-112), transcribed from the reference's
+    own test."""
+    from kgp.tokenize import (get_sentence, get_sentences,
+                              phrase_from_beginning_of_sentence,
+                              phrase_to_end_of_sentence, tokenize)
+    assert phrase_to_end_of_sentence(
+        "Although, many of them (30.2%) are good. As long as") == \
+        "Although, many of them (30.2%) are good."
+    assert phrase_from_beginning_of_sentence(
+        "...now. Although, many of them (30.2%) are good") == \
+        "Although, many of them (30.2%) are good"
+    for s, p, exp in [
+        ("...now. Although, many of them (30.2%) are good. As long as",
+         10, "Although, many of them (30.2%) are good."),
+        ("...now. Although, many of them (30.2%) are good. As long as",
+         40, "Although, many of them (30.2%) are good."),
+        ("What is the largest city in usa, (30.2%) in population. "
+         "Yahoo! Answers,", 12,
+         "What is the largest city in usa, (30.2%) in population."),
+        ("What is the largest city in usa, (30.2%) in population? - "
+         "Yahoo! Answers,", 12,
+         "What is the largest city in usa, (30.2%) in population?"),
+        ("...now. Although, has 234,423,234 sq.miles area many of "
+         "them (30.2%) are good. As long as", 10,
+         "Although, has 234,423,234 sq.miles area many of them "
+         "(30.2%) are good."),
+    ]:
+        assert get_sentence(s, p) == exp, (s, p)
+    for t, n in [
+        ("That poster costs $22.40. twenty-one.", 7),
+        ("Mr. <MUSICIAN>John Hiatt</MUSICIAN> is awesome.", 8),
+        ("Mr. '<MUSICIAN>John Hiatt</MUSICIAN>' is awesome.", 10),
+        ("Mr. ^<MUSICIAN>John Hiatt</MUSICIAN>) is awesome!!!", 10),
+        ("asp.net is very web 2.0. isn't it? web2.0, .net", 14),
+        ("40,000 residents", 2),
+        ("The United States of America are often called the USA, the "
+         "U.S.A., or simply the U.S. The U.N. has its headquarter in "
+         "N.Y.C. on the east coast.", 30),
+    ]:
+        assert len(tokenize(t)) == n, t
+    german_single = [
+        "Inkl. Wettervorhersage (Thermometer, Hygrometer) und "
+        "Wetterindikator.",
+        "Die originale Druckpatrone Nr. 920XL (CD975AE) von HP "
+        "liefert professionelle Texte und Grafiken in Laserqualität.",
+        "Die SFX Power 2 Serie bietet die perfekte Kombination aus "
+        "Qualität, Funktionalität, Effizienz und dem für be quiet! "
+        "bekannten zuverlässigen, leisen Betrieb für kompakte "
+        "Systeme mit überdurchschnittlicher Leistung.",
+        "Kräftige Kontraste und das große ----spektrum sorgen für "
+        "eine natürliche Lebendigkeit v.a. bei Fotos und Videos.",
+        "Die integrierte GPU läuft mit 350 Mhz (max. 1100 mit Turbo) "
+        "und teilt sich den gemeinsamen, 3 MB großen L3-Cache mit "
+        "der CPU.",
+        "Schlüsselfunktionen des E2500 sind u. a. einen "
+        "passwortgeschützten Gastzugang mit separatem Netzwerk zu "
+        "erstellen, die Zugangszeit zu begrenzen und Webseiten zu "
+        "sperren (Kinderschutz durch die Eltern).",
+        "Außerdem bietet die HyperX SSD "
+        "Hochgeschwindigkeitsübertragung mit SATA Rev. 3.0 "
+        "(6 Gbit/s) für eine größere Band-----e, die Anwender für "
+        "leistungshungrige Spiele, Multitasking und schnelle "
+        "Multimedia-Nutzung benötigen.",
+    ]
+    for t in german_single:
+        assert len(get_sentences(t, language="de")) == 1, t
+    two = get_sentences(
+        "Das Leben ist wie eine Schachtel Pralinen - man weiß nie "
+        "was man kriegt. Bei uns ist jedoch der Satz am B "
+        "abgeschnitten.", language="de")
+    assert two[1].value == \
+        "Bei uns ist jedoch der Satz am B abgeschnitten."
