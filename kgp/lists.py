@@ -123,3 +123,59 @@ def discover_list_entries(root: Node,
         return []
     return [n.text_content().strip() for n in xpath_nodes(root, best)
             if n.text_content().strip()]
+
+
+def entries_uniform(entries: list[str],
+                    table_duplicate_check: bool) -> bool:
+    """ListDiscoverer.entriesUniform (ListDiscoverer.java:602-674),
+    exact port: numeric/time-expression share > 0.15, completely-
+    uppercase share > 0.5, average word count > 12, or (table mode)
+    duplicate share > 0.1 / (non-table) duplicate-word ratio > 0.6
+    each reject the list.  Entries longer than 200 chars count only
+    toward the word-length average (the continue sits AFTER the
+    length sum, as written)."""
+    from kgp.mentions import is_completely_uppercase
+    from kgp.tokenize import _clean_trim
+    from kgp.wikpostag import is_numeric_expression
+
+    total = len(entries)
+    numeric = capitalized = total_words = 0
+    dup_set: set[str] = set()
+    dup_word_set: set[str] = set()
+    dup_count = dup_word_count = 0
+    for entry in entries:
+        entry = _clean_trim(entry, keep="")
+        total_words += len(entry.split(" "))
+        if len(entry) > 200:
+            continue
+        if is_numeric_expression(entry) or _is_time_expression(entry):
+            numeric += 1
+        if is_completely_uppercase(entry):
+            capitalized += 1
+        if len(entry) == 0:
+            pass
+        elif entry in dup_set:
+            dup_count += 1
+            if entry not in dup_word_set:
+                dup_word_set.add(entry)
+                dup_word_count += 1
+        else:
+            dup_set.add(entry)
+    if numeric / total > 0.15:
+        return False
+    if capitalized / total > 0.5:
+        return False
+    if total_words / total > 12:
+        return False
+    if table_duplicate_check and dup_count / total > 0.1:
+        return False
+    if not table_duplicate_check and dup_set \
+            and dup_word_count / len(dup_set) > 0.6:
+        return False
+    return True
+
+
+def _is_time_expression(s: str) -> bool:
+    """StringHelper.isTimeExpression (StringHelper.java:809-811)."""
+    import re as _re
+    return bool(_re.fullmatch(r"(\d){1,2}:(\d){1,2}(\s)?(am|pm)", s))

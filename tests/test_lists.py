@@ -50,3 +50,23 @@ def test_discover_list_entries():
     tiny = parse_html("<html><body><ul><li>a</li><li>b</li></ul>"
                       "</body></html>")
     assert discover_list_entries(tiny) == []
+
+
+def test_entries_uniform_reference_vectors():
+    """ListDiscovererTest.testEntriesUniform (ListDiscovererTest.java:
+    32-68) transcribed verbatim."""
+    from kgp.lists import entries_uniform
+    long_e = "Very Long Entry With More Than 12 Words A B C D!!!"
+    assert entries_uniform(
+        ["Abc ABC", "12. A", long_e, "Short One", "Yes"], True) is True
+    assert entries_uniform(
+        ["1.", "2.", long_e, "Short One", "Yes"], True) is False
+    assert entries_uniform(
+        ["UPPERCASE", "LoWeRcAsE", "UPPERCASE", "Short One", "Yes"],
+        True) is False
+    assert entries_uniform(
+        [long_e, long_e, long_e, long_e + " " + long_e,
+         "Short but still not too short"], True) is False
+    assert entries_uniform(
+        ["UPPER CASE", "LoWeR cAsE", "d", "SHORT", "ONE"],
+        True) is False
