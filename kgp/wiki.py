@@ -436,3 +436,35 @@ def extract_sentences(text: str) -> str:
     r = _NON_SENTENCE_LINE.sub("", text)
     r = re.sub(r"\n{2,}", "\n\n", r)
     return r.strip()
+
+
+def parse_dec_deg(markup: str) -> float:
+    """MediaWikiUtil.parseDecDeg (MediaWikiUtil.java:666-693): the
+    {{decdeg}} template — named deg/min/sec/hem entries falling back
+    to positionals 0..3, W/S hemisphere (else the deg string's sign),
+    optional rnd digit count via MathHelper.round (half-up)."""
+    from kgp.mathstats import jround
+    t = extract_template(markup)
+
+    def entry(*keys: str) -> str | None:
+        for k in keys:
+            if k in t.entries:
+                return t.entries[k]
+        return None
+
+    deg_str = entry("deg", "0")
+    min_str = entry("min", "1")
+    sec_str = entry("sec", "2")
+    hem = entry("hem", "3")
+    deg = float(deg_str) if deg_str and deg_str.strip() else 0.0
+    mn = float(min_str) if min_str and min_str.strip() else 0.0
+    sec = float(sec_str) if sec_str and sec_str.strip() else 0.0
+    if hem and hem.strip():
+        sgn = -1 if hem in ("W", "S") else 1
+    else:
+        sgn = -1 if (deg_str or "").startswith("-") else 1
+    result = sgn * (abs(deg) + mn / 60.0 + sec / 3600.0)
+    rnd_str = entry("rnd", "4")
+    if rnd_str and rnd_str.strip():
+        result = jround(result, int(rnd_str))
+    return result

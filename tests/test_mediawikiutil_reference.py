@@ -1,0 +1,63 @@
+"""MediaWikiUtilTest goldens (MediaWikiUtilTest.java) against
+kgp.wiki — the strip-markup byte/hash pins over the reference's REAL
+Wikipedia fixture pages, the full {{decdeg}} battery, and
+removeBetween."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgp.tudloc import java_string_hash
+from kgp.wiki import _remove_between, parse_dec_deg, strip_markup
+
+_RES = ("/root/reference/palladian-core/src/test/resources/"
+        "wikipedia/")
+
+
+@pytest.mark.parametrize("page,elen,ehash", [
+    ("Dresden.wikipedia", 44999, 82215810),
+    ("LutonAirportParkwayRailwayStation.wikipedia", 2743,
+     -1897009842),
+    ("MiddlesbroughTransporterBridge.wikipedia", 6376, -2062978054),
+])
+def test_strip_markup_byte_and_hash_exact(page, elen, ehash):
+    """testStripMarkup (:254-272): length AND Java String.hashCode of
+    the stripped text — byte-identity on real Wikipedia markup."""
+    raw = open(_RES + page, encoding="utf-8", errors="replace").read()
+    content = "".join(l + "\n" for l in raw.splitlines())
+    clean = strip_markup(content)
+    assert len(clean) == elen
+    assert java_string_hash(clean) == ehash
+
+
+@pytest.mark.parametrize("markup,expected", [
+    ("{{decdeg|deg=37|min=51|sec=00|hem=N}}", 37.85),
+    ("{{decdeg|deg=119|min=34|sec=04|hem=W}}", -119.5677778),
+    ("{{decdeg|37|51||N}}", 37.85),
+    ("{{decdeg|119|34||W}}", -119.5666667),
+    ("{{decdeg|37.85|||N}}", 37.85),
+    ("{{decdeg|119.5666667|||W}}", -119.5666667),
+    ("{{decdeg|37.85}}", 37.85),
+    ("{{decdeg|-119.5666667}}", -119.5666667),
+    ("{{decdeg|37.85||||1}}", 37.9),
+    ("{{decdeg|-119.5666667||||1}}", -119.6),
+    ("{{decdeg||51||N}}", 0.85),
+    ("{{decdeg||34||W}}", -0.5666667),
+    ("{{decdeg|0|51}}", 0.85),
+    ("{{decdeg|-0|34}}", -0.5666667),   # sign taken from "-0"
+])
+def test_parse_dec_deg(markup, expected):
+    """testExtractDecDeg (:274-291), the Template:Decdeg sandbox
+    battery."""
+    assert parse_dec_deg(markup) == pytest.approx(expected, abs=0.05)
+
+
+def test_remove_between():
+    """testRemoveBetween (:293-300)."""
+    assert _remove_between("{{{{a}}b}}c{{d{{e}}}}f",
+                           "{", "{", "}", "}") == " c f"
+    assert _remove_between("{{{{a}}b}}c", "{", "{", "}", "}") == " c"
+    assert _remove_between("a{{c}}\n\nb", "{", "{", "}", "}") == \
+        "a \n\nb"
+    assert _remove_between("abc {{d:{{e{{f}}}}}} gh {{ijk}} l",
+                           "{", "{", "}", "}") == "abc   gh   l"
