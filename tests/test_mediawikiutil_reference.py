@@ -61,3 +61,50 @@ def test_remove_between():
         "a \n\nb"
     assert _remove_between("abc {{d:{{e{{f}}}}}} gh {{ijk}} l",
                            "{", "{", "}", "}") == "abc   gh   l"
+
+
+def _load(page: str) -> str:
+    raw = open(_RES + page, encoding="utf-8", errors="replace").read()
+    return "".join(l + "\n" for l in raw.splitlines())
+
+
+@pytest.mark.parametrize("page,lat,lng", [
+    ("San_Francisco_Bay_Area.wikipedia", 37.75, -122.283333),
+    ("University_of_Pennsylvania.wikipedia", 39.953885, -75.193048),
+])
+def test_extract_coordinate_tag_real_pages(page, lat, lng):
+    """testExtractCoordinateMarkupFromPages (:155-180)."""
+    from kgp.wiki import extract_coordinate_tags
+    tags = extract_coordinate_tags(_load(page))
+    assert len(tags) == 1
+    assert tags[0]["lat"] == pytest.approx(lat, abs=1e-6)
+    assert tags[0]["lng"] == pytest.approx(lng, abs=1e-6)
+
+
+@pytest.mark.parametrize("page,lat,lng", [
+    ("Dresden.wikipedia", 51.033333, 13.733333),
+    ("Metro_Vancouver.wikipedia", 49.249444, -122.979722),
+    ("Lancaster_Girls'_Grammar_School.wikipedia", 54.04573, -2.80332),
+    ("Saint_Kitts_and_Nevis.wikipedia", 17.3, -62.733333),
+    ("Wild_Dunes.wikipedia", 32.796389, -79.765),
+    ("Dry_Fork_(Cheat_River).wikipedia", 38.733611, -79.647778),
+    ("Spice_Run_Wilderness.wikipedia", 38.043056, -80.233056),
+    ("CraigsvilleWestVirginia.wikipedia", 38.333333, -80.642778),
+])
+def test_infobox_coordinates_real_pages(page, lat, lng):
+    """testExtractCoordinatesFromInfobox (:181-253) over the real
+    fixture pages."""
+    from kgp.wiki import get_infoboxes, template_coordinates
+    boxes = get_infoboxes(_load(page))
+    cs = template_coordinates(boxes[0])
+    assert len(cs) == 1
+    assert cs[0]["lat"] == pytest.approx(lat, abs=1e-6)
+    assert cs[0]["lng"] == pytest.approx(lng, abs=1e-6)
+
+
+def test_infobox_coordinate_display_and_type():
+    from kgp.wiki import get_infoboxes, template_coordinates
+    cs = template_coordinates(get_infoboxes(
+        _load("CraigsvilleWestVirginia.wikipedia"))[0])
+    assert cs[0]["display"] == "inline,title"
+    assert cs[0]["type"] == "region:US_type:city"
