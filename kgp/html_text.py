@@ -739,19 +739,154 @@ def remove_last_index(xpath: str) -> str:
     return regex.sub(r"\[\d+\](?!.*\[\d+\])", "", xpath, count=1)
 
 
+_BOX_PREFIXES = ("p", "div", "td", "th", "li",
+                 "h1", "h2", "h3", "h4", "h5", "h6")
+
+
+def _is_box_node(node: str, prefixes=_BOX_PREFIXES) -> bool:
+    low = node.lower()
+    return any(low.startswith(p) or low.startswith("xhtml:" + p)
+               for p in prefixes)
+
+
 def find_last_box_section(xpath: str) -> str:
-    """PageAnalyzer.findLastBoxSection port (:656-686): cut after the
-    last segment whose name STARTS WITH p/div/td/th/li/h1..h6 (prefix
-    match — 'pre' counts as 'p', faithful reference quirk)."""
+    """PageAnalyzer.findLastBoxSection port (PageAnalyzer.java:
+    656-686): cut after the last segment whose name STARTS WITH
+    p/div/td/th/li/h1..h6 or the xhtml:-prefixed form (prefix match
+    — 'pre' counts as 'p', faithful reference quirk)."""
     nodes = xpath.split("/")
-    prefixes = ("p", "div", "td", "th", "li",
-                "h1", "h2", "h3", "h4", "h5", "h6")
     index = len(nodes)
     for i in range(len(nodes) - 1, 0, -1):
-        if any(nodes[i].lower().startswith(p) for p in prefixes):
+        if _is_box_node(nodes[i]):
             index = i + 1
             break
     return "".join("/" + nodes[i] for i in range(1, index))
+
+
+def get_target_node(xpath: str) -> str:
+    """PageAnalyzer.getTargetNode: last segment, xhtml: stripped,
+    indices removed, lowercased."""
+    i = xpath.rfind("/")
+    if i < 0:
+        return ""
+    node = xpath[i + 1:].lower().replace("xhtml:", "")
+    return regex.sub(r"\[(\d)+\]", "", node)
+
+
+def node_in_box(xpath: str, look_back: int) -> bool:
+    """PageAnalyzer.nodeInBox: a p/div segment within the last
+    look_back parents."""
+    nodes = xpath.split("/")
+    nl = len(nodes)
+    for i in range(nl - 1, max(0, nl - look_back - 1), -1):
+        if _is_box_node(nodes[i], ("p", "div")):
+            return True
+    return False
+
+
+def node_in_table(xpath: str, look_back: int) -> bool:
+    """PageAnalyzer.nodeInTable: a td/th segment within the last
+    look_back parents."""
+    nodes = xpath.split("/")
+    nl = len(nodes)
+    for i in range(nl - 1, max(0, nl - look_back - 1), -1):
+        if _is_box_node(nodes[i], ("td", "th")):
+            return True
+    return False
+
+
+def get_table_cell_path(xpath: str) -> str:
+    """PageAnalyzer.getTableCellPath: cut after the last td/th
+    segment."""
+    nodes = xpath.split("/")
+    index = len(nodes)
+    for i in range(len(nodes) - 1, 0, -1):
+        if _is_box_node(nodes[i], ("td", "th")):
+            index = i + 1
+            break
+    return "".join("/" + nodes[i] for i in range(1, index))
+
+
+def get_next_sibling(xpath: str, table_cell_sibling: bool = False) -> str:
+    """PageAnalyzer.getNextSibling (+getNextTableCell via
+    table_cell_sibling): a bare trailing /td becomes /td[1], a
+    trailing /th becomes /td[1] (header -> first data cell), else the
+    LAST bracketed index increments (in table mode, the last td[
+    bracket)."""
+    if table_cell_sibling:
+        last_open = max(xpath.rfind("td["), xpath.rfind("TD[")) + 2
+        last_close = xpath.find("]", last_open)
+    else:
+        last_open = xpath.rfind("[")
+        last_close = xpath.rfind("]")
+    low = xpath.lower()
+    td_index = max(low.rfind("/td"), low.rfind("/xhtml:td"))
+    th_index = max(low.rfind("/th"), low.rfind("/xhtml:th"))
+    if td_index > last_close and td_index > th_index:
+        first, last = xpath[:td_index], xpath[td_index:]
+        last = (last.replace("/td", "/td[1]").replace("/TD", "/TD[1]")
+                .replace("/xhtml:td", "/xhtml:td[1]")
+                .replace("/xhtml:TD", "/xhtml:TD[1]"))
+        return first + last
+    if th_index > last_close and th_index > td_index:
+        first, last = xpath[:th_index], xpath[th_index:]
+        last = (last.replace("/th", "/td[1]").replace("/TH", "/TD[1]")
+                .replace("/xhtml:th", "/xhtml:td[1]")
+                .replace("/xhtml:TH", "/xhtml:TD[1]"))
+        return first + last
+    if last_close <= last_open or last_open == 1:
+        return xpath
+    current = int(xpath[last_open + 1:last_close])
+    return (xpath[:last_open + 1] + str(current + 1)
+            + xpath[last_close:])
+
+
+def get_next_table_cell(xpath: str) -> str:
+    """PageAnalyzer.getNextTableCell."""
+    return get_next_sibling(xpath, True)
+
+
+def get_first_table_cell(xpath: str) -> str:
+    """PageAnalyzer.getFirstTableCell: a bare trailing /td becomes
+    /td[1]; /th stays."""
+    last_open = max(xpath.rfind("td["), xpath.rfind("TD[")) + 2
+    last_close = xpath.find("]", last_open)
+    low = xpath.lower()
+    td_index = max(low.rfind("/td"), low.rfind("/xhtml:td"))
+    th_index = max(low.rfind("/th"), low.rfind("/xhtml:th"))
+    if td_index > last_close and td_index > th_index:
+        first, last = xpath[:td_index], xpath[td_index:]
+        last = (last.replace("/td", "/td[1]").replace("/TD", "/TD[1]")
+                .replace("/xhtml:td", "/xhtml:td[1]")
+                .replace("/xhtml:TD", "/xhtml:TD[1]"))
+        return first + last
+    return xpath
+
+
+def get_parent_node(xpath: str) -> str:
+    """PageAnalyzer.getParentNode."""
+    return xpath[:xpath.rfind("/")]
+
+
+def remove_xpath_indices_from_last_count_node(xpath: str) -> str:
+    """PageAnalyzer.removeXPathIndicesFromLastCountNode: strip only
+    the LAST [n] (via the reversed-string replaceFirst, as
+    written)."""
+    rev = xpath[::-1]
+    rev = regex.sub(r"\](\d)+\[", "", rev, count=1)
+    return rev[::-1]
+
+
+def remove_xpath_indices_not(xpath: str,
+                             keep_elements: "list[str]") -> str:
+    """PageAnalyzer.removeXPathIndicesNot: strip every [n] EXCEPT on
+    the named elements (brace-protect, strip, restore)."""
+    for el in keep_elements:
+        xpath = regex.sub(el + r"\[(\d+)\]", el + r"{\1}", xpath)
+    xpath = regex.sub(r"\[(\d)+\]", "", xpath)
+    for el in keep_elements:
+        xpath = regex.sub(el + r"\{(\d+)\}", el + r"[\1]", xpath)
+    return xpath
 
 
 def get_parent_xpath(xpath: str) -> str:
