@@ -762,3 +762,82 @@ def find_date(text: str,
         if dates:
             return dates[0]
     return None
+
+
+def parse_date_auto(date_string: str) -> ParsedDate | None:
+    """DateParser.parseDate(String) (DateParser.java:56-69): the first
+    format in RegExp.ALL_DATE_FORMATS whose pattern matches the WHOLE
+    string parses it (findDate by contrast searches inside text)."""
+    for fmt in REF_ALL_DATE_FORMATS:
+        if fmt.pattern.fullmatch(date_string):
+            return parse_date(date_string, fmt.fmt)
+    return None
+
+
+def format_duration(start_time: int, stop_time: int,
+                    compact: bool = True) -> str:
+    """DateHelper.formatDuration (DateHelper.java:177-245): unit
+    emission is gated by the NEXT-COARSER units (days>0 prints a zero
+    hour; days>0 with zero hours+minutes skips the minute/second
+    slots entirely), millis always appear in compact mode."""
+    seconds = (stop_time - start_time) // 1000
+    days = seconds // 86400
+    hours = (seconds % 86400) // 3600
+    seconds %= 3600
+    minutes = seconds // 60
+    seconds %= 60
+    millis = (stop_time - start_time) % 1000
+
+    out = []
+    if days > 0:
+        out.append(f"{days}d:" if compact else
+                   (f"{days} days " if days > 1 else f"{days} day "))
+    if hours > 0 or days > 0:
+        if compact:
+            out.append(f"{hours}h:")
+        elif hours > 1:
+            out.append(f"{hours} hours ")
+        elif hours == 1:
+            out.append(f"{hours} hour ")
+    if hours > 0 or minutes > 0:
+        if compact:
+            out.append(f"{minutes}m:")
+        elif minutes > 1:
+            out.append(f"{minutes} minutes ")
+        elif minutes == 1:
+            out.append(f"{minutes} minute ")
+    if hours > 0 or minutes > 0 or seconds > 0:
+        if compact:
+            out.append(f"{seconds}s:")
+        elif seconds > 1:
+            out.append(f"{seconds} seconds ")
+        elif seconds == 1:
+            out.append(f"{seconds} second ")
+    if compact:
+        out.append(f"{millis}ms")
+    elif millis > 1:
+        out.append(f"{millis} milliseconds")
+    elif millis == 1:
+        out.append(f"{millis} millisecond")
+    return "".join(out).strip() if not compact else "".join(out)
+
+
+def get_time_string(time_ms: int) -> str:
+    """DateHelper.getTimeString (:274-276)."""
+    return format_duration(0, time_ms, True)
+
+
+def get_datetime(fmt: str, timestamp_ms: int) -> str:
+    """DateHelper.getDatetime(String, long) (:45-60) for the
+    SimpleDateFormat subset the repo needs (dd.MM.yyyy /
+    yyyy-MM-dd HH:mm:ss), rendered in UTC (the reference uses the JVM
+    default zone; fixed-UTC is this repo's documented convention)."""
+    import datetime as _dt
+    t = _dt.datetime.fromtimestamp(timestamp_ms / 1000.0,
+                                   tz=_dt.timezone.utc)
+    java_map = [("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+                ("HH", "%H"), ("mm", "%M"), ("ss", "%S")]
+    py_fmt = fmt
+    for j, p in java_map:
+        py_fmt = py_fmt.replace(j, p)
+    return t.strftime(py_fmt)

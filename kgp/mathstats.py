@@ -495,3 +495,191 @@ def intervals_overlap(start1: int, end1: int, start2: int,
                       end2: int) -> bool:
     """MathHelper.overlap (:331-333): strict half-open overlap."""
     return max(start1, start2) < min(end1, end2)
+
+
+# ---------------------------------------------- running stats / vectors
+
+
+class SlimStats:
+    """Running stats twin (SlimStats.java:31-117 + AbstractStats.java:
+    18-95): Welford m/s pair, incremental mean and mse, sample
+    (n-1) standard deviation with count==1 -> 0 and empty -> NaN.
+    The as-written Java seeds are kept: ``max`` starts at
+    Double.MIN_VALUE (the smallest POSITIVE double, 4.9e-324 — an
+    all-negative series therefore reports that artifact max), ``min``
+    at Double.MAX_VALUE.  kgp.encode / kgp.mlzoo / kgp.datasetstats pin
+    the same stddev convention on the distributed paths; this class is
+    the complete scalar surface for the harvested SlimStatsTest."""
+
+    _DOUBLE_MAX = 1.7976931348623157e308
+    _DOUBLE_MIN_POSITIVE = 4.9e-324
+
+    def __init__(self, values=None):
+        self.count = 0
+        self._mean = 0.0
+        self._min = self._DOUBLE_MAX
+        self._max = self._DOUBLE_MIN_POSITIVE
+        self._sum = 0.0
+        self._m = 0.0
+        self._s = 0.0
+        self._mse = 0.0
+        for v in values or ():
+            self.add(v)
+
+    def add(self, *values) -> "SlimStats":
+        for value in values:
+            v = float(value)
+            self.count += 1
+            self._mean += (v - self._mean) / self.count
+            self._min = min(self._min, v)
+            self._max = max(self._max, v)
+            self._sum += v
+            tmp_m = self._m
+            self._m += (v - tmp_m) / self.count
+            self._s += (v - tmp_m) * (v - self._m)
+            self._mse += (v * v - self._mse) / self.count
+        return self
+
+    def get_mean(self) -> float:
+        return float("nan") if self.count == 0 else self._mean
+
+    def get_standard_deviation(self) -> float:
+        if self.count == 0:
+            return float("nan")
+        if self.count == 1:
+            return 0.0
+        return math.sqrt(self._s / (self.count - 1))  # isSample() -> n-1
+
+    def get_count(self) -> int:
+        return self.count
+
+    def get_min(self) -> float:
+        return float("nan") if self.count == 0 else self._min
+
+    def get_max(self) -> float:
+        return float("nan") if self.count == 0 else self._max
+
+    def get_sum(self) -> float:
+        return self._sum
+
+    def get_mse(self) -> float:
+        return float("nan") if self.count == 0 else self._mse
+
+    def get_rmse(self) -> float:
+        return math.sqrt(self.get_mse())
+
+    def get_range(self) -> float:
+        if self.count == 0:
+            return float("nan")
+        return self.get_max() - self.get_min()
+
+    def get_relative_standard_deviation(self) -> float:
+        if self.count == 0:
+            return float("nan")
+        mean = self.get_mean()
+        return self.get_standard_deviation() / mean if mean != 0 else 0.0
+
+    def get_variance(self) -> float:
+        if self.count == 0:
+            return float("nan")
+        sd = self.get_standard_deviation()
+        return sd * sd
+
+
+class NumericVector:
+    """Sparse map vector twin (ImmutableNumericVector.java:21-130 +
+    AbstractNumericVector.java:11-86): get() defaults missing keys to
+    0; dot runs over the KEY INTERSECTION, euclidean and add over the
+    union; cosine returns 0 whenever the dot product is 0 (which also
+    covers empty operands without dividing by zero)."""
+
+    def __init__(self, value_map: dict | None = None):
+        self.values = dict(value_map or {})
+
+    def get(self, key) -> float:
+        return float(self.values.get(key, 0.0))
+
+    def keys(self):
+        return set(self.values.keys())
+
+    def size(self) -> int:
+        return len(self.values)
+
+    def sum(self) -> float:
+        return sum(self.values.values())
+
+    def norm(self) -> float:
+        return math.sqrt(sum(v * v for v in self.values.values()))
+
+    def dot(self, other: "NumericVector") -> float:
+        return sum(self.get(k) * other.get(k)
+                   for k in self.keys() & other.keys())
+
+    def cosine(self, other: "NumericVector") -> float:
+        dot = self.dot(other)
+        return dot / (self.norm() * other.norm()) if dot != 0 else 0.0
+
+    def euclidean(self, other: "NumericVector") -> float:
+        return math.sqrt(sum((self.get(k) - other.get(k)) ** 2
+                             for k in self.keys() | other.keys()))
+
+    def add(self, other: "NumericVector") -> "NumericVector":
+        return NumericVector({k: self.get(k) + other.get(k)
+                              for k in self.keys() | other.keys()})
+
+
+class NumericMatrix:
+    """Sparse map matrix twin (NumericMatrix.java:17-140 +
+    AbstractMatrix.java:74-156): ``set(x, y, v)`` keys by (column x,
+    row y); get() defaults to 0; ``size`` = columnCount * rowCount;
+    ``add`` requires identical row/column key sets and materializes
+    every (row x column) cell; ``scalar`` multiplies only the PRESENT
+    cells (missing cells read 0 either way)."""
+
+    def __init__(self):
+        self._rows: dict = {}          # y -> {x: value}
+
+    def set(self, x, y, value: float) -> None:
+        self._rows.setdefault(y, {})[x] = float(value)
+
+    def get(self, x, y) -> float:
+        return float(self._rows.get(y, {}).get(x, 0.0))
+
+    def row_keys(self) -> set:
+        return set(self._rows.keys())
+
+    def column_keys(self) -> set:
+        cols = set()
+        for row in self._rows.values():
+            cols.update(row.keys())
+        return cols
+
+    def size(self) -> int:
+        return len(self.row_keys()) * len(self.column_keys())
+
+    def get_row(self, y) -> NumericVector:
+        return NumericVector(self._rows.get(y, {}))
+
+    def get_column(self, x) -> NumericVector:
+        return NumericVector({y: row[x] for y, row in self._rows.items()
+                              if x in row})
+
+    def is_compatible(self, other: "NumericMatrix") -> bool:
+        return (self.row_keys() == other.row_keys()
+                and self.column_keys() == other.column_keys())
+
+    def add(self, other: "NumericMatrix") -> "NumericMatrix":
+        if not self.is_compatible(other):
+            raise ValueError("matrices must be compatible")
+        result = NumericMatrix()
+        for y in self.row_keys():
+            for x in self.column_keys():
+                result.set(x, y, self.get(x, y) + other.get(x, y))
+        return result
+
+    def scalar(self, lam: float) -> "NumericMatrix":
+        result = NumericMatrix()
+        for y, row in self._rows.items():
+            for x, value in row.items():
+                result.set(x, y, value * lam)
+        return result
