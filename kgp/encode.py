@@ -64,15 +64,21 @@ def label_encode(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def frequency_encode(df: DataFrame, cols: list[str],
-                     null_strategy: str = "keep_null") -> DataFrame:
-    """+ ``<col>_frequency`` per nominal column (FrequencyEncoder):
-    value count / total rows as float. null_strategy 'keep_null'
-    leaves nulls null; 'assign_frequency' gives them the null-count
-    frequency."""
-    total = df.count()
+                     null_strategy: str = "keep_null",
+                     fit_df: DataFrame | None = None) -> DataFrame:
+    """+ ``<col>_frequency`` per nominal column (FrequencyEncoder.java:
+    79-97): value count in the REFERENCE dataset / total reference
+    rows as float.  ``fit_df`` is that reference dataset (defaults to
+    ``df`` itself — the common encode-in-place case).  A value the
+    reference never saw gets frequency 0.0, NOT null (the Java
+    getCount returns 0); nulls either stay null ('keep_null',
+    default) or take the null-count frequency — 0.0 when the
+    reference has no nulls ('assign_frequency')."""
+    ref = fit_df if fit_df is not None else df
+    total = ref.count()
     out = df
     for col in cols:
-        counts = df.groupBy(F.col(col).alias("_v")) \
+        counts = ref.groupBy(F.col(col).alias("_v")) \
             .agg((F.count("*") / F.lit(float(total))).cast("float")
                  .alias(col + "_frequency"))
         if null_strategy == "keep_null":
@@ -80,6 +86,19 @@ def frequency_encode(df: DataFrame, cols: list[str],
         out = (out.join(F.broadcast(counts),
                         out[col].eqNullSafe(counts["_v"]), "left")
                .drop("_v"))
+        # unseen values (and, under assign_frequency, unseen nulls)
+        # read count 0 in the reference -> frequency 0.0
+        fcol = col + "_frequency"
+        if null_strategy == "keep_null":
+            out = out.withColumn(
+                fcol, F.when(F.col(col).isNull(), F.lit(None)
+                             .cast("float"))
+                .otherwise(F.coalesce(F.col(fcol),
+                                      F.lit(0.0).cast("float"))))
+        else:
+            out = out.withColumn(
+                fcol, F.coalesce(F.col(fcol),
+                                 F.lit(0.0).cast("float")))
     return out
 
 

@@ -7,10 +7,13 @@ rankers (palladian-core classification/featureselection/):
     N11/N10/N01/N00 (Manning IR-book p. 275), then the
     AverageMergingStrategy (AverageMergingStrategy.java:21-29):
     average the cell scores across categories per feature VALUE, and
-    SUM those averages per base feature. (RoundRobinMergingStrategy is
-    not ported — its output order walks a HashMap entrySet,
-    RoundRobinMergingStrategy.java:43-58, which is nondeterministic by
-    construction.)
+    SUM those averages per base feature. RoundRobinMergingStrategy
+    (RoundRobinMergingStrategy.java:23-60) is ported too — although
+    its merge loop walks a HashMap entrySet, the SCORES are
+    deterministic: each per-category ranking sorts by
+    RankedFeature.compareTo (score desc, name asc, :35-41) and a
+    feature's score depends only on the smallest list position of any
+    of its cells, not on category iteration order.
   * InformationGainFeatureRanker (InformationGainFeatureRanker.java:
     63-131, Yang & Pedersen 1997): G(t) = H(C) + H(F) - H(C,F) with
     log2 entropies (AbstractCategoryEntries.java:102-110) — the
@@ -37,32 +40,102 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LOG2 = math.log(2.0)
 
 
 def _long_form(instances: DataFrame, feature_cols: list[str],
-               category_col: str) -> DataFrame:
-    """(category, feature, value) — one row per instance x feature."""
+               category_col: str,
+               include_nulls: bool = True) -> DataFrame:
+    """(category, feature, value) — one row per instance x feature.
+
+    ``include_nulls`` mirrors the reference's two iteration styles: a
+    present-but-NullValue vector entry stringifies to 'null' and IS
+    counted (InformationGainFeatureRanker.countJointOccurrences calls
+    vector.get(name) on every instance), while ChiSquaredFeatureRanker
+    iterates only the PRESENT vector entries — sparse instances skip
+    the feature entirely (ChiSquaredFeatureRanker.java:84-87). A
+    DataFrame cannot distinguish absent from null, so the caller picks
+    the semantic: True = nulls count as the literal 'null' (dense /
+    null-present data), False = null rows are dropped (sparse data)."""
     structs = F.array(*[
         F.struct(F.lit(c).alias("feature"),
                  F.coalesce(F.col(c).cast("string"), F.lit("null"))
                  .alias("value"))
         for c in feature_cols])
-    return instances.select(
+    lf = instances.select(
         F.col(category_col).alias("category"),
         F.explode(structs).alias("fv")
     ).select("category", "fv.feature", "fv.value")
+    if not include_nulls:
+        lf = lf.where(F.col("value") != "null")
+    return lf
+
+
+def _chi_cells(instances: DataFrame, feature_cols: list[str],
+               category_col: str, include_nulls: bool) -> DataFrame:
+    """(feature, value, category, chi): every (feature-value row x
+    category) cell of ChiSquaredFeatureRanker.calculateChiSquareValues
+    (:64-117) — the full cross is materialized exactly as the
+    categoryCounts.unique() loop does."""
+    lf = _long_form(instances, feature_cols, category_col,
+                    include_nulls)
+    n_total = instances.count()
+
+    cells = lf.groupBy("feature", "value", "category") \
+        .agg(F.count("*").alias("n11"))
+    fv_tot = cells.groupBy("feature", "value") \
+        .agg(F.sum("n11").alias("fv_sum"))
+    cat_tot = instances.groupBy(
+        F.col(category_col).alias("category")).agg(
+        F.count("*").alias("cat_n"))
+    full = (fv_tot.crossJoin(F.broadcast(cat_tot))
+            .join(cells, ["feature", "value", "category"], "left")
+            .withColumn("n11", F.coalesce("n11", F.lit(0))))
+    n11 = F.col("n11").cast("double")
+    n10 = (F.col("fv_sum") - F.col("n11")).cast("double")
+    n01 = (F.col("cat_n") - F.col("n11")).cast("double")
+    n00 = F.lit(float(n_total)) - (n10 + n01 + n11)
+    num = (n11 + n10 + n01 + n00) * F.pow(n11 * n00 - n10 * n01,
+                                          F.lit(2.0))
+    den = (n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00)
+    return full.select("feature", "value", "category",
+                       F.when(den != 0, num / den).alias("chi"))
+
+
+def chi_squared_round_robin(instances: DataFrame,
+                            feature_cols: list[str],
+                            category_col: str = "category",
+                            include_nulls: bool = True) -> DataFrame:
+    """(feature, score): RoundRobinMergingStrategy
+    (RoundRobinMergingStrategy.java:23-60) — per category, the
+    feature-value cells sort by (chi desc, BASE feature name asc;
+    RankedFeature.compareTo:35-41, fully deterministic), and a feature
+    scores maxIndex - i for the smallest list position i at which any
+    of its value cells appears in any category's ranking (the
+    first-add-wins guard); maxIndex = number of feature-value rows
+    (every category ranks all of them)."""
+    cells = _chi_cells(instances, feature_cols, category_col,
+                       include_nulls)
+    n_rows = cells.select("feature", "value").distinct().count()
+    w = Window.partitionBy("category").orderBy(
+        F.desc_nulls_last("chi"), F.asc("feature"))
+    pos = cells.withColumn("_i", F.row_number().over(w) - 1)
+    return (pos.groupBy("feature")
+            .agg((F.lit(n_rows) - F.min("_i"))
+                 .cast("double").alias("score")))
 
 
 def chi_squared_ranking(instances: DataFrame, feature_cols: list[str],
-                        category_col: str = "category") -> DataFrame:
+                        category_col: str = "category",
+                        include_nulls: bool = True) -> DataFrame:
     """(feature, score): chi² cells averaged across categories per
     feature value, summed per feature (AverageMergingStrategy).
     Score rounded to 6 decimals."""
-    lf = _long_form(instances, feature_cols, category_col)
+    lf = _long_form(instances, feature_cols, category_col,
+                    include_nulls)
     n_total = instances.count()
     n_cats = lf.select("category").distinct().count()
 

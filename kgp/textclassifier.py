@@ -361,3 +361,67 @@ def detect_language(text: str, model: DictModel,
                     fs: FeatureSetting = LANG_FEATURE_SETTING,
                     scorer=None) -> str:
     return most_likely(classify(text, model, fs, scorer))
+
+
+# ----------------------------------------------- pruning strategies
+
+
+def category_entropy(counts: dict[str, int]) -> float:
+    """CategoryEntries.getEntropy (AbstractCategoryEntries via
+    CountingCategoryEntriesBuilder): Shannon entropy, base 2, over
+    the category count distribution."""
+    total = sum(counts.values())
+    if total == 0:
+        return 0.0
+    ent = 0.0
+    for n in counts.values():
+        if n > 0:
+            p = n / total
+            ent -= p * log(p, 2)
+    return ent
+
+
+def information_gain(model: DictModel, term: str) -> float:
+    """InformationGainPruningStrategy.getInformationGain
+    (PruningStrategies.java:103-116): starts from the document-count
+    entropy and adds the term / not-term conditional contributions,
+    guarding each log on a positive count exactly as written."""
+    entries = model.entries.get(term, {})
+    num_docs = model.num_docs
+    ig = category_entropy(model.doc_counts)
+    p_term = sum(entries.values()) / num_docs
+    p_not_term = 1 - p_term
+    for cat, doc_count in model.doc_counts.items():
+        count_term = entries.get(cat, 0)
+        count_not_term = doc_count - count_term
+        p_term_cat = count_term / num_docs
+        p_not_term_cat = count_not_term / num_docs
+        if count_term > 0:
+            ig += p_term_cat * log(p_term_cat / p_term, 2)
+        if count_not_term > 0:
+            ig += p_not_term_cat * log(p_not_term_cat / p_not_term, 2)
+    return ig
+
+
+def prune_term_count(model: DictModel, min_count: int) -> DictModel:
+    """TermCountPruningStrategy (PruningStrategies.java:36-55): keep
+    terms whose total count >= minCount; document counts (and so
+    numDocuments) survive pruning, as in DictionaryTrieModel."""
+    if min_count <= 0:
+        raise ValueError("minCount must be greater zero")
+    kept = {t: dict(cats) for t, cats in model.entries.items()
+            if sum(cats.values()) >= min_count}
+    return DictModel(entries=kept,
+                     doc_counts=Counter(model.doc_counts))
+
+
+def prune_information_gain(model: DictModel,
+                           threshold: float) -> DictModel:
+    """InformationGainPruningStrategy as a model transform: keep
+    terms with IG >= threshold (PruningStrategies.java:119-121)."""
+    if threshold < 0:
+        raise ValueError("threshold must be greater/equal zero")
+    kept = {t: dict(cats) for t, cats in model.entries.items()
+            if information_gain(model, t) >= threshold}
+    return DictModel(entries=kept,
+                     doc_counts=Counter(model.doc_counts))
