@@ -571,3 +571,39 @@ def import_hotelsbase(lines: DataFrame, max_id: int = 0) -> DataFrame:
                 F.array().cast("array<long>").alias("ancestor_ids"),
                 parts[12].cast("double").alias("lat"),
                 parts[13].cast("double").alias("lon")))
+
+
+# Language.getByIso6391 domain (palladian-commons helper/constants/
+# Language.java:19-118) — the 98 entries carrying an ISO 639-1 code;
+# entries with a null 639-1 code (e.g. SONGE) are unreachable through
+# getByIso6391 and therefore absent here.
+ISO_639_1_LANGUAGES = frozenset(
+    "af sq am ar an hy az eu be bn bs br bg ca zh cv hr cs da nl en eo "
+    "et fo fj fi fr ff gl ka de el gu ht ha he hi hu is io id ga it ja "
+    "jv ko ku ky la lv lt lb mk ms ml mt mi mr ne nd no nb nn oc oj ps "
+    "fa pl pt pa qu ro ru sr sn sk sl so nr es su sw sv tl ta te th bo "
+    "tr uk ur vi vo wa cy fy wo xh".split())
+
+
+def read_alternate_names(spark: SparkSession, path: str) -> DataFrame:
+    """Geonames alternateNames.txt ingest (GeonamesImporter.
+    importAlternativeNames, GeonamesImporter.java:387-420):
+    (id, name, language) rows — lines with <4 columns are skipped; an
+    empty or 'abbr' language column keeps the name with language null;
+    any other language must be a known ISO 639-1 code or the line is
+    dropped (this also drops geonames' 'post'/'link'/'iata' rows,
+    exactly as Language.getByIso6391 == null does upstream).
+
+    One distributed TSV scan, pure-JVM filters — the 639-1 domain is
+    a literal IN list."""
+    raw = spark.read.option("sep", "\t").option("quote", "").csv(path)
+    iso = F.coalesce(F.col("_c2"), F.lit(""))
+    return (raw
+            .where(F.col("_c3").isNotNull())       # <4 columns
+            .where((iso == "") | (iso == "abbr")
+                   | iso.isin(sorted(ISO_639_1_LANGUAGES)))
+            .select(F.col("_c1").cast("long").alias("id"),
+                    F.col("_c3").alias("name"),
+                    F.when((iso == "") | (iso == "abbr"),
+                           F.lit(None).cast("string"))
+                    .otherwise(iso).alias("language")))
