@@ -195,3 +195,38 @@ def tag_coordinates(text: str) -> list[CoordinateAnnotation]:
             out.append(CoordinateAnnotation(m.start(), m.group(),
                                             lat, lon))
     return out
+
+
+def _dms_parts(decimal: float) -> tuple[int, int, int]:
+    """AbstractGeoCoordinate.getParts (:86-100): truncating int casts
+    per stage."""
+    temp = abs(decimal)
+    deg = int(temp)
+    temp = (temp % 1) * 60
+    minutes = int(temp)
+    temp = (temp % 1) * 60
+    seconds = int(temp)
+    return deg, minutes, seconds
+
+
+def _format_dms(parts: tuple[int, int, int], suffix: str) -> str:
+    """AbstractGeoCoordinate.formatDms (:73-84) — kept as-written:
+    the minute part prints only when minutes AND seconds are both
+    non-zero (the outer condition tests both, making the inner
+    seconds check redundant)."""
+    out = f"{parts[0]}°"
+    if parts[1] != 0 and parts[2] != 0:
+        out += f"{parts[1]}′"
+        if parts[2] != 0:
+            out += f"{parts[2]}″"
+    return out + suffix
+
+
+def to_dms_string(lat: float, lng: float) -> str:
+    """AbstractGeoCoordinate.toDmsString (:43-64):
+    '51°1′59″N,13°43′59″E'; zero stays bare ('0°'), sign picks the
+    hemisphere suffix."""
+    lat_suffix = "N" if lat > 0 else ("S" if lat < 0 else "")
+    lng_suffix = "E" if lng > 0 else ("W" if lng < 0 else "")
+    return (_format_dms(_dms_parts(lat), lat_suffix) + ","
+            + _format_dms(_dms_parts(lng), lng_suffix))
