@@ -42,9 +42,14 @@ def parse_column(lines, sep: str = "\t",
     begins with a letter/digit/bracket, empty lines become newlines and
     close the open tag, =-DOCSTART- lines are skipped.
 
-    token_based=True emits one annotation per tagged token
-    (columnToXmlTokenBased semantics); otherwise consecutive same-tag
-    tokens form one annotation."""
+    token_based=True replays the reference's columnToXmlTokenBased ->
+    getAnnotationsFromXmlText pipeline (FileFormatParser.java:252-285,
+    524-528): EVERY token — including 'O'-tagged ones — is wrapped in
+    its tag and becomes one annotation (the XML reader's [A-Z]+ tag
+    pattern matches <O> too); otherwise consecutive same-tag tokens
+    form one annotation and 'O' regions stay untagged."""
+    if token_based:
+        return _parse_column_token_based(lines, sep)
     out: list[str] = []
     pos = 0
     anns: list[Ann] = []
@@ -90,11 +95,6 @@ def parse_column(lines, sep: str = "\t",
             continue
         open_tag = False
         tag, value = parts[1], parts[0]
-        if token_based and tag.lower() != "o":
-            # per-token annotations: force a region break between
-            # consecutive same-tag tokens
-            close_tag()
-            current_tag = "o"
         if current_tag.lower() != tag.lower():
             if current_tag.lower() != "o" and line_number > 1:
                 close_tag()
@@ -114,6 +114,39 @@ def parse_column(lines, sep: str = "\t",
         previous_line_break = False
     close_tag()
     return "".join(out), anns
+
+
+def _parse_column_token_based(lines, sep: str) -> tuple[str, list[Ann]]:
+    """columnToXmlTokenBased (FileFormatParser.java:252-285) followed
+    by the XML annotation reader — exact replay: the XML intermediate
+    is built literally and fed through annotations_from_xml_text, so
+    offsets come out of the identical arithmetic."""
+    xml: list[str] = []
+    previous_line_break = True
+    line_number = 0
+    for raw in lines:
+        line_number += 1
+        line = raw.rstrip("\n")
+        if "=-DOCSTART-" in line:
+            continue
+        parts = line.split(sep)
+        while parts and parts[-1] == "":
+            parts.pop()
+        if len(parts) < 2:
+            if len(line) == 0:
+                xml.append("\n")
+                previous_line_break = True
+            continue
+        value, tag = parts[0], parts[1]
+        if value and (value[0].isalnum() or value[0] in _BRACKETS) \
+                and line_number > 1 and not previous_line_break:
+            xml.append(" ")
+        xml.append(f"<{tag}>{value}</{tag}>")
+        previous_line_break = False
+    xml_text = "".join(xml)
+    anns = annotations_from_xml_text(xml_text)
+    plain = re.sub(r"</?[^>]+>", "", xml_text)
+    return plain, anns
 
 
 def tag_text(text: str, annotations: list[Ann],
@@ -189,6 +222,11 @@ class EvaluationResult:
     def _sum_correct(self, mode: str) -> float:
         if mode == "MUC":
             return sum(self._weighted_muc(t) for t in self.assignments)
+        if mode == "RECOGNITION":
+            # exact boundaries, tag ignored (EvaluationResult.java:
+            # 291-294)
+            return sum(c[CORRECT] + c[ERROR3]
+                       for c in self.assignments.values())
         return sum(c[CORRECT] for c in self.assignments.values())
 
     def precision(self, mode: str = "MUC") -> float:
@@ -198,6 +236,45 @@ class EvaluationResult:
     def recall(self, mode: str = "MUC") -> float:
         total = sum(self.possible.values()) * (2 if mode == "MUC" else 1)
         return self._sum_correct(mode) / total if total else 0.0
+
+    def result_type_count(self, result_type: str,
+                          tag: str | None = None) -> int:
+        """getResultTypeCount (per tag or summed over all tags)."""
+        if tag is not None:
+            return self.assignments.get(tag, Counter())[result_type]
+        return sum(c[result_type] for c in self.assignments.values())
+
+    def precision_for(self, tag: str, mode: str) -> float:
+        """getPrecisionFor (EvaluationResult.java:182-198): -1 when
+        the tag was never assigned."""
+        actual = self.actual[tag]
+        if actual == 0:
+            return -1.0
+        if mode == "EXACT_MATCH":
+            correct = self.result_type_count(CORRECT, tag)
+        elif mode == "MUC":
+            correct = self._weighted_muc(tag)
+            actual *= 2
+        else:                                  # RECOGNITION
+            correct = (self.result_type_count(CORRECT, tag)
+                       + self.result_type_count(ERROR3, tag))
+        return correct / actual
+
+    def recall_for(self, tag: str, mode: str) -> float:
+        """getRecallFor (:200-216): -1 when the tag has no gold
+        occurrences."""
+        possible = self.possible[tag]
+        if possible == 0:
+            return -1.0
+        if mode == "EXACT_MATCH":
+            correct = self.result_type_count(CORRECT, tag)
+        elif mode == "MUC":
+            correct = self._weighted_muc(tag)
+            possible *= 2
+        else:                                  # RECOGNITION
+            correct = (self.result_type_count(CORRECT, tag)
+                       + self.result_type_count(ERROR3, tag))
+        return correct / possible
 
     def f1(self, mode: str = "MUC") -> float:
         p, r = self.precision(mode), self.recall(mode)
