@@ -509,3 +509,24 @@ def best_fit_convert(amount: float, from_unit: str,
     if best_unit == "":
         best_unit, best_div = low_unit, low_div
     return normalized / best_div, best_unit
+
+
+def translate_units_of_input(input_string: str,
+                             language: str = "de") -> str:
+    """UnitTranslator.translateUnitsOfInput (:146-158): lower-case the
+    whole input, walk the translation keys longest-first (ties by
+    case-insensitive alpha — StringLengthComparator.java:23-26),
+    replace ALL occurrences of the FIRST key found and stop. The
+    replacement keeps the bank's casing ('Ah')."""
+    from kgp.units_data import GERMAN_UNIT_TRANSLATIONS
+    if language not in ("de", "german", "GERMAN"):
+        return input_string.lower()
+    keys = sorted(GERMAN_UNIT_TRANSLATIONS,
+                  key=lambda k: (-len(k), k.lower()))
+    input_string = input_string.lower()
+    for key in keys:
+        if key.lower() in input_string:
+            input_string = input_string.replace(
+                key.lower(), GERMAN_UNIT_TRANSLATIONS[key])
+            break
+    return input_string
