@@ -1610,3 +1610,44 @@ def get_content_images(root: Node, main_node: Node | None,
                     "summary": str(n.attrs.get("alt") or ""),
                     "title": str(n.attrs.get("title") or "")})
     return out
+
+
+def add_xhtml_ns_to_xpath(xpath: str) -> str:
+    """XPathHelper.addXhtmlNsToXPath (XPathHelper.java:474-539):
+    quoted literals are masked first, the path splits on
+    / space [ ] | ) :  (NOT on '(' — "text(" / "contains(@x,…" parts
+    therefore never get prefixed), and every part matching
+    [a-zA-Z]\\w*|\\* except the logical operators and/or gains the
+    'xhtml:' prefix. A path already containing 'xhtml:' (any case)
+    passes through unchanged."""
+    if "xhtml:" in xpath.lower():
+        return xpath
+    unmask: dict[str, str] = {}
+    mask_id = 0
+    for quoted in re.findall(r"\"[^\"]+\"|'[^']+'", xpath):
+        mask = f"_MASK_{mask_id}"
+        mask_id += 1
+        xpath = xpath.replace(quoted, mask)
+        unmask[mask] = quoted
+    parts: list[str] = []
+    buf: list[str] = []
+    split_chars = set("/ []|):")
+    for i, ch in enumerate(xpath):
+        if ch in split_chars:
+            parts.append("".join(buf))
+            buf = []
+            parts.append(ch)
+        else:
+            buf.append(ch)
+        if i == len(xpath) - 1:
+            parts.append("".join(buf))
+    out: list[str] = []
+    for part in parts:
+        if re.fullmatch(r"[a-zA-Z]\w*|\*", part) \
+                and not re.fullmatch(r"and|or", part):
+            out.append("xhtml:")
+        out.append(part)
+    result = "".join(out)
+    for mask, quoted in unmask.items():
+        result = result.replace(mask, quoted)
+    return result
