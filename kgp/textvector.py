@@ -90,11 +90,26 @@ class TermCorpusLocal:
     def get_count(self, term: str) -> int:
         return self.counts.get(term, 0)
 
+    def get_probability(self, term: str) -> float:
+        """MapTermCorpus.getProbability: count / numDocs."""
+        return self.get_count(term) / self.num_docs
+
+    def num_unique_terms(self) -> int:
+        return len(self.counts)
+
+    def num_terms(self) -> int:
+        return sum(self.counts.values())
+
     def get_idf(self, term: str, smoothing: bool = True) -> float:
         """Lucene-style idf: 1 + ln(numDocs / (count + s))
-        (AbstractTermCorpus.java:7-14)."""
+        (AbstractTermCorpus.java:7-14). An unseen term without
+        smoothing divides by zero — Java doubles give +Infinity, so
+        does this twin."""
         s = 1 if smoothing else 0
-        return 1.0 + math.log(self.num_docs / (self.get_count(term) + s))
+        denom = self.get_count(term) + s
+        if denom == 0:
+            return math.inf
+        return 1.0 + math.log(self.num_docs / denom)
 
     def reduced(self, max_size: int) -> "TermCorpusLocal":
         """getReducedCorpus (MapTermCorpus.java:210-222) with the

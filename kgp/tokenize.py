@@ -374,3 +374,18 @@ def phrase_from_beginning_of_sentence(string: str) -> str:
             start = i
     string = string[start + 1:]
     return string[1:] if string.startswith(" ") else string
+
+
+def word_ngram_sequence(tokens: list[str], n_min: int,
+                        n_max: int) -> list[str]:
+    """NGramWrapperIterator order (extraction/token/
+    NGramWrapperIterator.java): POSITION-major — every length from one
+    start token before advancing ("the", "the quick", "quick", ...),
+    unlike word_ngrams' length-major enumeration
+    (Tokenizer.calculateWordNgrams)."""
+    out = []
+    for i in range(len(tokens)):
+        for n in range(n_min, n_max + 1):
+            if i + n <= len(tokens):
+                out.append(" ".join(tokens[i:i + n]))
+    return out
