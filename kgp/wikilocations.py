@@ -8,13 +8,13 @@ Per main-namespace, non-redirect page (titles matching the
 '(?:Geography|Battle) of .*' blacklist skipped):
 
 1. the FIRST infobox whose name maps to a location type wins;
-   unmapped pages are dropped. The reference loads the mapping from
-   its bundled 227-line WikipediaInfoboxTypeMapping.csv resource —
-   copying a reference data file is out, so a compact default table
-   with the obvious entries substitutes it (DEFAULT_INFOBOX_TYPES);
-   `load_infobox_type_mapping` parses the reference's own
-   'InfoboxType;CoNLL;TUD-Loc;Notes' format so a full file can be
-   supplied.
+   unmapped pages are dropped. The default mapping is the FULL
+   TUD-Loc column of the reference's WikipediaInfoboxTypeMapping.csv
+   (kgp.infobox_types.INFOBOX_TUDLOC, 143 entries, same bank the NER
+   dataset creator uses); the compact DEFAULT_INFOBOX_TYPES table
+   remains for explicit use, and `load_infobox_type_mapping` parses
+   the reference's own 'InfoboxType;CoNLL;TUD-Loc;Notes' format so a
+   file can be supplied.
 2. coordinate: the page's title-display coordinate (display contains
    'title' or equals 't' across coord tags + infobox coordinates),
    else the first infobox coordinate set.
@@ -23,11 +23,10 @@ Per main-namespace, non-redirect page (titles matching the
    type, lat, lng, population) — plus the ORIGINAL title so the
    redirect pass can join.
 4. alternative names: PAGE mode takes the bold strings of the first
-   section's first bold-carrying line (the reference walks a
-   full apostrophe-state formatting parser; this port uses the
-   simpler ''' run regex the reference itself documents —
-   substitution noted); REDIRECTS mode joins redirect pages against
-   the saved titles, skipping '#'-anchor targets and
+   section's first bold-carrying line via the SAME apostrophe-state
+   formatting parser the reference walks (kgp.wikiformat, driven by
+   the getStringsInBold callback); REDIRECTS mode joins redirect
+   pages against the saved titles, skipping '#'-anchor targets and
    'Target/Subpage' self-redirects.
 
 Spark shape: ONE Arrow pass per dump scan (locations; alternative
@@ -102,11 +101,43 @@ _INTERNAL_LINK = re.compile(r"\[\[([^|\]]*)(?:\|([^|\]]*))?\]\]")
 _EXTERNAL_LINK = re.compile(r"\[http([^\s]+)(?:\s([^\]]+))\]")
 
 
+def _strings_in_bold(line: str) -> list[str]:
+    """WikiPage.getStringsInBold (:131-171): the REAL apostrophe-state
+    MediaWikiFormattingParser (kgp.wikiformat) drives a callback that
+    buffers characters while bold is open (boldItalic toggles bold
+    too) and emits the trimmed buffer at each close."""
+    from kgp.wikiformat import parse_formatting
+
+    result: list[str] = []
+    state = {"bold": False, "buffer": []}
+
+    class _Cb:
+        def character(self, ch):
+            if state["bold"]:
+                state["buffer"].append(ch)
+
+        def italic(self):
+            pass
+
+        def bold(self):
+            if state["bold"]:
+                result.append("".join(state["buffer"]).strip())
+                state["buffer"] = []
+            state["bold"] = not state["bold"]
+
+        def boldItalic(self):
+            self.bold()
+
+    parse_formatting(line, _Cb())
+    return result
+
+
 def alternative_titles(markup: str) -> list[str]:
     """WikiPage.getAlternativeTitles (:107-128): the bold strings of
     the first section's first bold-carrying line, after ref/lang/
-    entity/tag/link/template cleanup. Bold runs found with the '''
-    regex (substitute for the apostrophe-state parser; documented)."""
+    entity/tag/link/template cleanup. Bold runs come from the real
+    apostrophe-state formatting parser (_strings_in_bold), so
+    bold-italic ('''''X''''') extracts X without quote residue."""
     sections = get_sections(markup or "")
     if not sections:
         return []
@@ -119,8 +150,7 @@ def alternative_titles(markup: str) -> list[str]:
     first = _remove_between(first, "{", "{", "}", "}")
     first = _remove_between(first, "{", "|", "|", "}")
     for line in first.strip().split("\n"):
-        titles = [m.group(1).strip() for m in _BOLD.finditer(line)
-                  if m.group(1).strip() and len(m.group(1).strip()) > 1]
+        titles = _strings_in_bold(line)
         if titles:
             return titles
     return []
@@ -146,7 +176,9 @@ def parse_location_page(page_id: int, namespace: int, title: str,
                         id_offset: int = 0,
                         page_names: bool = True) -> dict | None:
     """importLocationPages' per-page logic (:121-196)."""
-    mapping = mapping if mapping is not None else DEFAULT_INFOBOX_TYPES
+    if mapping is None:
+        from kgp.infobox_types import INFOBOX_TUDLOC
+        mapping = INFOBOX_TUDLOC
     if namespace != 0 or title is None or markup is None:
         return None
     if get_redirect_title(markup) is not None:
@@ -196,7 +228,11 @@ def wikipedia_locations_stage(pages: DataFrame,
     """(location_id, title, name, type, lat, lng, population,
     alt_names) — ONE Arrow pass over (page_id, namespace, title,
     text)."""
-    m = mapping if mapping is not None else DEFAULT_INFOBOX_TYPES
+    if mapping is None:
+        from kgp.infobox_types import INFOBOX_TUDLOC
+        m = INFOBOX_TUDLOC
+    else:
+        m = mapping
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
