@@ -344,10 +344,29 @@ class _DomParser(HTMLParser):
             if self.stack[i].tag in _SPECIAL:
                 return
 
+    def _open_implied(self, tag: str) -> None:
+        """Synthesize an element the WHATWG table insertion modes
+        imply (tbody for a tr in "in table", tbody+tr for a cell)."""
+        node = Node(tag, {})
+        self._append(self.stack[-1], node)
+        self.stack.append(node)
+
     def handle_starttag(self, tag, attrs):
         if tag == "table" and self.stack[-1].tag in _TABLE_CTX:
             # "table start tag in table": close the open table first
             self._pop_to("table")
+        # implied table sections (WHATWG "in table" / "in table body"):
+        # a <tr> directly in <table> gets a synthetic <tbody>; a cell
+        # directly in <table> or a section gets <tbody> and/or <tr> —
+        # ValidatorNuParser emits these, and the PageAnalyzer xpath
+        # machinery depends on the tbody level being present
+        if tag == "tr" and self.stack[-1].tag == "table":
+            self._open_implied("tbody")
+        elif tag in ("td", "th"):
+            if self.stack[-1].tag == "table":
+                self._open_implied("tbody")
+            if self.stack[-1].tag in ("tbody", "thead", "tfoot"):
+                self._open_implied("tr")
         if tag in P_CLOSERS:
             # close an open <p> only within button scope (a <p> on the
             # other side of a table cell stays open, per spec)
@@ -416,6 +435,13 @@ class _DomParser(HTMLParser):
             # fast path: a well-nested end tag (the overwhelmingly
             # common case) — every rule family agrees it just pops
             self.stack.pop()
+            return
+        if tag in ("table", "tbody", "thead", "tfoot", "tr"):
+            # "in table"/"in table body"/"in row" end-tag rules: pop
+            # through the matching element (closing any implied
+            # tbody/tr the insertion modes synthesized), ignore when
+            # not open
+            self._pop_to(tag)
             return
         if tag in _BLOCK_END:
             # explicit in-body end-tag rule: pop through the matching
