@@ -209,14 +209,58 @@ def _parse_iso(s):
     return dt
 
 
-def _parse_feed_bytes(feed_url, fetched_ts, raw):
-    """One feed document -> item tuples. RSS 2.0 <channel><item> with
-    RFC-822 pubDate, Atom <feed><entry> with ISO-8601 published —
-    the two formats RomeFeedParser normalizes (feeds/rome/)."""
+_RDF_NS = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+_RSS10_NS = "{http://purl.org/rss/1.0/}"
+_DC_NS = "{http://purl.org/dc/elements/1.1/}"
+_CONTENT_NS = "{http://purl.org/rss/1.0/modules/content/}"
+
+# XML control characters the spec forbids (ROME-tolerated crawl-feed
+# damage — e.g. a 0x04 inside CDATA); tab/newline/CR stay
+_XML_CTRL = bytes(i for i in range(0x20)
+                  if i not in (0x09, 0x0A, 0x0D))
+
+
+def _parse_feed_root(raw: bytes):
+    """Tolerant feed parse, RomeFeedParser-style: strict first, then
+    one recovery pass — strip leading junk before the XML
+    declaration, drop re-declared '<?xml' PIs mid-document, scrub
+    forbidden control bytes (skipped for UTF-16 payloads, whose NULs
+    are structure) — for the real-crawl damage the reference's own
+    test battery contains."""
+    import re
     import xml.etree.ElementTree as ET
     try:
-        root = ET.fromstring(bytes(raw))
+        return ET.fromstring(raw)
     except ET.ParseError:
+        pass
+    fixed = raw
+    if not fixed.lstrip().startswith(b"\xff") \
+            and not fixed.lstrip().startswith(b"\xfe") \
+            and b"\x00" not in fixed[:64]:
+        decl = fixed.find(b"<?xml")
+        if decl > 0:
+            fixed = fixed[decl:]
+        # a second XML/text declaration mid-entity is fatal to expat
+        head = fixed.find(b"?>")
+        if head != -1:
+            body = re.sub(br"<\?xml[^>]*\?>", b"",
+                          fixed[head + 2:])
+            fixed = fixed[:head + 2] + body
+        fixed = fixed.translate(None, _XML_CTRL)
+    try:
+        return ET.fromstring(fixed)
+    except ET.ParseError:
+        return None
+
+
+def _parse_feed_bytes(feed_url, fetched_ts, raw):
+    """One feed document -> item tuples. RSS 2.0 <channel><item> with
+    RFC-822 pubDate, Atom <feed><entry> with ISO-8601 published, and
+    RDF Site Summary 1.0 <rdf:RDF><item> with dc:date — the formats
+    RomeFeedParser normalizes (feeds/rome/; the reference's
+    RomeFeedParserTest exercises all three)."""
+    root = _parse_feed_root(bytes(raw))
+    if root is None:
         return
     if root.tag == "rss":
         for item in root.iter("item"):
@@ -232,6 +276,39 @@ def _parse_feed_bytes(feed_url, fetched_ts, raw):
                    entry.findtext(_ATOM_NS + "title"),
                    link_el.get("href") if link_el is not None else None,
                    _parse_iso(entry.findtext(_ATOM_NS + "published")))
+    elif root.tag == _RDF_NS + "RDF":
+        for item in root.iter(_RSS10_NS + "item"):
+            yield (feed_url, fetched_ts,
+                   item.get(_RDF_NS + "about"),
+                   item.findtext(_RSS10_NS + "title"),
+                   item.findtext(_RSS10_NS + "link"),
+                   _parse_iso(item.findtext(_DC_NS + "date")))
+
+
+def feed_item_texts(raw) -> list[str]:
+    """Per-item body text the way FeedItem.getText resolves it:
+    content:encoded (RSS 1.0 content module) over description —
+    RomeFeedParser keeps the raw markup string."""
+    import xml.etree.ElementTree as ET
+    try:
+        root = ET.fromstring(bytes(raw))
+    except ET.ParseError:
+        return []
+    out: list[str] = []
+    if root.tag == "rss":
+        for item in root.iter("item"):
+            out.append(item.findtext("{%s}encoded" %
+                                     _CONTENT_NS.strip("{}"))
+                       or item.findtext("description"))
+    elif root.tag == _RDF_NS + "RDF":
+        for item in root.iter(_RSS10_NS + "item"):
+            out.append(item.findtext(_CONTENT_NS + "encoded")
+                       or item.findtext(_RSS10_NS + "description"))
+    elif root.tag == _ATOM_NS + "feed":
+        for entry in root.iter(_ATOM_NS + "entry"):
+            out.append(entry.findtext(_ATOM_NS + "content")
+                       or entry.findtext(_ATOM_NS + "summary"))
+    return out
 
 
 def parse_feed_stage(feeds: DataFrame) -> DataFrame:
