@@ -40,7 +40,7 @@ symbolically.
 
 from __future__ import annotations
 
-import re
+import regex as re   # Java-regex parity: variable-width lookbehind
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
