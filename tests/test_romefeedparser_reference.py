@@ -56,3 +56,18 @@ def test_rss_rdf10():
     raw = open(f"{RES}/rssRdf10.xml", "rb").read()
     assert feed_item_texts(raw) == \
         ["<p>What a <em>beautiful</em> day!</p>"]
+
+
+def test_feed_discovery_autodiscovery_page():
+    """FeedDiscoveryTest.testFeedDiscovery2 (FeedDiscoveryTest.java:
+    52-62): Mark Pilgrim's atom-autodiscovery page yields 9 feed
+    links, every one resolving to /xml/atom.xml."""
+    from kgp.feeds import discover_feeds
+    from kgp.html_text import parse_html, sniff_decode
+    raw = open("/root/reference/palladian-retrieval/src/test/"
+               "resources/feedDiscoveryPage.html", "rb").read()
+    root = parse_html(sniff_decode(raw))
+    feeds = discover_feeds(root, "http://www.example.com/index.html")
+    assert len(feeds) == 9
+    for f in feeds:
+        assert f["feed_url"] == "http://www.example.com/xml/atom.xml"
