@@ -841,3 +841,16 @@ def get_datetime(fmt: str, timestamp_ms: int) -> str:
     for j, p in java_map:
         py_fmt = py_fmt.replace(j, p)
     return t.strftime(py_fmt)
+
+
+def get_difference(a: ParsedDate, b: ParsedDate,
+                   unit_ms: int) -> float:
+    """ExtractedDateImpl.getDifference (:251-258) for any TimeUnit:
+    |millis delta| / unit, rounded to 2 decimals the Java way."""
+    diff = abs(get_long_date(a) - get_long_date(b))
+    return round(diff * 100.0 / unit_ms) / 100.0
+
+
+def get_2_digits(value: int) -> str:
+    """ExtractedDateImpl.get2Digits: zero-padded two-digit field."""
+    return f"{value:02d}"
