@@ -610,3 +610,20 @@ def reference_date_rate(dates: list[ParsedDate]) \
         return None
     youngest = order_dates(dates, reverse=True)[0]
     return (youngest, 0.0)
+
+
+def count_dates(date: ParsedDate, dates: list[ParsedDate],
+                exactness: int = 0) -> int:
+    """DateExtractionHelper.countDates (:100-116): same-date count at
+    the given exactness, identity excluded; exactness 0 (UNSET) falls
+    back to the pair's common exactness."""
+    count = 0
+    for current in dates:
+        if current is date:
+            continue
+        depth = exactness
+        if depth == 0:
+            depth = min(get_exactness(date), get_exactness(current))
+        if compare_dates(date, current, depth) == 0:
+            count += 1
+    return count
