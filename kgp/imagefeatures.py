@@ -141,6 +141,20 @@ class HistStats:
             return 0.5 * value_at(int(n) - 1) + 0.5 * value_at(int(n))
         return value_at(int(np.ceil(n)) - 1)
 
+    def median(self) -> float:
+        return self.percentile(50)
+
+    def mode(self) -> float:
+        """HistogramStats.getMode (:161-171): lowest bin with the
+        strictly-highest count; NaN for an empty histogram."""
+        best = float("nan")
+        max_count = 0
+        for i, n in enumerate(self.hist):
+            if n > max_count:
+                max_count = int(n)
+                best = float(i)
+        return best
+
 
 def bounds_features(img: np.ndarray) -> dict:
     h, w = img.shape[:2]

@@ -210,14 +210,17 @@ def _png_samples(raw: np.ndarray, h: int, w: int, depth: int,
     return vals[:, :w * channels].reshape(h, w, channels)
 
 
-def decode_png(content: bytes) -> np.ndarray:
-    """PNG → HxWx3 uint8 RGB. Pure zlib+numpy, FULL baseline spec:
-    every color type (gray 0, RGB 2, palette 3, gray+alpha 4, RGBA 6),
-    every legal bit depth (1/2/4/8/16), non-interlaced AND Adam7
-    interlaced, the complete scanline filter set, tRNS tolerated
-    (alpha dropped like the alpha channels). 16-bit samples narrow via
-    round(v/257) — the exact inverse of the spec's v*257 widening;
-    sub-8-bit grays widen by the spec's 255/(2^d - 1) factor."""
+def decode_png(content: bytes,
+               keep_alpha: bool = False) -> np.ndarray:
+    """PNG → HxWx3 uint8 RGB (HxWx4 with keep_alpha=True for color
+    types 4/6 — the Blockhash transparent-pixel rule needs it). Pure
+    zlib+numpy, FULL baseline spec: every color type (gray 0, RGB 2,
+    palette 3, gray+alpha 4, RGBA 6), every legal bit depth
+    (1/2/4/8/16), non-interlaced AND Adam7 interlaced, the complete
+    scanline filter set, tRNS tolerated (alpha dropped by default).
+    16-bit samples narrow via round(v/257) — the exact inverse of the
+    spec's v*257 widening; sub-8-bit grays widen by the spec's
+    255/(2^d - 1) factor."""
     import zlib
     content = bytes(content)
     if content[:8] != PNG_MAGIC:
@@ -292,8 +295,15 @@ def decode_png(content: bytes) -> np.ndarray:
         px = ((px.astype(np.uint32) + 128) // 257).astype(np.uint8)
     elif depth < 8:
         px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
-    if color in (0, 4):
+    if color == 0:
         return np.repeat(px[:, :, :1], 3, axis=2)
+    if color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        if keep_alpha:
+            return np.concatenate([rgb, px[:, :, 1:2]], axis=2)
+        return rgb
+    if keep_alpha and color == 6:
+        return px.copy()
     return px[:, :, :3].copy()
 
 
@@ -657,15 +667,17 @@ def _content_seed(content: bytes) -> int:
                                   digest_size=4).digest(), "big")
 
 
-def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
-    """→ HxWx3 uint8. BMP, PNG and JPEG (baseline + progressive)
+def decode_image(content: bytes, fake: bool = False,
+                 keep_alpha: bool = False) -> np.ndarray:
+    """→ HxWx3 uint8 (HxWx4 for PNG alpha payloads when
+    keep_alpha=True). BMP, PNG and JPEG (baseline + progressive)
     payloads decode for REAL (pure zlib/numpy — kgp.jpegcodec for
     JFIF); other formats raise unless fake=True selects the
     deterministic stub."""
     if content is not None and bytes(content)[:2] == b"BM":
         return decode_bmp(content)
     if content is not None and bytes(content)[:8] == PNG_MAGIC:
-        return decode_png(content)
+        return decode_png(content, keep_alpha=keep_alpha)
     if content is not None and bytes(content)[:2] == b"\xff\xd8":
         from kgp.jpegcodec import decode_jpeg
         return decode_jpeg(content)
