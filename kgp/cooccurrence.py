@@ -179,3 +179,39 @@ def phrase_probability_stage(phrases: DataFrame, matrix: dict,
         F.round(F.sum("term"), 6).alias("log_prob"))
     return (phrases.select(id_col, phrase_col)
             .join(scored, id_col, "left"))
+
+
+class CooccurrenceMatrixLocal:
+    """Scalar CooccurrenceMatrix twin (CooccurrenceMatrix.java:
+    40-132): items Bag + (cooccurring, first) pair CountMatrix with
+    add/set, getCount and the unsmoothed/add-one conditional
+    probability P(a|b) = (count(b->a)+s1) / (count(b)+s2). The
+    distributed fit (fit_cooccurrence_stage) produces the same
+    tables; this twin backs direct-construction call sites and the
+    harvested upstream test."""
+
+    def __init__(self):
+        self.items: dict[str, int] = {}
+        self.pairs: dict[tuple[str, str], int] = {}
+
+    def add(self, item_a: str, item_b: str,
+            count: int = 1) -> "CooccurrenceMatrixLocal":
+        key = (item_a, item_b)
+        self.pairs[key] = self.pairs.get(key, 0) + count
+        return self
+
+    def set(self, item: str, count: int) -> "CooccurrenceMatrixLocal":
+        self.items[item] = count
+        return self
+
+    def get_count(self, item_a: str, item_b: str | None = None) -> int:
+        if item_b is None:
+            return self.items.get(item_a, 0)
+        return self.pairs.get((item_a, item_b), 0)
+
+    def conditional_probability(self, item_a: str, item_b: str,
+                                smoothing: bool = False) -> float:
+        s1 = 1 if smoothing else 0
+        s2 = len(self.items) if smoothing else 0
+        return (self.get_count(item_b, item_a) + s1) / \
+            (self.get_count(item_b) + s2)
