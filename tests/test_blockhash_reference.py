@@ -68,3 +68,57 @@ def test_blockhash_official_testdata():
         assert distance < 15, (img_path, distance)
         # this port's measured bound on the official set
         assert distance <= 2, (img_path, distance)
+
+
+# ------------------------------------- SymmetryFeatureExtractorTest
+# (SymmetryFeatureExtractorTest.java:22-53 on the reference's own
+# symmetry-*.png / symmetric.jpg fixtures)
+
+RES_IP = ("/root/reference/palladian-image-processing/src/test/"
+          "resources")
+
+
+def _sym(name):
+    from kgp.imagefeatures import symmetry_features
+    img = decode_image(open(f"{RES_IP}/{name}", "rb").read())
+    return symmetry_features(img, extractors=("luminosity",))
+
+
+def test_symmetry_toy_examples():
+    f = _sym("symmetry-1.png")
+    assert f["symmetry-horizontal-luminosity"] > 0.99
+
+    f = _sym("symmetry-2.png")
+    assert f["symmetry-vertical-luminosity"] > 0.99
+
+    f = _sym("symmetry-3.png")
+    assert f["symmetry-both-luminosity"] > 0.99
+    assert f["symmetry-180-rotated-luminosity"] > 0.99
+
+    f = _sym("symmetry-4.png")
+    for k in ("symmetry-horizontal-luminosity",
+              "symmetry-vertical-luminosity",
+              "symmetry-both-luminosity",
+              "symmetry-180-rotated-luminosity"):
+        assert f[k] > 0.99, k
+
+
+def test_symmetry_real_photo():
+    f = _sym("symmetric.jpg")
+    # the upstream assertion (variable names there are swapped):
+    # vertical similarity exceeds horizontal on this photo
+    assert f["symmetry-vertical-luminosity"] > \
+        f["symmetry-horizontal-luminosity"]
+
+
+def test_statistics_extractor_all_finite():
+    # StatisticsFeatureExtractorTest.java:21-28 (HSB extractors on
+    # the reference's 51612.jpg)
+    import math
+
+    from kgp.imagefeatures import statistics_features
+    img = decode_image(open(f"{RES_IP}/51612.jpg", "rb").read())
+    feats = statistics_features(
+        img, extractors=("hue", "saturation", "brightness"))
+    for k, v in feats.items():
+        assert not math.isnan(float(v)), k
