@@ -701,9 +701,10 @@ from dataclasses import dataclass as _dataclass
 @_dataclass
 class KnnScopeModel:
     fs: FeatureSetting
-    postings: dict          # term -> list[(doc_idx, weight)]
+    postings: dict          # term -> list[(doc_idx, tf)]
     coords: list            # [(lat, lon)] per doc
-    idf: dict               # term -> idf
+    idf: dict               # term -> Lucene classic idf
+    lengths: list = None    # per-doc token counts (length norm)
 
 
 def train_knn_scope(docs: DataFrame, fs: FeatureSetting | None = None,
@@ -714,7 +715,9 @@ def train_knn_scope(docs: DataFrame, fs: FeatureSetting | None = None,
     Term extraction runs distributed (one Arrow pass); the inverted
     index is built driver-side and broadcast — scope training corpora
     are vocabulary-sized next to the crawl, the same broadcast-model
-    assumption the dictionary scope detector makes."""
+    assumption the dictionary scope detector makes. idf follows the
+    Lucene-4 ClassicSimilarity the reference's RAMDirectory index
+    scores with: 1 + ln(N / (df + 1))."""
     fs = fs or SCOPE_FEATURE_SETTING
     pts = docs.where(F.col(lat_col).isNotNull()
                      & F.col(lon_col).isNotNull())
@@ -732,23 +735,29 @@ def train_knn_scope(docs: DataFrame, fs: FeatureSetting | None = None,
     df_counts: _Counter = _Counter()
     for tf in tfs:
         df_counts.update(tf.keys())
-    idf = {t: math.log((n + 1) / (c + 1.0)) + 1.0
+    idf = {t: math.log(n / (c + 1.0)) + 1.0
            for t, c in df_counts.items()}
     postings: dict = {}
+    lengths: list[int] = []
     for i, tf in enumerate(tfs):
-        norm = math.sqrt(sum((cnt * idf[t]) ** 2
-                             for t, cnt in tf.items())) or 1.0
+        lengths.append(sum(tf.values()))
         for t, cnt in tf.items():
-            postings.setdefault(t, []).append((i, cnt * idf[t] / norm))
+            postings.setdefault(t, []).append((i, cnt))
     coords = [(r[lat_col], r[lon_col]) for r in rows]
-    return KnnScopeModel(fs, postings, coords, idf)
+    return KnnScopeModel(fs, postings, coords, idf, lengths)
 
 
 def knn_scope(docs: DataFrame, model: KnnScopeModel, k: int = 3,
               text_col: str = "text", key_col: str = "url") -> DataFrame:
-    """KNearestNeighborScopeDetector.getScope (:210-246): TF-IDF
-    cosine top-k against the broadcast inverted index, coordinates
-    replicated round(10*score/maxScore) times, answered as their
+    """KNearestNeighborScopeDetector.getScope (:210-246): the
+    BOOLEAN_QUERY_CREATOR adds one SHOULD TermQuery PER TOKEN
+    OCCURRENCE (:251-271 — duplicates included, so query-term
+    frequency multiplies), scored with Lucene-4 ClassicSimilarity
+    (sqrt(tf) * idf^2 per clause, 1/sqrt(dl) length norm, the
+    matched-clauses/total-clauses coord factor; queryNorm is constant
+    across documents and therefore skipped — score RATIOS, which the
+    replication factor consumes, are unchanged). Top-k coordinates
+    replicate round(10*score/maxScore) times and answer as their
     center-of-minimum-distance; zero hits -> no row values (the
     reference returns null). One Arrow pass, no shuffle."""
     spark = docs.sparkSession
@@ -761,18 +770,24 @@ def knn_scope(docs: DataFrame, model: KnnScopeModel, k: int = 3,
         m = bc.value
 
         def one(t):
-            q = _Counter(preprocess(t or "", m.fs))
-            if not q:
+            clauses = preprocess(t or "", m.fs)
+            if not clauses:
                 return None, None
-            qw = {term: cnt * m.idf.get(term, 0.0)
-                  for term, cnt in q.items()}
-            qnorm = math.sqrt(sum(w * w for w in qw.values())) or 1.0
+            q = _Counter(clauses)
+            total_clauses = len(clauses)
             scores: dict[int, float] = {}
-            for term, w in qw.items():
-                for i, dw in m.postings.get(term, ()):
-                    scores[i] = scores.get(i, 0.0) + w * dw / qnorm
+            matched: dict[int, int] = {}
+            for term, q_cnt in q.items():
+                w = m.idf.get(term, 0.0) ** 2 * q_cnt
+                for i, tf in m.postings.get(term, ()):
+                    scores[i] = scores.get(i, 0.0) \
+                        + math.sqrt(tf) * w
+                    matched[i] = matched.get(i, 0) + q_cnt
             if not scores:
                 return None, None
+            for i in scores:
+                scores[i] *= (matched[i] / total_clauses) \
+                    / math.sqrt(m.lengths[i] or 1)
             top = sorted(scores.items(),
                          key=lambda kv: (-kv[1], kv[0]))[:k]
             max_score = top[0][1]

@@ -382,3 +382,28 @@ def test_scope_hostile_inputs(spark):
                                  "lat double, lon double")
     row = dictionary_scope(docs, m).collect()[0]
     assert row.cell is None and row.lat is None
+
+
+def test_knn_scope_upstream_vectors(spark):
+    """KNearestNeighborScopeDetectorTest.java:33-51 (the Chinese/
+    Tokyo corpus): k=1 and k=3 both answer Tokyo — the k=3 case
+    needs the per-occurrence boolean clauses + ClassicSimilarity
+    score ratios (Tokyo's 10 replicas outweigh the others' rounded
+    factors, so the center of minimum distance IS Tokyo)."""
+    from kgp.scope import knn_scope, train_knn_scope
+    from kgp.textclassifier import FeatureSetting
+    rows = [("Chinese Beijing Chinese", 39.928887, 116.388338),
+            ("Chinese Chinese Shanghai", 31.233333, 121.466667),
+            ("Chinese Macao", 22.198611, 113.544722),
+            ("Tokyo Japan Chinese", 35.683889, 139.774444)]
+    train = spark.createDataFrame(
+        rows, "text string, lat double, lon double")
+    fs = FeatureSetting(mode="word", min_ngram=1, max_ngram=1)
+    model = train_knn_scope(train, fs)
+    test = spark.createDataFrame(
+        [("d1", "Chinese Chinese Chinese Tokyo Japan")],
+        "url string, text string")
+    for k in (1, 3):
+        out = knn_scope(test, model, k=k).collect()[0]
+        assert abs(out["lat"] - 35.684) < 0.001, k
+        assert abs(out["lon"] - 139.774) < 0.001, k
