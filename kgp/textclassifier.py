@@ -425,3 +425,12 @@ def prune_information_gain(model: DictModel,
             if information_gain(model, t) >= threshold}
     return DictModel(entries=kept,
                      doc_counts=Counter(model.doc_counts))
+
+
+def analyze(text: str, fs: FeatureSetting) -> list[str]:
+    """FeatureSettingAnalyzer.analyze twin (experimental scope stack,
+    FeatureSettingAnalyzer.java:60-99): the same term extraction as
+    preprocess, but run through Lucene's LimitTokenCountFilter — a
+    hard cap of maxTerms TOKENS on the stream (:74), unlike the core
+    trainers' unique-term cap."""
+    return preprocess(text, fs)[:fs.max_terms]

@@ -86,3 +86,40 @@ def test_dataset_statistics(spark):
               nominal_value_counts(df, "Famhist").collect()}
     assert counts["Absent"] == 270
     assert counts["Present"] == 192
+
+
+# ------------------------------------- FeatureSettingAnalyzerTest
+# (FeatureSettingAnalyzerTest.java:19-55 — property assertions over
+# "The quick brown fox jumps over the lazy dog")
+
+def test_feature_setting_analyzer():
+    from kgp.textclassifier import FeatureSetting, analyze
+    text = "The quick brown fox jumps over the lazy dog"
+
+    tokens = analyze(text, FeatureSetting(mode="char", min_ngram=2,
+                                          max_ngram=5))
+    assert all(2 <= len(t) <= 5 for t in tokens)
+    assert all(t == t.lower() for t in tokens)
+
+    tokens = analyze(text, FeatureSetting(mode="char", min_ngram=1,
+                                          max_ngram=1))
+    assert all(len(t) == 1 for t in tokens)
+
+    tokens = analyze(text, FeatureSetting(mode="char", min_ngram=1,
+                                          max_ngram=1, max_terms=10))
+    assert len(tokens) == 10
+
+    tokens = analyze(text, FeatureSetting(mode="word", min_ngram=1,
+                                          max_ngram=1))
+    assert len(tokens) == 9
+    assert all(t == t.lower() for t in tokens)
+
+    tokens = analyze(text, FeatureSetting(mode="word", min_ngram=1,
+                                          max_ngram=5))
+    assert len(tokens) == 35
+
+    tokens = analyze(text, FeatureSetting(mode="word", min_ngram=1,
+                                          max_ngram=1, min_term_len=5,
+                                          max_term_len=20))
+    assert len(tokens) == 3
+    assert all(5 <= len(t) <= 20 for t in tokens)
