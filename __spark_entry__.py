@@ -811,9 +811,11 @@ def _q_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["f_len", "f_par", "f_src"]
     chi = _fs.chi_squared_ranking(feats, cols) \
         .select(F.lit("chi2").alias("method"), "feature", "score")
+    rr = _fs.chi_squared_round_robin(feats, cols) \
+        .select(F.lit("chi2rr").alias("method"), "feature", "score")
     ig = _fs.information_gain_ranking(feats, cols) \
         .select(F.lit("infogain").alias("method"), "feature", "score")
-    return chi.union(ig)
+    return chi.union(rr).union(ig)
 
 
 def _q_nominal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1482,8 +1482,39 @@ h_cf AS (
         GROUP BY ALL), tot GROUP BY feature),
 ig_rank AS (
   SELECT f.feature, round(h_c.h + f.h - cf.h, 6) AS score
-  FROM h_f f JOIN h_cf cf ON f.feature = cf.feature, h_c)
+  FROM h_f f JOIN h_cf cf ON f.feature = cf.feature, h_c),
+rr_cells AS (
+  SELECT feature, value, category,
+    CASE WHEN (CAST(n11 AS DOUBLE) + (cat_n - n11))
+              * (n11 + (fv_sum - n11))
+              * ((fv_sum - n11) + (n - (fv_sum - n11) - (cat_n - n11)
+                 - n11))
+              * ((cat_n - n11) + (n - (fv_sum - n11) - (cat_n - n11)
+                 - n11)) <> 0 THEN
+      (CAST(n11 AS DOUBLE) + (fv_sum - n11) + (cat_n - n11)
+       + (n - (fv_sum - n11) - (cat_n - n11) - n11))
+      * pow(CAST(n11 AS DOUBLE)
+            * (n - (fv_sum - n11) - (cat_n - n11) - n11)
+            - CAST(fv_sum - n11 AS DOUBLE) * (cat_n - n11), 2)
+      / ((CAST(n11 AS DOUBLE) + (cat_n - n11))
+         * (n11 + (fv_sum - n11))
+         * ((fv_sum - n11) + (n - (fv_sum - n11) - (cat_n - n11) - n11))
+         * ((cat_n - n11) + (n - (fv_sum - n11) - (cat_n - n11) - n11)))
+    ELSE NULL END AS cell_chi
+  FROM full_cells),
+rr_pos AS (
+  SELECT feature,
+         row_number() OVER (PARTITION BY category
+                            ORDER BY cell_chi DESC NULLS LAST,
+                                     feature ASC) - 1 AS i
+  FROM rr_cells),
+rr_total AS (SELECT count(*) AS m FROM fv_tot),
+rr_rank AS (
+  SELECT feature, CAST(m - min(i) AS DOUBLE) AS score
+  FROM rr_pos, rr_total GROUP BY feature, m)
 SELECT 'chi2' AS method, feature, score FROM chi_rank
+UNION ALL
+SELECT 'chi2rr' AS method, feature, score FROM rr_rank
 UNION ALL
 SELECT 'infogain' AS method, feature, score FROM ig_rank
 ORDER BY method, feature"""
