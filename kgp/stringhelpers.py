@@ -247,3 +247,32 @@ def shorten_ellipsis(s: str | None, max_len: int) -> str | None:
     if s is None or len(s) <= max_len:
         return s
     return s[:max_len] + "\u2026"
+
+
+def get_substrings_between(string: str, left_border: str | None,
+                           right_border: str | None) -> list[str]:
+    """StringHelper.getSubstringsBetween (StringHelper.java:1365-1393)
+    — the exact index walk, including the as-written i==0 null-left
+    branch and the rightIndex>leftIndex stop rule."""
+    substrings: list[str] = []
+    left_len = len(left_border) if left_border is not None else 0
+    right_index = 0
+    i = 0
+    while True:
+        left_index = 0
+        if left_border is not None:
+            left_index = string.find(left_border, right_index)
+        if right_border is not None:
+            right_index = string.find(right_border,
+                                      left_index + left_len)
+        else:
+            right_index = len(string)
+        if right_index > left_index and (
+                (left_index > -1 and left_border is not None)
+                or (i == 0 and left_border is None)):
+            substrings.append(
+                string[left_index + left_len:right_index])
+        else:
+            break
+        i += 1
+    return substrings
