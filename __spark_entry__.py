@@ -818,6 +818,36 @@ def _q_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi.union(rr).union(ig)
 
 
+
+def _q_alternate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geonames alternateNames ingest rules (kgp.corpus
+    alternate_names_from_lines — GeonamesImporter.java:387-420):
+    TSV lines synthesized JVM-side from documents doc_ids cycle
+    through known ISO-639-1 languages, the 'abbr'/empty keep-as-null
+    cases, unknown codes ('post', 'link', 'xx') that must drop, and
+    short lines that must skip; the oracle re-applies the identical
+    split/filter chain in SQL with the 98-code domain inlined."""
+    from kgp.corpus import alternate_names_from_lines
+    docs = _docs_table(spark, sf_dir).select("doc_id")
+    langs = ["de", "en", "es", "sq", "", "abbr", "post", "link", "xx",
+             "fr", "ja", "ru"]
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in langs]),
+        (F.col("doc_id") % len(langs)).cast("int") + 1)
+    line = F.when(
+        F.col("doc_id") % 17 == 3,
+        # <4 columns -> skipped
+        F.concat(F.col("doc_id").cast("string"), F.lit("\t"),
+                 (F.col("doc_id") % 50).cast("string")))         .otherwise(F.concat(
+            F.col("doc_id").cast("string"), F.lit("\t"),
+            (F.col("doc_id") % 50).cast("string"), F.lit("\t"),
+            lang, F.lit("\tName"),
+            (F.col("doc_id") % 23).cast("string")))
+    out = alternate_names_from_lines(docs.select(line.alias("value")))
+    return out.select("id", "name",
+                      F.coalesce("language", F.lit("~")).alias("language"))
+
+
 def _q_nominal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nominal co-occurrence classifier (kgp.encode — NominalClassifier
     port, incl. the one-row-space-for-all-columns matrix quirk) over
@@ -2745,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": _q_roc_auc,
         "feature_ranking": _q_feature_ranking,
         "nominal_pred": _q_nominal_pred,
+        "alternate_names": _q_alternate_names,
     }
 
 
@@ -2826,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc": _oracle.roc_auc_sql(),
         "feature_ranking": _oracle.feature_ranking_sql(),
         "nominal_pred": _oracle.nominal_pred_sql(),
+        "alternate_names": _oracle.alternate_names_sql(),
         "tfidf_vectors": _oracle.tfidf_vectors_sql(),
         "tfidf_doc_sim": _oracle.tfidf_doc_sim_sql(),
         "feature_normalize": _oracle.feature_normalize_sql(),

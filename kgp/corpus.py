@@ -607,3 +607,23 @@ def read_alternate_names(spark: SparkSession, path: str) -> DataFrame:
                     F.when((iso == "") | (iso == "abbr"),
                            F.lit(None).cast("string"))
                     .otherwise(iso).alias("language")))
+
+
+def alternate_names_from_lines(lines: DataFrame,
+                               col: str = "value") -> DataFrame:
+    """read_alternate_names' row semantics over a LINES column
+    (GeonamesImporter.java:387-420): tab-split, <4 columns skipped,
+    empty/'abbr' language kept as null, unknown languages dropped.
+    Pure JVM expressions — the file-reading twin shares these rules
+    via the same filter chain."""
+    parts = F.split(F.col(col), "\t", -1)
+    iso = F.coalesce(parts.getItem(2), F.lit(""))
+    return (lines
+            .where(F.size(parts) >= 4)
+            .where((iso == "") | (iso == "abbr")
+                   | iso.isin(sorted(ISO_639_1_LANGUAGES)))
+            .select(parts.getItem(1).cast("long").alias("id"),
+                    parts.getItem(3).alias("name"),
+                    F.when((iso == "") | (iso == "abbr"),
+                           F.lit(None).cast("string"))
+                    .otherwise(iso).alias("language")))

@@ -5432,3 +5432,37 @@ SELECT fid AS feed_id,
   CASE WHEN nonfeed OR rss THEN NULL
        WHEN fid % 5 = 0 THEN 1 ELSE 0 END AS has_published
 FROM k ORDER BY feed_id"""
+
+
+def alternate_names_sql() -> str:
+    """DuckDB mirror of the alternate_names gate: the synthesized TSV
+    line, the tab split with <4-column skip, the empty/'abbr' null
+    language, and the ISO-639-1 domain drop (Language.java:19-118's
+    98 codes inlined)."""
+    langs = ["de", "en", "es", "sq", "", "abbr", "post", "link", "xx",
+             "fr", "ja", "ru"]
+    from kgp.corpus import ISO_639_1_LANGUAGES
+    iso_list = ", ".join(f"'{c}'" for c in sorted(ISO_639_1_LANGUAGES))
+    lang_case = "CASE CAST(doc_id % 12 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(langs)) + " END"
+    return f"""
+WITH lines AS (
+  SELECT CASE WHEN doc_id % 17 = 3 THEN
+           CAST(doc_id AS VARCHAR) || chr(9)
+             || CAST(doc_id % 50 AS VARCHAR)
+         ELSE
+           CAST(doc_id AS VARCHAR) || chr(9)
+             || CAST(doc_id % 50 AS VARCHAR) || chr(9)
+             || {lang_case} || chr(9) || 'Name'
+             || CAST(doc_id % 23 AS VARCHAR)
+         END AS value
+  FROM documents),
+parts AS (
+  SELECT string_split(value, chr(9)) AS p FROM lines)
+SELECT CAST(p[2] AS BIGINT) AS id, p[4] AS name,
+       CASE WHEN p[3] IN ('', 'abbr') THEN '~' ELSE p[3] END
+         AS language
+FROM parts
+WHERE len(p) >= 4
+  AND (p[3] IN ('', 'abbr') OR p[3] IN ({iso_list}))
+ORDER BY id"""
