@@ -108,7 +108,13 @@ def run_level(cores: int, sf_dir: str) -> dict:
 
 
 def run_level_subprocess(cores: int, sf_dir: str) -> dict:
+    # heavy-text corpora decompress a default 128 MB parquet split to
+    # ~1 GB of strings; at 8 concurrent tasks the 8 g default heap
+    # OOMs (measured on the replicate-8/heavy-100 shape). Sizing the
+    # heap to the corpus is exactly what a real cluster's executor
+    # memory config does; callers can still override.
     env = dict(os.environ, PYTHONPATH=REPO)
+    env.setdefault("KGP_DRIVER_MEM", "24g")
     best = None
     for _ in range(REPEATS):
         out = subprocess.run(
