@@ -10,7 +10,13 @@ failure mode the driver can hit should reproduce here first. Pass
 ``--loose`` for the older forgiving hasher (list-recursive,
 zero-sign-folding).
 
-Usage: python bench/verify_queries.py [--loose] [sf_dir] [query ...]
+``--cores N`` / ``--partitions N`` set the Spark parallelism (defaults
+32/64 — DRIVER-LIKE, wider than the old 8/16 default: the r4
+``phrase_probs`` red was a summation-order float flip that only
+reproduced at local[32], so green-at-8 does not imply green-at-32).
+
+Usage: python bench/verify_queries.py [--loose] [--cores N]
+           [--partitions N] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -100,6 +106,15 @@ def main() -> None:
     argv = [a for a in sys.argv[1:] if a != "--loose"]
     if len(argv) != len(sys.argv) - 1:
         STRICT = False
+    cores, partitions = 32, 64
+    if "--cores" in argv:
+        i = argv.index("--cores")
+        cores = int(argv[i + 1])
+        del argv[i:i + 2]
+    if "--partitions" in argv:
+        i = argv.index("--partitions")
+        partitions = int(argv[i + 1])
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -108,7 +123,8 @@ def main() -> None:
     import __spark_entry__ as entry
     from kgp.session import get_spark
 
-    spark = get_spark("verify-queries", cores=8, shuffle_partitions=16)
+    spark = get_spark("verify-queries", cores=cores,
+                      shuffle_partitions=partitions)
 
     con = duckdb.connect()
     for t in TABLES:

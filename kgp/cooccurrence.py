@@ -42,8 +42,11 @@ Scale shape (10^12 docs):
   broadcasts them when they fit, hash-joins otherwise.  No Python
   anywhere (pure column expressions end-to-end).
 - Cross-engine float determinism: each log10 term is rounded to 7
-  decimals before the per-phrase SUM, the sum to 6 (same recipe as
-  kgp.lmscore).
+  decimals, scaled to integer 1e-7 units (exact long), summed in
+  integer space (order-independent), and divided back once — no
+  double-precision SUM anywhere, so the result is identical at any
+  parallelism/partitioning (the r4 driver red was a summation-order
+  flip of a 6-decimal knife-edge at local[32]).
 """
 
 from __future__ import annotations
@@ -175,8 +178,18 @@ def phrase_probability_stage(phrases: DataFrame, matrix: dict,
                          7).alias("term")))
 
     terms = first.unionByName(big_terms)
+    # Exact integer-space sum: each term is a 7-decimal-rounded double,
+    # so scaling by 1e7 lands within ~1e-7 of an integer — the long
+    # cast is exact and the SUM is order-independent.  (The old
+    # round(SUM(double), 6) was a knife-edge: a sum of 7-decimal terms
+    # is often an exact odd multiple of 1e-7, and partitioning-
+    # dependent double-summation order decided which side of the
+    # 6-decimal boundary the FP error fell — one row flipped by 1e-6
+    # at local[32] vs local[8].)  The final /1e7 is a single
+    # deterministic IEEE division; no second rounding.
     scored = terms.groupBy(id_col).agg(
-        F.round(F.sum("term"), 6).alias("log_prob"))
+        (F.sum(F.round(F.col("term") * 1e7).cast("long")) / F.lit(1e7))
+        .alias("log_prob"))
     return (phrases.select(id_col, phrase_col)
             .join(scored, id_col, "left"))
 

@@ -31,9 +31,12 @@ feeds every count — groupBy with map-side combine on feature-value
 cardinality keys; the per-cell chi²/entropy math is a join over the
 tiny aggregate tables. Nothing is per-row Python.
 
-Cross-engine float identity: entropy terms are rounded to 9 decimals
-before summation and final scores to 6 (Java vs C log() last-ulp),
-the same ladder the unigram LM uses.
+Cross-engine float identity: entropy and chi² terms are quantized to
+integer 1e-9 units (Java vs C log() last-ulp) and summed EXACTLY
+(long / decimal(38,0)), with one final division back to double — no
+double-precision SUM anywhere, so scores are identical at any
+partitioning (the same recipe as the unigram LM / phrase LM after
+the r4 summation-order red).
 """
 
 from __future__ import annotations
@@ -120,8 +123,12 @@ def chi_squared_round_robin(instances: DataFrame,
     cells = _chi_cells(instances, feature_cols, category_col,
                        include_nulls)
     n_rows = cells.select("feature", "value").distinct().count()
+    # a zero-denominator cell (den==0 forces num==0, see _chi_cells)
+    # is 0/0 = NaN in Java, and Double.compare sorts NaN ABOVE every
+    # finite value — so such cells rank FIRST in the descending
+    # order: nulls-first here (RankedFeature.compareTo:35-41)
     w = Window.partitionBy("category").orderBy(
-        F.desc_nulls_last("chi"), F.asc("feature"))
+        F.desc_nulls_first("chi"), F.asc("feature"))
     pos = cells.withColumn("_i", F.row_number().over(w) - 1)
     return (pos.groupBy("feature")
             .agg((F.lit(n_rows) - F.min("_i"))
@@ -132,8 +139,8 @@ def chi_squared_ranking(instances: DataFrame, feature_cols: list[str],
                         category_col: str = "category",
                         include_nulls: bool = True) -> DataFrame:
     """(feature, score): chi² cells averaged across categories per
-    feature value, summed per feature (AverageMergingStrategy).
-    Score rounded to 6 decimals."""
+    feature value, summed per feature (AverageMergingStrategy) — via
+    one exact integer-unit sum (see module docstring)."""
     lf = _long_form(instances, feature_cols, category_col,
                     include_nulls)
     n_total = instances.count()
@@ -165,19 +172,28 @@ def chi_squared_ranking(instances: DataFrame, feature_cols: list[str],
     # which is the opposite of useful — here the cell is skipped, so a
     # constant feature scores 0 (documented deviation)
     chi = F.when(den != 0, num / den)
-    avg_per_value = (full
-                     .groupBy("feature", "value")
-                     .agg((F.coalesce(F.sum(chi), F.lit(0.0)) / n_cats)
-                          .alias("avg_chi")))
-    return (avg_per_value.groupBy("feature")
-            .agg(F.round(F.sum("avg_chi"), 6).alias("score")))
+    # score = SUM over values of (SUM over cats of chi)/k — factored
+    # to ONE exact sum: quantize each cell to integer 1e-9 units
+    # (decimal(38,0): overflow-safe at any corpus size), sum exactly
+    # (order-independent), divide once.  The old double SUM of
+    # per-value averages was partitioning-order-dependent — the r4
+    # phrase_probs hazard class.
+    chi_units = F.round(chi * 1e9).cast("decimal(38,0)")
+    return (full
+            .groupBy("feature")
+            .agg((F.coalesce(F.sum(chi_units),
+                             F.lit(0).cast("decimal(38,0)"))
+                  .cast("double") / F.lit(float(n_cats) * 1e9))
+                 .alias("score")))
 
 
-def _entropy_from_counts(counts: DataFrame, keys: list[str],
-                         total: int):
-    """Sum of round(-p*log2(p), 9) over count rows (one scalar)."""
+def _entropy_units(counts: DataFrame, total: int):
+    """Entropy in exact integer 1e-9 units: each -p*log2(p) term is
+    quantized to nano-units and summed as longs — order-independent
+    (a double SUM of 9-decimal-rounded terms lands systematically on
+    downstream rounding knife-edges; see the r4 phrase_probs red)."""
     p = F.col("n") / F.lit(float(total))
-    term = F.round(-p * F.log(p) / F.lit(LOG2), 9)
+    term = F.round(-p * F.log(p) / F.lit(LOG2) * 1e9).cast("long")
     return counts.agg(F.sum(term).alias("h"))
 
 
@@ -186,26 +202,27 @@ def information_gain_ranking(instances: DataFrame,
                              category_col: str = "category") \
         -> DataFrame:
     """(feature, score): information gain G = H(C) + H(F) - H(C,F)
-    per feature, log2, rounded to 6."""
+    per feature, log2, computed in exact 1e-9 entropy units."""
     n_total = instances.count()
     cat_counts = instances.groupBy(F.col(category_col).alias("c")) \
         .agg(F.count("*").alias("n"))
-    h_c = _entropy_from_counts(cat_counts, ["c"], n_total) \
-        .collect()[0]["h"]
+    h_c = _entropy_units(cat_counts, n_total).collect()[0]["h"]
 
     lf = _long_form(instances, feature_cols, category_col)
     p = F.col("n") / F.lit(float(n_total))
-    term = F.round(-p * F.log(p) / F.lit(LOG2), 9)
+    term = F.round(-p * F.log(p) / F.lit(LOG2) * 1e9).cast("long")
     h_f = (lf.groupBy("feature", "value")
            .agg(F.count("*").alias("n"))
            .groupBy("feature").agg(F.sum(term).alias("h_f")))
     h_cf = (lf.groupBy("feature", "value", "category")
             .agg(F.count("*").alias("n"))
             .groupBy("feature").agg(F.sum(term).alias("h_cf")))
+    # all three entropies are exact longs in 1e-9 units; combine in
+    # integer space and divide ONCE — no double sum, no final round
     return (h_f.join(h_cf, "feature")
             .select("feature",
-                    F.round(F.lit(h_c) + F.col("h_f") - F.col("h_cf"),
-                            6).alias("score")))
+                    ((F.lit(int(h_c)) + F.col("h_f") - F.col("h_cf"))
+                     / F.lit(1e9)).alias("score")))
 
 
 # ---------------------------------------------- MDL discretization

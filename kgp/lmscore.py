@@ -23,9 +23,12 @@ Scale shape:
   is (doc_id, logp) pairs — 16 bytes/token, smaller than the text
   itself — hash-keyed by doc_id (high cardinality, no skew).
 - Cross-engine float determinism: Java's and DuckDB's ln() can differ
-  in the last ulp, so the per-token logp is rounded to 7 decimals
-  before averaging and the mean to 6 — the oracle lands on the exact
-  same doubles.
+  in the last ulp, so the per-token logp is quantized to integer 1e-7
+  units; the per-document mean is an exact long sum divided once —
+  order-independent at any partitioning (a double SUM of pre-rounded
+  terms lands systematically on rounding knife-edges: the r4
+  phrase_probs driver red), and the oracle lands on the exact same
+  doubles.
 """
 
 from __future__ import annotations
@@ -63,14 +66,20 @@ def unigram_logprob(docs: DataFrame, vocab: DataFrame,
     toks = docs.select(
         F.col(id_col),
         F.explode_outer(norm_tokens(F.col(text_col))).alias("word"))
-    logp = F.round(F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
-                         / F.lit(denom)), 7)
+    logp_units = F.round(
+        F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+              / F.lit(denom)) * 1e7).cast("long")
     return (toks
             .join(F.broadcast(vocab), "word", "left")
             .groupBy(id_col)
             .agg(F.count("word").cast("int").alias("n_tokens"),
-                 F.round(F.avg(F.when(F.col("word").isNotNull(), logp)),
-                         6).alias("avg_logp")))
+                 F.sum(F.when(F.col("word").isNotNull(), logp_units))
+                 .alias("_u"))
+            .select(id_col, "n_tokens",
+                    F.when(F.col("n_tokens") > 0,
+                           F.col("_u") / (F.col("n_tokens")
+                                          * F.lit(1e7)))
+                    .alias("avg_logp")))
 
 
 def corpus_token_count(docs: DataFrame, text_col: str = "text") -> int:

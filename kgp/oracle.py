@@ -1257,8 +1257,9 @@ ORDER BY g.doc_id"""
 def unigram_lm_sql(max_vocab: int = 30) -> str:
     """DuckDB mirror of kgp.lmscore: top-`max_vocab` add-one unigram
     model fit on the documents table, then per-document mean token
-    log-probability. Token logp rounded to 7 decimals before the mean
-    (Java vs C ln() last-ulp), mean rounded to 6."""
+    log-probability. Token logp quantized to integer 1e-7 units
+    (Java vs C ln() last-ulp), the mean an exact BIGINT sum divided
+    once — same order-independent recipe as the stage."""
     toks = _decontam_tokens_sql("text")
     return f"""
 WITH toks AS (
@@ -1269,9 +1270,12 @@ voc AS (SELECT word, count(*) AS cnt FROM toks
 vn AS (SELECT count(*) AS v FROM voc)
 SELECT d.doc_id,
   CAST(count(t.word) AS INT) AS n_tokens,
-  round(avg(CASE WHEN t.word IS NOT NULL THEN
-                round(ln((coalesce(voc.cnt, 0) + 1.0)
-                         / (tot.t + vn.v + 1)), 7) END), 6) AS avg_logp
+  CASE WHEN count(t.word) > 0 THEN
+    SUM(CASE WHEN t.word IS NOT NULL THEN
+          CAST(round(ln((coalesce(voc.cnt, 0) + 1.0)
+                        / (tot.t + vn.v + 1)) * 10000000.0)
+               AS BIGINT) END)
+    / (count(t.word) * 10000000.0) END AS avg_logp
 FROM documents d
 LEFT JOIN toks t ON d.doc_id = t.doc_id
 LEFT JOIN voc ON t.word = voc.word, tot, vn
@@ -1418,8 +1422,9 @@ FEATSEL_FEATURES_SQL = {
 def feature_ranking_sql() -> str:
     """DuckDB mirror of kgp.featuresel over the decorated documents
     features: chi² (AverageMergingStrategy — zero cells materialized
-    via the category cross join) and information gain (log2 entropies,
-    terms rounded to 9 before summing), both rounded to 6."""
+    via the category cross join) and information gain (log2
+    entropies), both in the stage's exact integer 1e-9-unit sums
+    (order-independent; one final division, no double SUM)."""
     fv = " UNION ALL ".join(
         f"SELECT {FEATSEL_CATEGORY_SQL} AS category, '{name}' AS feature,"
         f" coalesce({expr}, 'null') AS value FROM documents"
@@ -1441,13 +1446,14 @@ full_cells AS (
   LEFT JOIN cells ce ON ce.feature = f.feature
     AND ce.value = f.value AND ce.category = c.category, tot),
 chi AS (
-  SELECT feature, value,
+  SELECT feature,
     sum(CASE WHEN (CAST(n11 AS DOUBLE) + (cat_n - n11))
               * (n11 + (fv_sum - n11))
               * ((fv_sum - n11) + (n - (fv_sum - n11) - (cat_n - n11)
                  - n11))
               * ((cat_n - n11) + (n - (fv_sum - n11) - (cat_n - n11)
                  - n11)) <> 0 THEN
+      CAST(round((
       (CAST(n11 AS DOUBLE) + (fv_sum - n11) + (cat_n - n11)
        + (n - (fv_sum - n11) - (cat_n - n11) - n11))
       * pow(CAST(n11 AS DOUBLE)
@@ -1457,31 +1463,37 @@ chi AS (
          * (n11 + (fv_sum - n11))
          * ((fv_sum - n11) + (n - (fv_sum - n11) - (cat_n - n11) - n11))
          * ((cat_n - n11) + (n - (fv_sum - n11) - (cat_n - n11) - n11)))
-    ELSE NULL END) AS chi_sum
-  FROM full_cells GROUP BY feature, value),
+      ) * 1000000000.0) AS HUGEINT)
+    ELSE NULL END) AS chi_units
+  FROM full_cells GROUP BY feature),
 chi_rank AS (
   SELECT feature,
-         round(sum(coalesce(chi_sum, 0) / ncat.k), 6) AS score
-  FROM chi, ncat GROUP BY feature, ncat.k),
+         CAST(coalesce(chi_units, 0) AS DOUBLE)
+           / (ncat.k * 1000000000.0) AS score
+  FROM chi, ncat),
 h_c AS (
-  SELECT sum(round(-(CAST(cnt AS DOUBLE) / tot.n)
-                   * ln(CAST(cnt AS DOUBLE) / tot.n) / ln(2), 9)) AS h
+  SELECT sum(CAST(round(-(CAST(cnt AS DOUBLE) / tot.n)
+                   * ln(CAST(cnt AS DOUBLE) / tot.n) / ln(2)
+                   * 1000000000.0) AS BIGINT)) AS h
   FROM (SELECT count(*) AS cnt FROM documents
         GROUP BY {FEATSEL_CATEGORY_SQL}), tot),
 h_f AS (
   SELECT feature,
-    sum(round(-(CAST(cnt AS DOUBLE) / tot.n)
-              * ln(CAST(cnt AS DOUBLE) / tot.n) / ln(2), 9)) AS h
+    sum(CAST(round(-(CAST(cnt AS DOUBLE) / tot.n)
+              * ln(CAST(cnt AS DOUBLE) / tot.n) / ln(2)
+              * 1000000000.0) AS BIGINT)) AS h
   FROM (SELECT feature, value, count(*) AS cnt FROM lf
         GROUP BY ALL), tot GROUP BY feature),
 h_cf AS (
   SELECT feature,
-    sum(round(-(CAST(cnt AS DOUBLE) / tot.n)
-              * ln(CAST(cnt AS DOUBLE) / tot.n) / ln(2), 9)) AS h
+    sum(CAST(round(-(CAST(cnt AS DOUBLE) / tot.n)
+              * ln(CAST(cnt AS DOUBLE) / tot.n) / ln(2)
+              * 1000000000.0) AS BIGINT)) AS h
   FROM (SELECT feature, value, category, count(*) AS cnt FROM lf
         GROUP BY ALL), tot GROUP BY feature),
 ig_rank AS (
-  SELECT f.feature, round(h_c.h + f.h - cf.h, 6) AS score
+  SELECT f.feature,
+         (h_c.h + f.h - cf.h) / 1000000000.0 AS score
   FROM h_f f JOIN h_cf cf ON f.feature = cf.feature, h_c),
 rr_cells AS (
   SELECT feature, value, category,
@@ -1505,7 +1517,7 @@ rr_cells AS (
 rr_pos AS (
   SELECT feature,
          row_number() OVER (PARTITION BY category
-                            ORDER BY cell_chi DESC NULLS LAST,
+                            ORDER BY cell_chi DESC NULLS FIRST,
                                      feature ASC) - 1 AS i
   FROM rr_cells),
 rr_total AS (SELECT count(*) AS m FROM fv_tot),
@@ -3613,8 +3625,9 @@ def phrase_probs_sql(n_tokens: int = 6) -> str:
     via the rtrim-regex) and score each document's first-`n_tokens`
     phrase with the reference's add-one-smoothed bigram LM
     (PhraseProbabilityCalculator.java:54-66): log10((c(t0)+1)/(N+V))
-    + SUM log10((c(a,b)+1)/(c(a)+V)).  Same 7/6 rounding as the
-    stage."""
+    + SUM log10((c(a,b)+1)/(c(a)+V)).  Same determinism recipe as the
+    stage: 7-decimal terms scaled to integer 1e-7 units, summed as
+    BIGINT (exact, order-independent), divided back once."""
     split_lo = (r"string_split_regex(regexp_replace(lower(text),"
                 r" '\s+$', ''), '\s')")
     split_raw = (r"string_split_regex(regexp_replace(text,"
@@ -3659,7 +3672,9 @@ big_terms AS (
   LEFT JOIN big b ON b.tok_a = a.tok AND b.tok_b = nx.tok
   LEFT JOIN uni ua ON ua.tok = a.tok),
 terms AS (SELECT * FROM first_terms UNION ALL SELECT * FROM big_terms),
-scored AS (SELECT doc_id, round(SUM(term), 6) AS log_prob
+scored AS (SELECT doc_id,
+                  SUM(CAST(round(term * 1e7) AS BIGINT)) / 10000000.0
+                    AS log_prob
            FROM terms GROUP BY doc_id)
 SELECT p.doc_id, p.phrase, s.log_prob
 FROM phr p LEFT JOIN scored s ON s.doc_id = p.doc_id

@@ -41,15 +41,16 @@ def test_phrase_probability_golden(tiny, spark):
         "phrase_id long, phrase string")
     out = {r["phrase_id"]: r["log_prob"]
            for r in phrase_probability_stage(phrases, m).collect()}
+    # exact 1e-7-unit integer sums (the stage's determinism recipe)
+    def u(x):
+        return round(x * 1e7)
     # P(a) = (3+1)/(5+2); P(b|a) = (1+1)/(3+2)
-    exp0 = round(round(math.log10(4 / 7), 7)
-                 + round(math.log10(2 / 5), 7), 6)
+    exp0 = (u(math.log10(4 / 7)) + u(math.log10(2 / 5))) / 1e7
     # lowercased: P(b) = (2+1)/7; P(a|b) = (2+1)/(2+2)
-    exp1 = round(round(math.log10(3 / 7), 7)
-                 + round(math.log10(3 / 4), 7), 6)
+    exp1 = (u(math.log10(3 / 7)) + u(math.log10(3 / 4))) / 1e7
     # unseen unigram: (0+1)/7; single token -> no bigram terms
-    exp2 = round(round(math.log10(1 / 7), 7), 6)
-    exp3 = round(round(math.log10(4 / 7), 7), 6)
+    exp2 = u(math.log10(1 / 7)) / 1e7
+    exp3 = u(math.log10(4 / 7)) / 1e7
     assert out == {0: exp0, 1: exp1, 2: exp2, 3: exp3}
 
 
@@ -85,8 +86,8 @@ def test_phrase_probability_stemmed(spark):
     assert snowball_en("walking") == "walk"   # the lookup key
     # stemmed "walking dogs" == raw "walk dog":
     # P(walk) = (2+1)/(3+2); P(dog|walk) = (1+1)/(2+2)
-    exp = round(round(math.log10(3 / 5), 7)
-                + round(math.log10(2 / 4), 7), 6)
+    exp = (round(math.log10(3 / 5) * 1e7)
+           + round(math.log10(2 / 4) * 1e7)) / 1e7
     assert out == {0: exp, 1: exp}
 
 

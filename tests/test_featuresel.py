@@ -66,13 +66,15 @@ def test_information_gain_matches_formula(spark):
     rows = ([("pos", "x")] * 3 + [("pos", "y")] * 1
             + [("neg", "x")] * 1 + [("neg", "y")] * 5)
     df = spark.createDataFrame(rows, "category string, f string")
-    def h(*counts):
+    def h_units(*counts):
+        # the stage's exact integer 1e-9-unit entropy sum
         t = sum(counts)
-        return sum(round(-c / t * math.log2(c / t), 9)
+        return sum(round(-c / t * math.log2(c / t) * 1e9)
                    for c in counts if c)
-    want = round(h(4, 6) + h(4, 6) - h(3, 1, 1, 5), 6)
+    want = (h_units(4, 6) + h_units(4, 6)
+            - h_units(3, 1, 1, 5)) / 1e9
     got = information_gain_ranking(df, ["f"]).collect()[0]
-    assert got.score == pytest.approx(want, abs=1e-9)
+    assert got.score == pytest.approx(want, abs=1e-12)
 
 
 def test_null_values_group_as_literal(spark):
