@@ -614,12 +614,18 @@ def alternate_names_from_lines(lines: DataFrame,
     """read_alternate_names' row semantics over a LINES column
     (GeonamesImporter.java:387-420): tab-split, <4 columns skipped,
     empty/'abbr' language kept as null, unknown languages dropped.
+    Java's line.split("\\t") DROPS trailing empty strings, so a line
+    with an empty name column ('id\\tgeo\\tde\\t') has length 3 and is
+    skipped — Spark's limit -1 split keeps the trailing empty, hence
+    the explicit name != '' filter (which also makes this twin agree
+    with read_alternate_names, where Spark CSV reads '' as null).
     Pure JVM expressions — the file-reading twin shares these rules
     via the same filter chain."""
     parts = F.split(F.col(col), "\t", -1)
     iso = F.coalesce(parts.getItem(2), F.lit(""))
     return (lines
             .where(F.size(parts) >= 4)
+            .where(parts.getItem(3) != "")
             .where((iso == "") | (iso == "abbr")
                    | iso.isin(sorted(ISO_639_1_LANGUAGES)))
             .select(parts.getItem(1).cast("long").alias("id"),

@@ -700,11 +700,10 @@ def get_long_date(p: ParsedDate) -> int:
 
 
 def get_difference_hours(a: ParsedDate, b: ParsedDate) -> float:
-    """ExtractedDateImpl.getDifference(unit=HOURS): round to 2
-    decimals (DateHelper.getRoundedValue via
-    ExtractedDateImpl.java:200-210)."""
-    diff = abs(get_long_date(a) - get_long_date(b)) / 3_600_000
-    return round(diff * 100) / 100
+    """ExtractedDateImpl.getDifference(unit=HOURS) — the same
+    common-exactness truncation + half-up rounding as
+    get_difference."""
+    return get_difference(a, b, 3_600_000)
 
 
 # ---- DateParser.findDates over parsed dates -------------------------
@@ -779,7 +778,10 @@ def format_duration(start_time: int, stop_time: int,
     """DateHelper.formatDuration (DateHelper.java:177-245): unit
     emission is gated by the NEXT-COARSER units (days>0 prints a zero
     hour; days>0 with zero hours+minutes skips the minute/second
-    slots entirely), millis always appear in compact mode."""
+    slots entirely), millis always appear in compact mode.  In
+    readable mode the reference post-processes the joined string:
+    every space before a digit becomes ", " and the LAST ", " becomes
+    " and " ("3 hours and 5 seconds")."""
     seconds = (stop_time - start_time) // 1000
     days = seconds // 86400
     hours = (seconds % 86400) // 3600
@@ -819,7 +821,16 @@ def format_duration(start_time: int, stop_time: int,
         out.append(f"{millis} milliseconds")
     elif millis == 1:
         out.append(f"{millis} millisecond")
-    return "".join(out).strip() if not compact else "".join(out)
+    if compact:
+        return "".join(out)
+    # readable post-pass (DateHelper.java:240-245): ", " separators,
+    # last one promoted to " and "
+    s = "".join(out).strip()
+    s = re.sub(r"\s(?=\d)", ", ", s)
+    li = s.rfind(", ")
+    if li > -1:
+        s = s[:li] + " and " + s[li + 2:]
+    return s
 
 
 def get_time_string(time_ms: int) -> str:
@@ -843,12 +854,38 @@ def get_datetime(fmt: str, timestamp_ms: int) -> str:
     return t.strftime(py_fmt)
 
 
+def _common_exactness_millis(p: ParsedDate, ex: int) -> int:
+    """getCalendar(exactness) (:261-284) in fixed UTC: fields beyond
+    `ex` fall back to this repo's deterministic defaults (year 1,
+    month/day 1, time 0) instead of the reference's run-time `new
+    GregorianCalendar()` filler, which leaks the test-run date into
+    the unset fields — documented deviation; both sides of a
+    difference use the SAME filler either way."""
+    import datetime as _dt
+    year = p.year if ex >= 1 else 1
+    month = p.month if ex >= 2 else 1
+    day = p.day if ex >= 3 else 1
+    hour = p.hour if ex >= 4 else 0
+    minute = p.minute if ex >= 5 else 0
+    second = p.second if ex >= 6 else 0
+    dt = _dt.datetime(year, month, day, hour, minute, second,
+                      tzinfo=_dt.timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def get_difference(a: ParsedDate, b: ParsedDate,
                    unit_ms: int) -> float:
     """ExtractedDateImpl.getDifference (:251-258) for any TimeUnit:
-    |millis delta| / unit, rounded to 2 decimals the Java way."""
-    diff = abs(get_long_date(a) - get_long_date(b))
-    return round(diff * 100.0 / unit_ms) / 100.0
+    BOTH dates truncate to their common exactness
+    (DateExactness.getCommonExactness — the finer date's extra fields
+    never contribute, so a SECOND-exact vs DAY-exact pair differs in
+    whole days), then |millis delta| / unit rounded to 2 decimals the
+    Java way (Math.round = floor(x + 0.5), not banker's)."""
+    import math
+    ex = min(get_exactness(a), get_exactness(b))
+    diff = abs(_common_exactness_millis(a, ex)
+               - _common_exactness_millis(b, ex))
+    return math.floor(diff * 100.0 / unit_ms + 0.5) / 100.0
 
 
 def get_2_digits(value: int) -> str:

@@ -747,16 +747,52 @@ def train_knn_scope(docs: DataFrame, fs: FeatureSetting | None = None,
     return KnnScopeModel(fs, postings, coords, idf, lengths)
 
 
+def _float_to_byte315(f: float) -> int:
+    """Lucene SmallFloat.floatToByte315 (3 mantissa bits, zero
+    exponent 15) — the single-byte norm encoding DefaultSimilarity
+    writes into a Lucene 4 index."""
+    import struct
+    bits = struct.unpack(">i", struct.pack(">f", f))[0]
+    smallfloat = bits >> 21
+    if smallfloat <= ((63 - 15) << 3):
+        return 0 if bits <= 0 else 1
+    if smallfloat >= ((63 - 15) << 3) + 0x100:
+        return 255
+    return (smallfloat - ((63 - 15) << 3)) & 0xFF
+
+
+def _byte315_to_float(b: int) -> float:
+    """Lucene SmallFloat.byte315ToFloat — the decode half (what
+    ClassicSimilarity's NORM_TABLE holds at search time)."""
+    import struct
+    if b == 0:
+        return 0.0
+    bits = ((b & 0xFF) << 21) + ((63 - 15) << 24)
+    return struct.unpack(">f", struct.pack(">i", bits))[0]
+
+
+def _decoded_norm(num_terms: int) -> float:
+    """DefaultSimilarity.lengthNorm -> encodeNormValue ->
+    decodeNormValue round trip: (float)(1/sqrt(numTerms)) stored as
+    one byte (±12% quantization steps), decoded back at scoring
+    time.  The struct float32 pack IS the Java (float) cast."""
+    return _byte315_to_float(_float_to_byte315(
+        1.0 / math.sqrt(num_terms)))
+
+
 def knn_scope(docs: DataFrame, model: KnnScopeModel, k: int = 3,
               text_col: str = "text", key_col: str = "url") -> DataFrame:
     """KNearestNeighborScopeDetector.getScope (:210-246): the
     BOOLEAN_QUERY_CREATOR adds one SHOULD TermQuery PER TOKEN
     OCCURRENCE (:251-271 — duplicates included, so query-term
     frequency multiplies), scored with Lucene-4 ClassicSimilarity
-    (sqrt(tf) * idf^2 per clause, 1/sqrt(dl) length norm, the
-    matched-clauses/total-clauses coord factor; queryNorm is constant
-    across documents and therefore skipped — score RATIOS, which the
-    replication factor consumes, are unchanged). Top-k coordinates
+    (sqrt(tf) * idf^2 per clause, 1/sqrt(dl) length norm QUANTIZED
+    through the index's single-byte norm encoding — SmallFloat
+    .floatToByte315/byte315ToFloat, ~±12% steps, exactly what a real
+    Lucene 4 index stores — and the matched-clauses/total-clauses
+    coord factor; queryNorm is constant across documents and
+    therefore skipped — score RATIOS, which the replication factor
+    consumes, are unchanged). Top-k coordinates
     replicate round(10*score/maxScore) times and answer as their
     center-of-minimum-distance; zero hits -> no row values (the
     reference returns null). One Arrow pass, no shuffle."""
@@ -787,7 +823,7 @@ def knn_scope(docs: DataFrame, model: KnnScopeModel, k: int = 3,
                 return None, None
             for i in scores:
                 scores[i] *= (matched[i] / total_clauses) \
-                    / math.sqrt(m.lengths[i] or 1)
+                    * _decoded_norm(m.lengths[i] or 1)
             top = sorted(scores.items(),
                          key=lambda kv: (-kv[1], kv[0]))[:k]
             max_score = top[0][1]

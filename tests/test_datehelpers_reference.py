@@ -77,9 +77,13 @@ def test_get_time_string():
 
 
 def test_format_duration_readable():
-    # DateHelper.main's documented examples (:316-319)
+    # DateHelper.main's documented examples (:316-319), incl. the
+    # readable post-pass: ", " separators, last one -> " and "
     assert format_duration(0, 10805000, False) == \
-        "3 hours 5 seconds"
+        "3 hours and 5 seconds"
+    assert format_duration(0, 273823872, False) == \
+        "3 days, 4 hours, 3 minutes, 43 seconds and 872 milliseconds"
+    assert format_duration(0, 10800000, False) == "3 hours"
 
 
 def test_month_name_to_number():
