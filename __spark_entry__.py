@@ -1574,10 +1574,12 @@ def _q_page_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     .page_segments_stage): DOM-diff conflicts vs the page's top-5
     same-template pages, 50% incompatibility rule, substring scrub,
     line-bag Jaccard variability rating, Segment color buckets. ONE
-    applyInPandas over bounded (page + <=5 sims) groups. The
-    recursive DOM diff is not SQL-expressible — no oracle entry
-    (driver rows-only check); the distributed==local-twin parity is
-    pinned in tests/test_segmenter.py."""
+    applyInPandas over bounded (page + <=5 sims) groups. FULL oracle
+    (new r5): over synth pages every DOM-diff outcome is closed-form
+    in the doc_id residues — kgp.oracle.page_segments_sql re-derives
+    the conflict sets, the 50% merge fold, the scrub and the exact
+    Jaccard ratings as integer arithmetic; the generic-DOM detail
+    behavior stays pinned in tests/test_segmenter.py."""
     from kgp.segmenter import page_segments_stage, template_pairs
     pages = _corpus.synth_pages(spark, sf_dir)
     return page_segments_stage(pages, template_pairs(pages))
@@ -2898,6 +2900,7 @@ def oracle_sql() -> dict[str, str]:
         "bovw_histograms": _oracle.bovw_histograms_sql(),
         "phrase_probs": _oracle.phrase_probs_sql(),
         "template_pairs": _oracle.template_pairs_sql(),
+        "page_segments": _oracle.page_segments_sql(),
         "geo_box_neighbors": _oracle.geo_box_neighbors_sql(),
         "wiktionary_pos": _oracle.wiktionary_pos_sql(),
         "single_feature_ranking": _oracle.single_feature_ranking_sql(),

@@ -3797,6 +3797,274 @@ QUALIFY rank <= {limit}
 ORDER BY url, rank"""
 
 
+# Segment ids for page_segments_sql — the synth template's xpath
+# space under /html/body (closed-form: the DOM diff over synth pages
+# can only ever touch these nodes).
+_SEG_XPATHS = {
+    0: ("/html/body", 2),
+    1: ("/html/body/div[1]", 3),
+    2: ("/html/body/div[1]/h1[1]", 4),
+    11: ("/html/body/div[1]/p[1]", 4),
+    12: ("/html/body/div[1]/p[2]", 4),
+    13: ("/html/body/div[1]/p[3]", 4),
+    14: ("/html/body/div[1]/p[4]", 4),
+    15: ("/html/body/div[1]/p[5]", 4),
+    16: ("/html/body/div[1]/p[6]", 4),
+    20: ("/html/body/div[2]", 3),
+    21: ("/html/body/div[2]/p[1]", 4),
+    22: ("/html/body/div[2]/h3[1]", 4),
+    23: ("/html/body/div[2]/p[2]", 4),
+    30: ("/html/body/div[3]", 3),
+    31: ("/html/body/div[3]/ul", 4),
+    32: ("/html/body/div[3]/ul/li[1]", 5),
+    33: ("/html/body/div[3]/ul/li[1]/a", 6),
+    34: ("/html/body/div[3]/ul/li[2]", 5),
+    35: ("/html/body/div[3]/ul/li[2]/a", 6),
+    36: ("/html/body/div[3]/h3[1]", 4),
+    40: ("/html/body/header[1]", 3),
+    41: ("/html/body/footer", 3),
+    50: ("/html/body/div[3]/ul/li[3]", 5),
+    51: ("/html/body/div[3]/ul/li[4]", 5),
+    52: ("/html/body/div[3]/ul/li[5]", 5),
+    53: ("/html/body/div[3]/ul/li[6]", 5),
+}
+
+
+def page_segments_sql(limit: int = 5) -> str:
+    """FULL closed-form mirror of kgp.segmenter.page_segments_stage
+    over synth_pages (PageSegmenter.startPageSegmentation:789-868).
+
+    The whole pipeline collapses to integer arithmetic because the
+    synth template pins every DOM-diff outcome (validated empirically
+    against the stage at both SFs):
+
+    * similar pages come from template_pairs (reused verbatim as a
+      CTE); adv (%17==13) pages only ever pair with adv pages and
+      regular with regular (erg < 0.689 across the two shapes —
+      asserted by the zero mixed-pair count at both SFs).
+    * REGULAR pair (A, B): story children are h1 + the p-ladder
+      (p1, [p2], p3, [s7], [s8], p4; n = 4+p2+s7+s8 children).  h1
+      carries doc_id and p1/p3 are doc-unique (p1's slot moduli
+      17*13*11 = 2431 exceed any doc_id in the corpus; p3 is the
+      unique document text), but p2/s7/s8 CAN coincide between
+      candidate pairs — the ±30 window is in URL-STRING ordinal
+      space, so numerically distant ids are neighbors — whenever
+      their composition flags and slot residues agree; each
+      paragraph therefore gets a canonical TEXT KEY (composition
+      markers + slot residues) and two aligned children are equal
+      iff both are p4, or both are p2/s7/s8 at the same position
+      with equal keys.  Everything else: the comments div conflicts
+      iff doc%7 differs ('great read {doc%7}'); the related div
+      always conflicts via the next-article anchor, li[2] iff the
+      stride-7 block (doc//7 -> dst2) differs; header/footer/h3s/
+      li[3..6] are non-conflicts.
+    * ADV pair: every text child resolves to xpath /html/body (the
+      '' construct-xpath segment for #text), so new_c == [/html/body]
+      and the 50%% growth rule (Java int division — 0 < len*50/100
+      is false at len 1) REJECTS every sim after the first.
+    * The merge fold (per-rank accept + set union), the
+      contains-scrub (identity hits plus div[2] inside div[2]/p[1])
+      and the line-bag Jaccard ratings all become closed-form: line
+      sets per node are known, inter/union counts depend only on
+      (n, doc%7, doc//7) of the two roots — e.g. jacc(div[1]) =
+      1/(n_a+n_b-1) (only the constant p4 line is shared), jacc(ul) =
+      5/7 or 4/8, jacc(div[3]) = 6/8 or 5/9 — and the average-of-
+      averages runs over the kept-rank-ordered roots + self exactly
+      like SimilarityCalculator.calculateSimilarityForNode."""
+    tp = template_pairs_sql()
+    xpath_case = " ".join(
+        f"WHEN {i} THEN '{xp}'" for i, (xp, _) in
+        sorted(_SEG_XPATHS.items()))
+    depth_case = " ".join(
+        f"WHEN {i} THEN {d}" for i, (_, d) in sorted(_SEG_XPATHS.items()))
+    # "texts at p-position {i} of docs {a} and {b} are equal": both
+    # p4 (the constant closing paragraph), or both p2/s7/s8 at the
+    # same position with equal canonical keys.  p1/p3/h1 are
+    # doc-unique and never equal.
+    def eq(i: str, a: str, b: str) -> str:
+        return (f"(({i} = {a}.n - 1 AND {i} = {b}.n - 1)"
+                f" OR ({i} = 2 AND {a}.p2 = 1 AND {b}.p2 = 1"
+                f"     AND {a}.p2k = {b}.p2k)"
+                f" OR ({a}.s7 = 1 AND {b}.s7 = 1"
+                f"     AND {i} = 3 + {a}.p2 AND {i} = 3 + {b}.p2"
+                f"     AND {a}.s7k = {b}.s7k)"
+                f" OR ({a}.s8 = 1 AND {b}.s8 = 1"
+                f"     AND {i} = 3 + {a}.p2 + {a}.s7"
+                f"     AND {i} = 3 + {b}.p2 + {b}.s7"
+                f"     AND {a}.s8k = {b}.s8k))")
+
+    # shared-line count between the two docs' story/body line sets:
+    # p4 always, plus p2/s7/s8 when both present with equal keys
+    def inter(a: str, b: str) -> str:
+        return (f"(1 + CASE WHEN {a}.p2 = 1 AND {b}.p2 = 1"
+                f"              AND {a}.p2k = {b}.p2k"
+                f"         THEN 1 ELSE 0 END"
+                f"   + CASE WHEN {a}.s7 = 1 AND {b}.s7 = 1"
+                f"              AND {a}.s7k = {b}.s7k"
+                f"         THEN 1 ELSE 0 END"
+                f"   + CASE WHEN {a}.s8 = 1 AND {b}.s8 = 1"
+                f"              AND {a}.s8k = {b}.s8k"
+                f"         THEN 1 ELSE 0 END)")
+
+    # per-pair jaccard between roots A=rr[i], B=rr[j] for segment
+    # x.xid — inlined into the list lambdas (no subqueries there)
+    A, B = "(r.rr[i])", "(r.rr[j])"
+    jacc = f"""
+        CASE
+          WHEN x.xid IN (2, 32, 33) THEN 0.0
+          WHEN x.xid IN (0, 1) THEN
+            {inter(A, B)} / CAST({A}.n + {B}.n - {inter(A, B)}
+                                 AS DOUBLE)
+          WHEN x.xid BETWEEN 11 AND 16 THEN
+            CASE WHEN {eq('(x.xid - 10)', A, B)}
+                 THEN 1.0 ELSE 0.0 END
+          WHEN x.xid = 20 THEN
+            CASE WHEN {A}.m7 = {B}.m7 THEN 1.0 ELSE 0.5 END
+          WHEN x.xid = 21 THEN
+            CASE WHEN {A}.m7 = {B}.m7 THEN 1.0 ELSE 0.0 END
+          WHEN x.xid = 30 THEN
+            CASE WHEN {A}.st = {B}.st THEN 0.75 ELSE 5.0 / 9.0 END
+          WHEN x.xid = 31 THEN
+            CASE WHEN {A}.st = {B}.st THEN 5.0 / 7.0 ELSE 0.5 END
+          WHEN x.xid IN (34, 35) THEN
+            CASE WHEN {A}.st = {B}.st THEN 1.0 ELSE 0.0 END
+        END"""
+    # unrolled 5-step merge fold: accept sim j iff
+    # len(new_c) - len(S) < len(S)*50//100 (Java int division)
+    fold_steps = []
+    for j in range(2, limit + 1):
+        fold_steps.append(f"""
+f{j} AS (
+  SELECT url, cs, ns,
+    CASE WHEN len(cs) >= {j}
+              AND len(cs[{j}]) - len(s) < (len(s) * 50) // 100
+         THEN list_distinct(s || cs[{j}]) ELSE s END AS s,
+    CASE WHEN len(cs) >= {j}
+              AND len(cs[{j}]) - len(s) < (len(s) * 50) // 100
+         THEN kept || [{j}] ELSE kept END AS kept
+  FROM f{j - 1}),""")
+    fold = "".join(fold_steps)
+    return f"""
+WITH tp AS MATERIALIZED (SELECT url, sim_url, rank FROM ({tp})),
+dd AS MATERIALIZED (
+  SELECT doc_id,
+         doc_id % 17 = 13 AS adv,
+         4 + p2 + s7 + s8 AS n, p2, s7, s8, p2k, s7k, s8k,
+         doc_id % 7 AS m7,
+         doc_id // 7 AS st,
+         'https://'
+           || CASE WHEN doc_id % 10 < 4 THEN 'news.example.com'
+                   WHEN doc_id % 10 < 6 THEN 'blog.example.org'
+                   ELSE 'site' || CAST(doc_id % 14 AS VARCHAR)
+                        || '.example.net' END
+           || '/articles/' || CAST(doc_id AS VARCHAR) || '.html' AS url
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 1
+                OR doc_id % 5 = 2 OR doc_id % 7 = 4
+           THEN 1 ELSE 0 END AS p2,
+      CASE WHEN doc_id % 23 = 11 THEN 1 ELSE 0 END AS s7,
+      CASE WHEN doc_id % 6 = 3 THEN 1 ELSE 0 END AS s8,
+      -- canonical p2 TEXT key: marker letter per present sentence +
+      -- its slot residues (s4: city %11, country %7; s5: per2
+      -- (id+5)%17, org %13; s6: org %13, per %17; s9: org2
+      -- (id+4)%13, city3 (id+5)%11)
+      CASE WHEN doc_id % 3 = 0 THEN
+        'a' || CAST(doc_id % 11 AS VARCHAR) || '.'
+            || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 4 = 1 THEN
+        'b' || CAST((doc_id + 5) % 17 AS VARCHAR) || '.'
+            || CAST(doc_id % 13 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 5 = 2 THEN
+        'c' || CAST(doc_id % 13 AS VARCHAR) || '.'
+            || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 7 = 4 THEN
+        'd' || CAST((doc_id + 4) % 13 AS VARCHAR) || '.'
+            || CAST((doc_id + 5) % 11 AS VARCHAR) ELSE '' END AS p2k,
+      (doc_id + 3) % 11 AS s7k,    -- S7's only slot: city2
+      doc_id % 11 AS s8k           -- S8's only slot: city
+    FROM documents)),
+pairsets AS (
+  SELECT t.url, t.rank,
+    CASE WHEN a.adv THEN [0]
+    ELSE
+      [1, 2]
+      || list_filter(list_transform(range(1, a.n), i -> 10 + i),
+                     i -> NOT {eq('(i - 10)', 'a', 'b')})
+      || CASE WHEN a.m7 = b.m7 THEN [] ELSE [20, 21] END
+      || [30, 31, 32, 33]
+      || CASE WHEN a.st = b.st THEN [] ELSE [34, 35] END
+    END AS cset,
+    CASE WHEN a.adv THEN CAST([] AS BIGINT[])
+    ELSE
+      list_filter(list_transform(range(1, a.n), i -> 10 + i),
+                  i -> {eq('(i - 10)', 'a', 'b')})
+      || CASE WHEN a.m7 = b.m7 THEN [20] ELSE [22, 23] END
+      || [36, 50, 51, 52, 53, 40, 41]
+    END AS ncset
+  FROM tp t
+  JOIN dd a ON a.url = t.url
+  JOIN dd b ON b.url = t.sim_url),
+fold_src AS (
+  SELECT url, list(cset ORDER BY rank) AS cs,
+         list(ncset ORDER BY rank) AS ns
+  FROM pairsets GROUP BY url),
+f1 AS (SELECT url, cs, ns, cs[1] AS s, [1] AS kept FROM fold_src),{fold}
+final AS (
+  SELECT url, s AS conf,
+    list_filter(list_distinct(flatten(
+        list_transform(kept, k -> ns[k]))),
+      x -> NOT list_contains(s, x)
+           AND NOT (x = 20 AND list_contains(s, 21))) AS nc,
+    kept
+  FROM f{limit}),
+roots AS (
+  SELECT f.url,
+         list(struct_pack(n := b.n, m7 := b.m7, st := b.st,
+                          p2 := b.p2, s7 := b.s7, s8 := b.s8,
+                          p2k := b.p2k, s7k := b.s7k, s8k := b.s8k)
+              ORDER BY t.rank)
+         || [struct_pack(n := sd.n, m7 := sd.m7, st := sd.st,
+                         p2 := sd.p2, s7 := sd.s7, s8 := sd.s8,
+                         p2k := sd.p2k, s7k := sd.s7k,
+                         s8k := sd.s8k)] AS rr
+  FROM final f
+  JOIN tp t ON t.url = f.url AND list_contains(f.kept, t.rank)
+  JOIN dd b ON b.url = t.sim_url
+  JOIN dd sd ON sd.url = f.url
+  GROUP BY f.url, sd.n, sd.m7, sd.st, sd.p2, sd.s7, sd.s8,
+           sd.p2k, sd.s7k, sd.s8k),
+conf_rows AS (
+  SELECT url, unnest(conf) AS xid FROM final),
+nc_rows AS (
+  SELECT url, unnest(nc) AS xid FROM final),
+rated AS (
+  SELECT x.url, x.xid,
+    1.0 - list_sum(list_transform(range(1, len(r.rr) + 1), i ->
+            list_sum(list_transform(range(1, len(r.rr) + 1), j ->
+              CASE WHEN i = j THEN 0.0 ELSE {jacc} END))
+            / (len(r.rr) - 1)))
+          / len(r.rr) AS var
+  FROM conf_rows x JOIN roots r ON r.url = x.url),
+allsegs AS (
+  SELECT url, xid, var FROM rated
+  UNION ALL
+  SELECT url, xid, 0.0 AS var FROM nc_rows)
+SELECT url,
+  CASE xid {xpath_case} END AS xpath,
+  CAST(CASE xid {depth_case} END AS INT) AS depth,
+  round(var, 6) AS variability,
+  CASE WHEN var > 0.86 THEN 'RED'
+       WHEN var > 0.72 THEN 'LIGHTRED'
+       WHEN var > 0.58 THEN 'REDYELLOW'
+       WHEN var > 0.42 THEN 'YELLOW'
+       WHEN var > 0.28 THEN 'GREENYELLOW'
+       WHEN var > 0.14 THEN 'LIGHTGREEN'
+       ELSE 'GREEN' END AS color
+FROM allsegs
+ORDER BY url, xpath"""
+
+
 # ---------------------------------------------------- spatial oracle
 
 
