@@ -119,12 +119,38 @@ def append_lineage(spark: SparkSession, out_dir: str, manifest: DataFrame,
 def _append_lineage_rows(spark: SparkSession, out_dir: str,
                          rows: list[tuple], wall_ms: int,
                          input_rows: int | None) -> None:
+    """Append footer-manifest rows to the lineage table as ONE
+    pyarrow-written parquet file — the lineage append is pure driver
+    metadata (a handful of rows per stage), and routing it through a
+    Spark write job cost ~0.5-1 s of job-scheduling latency per
+    stage, which is real money at bench scale (7 stages) and pure
+    waste at cluster scale where the driver should be scheduling the
+    NEXT corpus stage instead.  Schema matches LINEAGE_SCHEMA so
+    spark.read.parquet sees one homogeneous table."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     rows = [(s, p, input_rows, n, c, wall_ms, ts)
             for (s, p, _ir, n, c, _w, ts) in rows]
+    schema = pa.schema([
+        pa.field("stage", pa.string()),
+        pa.field("partition_id", pa.int32()),
+        pa.field("input_rows", pa.int64()),
+        pa.field("output_rows", pa.int64()),
+        pa.field("checksum", pa.int64()),
+        pa.field("wall_ms", pa.int64()),
+        pa.field("run_ts", pa.float64()),
+    ])
+    cols = list(zip(*rows)) if rows else [[] for _ in range(7)]
+    table = pa.table(
+        {f.name: pa.array(list(c), type=f.type)
+         for f, c in zip(schema, cols)}, schema=schema)
     with _LINEAGE_LOCK:
-        spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1) \
-            .write.mode("append").parquet(
-                os.path.join(out_dir, "lineage"))
+        path = os.path.join(out_dir, "lineage")
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def write_stage(spark: SparkSession, df: DataFrame, out_dir: str,

@@ -136,7 +136,8 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         except BaseException as e:  # re-raised on join below
             canon_box["error"] = e
 
-    overlap_canon = spark.sparkContext.defaultParallelism >= 32
+    overlap_canon = (spark.sparkContext.defaultParallelism >= 32
+                 and not os.environ.get('KGP_NO_OVERLAP'))
     canon_thread = threading.Thread(target=_canon_branch, daemon=True)
     if overlap_canon:
         canon_thread.start()
@@ -147,8 +148,14 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     # ALL model dictionaries are one unioned stage: one job + one
     # write instead of seven fixed-latency round trips.
     docs_train = corpus.training_docs(docs)
+    # seed_map is collected ONCE here (the seed dictionary is tiny
+    # and already driver-known) — leaving it to ner_model_table costs
+    # an extra ~1.5 s collect job inside the stage wall
+    seed_map = {r["entity"]: r["concept"]
+                for r in seeds.select("entity", "concept").collect()}
     _stage(spark, out_dir, "ner_model",
-           lambda: mentions.ner_model_table(docs_train, seeds),
+           lambda: mentions.ner_model_table(docs_train, seeds,
+                                            seed_map=seed_map),
            force=force, metrics=metrics)
     model = load_ner_model(spark, out_dir)
     model_bc = spark.sparkContext.broadcast(model)
