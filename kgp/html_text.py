@@ -351,10 +351,43 @@ class _DomParser(HTMLParser):
         self._append(self.stack[-1], node)
         self.stack.append(node)
 
+    # WHATWG "clear the stack back to a table/table-body/row context"
+    # target sets: a td/th may land in an open row or section, a tr in
+    # a section, everything else directly in the table
+    _TABLE_CLEAR_CTX = {
+        "td": {"tr", "tbody", "thead", "tfoot", "table"},
+        "th": {"tr", "tbody", "thead", "tfoot", "table"},
+        "tr": {"tbody", "thead", "tfoot", "table"},
+        "tbody": {"table"}, "thead": {"table"}, "tfoot": {"table"},
+        "caption": {"table"}, "colgroup": {"table"},
+        "col": {"colgroup", "table"},
+    }
+
+    def _table_context_prepare(self, tag: str) -> bool:
+        """Table-structure start tag (td/th/tr/sections/caption/...):
+        emulate the WHATWG table insertion modes' stack surgery —
+        'close the cell' when one is open, then 'clear the stack back
+        to table (body/row) context' — by popping to the tag's target
+        context set, provided a table IS open (13.2.6.4.9-4.13).
+        With no open table this is the 'in body' case: parse error,
+        IGNORE the token (return False) — a stray <td> in a <div>
+        never materializes, exactly like ValidatorNu/browsers."""
+        if not any(n.tag == "table" for n in self.stack):
+            return False
+        ctx = self._TABLE_CLEAR_CTX[tag]
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag in ctx or self.stack[i].tag == "html":
+                del self.stack[i + 1:]
+                return True
+        return True
+
     def handle_starttag(self, tag, attrs):
         if tag == "table" and self.stack[-1].tag in _TABLE_CTX:
             # "table start tag in table": close the open table first
             self._pop_to("table")
+        if tag in self._TABLE_CLEAR_CTX:
+            if not self._table_context_prepare(tag):
+                return
         # implied table sections (WHATWG "in table" / "in table body"):
         # a <tr> directly in <table> gets a synthetic <tbody>; a cell
         # directly in <table> or a section gets <tbody> and/or <tr> —
@@ -496,6 +529,17 @@ class _DomParser(HTMLParser):
 
     def handle_comment(self, data):
         self._append(self.stack[-1], Node("#comment", data=data))
+
+    def unknown_decl(self, data):
+        # WHATWG: <![CDATA[...]]> in HTML content (not foreign
+        # content) is a bogus comment whose data is '[CDATA[...]]'
+        self._append(self.stack[-1], Node("#comment",
+                                          data="[" + data + "]]"))
+
+    def handle_pi(self, data):
+        # WHATWG: '<?' opens a bogus comment up to the next '>', so
+        # <?php e ?> becomes a comment with data '?php e ?'
+        self._append(self.stack[-1], Node("#comment", data="?" + data))
 
 
 _META_CHARSET_RE = regex.compile(
