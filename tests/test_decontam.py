@@ -91,11 +91,12 @@ def test_unigram_logprob_closed_form(spark):
     out = {r.doc_id: r for r in
            unigram_logprob(docs, vocab, t).collect()}
     denom = 5 + 2 + 1
-    lp = lambda c: round(math.log((c + 1) / denom), 7)  # noqa: E731
+    # exact 1e-7-unit integer sums (the stage's determinism recipe)
+    u = lambda c: round(math.log((c + 1) / denom) * 1e7)  # noqa: E731
     assert out[1].n_tokens == 3
-    assert out[1].avg_logp == round((2 * lp(3) + lp(1)) / 3, 6)
+    assert out[1].avg_logp == (2 * u(3) + u(1)) / (3 * 1e7)
     assert out[2].n_tokens == 2
-    assert out[2].avg_logp == round((lp(3) + lp(0)) / 2, 6)  # z is OOV
+    assert out[2].avg_logp == (u(3) + u(0)) / (2 * 1e7)  # z is OOV
     assert out[3].n_tokens == 0 and out[3].avg_logp is None
 
 
