@@ -100,3 +100,27 @@ def test_no_python_in_plan(tiny):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapsInPandas" not in plan
+
+
+def test_phrase_probability_partitioning_invariant(spark):
+    """The r4 driver red in one test: with the old round(SUM(double), 6)
+    the per-phrase score depended on double-summation ORDER, i.e. on
+    shuffle partitioning (green at local[8], one row off by 1e-6 at
+    local[32]).  The exact integer-unit sum must give bit-identical
+    scores at ANY shuffle-partition count."""
+    rows = [(i, " ".join(f"w{(i * 7 + j * 3) % 23}" for j in range(12)))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = fit_cooccurrence_stage(docs)
+    phrases = docs.select(F.col("doc_id").alias("phrase_id"),
+                          F.col("text").alias("phrase"))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = []
+        for parts in ("1", "7", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            outs.append({r.phrase_id: r.log_prob for r in
+                         phrase_probability_stage(phrases, m).collect()})
+        assert outs[0] == outs[1] == outs[2]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
