@@ -87,6 +87,27 @@ def test_resume_recomputes_missing_tail(spark, sf_dir, run_dir, tmp_path):
     assert rows == golden_rows
 
 
+def test_resume_after_mid_write_crash(spark, sf_dir, run_dir):
+    """A stage dir left WITHOUT _SUCCESS (process killed mid-write)
+    must be recomputed wholesale — mode=overwrite replaces the whole
+    dir, so a corrupt partial file left behind is never trusted or
+    merged, and the recomputed triples are identical."""
+    golden = sorted(
+        (r.subj, r.pred, r.obj) for r in
+        materialize.read_stage(spark, run_dir, "triples").collect())
+    p = os.path.join(run_dir, "triples")
+    os.remove(os.path.join(p, "_SUCCESS"))
+    with open(os.path.join(p, "part-crash-junk.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    m = run_pipeline(spark, sf_dir, run_dir)
+    assert not m["triples"]["resumed"]
+    assert not os.path.exists(os.path.join(p, "part-crash-junk.parquet"))
+    rows = sorted(
+        (r.subj, r.pred, r.obj) for r in
+        materialize.read_stage(spark, run_dir, "triples").collect())
+    assert rows == golden
+
+
 def test_metrics_json_written(run_dir):
     with open(os.path.join(run_dir, "metrics.json")) as f:
         m = json.load(f)
