@@ -848,6 +848,45 @@ def _q_alternate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.coalesce("language", F.lit("~")).alias("language"))
 
 
+def _q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReservoirSampler's uniform-k-subset role (kgp.curation
+    .reservoir_sample — md5-sample-key top-k, the repo's deterministic
+    substitute for java.util.Random; physically a partial+global
+    TakeOrderedAndProject, never a full sort).  FULL oracle: the md5
+    key + (key, doc_id) ranking recomputed in SQL."""
+    from kgp.curation import reservoir_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    return reservoir_sample(docs, 97)
+
+
+def _q_nbsvm_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NBSVM r-vector fit (kgp.nbsvm.nbsvm_fit_ratios —
+    NbSvmLearner.java:61-126: alpha=1 class-weighted token counts,
+    r = log((p/Σp)/(q/Σq)) as float32) over word-count vectors of
+    the documents table, label = doc_id parity.  The totals are
+    integer-valued doubles, so numpy's pairwise p.sum() and any SQL
+    summation order agree EXACTLY; the oracle replays the ratio/ln/
+    float32 chain in SQL."""
+    from kgp.decontam import norm_tokens
+    from kgp.nbsvm import nbsvm_fit_ratios
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = (docs.select("doc_id",
+                          F.explode(norm_tokens(F.col("text")))
+                          .alias("word"))
+              .groupBy("doc_id", "word").count())
+    vectors = (counts.groupBy("doc_id")
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct(
+                       "word", F.col("count").cast("double"))))
+                   .alias("tokens"))
+               .withColumn("category",
+                           (F.col("doc_id") % 2).cast("string")))
+    dictionary, r = nbsvm_fit_ratios(vectors)
+    rows = [(t, float(r[i])) for t, i in dictionary.items()]
+    return spark.createDataFrame(rows, "token string, r double")
+
+
 def _q_nominal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nominal co-occurrence classifier (kgp.encode — NominalClassifier
     port, incl. the one-row-space-for-all-columns matrix quirk) over
@@ -2778,6 +2817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_eval": _q_model_eval,
         "roc_auc": _q_roc_auc,
         "nominal_pred": _q_nominal_pred,
+        # -- new r5 gates (tail: local strict evidence this round) --
+        "reservoir_sample": _q_reservoir_sample,
+        "nbsvm_r": _q_nbsvm_r,
     }
 
 
@@ -2901,6 +2943,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_probs": _oracle.phrase_probs_sql(),
         "template_pairs": _oracle.template_pairs_sql(),
         "page_segments": _oracle.page_segments_sql(),
+        "reservoir_sample": _oracle.reservoir_sample_sql(),
+        "nbsvm_r": _oracle.nbsvm_r_sql(),
         "geo_box_neighbors": _oracle.geo_box_neighbors_sql(),
         "wiktionary_pos": _oracle.wiktionary_pos_sql(),
         "single_feature_ranking": _oracle.single_feature_ranking_sql(),

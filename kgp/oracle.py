@@ -4065,6 +4065,47 @@ FROM allsegs
 ORDER BY url, xpath"""
 
 
+def reservoir_sample_sql(k: int = 97) -> str:
+    """DuckDB mirror of kgp.curation.reservoir_sample: rank rows by
+    the md5-derived sample key (first 8 hex chars as int mod 10000,
+    ties by doc_id) and keep the first k — the deterministic
+    substitute for ReservoirSampler's java.util.Random."""
+    key = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+           " AS BIGINT) % 10000")
+    return f"""
+SELECT doc_id, source FROM documents
+ORDER BY {key}, doc_id
+LIMIT {k}"""
+
+
+def nbsvm_r_sql() -> str:
+    """DuckDB mirror of kgp.nbsvm.nbsvm_fit_ratios over word-count
+    vectors of the documents table (label = doc_id parity):
+    per-token class-weighted counts + ALPHA=1, normalized by the
+    EXACT integer-valued totals (numpy's pairwise p.sum() equals any
+    SQL sum order because every addend is an integer-valued double),
+    r = ln((p/Σp)/(q/Σq)) cast to float32 exactly like the
+    reference's float[] model."""
+    toks = _decontam_tokens_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id % 2 AS VARCHAR) AS cat,
+         unnest({toks}) AS word
+  FROM documents),
+agg AS (
+  SELECT word AS token,
+    CAST(SUM(CASE WHEN cat = '1' THEN 1 ELSE 0 END) AS DOUBLE)
+      + 1.0 AS p,
+    CAST(SUM(CASE WHEN cat = '0' THEN 1 ELSE 0 END) AS DOUBLE)
+      + 1.0 AS q
+  FROM toks GROUP BY word),
+tot AS (SELECT SUM(p) AS sp, SUM(q) AS sq FROM agg)
+SELECT token,
+       CAST(CAST(ln((p / tot.sp) / (q / tot.sq)) AS REAL) AS DOUBLE)
+         AS r
+FROM agg, tot ORDER BY token"""
+
+
 # ---------------------------------------------------- spatial oracle
 
 
