@@ -924,7 +924,19 @@ def training_scan(docs: DataFrame,
     The per-sentence loop is shared, the docs table is Arrow-transferred
     once, and the (small) result is what gets persisted — the shape
     that matters when the corpus is 100 TB and this is the training
-    sample scan."""
+    sample scan.
+
+    Escape hatch, measured r5: the candidate branch (the biggest
+    Python cost here, ~54% of the scan) is JVM-portable as
+    array_distinct(flatten(transform(sentences, s ->
+    filter(regexp_extract_all(regexp_replace(s.text, NBSP, ' '),
+    STRING_TAGGER_PATTERN, 0), x -> x != '')))) — verified
+    OUTPUT-IDENTICAL to this Python path on the heavy corpus (120/120
+    docs) since both ultimately speak Java-regex semantics; the
+    measured JVM speedup was only ~17% at 8 cores (the regex work
+    itself dominates, not the Python boundary), so the single-pass
+    Python scan is kept.  Flip if a profile ever shows the Arrow
+    boundary, not the regex, dominating."""
     automaton = AhoCorasick(
         (s, t) for s, t in seed_map.items() if len(s) > 1)
     cols = [f.name for f in TRAINING_SCAN_SCHEMA.fields]
