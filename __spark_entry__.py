@@ -887,6 +887,24 @@ def _q_nbsvm_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "token string, r double")
 
 
+def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (kgp.bloom — BloomFilter.java's
+    bundled murmur2 with Java int wrap, seeds 0..k-1, the INT-division
+    numHashFunctions sizing): distributed build over the even-doc_id
+    member values, broadcast probe over ALL values.  FULL oracle: the
+    murmur2 block fold / tail / avalanche chain re-implemented
+    bit-exactly in SQL (kgp.oracle.bloom_membership_sql), bit set =
+    distinct member positions, probe = all-seeds-present."""
+    from kgp.bloom import bloom_build, bloom_probe
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"),
+                 F.lit("-suffix")).alias("v"))
+    members = docs.where(F.col("doc_id") % 2 == 0)
+    bf = bloom_build(members, "v", num_elements=250, fp_prob=0.01)
+    return bloom_probe(docs, "v", bf).select("doc_id", "maybe_seen")
+
+
 def _q_nominal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nominal co-occurrence classifier (kgp.encode — NominalClassifier
     port, incl. the one-row-space-for-all-columns matrix quirk) over
@@ -2820,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new r5 gates (tail: local strict evidence this round) --
         "reservoir_sample": _q_reservoir_sample,
         "nbsvm_r": _q_nbsvm_r,
+        "bloom_membership": _q_bloom_membership,
     }
 
 
@@ -2945,6 +2964,7 @@ def oracle_sql() -> dict[str, str]:
         "page_segments": _oracle.page_segments_sql(),
         "reservoir_sample": _oracle.reservoir_sample_sql(),
         "nbsvm_r": _oracle.nbsvm_r_sql(),
+        "bloom_membership": _oracle.bloom_membership_sql(),
         "geo_box_neighbors": _oracle.geo_box_neighbors_sql(),
         "wiktionary_pos": _oracle.wiktionary_pos_sql(),
         "single_feature_ranking": _oracle.single_feature_ranking_sql(),

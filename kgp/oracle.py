@@ -4078,6 +4078,67 @@ ORDER BY {key}, doc_id
 LIMIT {k}"""
 
 
+def bloom_membership_sql(num_elements: int = 250,
+                         fp_prob: float = 0.01) -> str:
+    """DuckDB mirror of kgp.bloom (BloomFilter.java:42-247): the
+    bundled 32-bit murmur2 (m=0x5bd1e995, r=24, seed=i, little-endian
+    4-byte blocks, tail switch with fall-through, Java int wrap)
+    re-implemented EXACTLY in SQL — list_reduce folds the block chain
+    in 64-bit integers (products stay under 2^63), the tail and
+    avalanche are CASE chains, and the signed cast + Java-% shifted
+    modulus give the bit positions.  Bit set = DISTINCT positions of
+    the member values; probe = every seed's position present.  Values
+    are ASCII by construction so ord(substr) IS the UTF-8 byte.
+    Sizing replays the reference's formulas (incl. the INT division
+    in numHashFunctions) in Python and inlines the literals."""
+    import math as _m
+    size = int(_m.ceil(num_elements * _m.log(1 / fp_prob)
+                       / _m.log(2) ** 2))
+    k = int(_m.ceil((size // num_elements) * _m.log(2)))
+    M, W = 0x5BD1E995, 1 << 32
+    murmur = f"""
+f AS (SELECT doc_id, member, s, seed, n,
+  list_reduce(
+    [CAST(xor(seed, n) AS BIGINT)] ||
+    list_transform(range(0, n // 4), i ->
+      CAST(ord(substr(s, CAST(i*4+1 AS INT), 1))
+      + ord(substr(s, CAST(i*4+2 AS INT), 1)) * 256
+      + ord(substr(s, CAST(i*4+3 AS INT), 1)) * 65536
+      + ord(substr(s, CAST(i*4+4 AS INT), 1)) * 16777216 AS BIGINT)),
+    (h, k0) -> xor((h * {M}) % {W},
+                   ((xor((k0 * {M}) % {W},
+                         ((k0 * {M}) % {W}) >> 24) * {M}) % {W}))
+  ) AS h FROM src),
+t AS (SELECT *, CASE WHEN n % 4 = 3
+      THEN xor(h, ord(substr(s, n - n % 4 + 3, 1)) * 65536)
+      ELSE h END AS h3 FROM f),
+t2 AS (SELECT *, CASE WHEN n % 4 >= 2
+       THEN xor(h3, ord(substr(s, n - n % 4 + 2, 1)) * 256)
+       ELSE h3 END AS h2 FROM t),
+t3 AS (SELECT *, CASE WHEN n % 4 >= 1
+       THEN (xor(h2, ord(substr(s, n - n % 4 + 1, 1))) * {M}) % {W}
+       ELSE h2 END AS hh FROM t2),
+hs AS (SELECT doc_id, member, seed,
+  CASE WHEN hf >= 2147483648 THEN hf - 4294967296 ELSE hf END AS hv
+  FROM (SELECT *, xor(xor(hh, hh >> 13) * {M} % {W},
+                      (xor(hh, hh >> 13) * {M} % {W}) >> 15) AS hf
+        FROM t3)),
+pos AS (SELECT doc_id, member, seed,
+        ((hv % {size}) + {size}) % {size} AS p FROM hs)"""
+    return f"""
+WITH src AS (
+  SELECT doc_id, doc_id % 2 = 0 AS member,
+         'doc-' || CAST(doc_id AS VARCHAR) || '-suffix' AS s,
+         length('doc-' || CAST(doc_id AS VARCHAR) || '-suffix') AS n,
+         unnest(range(0, {k})) AS seed
+  FROM documents),{murmur},
+bits AS (SELECT DISTINCT p FROM pos WHERE member)
+SELECT q.doc_id,
+       bool_and(b.p IS NOT NULL) AS maybe_seen
+FROM pos q LEFT JOIN bits b ON b.p = q.p
+GROUP BY q.doc_id ORDER BY q.doc_id"""
+
+
 def nbsvm_r_sql() -> str:
     """DuckDB mirror of kgp.nbsvm.nbsvm_fit_ratios over word-count
     vectors of the documents table (label = doc_id parity):
