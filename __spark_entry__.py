@@ -887,6 +887,21 @@ def _q_nbsvm_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "token string, r double")
 
 
+def _q_gaussian_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GaussianBlur (kgp.imageops — ConvolveOp port: float32
+    sigma=width/3 kernel normalized by its sequential float32 total,
+    replicate edge extension, horizontal-then-vertical passes with
+    per-pass (int)(x+0.5) quantization and EDGE_ZERO_FILL borders)
+    over the media table's real BMP images, one row per blurred
+    pixel.  FULL oracle: kgp.oracle.gaussian_blur_sql replays the
+    float32 tap-accumulation order op-by-op (CAST AS REAL after
+    every multiply/add) over the closed-form pixels."""
+    from kgp.imageops import gaussian_blur_stage
+    from kgp.multimodal import synth_media
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gaussian_blur_stage(synth_media(spark, docs))
+
+
 def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership (kgp.bloom — BloomFilter.java's
     bundled murmur2 with Java int wrap, seeds 0..k-1, the INT-division
@@ -2839,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": _q_reservoir_sample,
         "nbsvm_r": _q_nbsvm_r,
         "bloom_membership": _q_bloom_membership,
+        "gaussian_blur": _q_gaussian_blur,
     }
 
 
@@ -2965,6 +2981,7 @@ def oracle_sql() -> dict[str, str]:
         "reservoir_sample": _oracle.reservoir_sample_sql(),
         "nbsvm_r": _oracle.nbsvm_r_sql(),
         "bloom_membership": _oracle.bloom_membership_sql(),
+        "gaussian_blur": _oracle.gaussian_blur_sql(),
         "geo_box_neighbors": _oracle.geo_box_neighbors_sql(),
         "wiktionary_pos": _oracle.wiktionary_pos_sql(),
         "single_feature_ranking": _oracle.single_feature_ranking_sql(),

@@ -345,3 +345,32 @@ def cluster_images_pick_representatives(images) -> set:
                 highest = pixel_count
         selected.add(best_key)
     return selected
+
+
+def gaussian_blur_stage(media: DataFrame, width: int = 2) -> DataFrame:
+    """Distributed GaussianBlur over the media table's image rows:
+    decode BMP -> the two float32 ConvolveOp passes -> one row per
+    blurred pixel (media_id, r, c, red, grn, blu).  Column-pruned
+    mapInPandas like the other media stages; the per-image work is
+    bounded by the image size, never the corpus."""
+    schema = ("media_id long, r int, c int, "
+              "red int, grn int, blu int")
+    cols = ["media_id", "r", "c", "red", "grn", "blu"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out = gaussian_blur(decode_bmp(bytes(content)), width)
+                h, w = out.shape[:2]
+                for r in range(h):
+                    for c in range(w):
+                        rows.append((int(mid), r, c,
+                                     int(out[r, c, 0]),
+                                     int(out[r, c, 1]),
+                                     int(out[r, c, 2])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (media.where(F.col("kind") == "image")
+            .select("media_id", "content")
+            .mapInPandas(run, schema))

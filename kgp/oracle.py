@@ -4078,6 +4078,102 @@ ORDER BY {key}, doc_id
 LIMIT {k}"""
 
 
+def gaussian_blur_sql(width: int = 2) -> str:
+    """DuckDB mirror of kgp.imageops.gaussian_blur over the
+    closed-form BMP pixels ((7*id + 5r + 3c + 11*ch) % 256): the
+    float32 kernel is computed in Python and inlined as exact
+    literals; each ConvolveOp pass replays the per-tap float32
+    accumulation ORDER with CAST AS REAL after every multiply/add
+    (double arithmetic over float32-exact operands rounds once =
+    the IEEE float32 op), edge padding via clamped source indices,
+    (int)(x+0.5) quantization via floor, and the EDGE_ZERO_FILL
+    borders; pass 2 consumes pass 1's zeroed borders exactly like
+    the numpy twin.  Ordered row/column LISTS give the neighbor
+    taps without 5-way joins."""
+    from kgp.imageops import gaussian_kernel
+    kern = [f"CAST({float(v)!r} AS REAL)"
+            for v in gaussian_kernel(width)]
+    n_taps = 2 * width + 1
+
+    def fold(px: list[str]) -> str:
+        acc = f"CAST({kern[0]} * ({px[0]}) AS REAL)"
+        for i in range(1, n_taps):
+            acc = (f"CAST({acc} + CAST({kern[i]} * ({px[i]}) AS REAL)"
+                   f" AS REAL)")
+        return acc
+
+    def quant(x: str) -> str:
+        return (f"CAST(least(greatest(floor(CAST({x} + 0.5 AS REAL))"
+                f", 0), 255) AS INT)")
+
+    # pass-1 taps: row list indexed 1-based; output col ce (0-based
+    # over the EXTENDED width) uses list positions ce+k-width+1
+    def taps1(ch: str) -> list[str]:
+        return [f"{ch}[ce + {k - width + 1}]" for k in range(n_taps)]
+
+    def taps2(ch: str) -> list[str]:
+        return [f"{ch}[re + {k - width + 1}]" for k in range(n_taps)]
+
+    w2 = 2 * width
+    return f"""
+WITH img AS (
+  SELECT doc_id AS media_id, doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+grid AS (
+  SELECT media_id, w, h, re, unnest(range(0, w + {w2})) AS ce
+  FROM (SELECT media_id, w, h, unnest(range(0, h + {w2})) AS re
+        FROM img)),
+extv AS (
+  SELECT media_id, w, h, re, ce,
+    (7 * media_id + 5 * least(greatest(re - {width}, 0), h - 1)
+       + 3 * least(greatest(ce - {width}, 0), w - 1)) % 256 AS red,
+    (7 * media_id + 5 * least(greatest(re - {width}, 0), h - 1)
+       + 3 * least(greatest(ce - {width}, 0), w - 1) + 11) % 256
+      AS grn,
+    (7 * media_id + 5 * least(greatest(re - {width}, 0), h - 1)
+       + 3 * least(greatest(ce - {width}, 0), w - 1) + 22) % 256
+      AS blu
+  FROM grid),
+rowlists AS (
+  SELECT media_id, w, h, re,
+         list(red ORDER BY ce) AS lr,
+         list(grn ORDER BY ce) AS lg,
+         list(blu ORDER BY ce) AS lb
+  FROM extv GROUP BY media_id, w, h, re),
+p1 AS (
+  SELECT media_id, w, h, re, ce,
+    CASE WHEN ce < {width} OR ce >= w + {width} THEN 0
+         ELSE {quant(fold(taps1('lr')))} END AS red,
+    CASE WHEN ce < {width} OR ce >= w + {width} THEN 0
+         ELSE {quant(fold(taps1('lg')))} END AS grn,
+    CASE WHEN ce < {width} OR ce >= w + {width} THEN 0
+         ELSE {quant(fold(taps1('lb')))} END AS blu
+  FROM rowlists, unnest(range(0, 30)) AS t(ce)
+  WHERE ce < w + {w2}),
+collists AS (
+  SELECT media_id, w, h, ce,
+         list(red ORDER BY re) AS lr,
+         list(grn ORDER BY re) AS lg,
+         list(blu ORDER BY re) AS lb
+  FROM p1 GROUP BY media_id, w, h, ce),
+p2 AS (
+  SELECT media_id, w, h, re, ce,
+    CASE WHEN re < {width} OR re >= h + {width} THEN 0
+         ELSE {quant(fold(taps2('lr')))} END AS red,
+    CASE WHEN re < {width} OR re >= h + {width} THEN 0
+         ELSE {quant(fold(taps2('lg')))} END AS grn,
+    CASE WHEN re < {width} OR re >= h + {width} THEN 0
+         ELSE {quant(fold(taps2('lb')))} END AS blu
+  FROM collists, unnest(range(0, 20)) AS t(re)
+  WHERE re < h + {w2})
+SELECT media_id, CAST(re - {width} AS INT) AS r,
+       CAST(ce - {width} AS INT) AS c, red, grn, blu
+FROM p2
+WHERE re >= {width} AND re < h + {width}
+  AND ce >= {width} AND ce < w + {width}
+ORDER BY media_id, r, c"""
+
+
 def bloom_membership_sql(num_elements: int = 250,
                          fp_prob: float = 0.01) -> str:
     """DuckDB mirror of kgp.bloom (BloomFilter.java:42-247): the
