@@ -887,6 +887,23 @@ def _q_nbsvm_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "token string, r double")
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword ENCODING (kgp.bpe.bpe_encode — the greedy
+    lowest-rank-first apply rule, first occurrence on ties) under the
+    fixed BPE_GATE_COUNTS merge table (the iterative FIT half stays
+    pytest-pinned; the table is a deterministic pure function of the
+    shared literal counts).  FULL oracle: a recursive CTE replays the
+    per-word merge chain (kgp.oracle.bpe_encode_sql)."""
+    from kgp.bpe import bpe_encode, learn_bpe_from_counts
+    merges = learn_bpe_from_counts(_oracle.BPE_GATE_COUNTS,
+                                   _oracle.BPE_GATE_MERGES)
+    docs = _docs_table(spark, sf_dir)
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("token_str"))
+
+
 def _q_gaussian_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GaussianBlur (kgp.imageops — ConvolveOp port: float32
     sigma=width/3 kernel normalized by its sequential float32 total,
@@ -2855,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nbsvm_r": _q_nbsvm_r,
         "bloom_membership": _q_bloom_membership,
         "gaussian_blur": _q_gaussian_blur,
+        "bpe_encode": _q_bpe_encode,
     }
 
 
@@ -2982,6 +3000,7 @@ def oracle_sql() -> dict[str, str]:
         "nbsvm_r": _oracle.nbsvm_r_sql(),
         "bloom_membership": _oracle.bloom_membership_sql(),
         "gaussian_blur": _oracle.gaussian_blur_sql(),
+        "bpe_encode": _oracle.bpe_encode_sql(),
         "geo_box_neighbors": _oracle.geo_box_neighbors_sql(),
         "wiktionary_pos": _oracle.wiktionary_pos_sql(),
         "single_feature_ranking": _oracle.single_feature_ranking_sql(),

@@ -4078,6 +4078,82 @@ ORDER BY {key}, doc_id
 LIMIT {k}"""
 
 
+# fixed weighted vocabulary for the bpe_encode gate: the merge TABLE
+# is a deterministic pure function of these counts (learn_bpe_from_
+# counts — the fit itself is the non-SQL-expressible half, pinned in
+# tests/test_bpe.py), so gate and oracle share the identical ranked
+# merges and the SQL verifies the greedy ENCODER end-to-end
+BPE_GATE_COUNTS = [
+    ("the", 50), ("and", 40), ("nation", 30), ("sing", 25),
+    ("herder", 20), ("wanted", 15), ("of", 12), ("tion", 10),
+    ("inning", 8), ("thesis", 6),
+]
+BPE_GATE_MERGES = 30
+
+
+def bpe_encode_sql() -> str:
+    """DuckDB mirror of kgp.bpe.bpe_encode under the fixed
+    BPE_GATE_COUNTS merge table: per DISTINCT lowercase word, a
+    recursive CTE replays encode_word's greedy apply rule — the
+    LOWEST-rank adjacent pair merges first (first occurrence on rank
+    ties, i.e. (rank, position) struct sort), chars + '</w>' initial
+    state, terminal when no pair has a rank — then the per-doc word
+    sequence reassembles (doc_id, n_tokens, token_str)."""
+    from kgp.bpe import learn_bpe_from_counts
+    merges = learn_bpe_from_counts(BPE_GATE_COUNTS, BPE_GATE_MERGES)
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    keys = ", ".join(f"{lit(a)} || chr(31) || {lit(b)}"
+                     for a, b in merges)
+    vals = ", ".join(str(i) for i in range(len(merges)))
+    cands = ("list_filter(list_transform(range(1, len(sy)), i -> "
+             "{'r': rk[sy[i] || chr(31) || sy[i + 1]][1], 'i': i}), "
+             "x -> x.r IS NOT NULL)")
+    return f"""
+WITH RECURSIVE
+rkm AS (SELECT MAP([{keys}], [{vals}]) AS rk),
+docs_w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents),
+docw AS (
+  SELECT doc_id, unnest(words) AS word,
+         generate_subscripts(words, 1) AS pos
+  FROM docs_w),
+vocab AS (SELECT DISTINCT word FROM docw),
+enc AS (
+  SELECT word,
+         string_split_regex(word, '') || ['</w>'] AS sy
+  FROM vocab
+  UNION ALL
+  SELECT word,
+    sy[1:(list_sort({cands})[1].i) - 1]
+      || [sy[list_sort({cands})[1].i]
+          || sy[list_sort({cands})[1].i + 1]]
+      || sy[(list_sort({cands})[1].i) + 2:len(sy)] AS sy
+  FROM enc, rkm
+  WHERE len({cands}) > 0),
+final AS (
+  SELECT word, sy FROM enc, rkm WHERE len({cands}) = 0),
+perword AS (
+  SELECT word, array_to_string(sy, ' ') AS toks, len(sy) AS n
+  FROM final),
+perdoc AS (
+  SELECT d.doc_id,
+         COALESCE(SUM(p.n), 0) AS n_tokens,
+         COALESCE(string_agg(p.toks, ' ' ORDER BY d.pos), '')
+           AS token_str
+  FROM docw d JOIN perword p ON p.word = d.word
+  GROUP BY d.doc_id)
+SELECT a.doc_id, CAST(COALESCE(b.n_tokens, 0) AS INT) AS n_tokens,
+       COALESCE(b.token_str, '') AS token_str
+FROM documents a LEFT JOIN perdoc b ON b.doc_id = a.doc_id
+ORDER BY a.doc_id"""
+
+
 def gaussian_blur_sql(width: int = 2) -> str:
     """DuckDB mirror of kgp.imageops.gaussian_blur over the
     closed-form BMP pixels ((7*id + 5r + 3c + 11*ch) % 256): the
