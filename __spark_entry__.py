@@ -887,6 +887,28 @@ def _q_nbsvm_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "token string, r double")
 
 
+def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming front-end (kgp.streaming): the SAME
+    stateless extract stage runs under readStream (file source,
+    availableNow drain, checkpointed exactly-once parquet sink) and
+    must produce the batch/golden text BYTE-IDENTICALLY — the
+    module's batch==stream contract made driver-falsifiable.  FULL
+    oracle: the identical closed-form golden text
+    (kgp.oracle.extract_text_sql).  Temp dirs live under /tmp for
+    the run (small, corpus-sized)."""
+    import tempfile
+
+    from kgp import streaming as _st
+    base = tempfile.mkdtemp(prefix="kgp-stream-gate-")
+    pages_dir = f"{base}/pages"
+    _corpus.synth_pages(spark, sf_dir).write.mode("overwrite") \
+        .parquet(pages_dir)
+    stream = _st.stream_docs(_st.stream_pages(spark, pages_dir))
+    _st.run_stream(stream.select("url", "text"),
+                   f"{base}/out", f"{base}/ckpt")
+    return spark.read.parquet(f"{base}/out").select("url", "text")
+
+
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE subword ENCODING (kgp.bpe.bpe_encode — the greedy
     lowest-rank-first apply rule, first occurrence on ties) under the
@@ -2873,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "gaussian_blur": _q_gaussian_blur,
         "bpe_encode": _q_bpe_encode,
+        "streaming_extract": _q_streaming_extract,
     }
 
 
@@ -3001,6 +3024,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _oracle.bloom_membership_sql(),
         "gaussian_blur": _oracle.gaussian_blur_sql(),
         "bpe_encode": _oracle.bpe_encode_sql(),
+        "streaming_extract": _oracle.extract_text_sql(),
         "geo_box_neighbors": _oracle.geo_box_neighbors_sql(),
         "wiktionary_pos": _oracle.wiktionary_pos_sql(),
         "single_feature_ranking": _oracle.single_feature_ranking_sql(),
